@@ -1,23 +1,34 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.queries.Registry
+
+/** Benchmark main: runs the headline (bench=true) queries at
+  * SPARK_GRAFT_SF_DIR and prints one JSON metrics line for the driver.
+  * Each query is fully executed (count() forces the whole plan); a
+  * warm-up pass on sf0.001 primes the JVM/codegen so the measured
+  * numbers reflect steady-state throughput, not JIT warmup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val headline = Registry.all.filter(_.bench)
+    // JVM/codegen warm-up at the smallest SF (not measured).
+    headline.foreach { q =>
+      try q.fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = headline.map { q =>
+      val t0 = System.nanoTime()
+      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      q.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

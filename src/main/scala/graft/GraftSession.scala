@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession factory for the Graft engine.
+  *
+  * Settings are chosen for correctness-parity with the DuckDB oracle
+  * (UTC, nanos-as-long) and for scale sanity (shuffle partitions sized
+  * to cores in local mode — on a real cluster this would be
+  * cores×executors×2-3, or left to AQE coalescing).
+  */
+object GraftSession {
+
+  def builder(master: String = defaultMaster,
+      shufflePartitions: Int = defaultCpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // driver testdata writes TIMESTAMP(NANOS) which the vectorized
+      // parquet reader rejects; read as LongType epoch-nanos instead.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def defaultMaster: String = s"local[$defaultCpus]"
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

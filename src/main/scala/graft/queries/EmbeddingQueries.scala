@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+import Tables._
+
+/** Similarity / vector operators over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Everything here computes in DOUBLE (floats widened first) so the
+  * DuckDB oracle — also computing in DOUBLE — agrees; scores are rounded
+  * to 6 decimals on both sides, and orderings tie-break on ids AFTER
+  * rounding so a 1e-15 accumulation difference can never flip a row.
+  *
+  * Scale notes: brute-force k-NN is the O(n²) correctness baseline.
+  * The 100 TB path (LSH-bucketed ANN, centroid/IVF routing) lives in
+  * graft.operators.Similarity; its buckets reuse these same kernels.
+  */
+object EmbeddingQueries {
+
+  /** Sequential-fold cosine between two array<double> columns; mirrors
+    * DuckDB's list_cosine_similarity formula dot/(sqrt(na)*sqrt(nb)).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  /** Brute-force nearest neighbor (top-1 by cosine) for every vector —
+    * the exact baseline for ANN. Cross join is intentional here; the
+    * approximate/scalable variant is sim_lsh_ann in operators.
+    */
+  val em1Knn = Q(
+    "em1_knn_top1",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val a = vecs(s, d).select(col("vec_id").as("id_a"), col("e").as("ea"))
+      val b = vecs(s, d).select(col("vec_id").as("id_b"), col("e").as("eb"))
+      val w = Window.partitionBy(col("id_a"))
+        .orderBy(col("score").desc, col("id_b"))
+      a.join(b, col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine(col("ea"), col("eb")), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id_a"), col("id_b").as("nn_id"), col("score"))
+        .orderBy(col("id_a"))
+    },
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM scored)
+      SELECT id_a, id_b AS nn_id, score FROM ranked WHERE rn = 1
+      ORDER BY id_a"""),
+    bench = true)
+
+  /** Embedding near-duplicate pairs: cosine above threshold, each pair
+    * once (id_a < id_b) — embedding-based near-dedup primitive.
+    */
+  val em2NearDup = Q(
+    "em2_embedding_near_dup",
+    (s, d) => {
+      val a = vecs(s, d).select(col("vec_id").as("id_a"), col("e").as("ea"))
+      val b = vecs(s, d).select(col("vec_id").as("id_b"), col("e").as("eb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosine(col("ea"), col("eb")), 6).as("score"))
+        .filter(col("score") >= 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.35
+      ORDER BY id_a, id_b"""))
+
+  /** Per-label centroids, one row per (label, dim): distributed via
+    * posexplode + hash agg — no driver materialization, scales linearly
+    * in rows × dims. DECIMAL-routed sums keep it order-independent.
+    */
+  val em3Centroids = Q(
+    "em3_label_centroids",
+    (s, d) =>
+      vecs(s, d)
+        .select(col("label"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(cnt.as("n"),
+          sum(col("x").cast("decimal(18,9)")).cast("double").as("sum_x"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+          (col("sum_x") / col("n")).as("centroid"))
+        .orderBy(col("label"), col("dim")),
+    sql = Some("""
+      WITH ex AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings)
+      SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+               AS centroid
+      FROM ex
+      GROUP BY label, dim
+      ORDER BY label, dim"""))
+
+  /** Vector norms + per-label extremes — scan-only vector arithmetic. */
+  val em4Norms = Q(
+    "em4_norm_stats",
+    (s, d) => {
+      val nrm = sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0),
+        (acc, v) => acc + v))
+      vecs(s, d)
+        .select(col("label"), round(nrm, 6).as("nrm"))
+        .groupBy(col("label"))
+        .agg(cnt.as("n"), max(col("nrm")).as("max_norm"),
+          min(col("nrm")).as("min_norm"))
+        .orderBy(col("label"))
+    },
+    sql = Some("""
+      WITH v AS (SELECT label,
+                   ROUND(sqrt(list_sum(list_transform(
+                     CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS nrm
+                 FROM embeddings)
+      SELECT label, COUNT(*) AS n, MAX(nrm) AS max_norm,
+             MIN(nrm) AS min_norm
+      FROM v
+      GROUP BY label
+      ORDER BY label"""))
+
+  val all: Seq[Q] = Seq(em1Knn, em2NearDup, em3Centroids, em4Norms)
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+import Tables._
+
+/** Queries over the `events` table.
+  *
+  * The driver's parquet carries `ts` as INT64 TIMESTAMP(NANOS), which
+  * Spark's vectorized reader rejects; all Graft sessions set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see
+  * [[graft.GraftSession]]) so `ts` arrives as LongType epoch-nanos. For
+  * oracle parity we therefore bucket with integer arithmetic on epoch
+  * seconds, mirrored in DuckDB as `epoch(date_trunc(...))` — identical
+  * for the post-1970 timestamps in this dataset.
+  */
+object EventsQueries {
+
+  /** Hourly tumbling-window aggregate per event type — the batch shape of
+    * the streaming windowed agg (see graft.streaming).
+    */
+  val q1Hourly = Q(
+    "ev1_hourly_agg",
+    (s, d) =>
+      events(s, d)
+        .withColumn("hour_ts", expr("ts DIV 3600000000000") * 3600L)
+        .groupBy(col("hour_ts"), col("event_type"))
+        .agg(cnt.as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour_ts"), col("event_type")),
+    sql = Some(s"""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+             event_type,
+             COUNT(*) AS n_events,
+             ${sqlDsum("value")} AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_ts, event_type"""),
+    bench = true)
+
+  /** Sessionization-lite: per-user event counts and value stats —
+    * the batch equivalent of keyed streaming state. Timestamps are
+    * reported in microseconds (`ts DIV 1000`): DuckDB's TIMESTAMP is
+    * micro-precision, so the oracle can't see nanos.
+    */
+  val q2PerUser = Q(
+    "ev2_user_rollup",
+    (s, d) =>
+      events(s, d)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .groupBy(col("user_id"))
+        .agg(cnt.as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          dsum(col("value")).as("total_value"),
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"))
+        .orderBy(col("user_id")),
+    sql = Some(s"""
+      SELECT user_id, COUNT(*) AS n_events,
+             COUNT(DISTINCT event_type) AS n_types,
+             ${sqlDsum("value")} AS total_value,
+             CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+             CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  /** JSON extraction from the string `props` column (semi-structured
+    * payload — the common event-log shape).
+    */
+  val q3Json = Q(
+    "ev3_json_extract",
+    (s, d) =>
+      events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(cnt.as("n_events"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    sql = Some("""
+      SELECT event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
+             CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  /** Event-order window: time delta to the previous event per user
+    * (lag window) — gap analysis, the batch twin of stream
+    * sessionization with timeouts.
+    */
+  val q4Gaps = Q(
+    "ev4_user_gaps",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, d)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+        .withColumn("gap_us", col("ts_us") - col("prev_ts"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(cnt.as("n_gaps"), sum(col("gap_us")).as("total_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy(col("user_id"))
+    },
+    sql = Some("""
+      SELECT user_id, COUNT(*) AS n_gaps,
+             CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+             CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+      FROM (SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events) t
+      WHERE gap_us IS NOT NULL
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps)
+}

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** One registered query: a Spark implementation plus (when
+  * SQL-expressible) a DuckDB oracle equivalent over the same parquet
+  * tables. Column names of `fn`'s result and `sql`'s result MUST match
+  * (the driver sorts columns by name and hash-compares values).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String] = None,
+    /** Headline queries run by Bench. */
+    bench: Boolean = false)
+
+object Q {
+
+  /** Exact, order-independent floating-point sum: route the (per-row
+    * deterministic) double expression through DECIMAL so Spark's
+    * partition-parallel summation and DuckDB's sequential summation
+    * produce bit-identical doubles. Mirror in SQL as
+    * `CAST(SUM(CAST(expr AS DECIMAL(18,6))) AS DOUBLE)`.
+    */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum / count, both sides
+    * computing `CAST(sum AS DOUBLE) / COUNT(*)` identically.
+    */
+  def davg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 6))).cast(DoubleType) / count(lit(1)))
+
+  /** SQL fragment for dsum. */
+  def sqlDsum(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** SQL fragment for davg. */
+  def sqlDavg(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+
+  /** Long-typed count helper (Spark count is already LongType). */
+  def cnt: Column = count(lit(1))
+}

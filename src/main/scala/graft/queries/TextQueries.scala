@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+import Tables._
+
+/** Text-analysis operators over the `documents` table — the
+  * oracle-checkable slice of the training-data pipeline (the
+  * non-SQL-expressible ones — MinHash/SimHash/LSH — live in
+  * graft.operators and register rows-only checks).
+  *
+  * All token logic is single-space/whitespace-regex based and written
+  * identically on the Spark and DuckDB sides; ratios are per-row double
+  * arithmetic (deterministic, no accumulation-order issues).
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+  private def sqlStopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Whitespace token counting (BPE-ish regex split), per document. */
+  val tx1Tokens = Q(
+    "tx1_token_count",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_measured"))
+        .orderBy(col("doc_id")),
+    sql = Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars_measured
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Corpus rollup per language: doc counts and exact char totals. */
+  val tx2LangStats = Q(
+    "tx2_lang_stats",
+    (s, d) =>
+      documents(s, d)
+        .groupBy(col("lang"))
+        .agg(cnt.as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)))
+            .as("avg_chars"))
+        .orderBy(col("lang")),
+    sql = Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  /** Exact deduplication by full-text equality: keep-first (min doc_id)
+    * per distinct text — the hash-groupBy dedup primitive. At scale the
+    * groupBy key would be a 128-bit text hash, not the text itself; both
+    * shuffle once on the key.
+    */
+  val tx3ExactDedup = Q(
+    "tx3_exact_dedup",
+    (s, d) =>
+      documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), cnt.as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+    sql = Some("""
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY text
+      ORDER BY keep_id"""),
+    bench = true)
+
+  /** Heuristic quality scoring: token count, mean token length, and
+    * stopword ratio per document — pure per-row arithmetic.
+    */
+  val tx4Quality = Q(
+    "tx4_quality_score",
+    (s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nTok = size(toks).cast("double")
+      val nStop = size(filter(toks,
+        t => array_contains(lit(stopwords.toArray), t))).cast("double")
+      documents(s, d)
+        .select(col("doc_id"),
+          nTok.cast("long").as("n_tokens"),
+          (length(col("text")).cast("double") / nTok).as("mean_tok_span"),
+          (nStop / nTok).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some(s"""
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS DOUBLE) / len(toks) AS mean_tok_span,
+             CAST(len(list_filter(toks, t -> list_contains($sqlStopList, t)))
+               AS DOUBLE) / len(toks) AS stopword_ratio
+      FROM (SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents) t
+      ORDER BY doc_id"""))
+
+  /** Document fingerprinting via md5 (content-hash identity — the
+    * exact-dedup key at scale). Rolling-hash / SimHash fingerprints are
+    * in graft.operators.TextDedup.
+    */
+  val tx5Fingerprint = Q(
+    "tx5_md5_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    sql = Some("""
+      SELECT doc_id, md5(text) AS fingerprint
+      FROM documents
+      ORDER BY doc_id"""))
+
+  /** Per-source × lang contingency counts (data-mix reporting). */
+  val tx6SourceMix = Q(
+    "tx6_source_mix",
+    (s, d) =>
+      documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(cnt.as("n_docs"))
+        .orderBy(col("source"), col("lang")),
+    sql = Some("""
+      SELECT source, lang, COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY source, lang
+      ORDER BY source, lang"""))
+
+  val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
+    tx5Fingerprint, tx6SourceMix)
+}
