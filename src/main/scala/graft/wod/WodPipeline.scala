@@ -1,0 +1,148 @@
+package graft.wod
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+/** End-to-end WOD ASCII → partitioned-parquet conversion with the
+  * reference's output contract (SURVEY.md §2-3):
+  *
+  *   `[out]/yearly/<DATASET>/<LEVEL>/<FILE>.parquet/geohash3=xxx/`
+  *     rows sorted by full geohash within partitions
+  *     (`DatasetYearTrain.java:128-137`),
+  *   `[out]/error/<DATASET>/<LEVEL>/<FILE>.parquet` error side-channel
+  *     (`TransformationErrorHandler.java:42-52`), written once per file
+  *     (not one file per failed cast — SURVEY §2.1 S7 notes the
+  *     reference's 1-row-per-write pattern is an inefficiency, not
+  *     semantics),
+  *   `_SUCCESS`-based idempotent resume (C2, `DatasetYearTrain.java:89-94`),
+  *   SUR→SUR_ALL rename (F4, `DatasetYearTrain.java:39-40,230-233`).
+  *
+  * Scale design: one conversion job per input file, each fully
+  * distributed (gzip ⇒ one parse task, then a hash exchange on geohash3
+  * for the partitioned write); multiple files run concurrently through
+  * Spark's scheduler. The reference's driver-side parse loop and
+  * two-phase `_temp` store (C3) disappear: a single lineage
+  * parse→shuffle→write needs no intermediate store, and output-dir
+  * atomicity comes from the Hadoop commit protocol's `_temporary` +
+  * `_SUCCESS`. The global `orderBy(geohash)` the reference issues
+  * before repartitioning is dropped deliberately — its range exchange
+  * is destroyed by the following hash repartition (SURVEY §2.3 O1).
+  */
+object WodPipeline {
+
+  final case class Config(
+      input: String,
+      output: String,
+      datasets: Seq[String] = Seq("APB", "CTD", "DRB", "GLD", "MBT", "MRB",
+        "OSD", "PFL", "SUR", "UOR", "XBT"),
+      levels: Seq[String] = Seq("OBS"),
+      subset: Seq[String] = Seq.empty, // keep only these file names if set
+      overwrite: Boolean = false,
+      geoMetadata: Boolean = true,
+      maxConcurrentFiles: Int = 4)
+
+  final case class FileTask(src: String, dataset: String, level: String,
+      outStore: String, errStore: String)
+
+  /** `<FILE>.gz` → `<FILE>.parquet` with the SUR special case
+    * (`SURF_ALL.gz` → `SUR_ALL.parquet`).
+    */
+  def outputName(dataset: String, gzName: String): String = {
+    val base = gzName.replaceAll("\\.gz$", "")
+    val renamed =
+      if (dataset == "SUR" && base.startsWith("SURF"))
+        "SUR" + base.stripPrefix("SURF")
+      else base
+    renamed + ".parquet"
+  }
+
+  /** Enumerate input files `<input>/<DATASET>/<LEVEL>/` `.gz` (driver-side
+    * metadata query, like reference `DatasetTrain.java:51-62` — file
+    * listing is cheap; the data path is fully distributed).
+    */
+  def plan(spark: SparkSession, cfg: Config): Seq[FileTask] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    for {
+      ds <- cfg.datasets
+      lvl <- cfg.levels
+      dir = new Path(s"${cfg.input}/$ds/$lvl")
+      fs = dir.getFileSystem(conf)
+      if fs.exists(dir)
+      st <- fs.listStatus(dir).toSeq.sortBy(_.getPath.getName)
+      name = st.getPath.getName
+      if name.endsWith(".gz")
+      if cfg.subset.isEmpty || cfg.subset.contains(name)
+    } yield FileTask(
+      src = st.getPath.toString,
+      dataset = ds,
+      level = lvl,
+      outStore = s"${cfg.output}/yearly/$ds/$lvl/${outputName(ds, name)}",
+      errStore = s"${cfg.output}/error/$ds/$lvl/${outputName(ds, name)}")
+  }
+
+  /** `_SUCCESS` marker check + `_temporary` crash-residue detection
+    * (C2 resume semantics).
+    */
+  def isComplete(spark: SparkSession, store: String): Boolean = {
+    val p = new Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(p, "_SUCCESS")) && !fs.exists(new Path(p, "_temporary"))
+  }
+
+  /** Convert one file: stream-parse, split casts/errors, write the
+    * geohash3-partitioned store (+ optional GeoParquet footer pass) and
+    * the error store. Returns (castRows, errorRows).
+    */
+  def convertFile(spark: SparkSession, task: FileTask,
+      geoMetadata: Boolean = true): (Long, Long) = {
+    import spark.implicits._
+    val rows = WodSource.read(spark, task.src)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val casts = rows.filter(_.cast != null).map(_.cast)
+      val errors = rows.filter(_.error != null).map(_.error)
+
+      val nCasts = casts.count()
+      if (nCasts > 0) {
+        casts.toDF()
+          .repartition(col("geohash3"))
+          .sortWithinPartitions(col("geohash"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("geohash3")
+          .parquet(task.outStore)
+        if (geoMetadata)
+          GeoParquet.addFooterMetadata(spark, task.outStore)
+      }
+      val nErrors = errors.count()
+      if (nErrors > 0)
+        errors.toDF().coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(task.errStore)
+      (nCasts, nErrors)
+    } finally rows.unpersist()
+  }
+
+  /** Run the whole plan with bounded file-level concurrency. */
+  def run(spark: SparkSession, cfg: Config): Seq[(FileTask, Long, Long)] = {
+    val tasks = plan(spark, cfg)
+    val fs = new Path(cfg.output).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val todo = tasks.filter { t =>
+      val done = !cfg.overwrite && isComplete(spark, t.outStore)
+      if (done) println(s"[wod] skip (complete): ${t.outStore}")
+      else if (cfg.overwrite) fs.delete(new Path(t.outStore), true)
+      !done
+    }
+    import scala.collection.parallel.CollectionConverters._
+    import scala.collection.parallel.ForkJoinTaskSupport
+    val par = todo.par
+    par.tasksupport = new ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(cfg.maxConcurrentFiles))
+    par.map { t =>
+      val (nc, ne) = convertFile(spark, t, cfg.geoMetadata)
+      println(s"[wod] ${t.src}: $nc casts, $ne errors -> ${t.outStore}")
+      (t, nc, ne)
+    }.seq
+  }
+}

@@ -1,0 +1,114 @@
+package graft.wod
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end conversion on the reference's fixtures, asserting the
+  * reference's output contract (FIXTURES.md §2): `_SUCCESS` markers,
+  * `geohash3=` partition dirs, within-partition geohash sort, SUR
+  * rename, error schema, resume semantics, GeoParquet footer.
+  */
+class WodPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  private val fixtures = "/root/reference/src/test/resources/wod"
+  private var inDir: String = _
+  private var outDir: String = _
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = Files.createTempDirectory("wodpipe").toString
+    inDir = s"$tmp/in"; outDir = s"$tmp/out"
+    for (rel <- Seq("CTD/OBS/CTDO1971.gz", "SUR/OBS/SURF_ALL.gz")) {
+      val dst = Paths.get(inDir, rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(fixtures, rel), dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("convert fixtures end-to-end with the reference output contract") {
+    val cfg = WodPipeline.Config(input = inDir, output = outDir,
+      datasets = Seq("CTD", "SUR"), maxConcurrentFiles = 2)
+    val results = WodPipeline.run(spark, cfg)
+    assert(results.size === 2)
+    assert(results.map(_._2).sum > 12000) // CTD 1 + SUR 12611 casts
+
+    // _SUCCESS + SUR rename (SURF_ALL.gz -> SUR_ALL.parquet)
+    val ctdStore = s"$outDir/yearly/CTD/OBS/CTDO1971.parquet"
+    val surStore = s"$outDir/yearly/SUR/OBS/SUR_ALL.parquet"
+    assert(Files.exists(Paths.get(ctdStore, "_SUCCESS")))
+    assert(Files.exists(Paths.get(surStore, "_SUCCESS")))
+
+    // hive partition dirs by geohash3
+    val parts = new java.io.File(surStore).listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.startsWith("geohash3=")))
+
+    // rows sorted by geohash within partitions
+    import spark.implicits._
+    val df = spark.read.parquet(surStore)
+    assert(df.count() === 12611 - surErrors)
+    val oneFile = new java.io.File(surStore).listFiles
+      .filter(_.isDirectory).head.listFiles
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val ghs = spark.read.parquet(oneFile.toString)
+      .select("geohash").as[String].collect()
+    assert(ghs.sameElements(ghs.sorted))
+
+    // schema: nested depths present
+    assert(df.schema("depths").dataType.typeName === "array")
+
+    // GeoParquet footer on every part file
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(oneFile.toString), conf))
+    val geo = try reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
+    finally reader.close()
+    assert(geo != null && geo.contains("\"version\":\"1.0.0\"") &&
+      geo.contains("\"encoding\":\"WKB\""))
+  }
+
+  private def surErrors: Long = {
+    val errStore = s"$outDir/error/SUR/OBS/SUR_ALL.parquet"
+    if (Files.exists(Paths.get(errStore)))
+      spark.read.parquet(errStore).count()
+    else 0L
+  }
+
+  test("error store (if any) has the reference CastError schema") {
+    val errStore = s"$outDir/error/SUR/OBS/SUR_ALL.parquet"
+    if (Files.exists(Paths.get(errStore))) {
+      val df = spark.read.parquet(errStore)
+      assert(df.columns.sorted === Array("castNumber", "dataset", "error"))
+    }
+  }
+
+  test("resume skips completed stores; overwrite redoes them") {
+    val cfg = WodPipeline.Config(input = inDir, output = outDir,
+      datasets = Seq("CTD", "SUR"))
+    // second run: everything complete -> nothing converted
+    val again = WodPipeline.run(spark, cfg)
+    assert(again.isEmpty)
+  }
+
+  test("geohash matches cast location") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$outDir/yearly/CTD/OBS/CTDO1971.parquet")
+    val row = df.select("latitude", "longitude", "geohash", "geohash3")
+      .as[(Double, Double, String, String)].head()
+    assert(row._3 === Geohash.encode(row._1, row._2))
+    assert(row._4 === row._3.take(3))
+    // CTD cast at 67.3981N -6.3056E — north Atlantic geohash starts gf/gk
+    assert(row._3.startsWith("g"))
+  }
+}
