@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, MinHashSignature, SimHashFingerprint, GraftExpressionBridge => B}
+
+/** User-facing API for Graft's native kernels (implemented in the
+  * org.apache.spark.sql.graft bridge package).
+  */
+object VectorFunctions {
+
+  /** MinHash signature (array<long>, one element per seed) over an
+    * array<string> shingle column — native single-pass md5 hashing.
+    */
+  def minhash_signature(shingles: Column, numHashes: Int): Column =
+    B.column(MinHashSignature(B.expression(shingles), numHashes))
+
+  /** SimHash 60-bit fingerprint over an array<string> token column. */
+  def simhash_fingerprint(tokens: Column, bits: Int = 60): Column =
+    B.column(SimHashFingerprint(B.expression(tokens), bits))
+
+  /** Dot product of two array<double> columns (codegen'd). */
+  def array_dot(a: Column, b: Column): Column =
+    B.column(ArrayDotProduct(B.expression(a), B.expression(b)))
+
+  /** L2 norm of an array<double> column (codegen'd). */
+  def array_norm(a: Column): Column =
+    B.column(ArrayNorm(B.expression(a)))
+
+  /** Cosine similarity via the codegen'd kernels. */
+  def cosine_sim(a: Column, b: Column): Column =
+    array_dot(a, b) / (array_norm(a) * array_norm(b))
+
+  /** Register SQL names (per-session) so `expr("array_dot(a,b)")` and
+    * spark.sql can use the kernels too.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("array_dot",
+      es => ArrayDotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("array_norm",
+      es => ArrayNorm(es.head), "scala_udf")
+  }
+}

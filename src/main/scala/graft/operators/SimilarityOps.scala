@@ -1,0 +1,102 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate nearest-neighbor search over embedding columns — the
+  * 100 TB scale path next to the brute-force baseline
+  * ([[graft.queries.EmbeddingQueries]] em1).
+  *
+  * Random-hyperplane LSH: deterministic md5-seeded hyperplanes
+  * (component w(p,d) = md5-prefix-int(p|d)/2^60*2-1 — reproducible on
+  * any engine, so the DuckDB oracle derives the identical planes);
+  * signature bit = sign of ⟨v, plane⟩; signatures split into bands;
+  * vectors sharing a band key become candidates; exact cosine runs
+  * only within buckets via the codegen'd dot kernel.
+  *
+  * Scale notes: the plane matrix is computed once on the driver and
+  * shipped as a literal (broadcast with the plan — a few KB); shuffles
+  * are keyed by (band, bucket) small ints, never all-to-all; bucket
+  * population stays balanced because hyperplane signs are ~unbiased.
+  * Survives 1000×: raise bitsPerBand (smaller buckets) and bands
+  * (recall) independently.
+  */
+object SimilarityOps {
+
+  /** Deterministic hyperplane component in [-1, 1): identical to the
+    * SQL `CAST(('0x'||substr(md5(p||'|'||d),1,15)) AS BIGINT)
+    * / 2^60 * 2 - 1`.
+    */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$plane|$dim".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / 1.152921504606846976e18 * 2 - 1
+  }
+
+  /** planes × dims hyperplane matrix (driver-side, deterministic). */
+  def planeMatrix(planes: Int, dims: Int): Seq[Seq[Double]] =
+    Seq.tabulate(planes, dims)(planeComponent)
+
+  /** LSH signature bits (one per plane) for an array<double> column,
+    * via the codegen'd dot kernel against literal planes.
+    */
+  def lshBits(e: Column, planes: Int, dims: Int): Column = {
+    val mat = typedlit(planeMatrix(planes, dims))
+    transform(mat, plane => when(array_dot(e, plane) >= 0, 1).otherwise(0))
+  }
+
+  /** Band keys: fold `bitsPerBand` bits into an int key per band. */
+  def lshBandKeys(bits: Column, bands: Int, bitsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(bits, b * bitsPerBand + 1, lit(bitsPerBand)),
+        lit(0), (acc, bit) => acc * 2 + bit))
+
+  /** (vid, e, nrm, band, bucket) — one row per vector per band. */
+  def bucketed(vecsDf: DataFrame, idCol: String, vecCol: String, dims: Int,
+      planes: Int, bands: Int): DataFrame = {
+    val bitsPerBand = planes / bands
+    vecsDf
+      .select(col(idCol).as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", array_norm(col("e")))
+      .select(col("vid"), col("e"), col("nrm"),
+        posexplode(lshBandKeys(lshBits(col("e"), planes, dims),
+          bands, bitsPerBand)).as(Seq("band", "bucket")))
+      // pre-partition on the join key so the candidate self-join reuses
+      // ONE exchange (signature computation runs once, not twice)
+      .repartition(col("band"), col("bucket"))
+  }
+
+  /** Approximate top-1 neighbor per vector: candidates from shared LSH
+    * buckets, exact cosine within buckets, best per id. Vectors whose
+    * buckets are all singletons get no row (the recall/coverage
+    * trade-off of ANN; raise `bands` for coverage).
+    */
+  def annTop1(vecsDf: DataFrame, idCol: String, vecCol: String, dims: Int,
+      planes: Int = 16, bands: Int = 4): DataFrame = {
+    val v = bucketed(vecsDf, idCol, vecCol, dims, planes, bands)
+    val a = v.select(col("band"), col("bucket"), col("vid").as("id_a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("band"), col("bucket"), col("vid").as("id_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("score").desc, col("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("score"))
+      .groupBy(col("id_a"), col("id_b")) // same pair can share >1 bucket
+      .agg(max(col("score")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id_a"), col("id_b").as("ann_id"), col("score"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalable text-deduplication primitives for a training-data pipeline.
+  *
+  * All hashing is md5-prefix-based (`conv(substr(md5(x),1,15),16,10)`,
+  * a 60-bit positive integer) — deterministic, engine-portable (the
+  * DuckDB oracle computes the identical value), and codegen'd end to
+  * end (built-in functions only; no UDFs, no serialization breaks).
+  *
+  * Scale notes (100 TB): every op here is a narrow map over documents
+  * followed by ONE shuffle keyed on something small (band hash /
+  * fingerprint / shingle), never on document text. Candidate
+  * generation via LSH banding keeps the pair space near-linear; the
+  * exact-Jaccard verify join touches only candidate pairs.
+  */
+object TextDedupOps {
+
+  /** Whitespace tokens of a trimmed text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct k-token shingles (word n-grams). Empty array when the
+    * document has fewer than k tokens.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = tokens(text)
+    when(size(t) >= k,
+      array_distinct(transform(sequence(lit(0), size(t) - k), i =>
+        concat_ws(" ", (1 to k).map(j => element_at(t, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 60-bit integer hash of a string column (md5-prefix), optionally
+    * seeded — identical in DuckDB as
+    * `CAST(('0x'||substr(md5(seed||'|'||x),1,15)) AS BIGINT)`.
+    */
+  def hash60(c: Column, seed: Option[Int] = None): Column = {
+    val keyed = seed.fold(c)(s => concat(lit(s.toString), lit("|"), c))
+    conv(substring(md5(keyed), 1, 15), 16, 10).cast("long")
+  }
+
+  /** MinHash signature: for each seed 0..k-1, the minimum hash60 over
+    * the shingle set. Native single-pass expression (one md5 per
+    * (seed, shingle), no per-element hex/string round-trips) — no
+    * shuffle, no explode.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    graft.functions.VectorFunctions.minhash_signature(shingleArr, numHashes)
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `rowsPerBand` and hash each band. Documents sharing any band key
+    * are near-dup candidates.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
+
+  /** Exact Jaccard similarity between two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** SimHash fingerprint (60-bit to stay in signed-long range on every
+    * engine): per bit, majority vote of token-hash bits. Computed as a
+    * pure array expression — no shuffle.
+    */
+  def simhash(text: Column, bits: Int = 60): Column =
+    graft.functions.VectorFunctions.simhash_fingerprint(tokens(text), bits)
+
+  /** Full MinHash-LSH near-duplicate pair pipeline:
+    * documents(idCol, textCol) → candidate pairs with exact Jaccard.
+    *
+    * Plan shape: map (shingles+signature+bands) → explode bands →
+    * shuffle on band key (small) → self-join within buckets →
+    * distinct pairs → one join back to fetch shingle sets → jaccard
+    * filter. The only all-to-all exchange is keyed by band hash.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 2, minJaccard: Double = 0.0)
+      : DataFrame = {
+    val rows = numHashes / bands
+    val base = docs
+      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val banded = base
+      .select(col("doc_id"), col("sh"),
+        posexplode(bandHashes(minhashSignature(col("sh"), numHashes),
+          bands, rows)).as(Seq("band", "bhash")))
+      // pre-partition on the join key: both sides of the self-join then
+      // share one exchange (ReusedExchange) → shingling+minhash runs once
+      .repartition(col("band"), col("bhash"))
+    val a = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

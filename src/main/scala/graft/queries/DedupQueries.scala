@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextDedupOps._
+import Q._
+import Tables._
+
+/** Near-duplicate detection over `documents` — every pipeline is
+  * mirrored in DuckDB SQL (same md5-prefix hashes, same shingling), so
+  * even the LSH ops get full oracle hash-checks, not rows-only checks.
+  */
+object DedupQueries {
+
+  private val shingleSql =
+    """CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(0, len(toks) - 2),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+         ELSE [] END"""
+
+  private val hash60Sql =
+    "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+
+  /** MinHash signatures (8 hashes) per document. */
+  val dd1Minhash = Q(
+    "dd1_minhash_signature",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          minhashSignature(col("sh"), 8).as("sig"))
+        .select(col("doc_id") +: (0 until 8).map(i =>
+          element_at(col("sig"), i + 1).as(s"h$i")): _*)
+        .orderBy(col("doc_id")),
+    sql = Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      sigs AS (
+        SELECT doc_id,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0)
+      SELECT doc_id, sig[1] AS h0, sig[2] AS h1, sig[3] AS h2, sig[4] AS h3,
+             sig[5] AS h4, sig[6] AS h5, sig[7] AS h6, sig[8] AS h7
+      FROM sigs
+      ORDER BY doc_id"""))
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification — the
+    * scalable near-dup pipeline (band-keyed shuffle only).
+    */
+  val dd2LshPairs = Q(
+    "dd2_minhash_lsh_pairs",
+    (s, d) =>
+      minhashLshPairs(documents(s, d), "doc_id", "text",
+        numHashes = 8, bands = 2)
+        .orderBy(col("id_a"), col("id_b")),
+    sql = Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                   AS DOUBLE) /
+                 (len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+                 6) AS jaccard
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, MAX(jaccard) AS jaccard
+      FROM pairs
+      GROUP BY id_a, id_b
+      ORDER BY id_a, id_b"""),
+    bench = true)
+
+  /** SimHash (60-bit) fingerprints + grouping key for near-dup
+    * bucketing.
+    */
+  val dd3Simhash = Q(
+    "dd3_simhash_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), simhash(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    sql = Some(s"""
+      WITH th AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                 t -> ${hash60Sql.format("t")}) AS hashes
+        FROM documents)
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 60), bit ->
+               CASE WHEN list_sum(list_transform(hashes, h ->
+                      CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+                    THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT AS fingerprint
+      FROM th
+      ORDER BY doc_id"""))
+
+  /** Exact n-gram Jaccard similarity join via inverted shingle index —
+    * the non-approximate dedup path: explode shingles, self-join on
+    * shingle, count co-occurrences, compute Jaccard from set sizes.
+    * One shuffle keyed by shingle; candidate pairs only.
+    */
+  val dd4NgramJaccard = Q(
+    "dd4_ngram_jaccard_pairs",
+    (s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val inv = docs.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("shingle"))
+        .repartition(col("shingle")) // shared exchange for the self-join
+      val a = inv.select(col("shingle"), col("doc_id").as("id_a"),
+        col("n").as("n_a"))
+      val b = inv.select(col("shingle"), col("doc_id").as("id_b"),
+        col("n").as("n_b"))
+      a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("shared"))
+        .select(col("id_a"), col("id_b"),
+          (col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")).cast("double"))
+            .as("jraw"))
+        .filter(col("jraw") >= 0.2) // filter on the raw value like the oracle
+        .select(col("id_a"), col("id_b"), round(col("jraw"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      inv AS (
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle
+        FROM docs WHERE len(sh) > 0),
+      co AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+               COUNT(*) AS shared
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b,
+             ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) AS jaccard
+      FROM co
+      WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.2
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard)
+}

@@ -2,51 +2,54 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
 import Q._
 import Tables._
 
 /** Similarity / vector operators over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
   *
-  * Everything here computes in DOUBLE (floats widened first) so the
-  * DuckDB oracle — also computing in DOUBLE — agrees; scores are rounded
-  * to 6 decimals on both sides, and orderings tie-break on ids AFTER
-  * rounding so a 1e-15 accumulation difference can never flip a row.
+  * Everything computes in DOUBLE (floats widened first) so the DuckDB
+  * oracle — also computing in DOUBLE — agrees; scores are rounded to 6
+  * decimals on both sides, and orderings tie-break on ids AFTER
+  * rounding, so a 1e-15 accumulation difference can never flip a row.
   *
-  * Scale notes: brute-force k-NN is the O(n²) correctness baseline.
-  * The 100 TB path (LSH-bucketed ANN, centroid/IVF routing) lives in
-  * graft.operators.Similarity; its buckets reuse these same kernels.
+  * Vector kernels are the codegen'd Catalyst expressions in
+  * [[graft.functions.VectorFunctions]] (a tight primitive loop inside
+  * whole-stage codegen), with norms computed once per vector, not per
+  * pair — this is what makes the O(n²) baseline usable and the LSH
+  * variant fast.
+  *
+  * Scale notes: brute-force k-NN is the O(n²) correctness baseline;
+  * the 100 TB path is sim1_lsh_ann in [[SimilarityQueries]] (bucketed
+  * candidate generation, near-linear).
   */
 object EmbeddingQueries {
 
-  /** Sequential-fold cosine between two array<double> columns; mirrors
-    * DuckDB's list_cosine_similarity formula dot/(sqrt(na)*sqrt(nb)).
-    */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
-
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** vec_id, label, e (array<double>), nrm (L2 norm, computed once). */
+  def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", array_norm(col("e")))
 
   /** Brute-force nearest neighbor (top-1 by cosine) for every vector —
-    * the exact baseline for ANN. Cross join is intentional here; the
-    * approximate/scalable variant is sim_lsh_ann in operators.
+    * the exact baseline for ANN. Cross join is intentional here.
     */
   val em1Knn = Q(
     "em1_knn_top1",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val a = vecs(s, d).select(col("vec_id").as("id_a"), col("e").as("ea"))
-      val b = vecs(s, d).select(col("vec_id").as("id_b"), col("e").as("eb"))
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb"))
       val w = Window.partitionBy(col("id_a"))
         .orderBy(col("score").desc, col("id_b"))
       a.join(b, col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosine(col("ea"), col("eb")), 6).as("score"))
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("id_a"), col("id_b").as("nn_id"), col("score"))
@@ -74,11 +77,15 @@ object EmbeddingQueries {
   val em2NearDup = Q(
     "em2_embedding_near_dup",
     (s, d) => {
-      val a = vecs(s, d).select(col("vec_id").as("id_a"), col("e").as("ea"))
-      val b = vecs(s, d).select(col("vec_id").as("id_b"), col("e").as("eb"))
+      val v = vecs(s, d)
+      val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosine(col("ea"), col("eb")), 6).as("score"))
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"))
         .filter(col("score") >= 0.35)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -119,19 +126,18 @@ object EmbeddingQueries {
       GROUP BY label, dim
       ORDER BY label, dim"""))
 
-  /** Vector norms + per-label extremes — scan-only vector arithmetic. */
+  /** Vector norms + per-label extremes — scan-only vector arithmetic
+    * through the codegen'd norm kernel.
+    */
   val em4Norms = Q(
     "em4_norm_stats",
-    (s, d) => {
-      val nrm = sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0),
-        (acc, v) => acc + v))
+    (s, d) =>
       vecs(s, d)
-        .select(col("label"), round(nrm, 6).as("nrm"))
+        .select(col("label"), round(col("nrm"), 6).as("nrm"))
         .groupBy(col("label"))
         .agg(cnt.as("n"), max(col("nrm")).as("max_norm"),
           min(col("nrm")).as("min_norm"))
-        .orderBy(col("label"))
-    },
+        .orderBy(col("label")),
     sql = Some("""
       WITH v AS (SELECT label,
                    ROUND(sqrt(list_sum(list_transform(

@@ -7,7 +7,7 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     Analytics.all ++ EventsQueries.all ++ TextQueries.all ++
-      EmbeddingQueries.all
+      EmbeddingQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

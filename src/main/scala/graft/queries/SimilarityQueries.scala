@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+import Q._
+import Tables._
+
+/** ANN (approximate nearest neighbor) queries — the scale path for
+  * similarity search, oracle-checked end to end: DuckDB re-derives the
+  * same md5-seeded hyperplanes, buckets, and scores.
+  */
+object SimilarityQueries {
+
+  private val planeSql =
+    """(CAST(('0x' || substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 15))
+         AS BIGINT)::DOUBLE / 1152921504606846976.0 * 2 - 1)"""
+
+  /** LSH-ANN top-1: 16 hyperplanes, 4 bands × 4 bits. */
+  val sim1LshAnn = Q(
+    "sim1_lsh_ann_top1",
+    (s, d) =>
+      SimilarityOps.annTop1(embeddings(s, d), "vec_id", "embedding",
+        dims = 64, planes = 16, bands = 4)
+        .orderBy(col("id_a")),
+    sql = Some(s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      vb AS (
+        SELECT vec_id, e,
+               list_transform(range(0, 16), p ->
+                 CASE WHEN list_sum(list_transform(range(0, 64), d ->
+                        e[d+1] * $planeSql)) >= 0
+                      THEN 1 ELSE 0 END) AS bits
+        FROM v),
+      banded AS (
+        SELECT vec_id, e, band,
+               bits[band*4+1]*8 + bits[band*4+2]*4
+                 + bits[band*4+3]*2 + bits[band*4+4] AS bucket
+        FROM vb, (SELECT unnest(range(0, 4)) AS band) bd),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id),
+      best AS (
+        SELECT id_a, id_b, MAX(score) AS score
+        FROM cand GROUP BY id_a, id_b),
+      ranked AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM best)
+      SELECT id_a, id_b AS ann_id, score FROM ranked WHERE rn = 1
+      ORDER BY id_a"""),
+    bench = true)
+
+  val all: Seq[Q] = Seq(sim1LshAnn)
+}

@@ -1,0 +1,106 @@
+package org.apache.spark.sql.graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5-prefix 60-bit hash — bit-identical to the SQL
+  * `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)` the DuckDB oracle
+  * uses (first 15 hex chars = first 8 bytes big-endian >> 4).
+  */
+private[graft] object Md5Hash60 {
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  def hash(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4
+  }
+
+  def hash(s: String): Long = hash(s.getBytes(StandardCharsets.UTF_8))
+}
+
+/** MinHash signature over an array<string> of shingles: for each seed
+  * 0..numHashes-1, min of hash60(seed + "|" + shingle). One native pass
+  * — replaces a numHashes×shingles higher-order-function expression
+  * tree (md5→hex→substring→conv per element) with direct byte-level
+  * hashing. Value-identical to the DuckDB oracle formulation.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var seed = 0
+      while (seed < numHashes) {
+        val h = Md5Hash60.hash(seed.toString + "|" + s)
+        if (h < sig(seed)) sig(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** SimHash fingerprint over an array<string> of tokens: 60-bit majority
+  * vote of per-token hash60 bits, single native pass (hash each token
+  * once, accumulate votes for all bits). Value-identical to the DuckDB
+  * oracle formulation (votes >= 0 → bit set).
+  */
+case class SimHashFingerprint(child: Expression, bits: Int = 60)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = Md5Hash60.hash(arr.getUTF8String(i).toString)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) >= 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
