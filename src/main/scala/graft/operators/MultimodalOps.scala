@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video carried as opaque
+  * `binary` columns with typed metadata, processed in partition-local
+  * batches (the Spark-side shape of a decode/feature-extract stage).
+  *
+  * The actual media decode is STUBBED with a deterministic fake (this
+  * container ships no image/audio codecs): `decodeStub` derives a
+  * 16-bin byte histogram "feature vector" from the raw bytes. The
+  * Spark plumbing — schema, encoders, partition-local batch loop,
+  * metadata propagation — is real and tested; swapping the stub for a
+  * JNI/process-pool decoder changes only the inner function.
+  *
+  * Scale notes: media bytes never shuffle (decode is scan-local); only
+  * compact features/metadata flow downstream. Partition sizing is the
+  * operative knob (`spark.sql.files.maxPartitionBytes` against media
+  * file sizes).
+  */
+object MultimodalOps {
+
+  /** One media asset: opaque payload + typed metadata. */
+  final case class MediaRow(media_id: Long, mime: String,
+      content: Array[Byte], width: Int, height: Int)
+
+  /** Extracted per-asset features (what flows downstream instead of
+    * the payload).
+    */
+  final case class MediaFeatures(media_id: Long, mime: String,
+      n_bytes: Long, features: Array[Float])
+
+  /** Deterministic stand-in for a media decoder: 16-bin normalized
+    * byte histogram. Replace with the real codec at deployment.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    if (bytes.length > 0) {
+      var j = 0
+      while (j < 16) { hist(j) /= bytes.length.toFloat; j += 1 }
+    }
+    hist
+  }
+
+  /** Batched partition-local feature extraction: the mapPartitions
+    * shape a real decoder needs (per-partition init cost amortized,
+    * bounded batch memory).
+    */
+  def extractFeatures(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (native lib handle)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          MediaFeatures(r.media_id, r.mime, r.content.length.toLong,
+            decodeStub(r.content))
+        }
+      }
+    }
+  }
+
+  /** Build a deterministic media table from `documents` (text bytes as
+    * payload) — gives the multimodal path real data to flow through in
+    * tests and the oracle-checked md1 query.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"), lit("text/plain").as("mime"),
+        col("text").cast("binary").as("content"),
+        lit(64).as("width"), lit(64).as("height"))
+      .as[MediaRow]
+  }
+}

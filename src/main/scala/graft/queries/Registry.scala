@@ -7,7 +7,8 @@ package graft.queries
 object Registry {
   def all: Seq[Q] =
     Analytics.all ++ EventsQueries.all ++ TextQueries.all ++
-      EmbeddingQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+      EmbeddingQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all ++ StreamingQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+import Tables._
+
+/** Streaming + temporal-join queries. st1 runs an actual Structured
+  * Streaming query (file source → complete-mode memory sink) whose
+  * result must hash-match the same DuckDB aggregate as the batch path
+  * — streaming/batch equivalence, oracle-enforced. av1 is the as-of
+  * (latest-event-at-or-before) temporal join, checked against DuckDB's
+  * native ASOF JOIN.
+  */
+object StreamingQueries {
+
+  /** Streaming hourly aggregate == batch ev1 (same oracle SQL). */
+  val st1StreamHourly = Q(
+    "st1_stream_hourly_agg",
+    (s, d) => graft.streaming.EventsStreaming.hourlyAggStream(s, d),
+    sql = Some(s"""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+             event_type,
+             COUNT(*) AS n_events,
+             ${sqlDsum("value")} AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_ts, event_type"""))
+
+  /** As-of join: for each order, the latest event (by ts, micros) of
+    * user = o_custkey with ts <= order date. Spark-side it's the
+    * scalable union-merge formulation: tag both streams, union, one
+    * window pass per user ordered by time (events sort before orders on
+    * ties), carry last event via last(ignoreNulls) — a single shuffle
+    * on the join key, no range explosion, no point-in-time self-join.
+    * DuckDB checks it with its native ASOF LEFT JOIN.
+    */
+  val av1AsofJoin = Q(
+    "av1_asof_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(
+        col("user_id").as("uid"),
+        expr("ts DIV 1000").as("t_us"),
+        lit(0).as("is_order"),
+        col("event_id"),
+        col("event_type"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"))
+      val ord = orders(s, d).select(
+        col("o_custkey").as("uid"),
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; session tz is UTC
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        lit(1).as("is_order"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"),
+        col("o_orderkey"),
+        col("o_totalprice"))
+      val w = Window.partitionBy(col("uid"))
+        .orderBy(col("t_us"), col("is_order"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.unionByName(ord)
+        .withColumn("last_event_id", last(col("event_id"), true).over(w))
+        .withColumn("last_event_type", last(col("event_type"), true).over(w))
+        .filter(col("is_order") === 1)
+        .select(col("o_orderkey"), col("uid").as("o_custkey"),
+          col("last_event_id"), col("last_event_type"))
+        .orderBy(col("o_orderkey"))
+    },
+    sql = Some("""
+      SELECT o.o_orderkey, o.o_custkey,
+             e.event_id AS last_event_id,
+             e.event_type AS last_event_type
+      FROM orders o
+      ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      ORDER BY o.o_orderkey"""))
+
+  val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin)
+}

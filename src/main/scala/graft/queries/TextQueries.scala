@@ -131,6 +131,45 @@ object TextQueries {
       GROUP BY source, lang
       ORDER BY source, lang"""))
 
+  /** Heuristic language-ID (stopword profiles, argmax with
+    * lexicographic tie-break) vs the labeled lang column.
+    */
+  val tx7LangId = Q(
+    "tx7_langid",
+    (s, d) => {
+      import graft.operators.TextAnalysisOps
+      documents(s, d)
+        .select(col("doc_id"), col("lang").as("labeled"),
+          TextAnalysisOps.langId(col("text")).as("predicted"),
+          round(array_max(TextAnalysisOps.langScores(col("text"))), 6)
+            .as("score"))
+        .orderBy(col("doc_id"))
+    },
+    sql = {
+      import graft.operators.TextAnalysisOps.stopwordProfiles
+      val langsArr = stopwordProfiles.map(p => s"'${p._1}'")
+        .mkString("[", ", ", "]")
+      val scoresArr = stopwordProfiles.map { case (_, words) =>
+        val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""CAST(len(list_filter(toks, t -> list_contains($list, t)))
+              AS DOUBLE) / len(toks)"""
+      }.mkString("[", ",\n               ", "]")
+      Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang AS labeled,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      scored AS (
+        SELECT doc_id, labeled, $scoresArr AS scores
+        FROM t)
+      SELECT doc_id, labeled,
+             ($langsArr)[list_position(scores, list_max(scores))]
+               AS predicted,
+             ROUND(list_max(scores), 6) AS score
+      FROM scored
+      ORDER BY doc_id""")
+    })
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
-    tx5Fingerprint, tx6SourceMix)
+    tx5Fingerprint, tx6SourceMix, tx7LangId)
 }

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming operators over the events table (SURVEY §2.4:
+  * the reference has no streaming; this is engine capability the
+  * training-data pipeline needs — incremental ingest with windowed
+  * aggregation and keyed session state).
+  *
+  * The batch parquet dir doubles as a bounded stream (file source +
+  * `processAllAvailable`), which lets the DuckDB oracle check the
+  * STREAMING result: st1's windowed aggregate must equal the batch
+  * ev1 aggregate bit-for-bit.
+  */
+object EventsStreaming {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Hourly per-type aggregate computed by a streaming query in
+    * complete mode into a memory sink; returns the final table.
+    * Mirrors ev1_hourly_agg exactly (same integer-bucket arithmetic,
+    * same DECIMAL-routed sum).
+    */
+  def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source needs a directory: stage a symlink dir
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val agg = src
+      .withColumn("hour_ts", expr("ts DIV 3600000000000") * 3600L)
+      .groupBy(col("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+    val name = s"graft_st1_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  /** A closed user session: burst of events separated by < gap. */
+  final case class UserSession(user_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, total_value: Double)
+
+  private final case class SessionState(n: Long, start: Long, last: Long,
+      total: Double)
+
+  /** Keyed stateful sessionization via flatMapGroupsWithState —
+    * emits a session when a new event arrives more than `gapUs` after
+    * the previous one (processing-time-independent, deterministic on
+    * bounded input; the streaming twin of ev4's gap analysis).
+    */
+  def sessionize(events: Dataset[(Long, Long, Double)], gapUs: Long)
+      : Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          // bounded-input batch call: rows arrive unordered; sort by ts
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var st = state.getOption.orNull
+          for ((_, ts, v) <- sorted) {
+            if (st == null) st = SessionState(1, ts, ts, v)
+            else if (ts - st.last >= gapUs) {
+              out += UserSession(user, st.n, st.start, st.last, st.total)
+              st = SessionState(1, ts, ts, v)
+            } else st = SessionState(st.n + 1, st.start, ts, st.total + v)
+          }
+          if (st != null) { // close the trailing session on bounded input
+            out += UserSession(user, st.n, st.start, st.last, st.total)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("decodeStub: deterministic normalized 16-bin histogram") {
+    val bytes = Array[Byte](0x00, 0x10, 0x10, 0x7f, -1) // bins 0,1,1,7,15
+    val h = MultimodalOps.decodeStub(bytes)
+    assert(h.length === 16)
+    assert(h(0) === 0.2f && h(1) === 0.4f && h(7) === 0.2f && h(15) === 0.2f)
+    assert(math.abs(h.sum - 1.0f) < 1e-6)
+    assert(MultimodalOps.decodeStub(Array.empty[Byte]).forall(_ == 0f))
+  }
+
+  test("extractFeatures: partition-local batch pipeline preserves rows") {
+    import spark.implicits._
+    val media = Seq(
+      MultimodalOps.MediaRow(1L, "image/fake", "hello".getBytes("UTF-8"), 4, 4),
+      MultimodalOps.MediaRow(2L, "image/fake", Array.empty[Byte], 0, 0))
+      .toDS().repartition(3)
+    val feats = MultimodalOps.extractFeatures(media, batchSize = 1)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(feats.head.n_bytes === 5L)
+    assert(feats.head.features.toSeq ===
+      MultimodalOps.decodeStub("hello".getBytes("UTF-8")).toSeq)
+  }
+
+  test("langId: stopword-profile heuristic on real sentences") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is happy"),
+      (2L, "el perro corre en la casa y no se detiene"),
+      (3L, "der hund und die katze sind nicht zu hause"),
+      (4L, "je ne sais pas le nom de il"),
+      (5L, "我 是 一 个 人 他 在 的")).toDF("id", "text")
+    val out = df.select($"id",
+      TextAnalysisOps.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "de")
+    assert(out(4L) === "fr")
+    assert(out(5L) === "zh")
+  }
+
+  test("sessionize: splits on gap, closes trailing session") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 1000L, 1.0), (1L, 2000L, 2.0),              // session 1
+      (1L, 999999999L, 5.0),                           // session 2
+      (2L, 50L, 7.0))                                  // session 3
+      .toDS()
+    val sessions = graft.streaming.EventsStreaming
+      .sessionize(events, gapUs = 10000L)
+      .collect().sortBy(s => (s.user_id, s.start_us))
+    assert(sessions.length === 3)
+    assert(sessions(0) === graft.streaming.EventsStreaming.UserSession(
+      1L, 2, 1000L, 2000L, 3.0))
+    assert(sessions(1).n_events === 1 && sessions(1).start_us === 999999999L)
+    assert(sessions(2).user_id === 2L)
+  }
+
+  test("minhash LSH finds a planted near-duplicate") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " phi"),                      // near-dup of 1
+      (3L, "completely different words entirely unrelated content here " +
+        "nothing shared at all with anything else whatsoever okay"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedupOps.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 8, bands = 4, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.8))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("ANN top-1 agrees with brute force on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // two tight clusters far apart; ANN must pair within clusters
+    def cluster(center: Array[Double], n: Int, from: Int) =
+      (0 until n).map { i =>
+        (from + i.toLong,
+          center.map(c => (c + rnd.nextGaussian() * 0.01).toFloat))
+      }
+    val vecs = (cluster(Array.fill(8)(1.0), 5, 0) ++
+      cluster(Array.fill(8)(-1.0), 5, 100)).toDF("vec_id", "embedding")
+    val ann = SimilarityOps.annTop1(vecs, "vec_id", "embedding", dims = 8,
+      planes = 8, bands = 4).as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    // neighbors stay within the same cluster (ids 0-4 vs 100-104)
+    assert(ann.forall(p => (p._1 < 100) == (p._2 < 100)))
+    assert(ann.forall(_._3 > 0.9))
+  }
+}
