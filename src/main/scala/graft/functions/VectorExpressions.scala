@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, MinHashSignature, SimHashFingerprint, GraftExpressionBridge => B}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, MinHashSignature, ShingleArray, SimHashFingerprint, GraftExpressionBridge => B}
 
 /** User-facing API for Graft's native kernels (implemented in the
   * org.apache.spark.sql.graft bridge package).
@@ -17,6 +17,12 @@ object VectorFunctions {
   /** SimHash 60-bit fingerprint over an array<string> token column. */
   def simhash_fingerprint(tokens: Column, bits: Int = 60): Column =
     B.column(SimHashFingerprint(B.expression(tokens), bits))
+
+  /** Distinct k-shingles (first-occurrence order) from a token array —
+    * native single pass.
+    */
+  def shingle_array(tokens: Column, k: Int): Column =
+    B.column(ShingleArray(B.expression(tokens), k))
 
   /** Dot product of two array<double> columns (codegen'd). */
   def array_dot(a: Column, b: Column): Column =

@@ -4,7 +4,6 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -86,17 +85,18 @@ object SimilarityOps {
       col("e").as("ea"), col("nrm").as("na"))
     val b = v.select(col("band"), col("bucket"), col("vid").as("id_b"),
       col("e").as("eb"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("score").desc, col("id_b"))
+    // top-1 as max(struct(score, -id)): map-side-combinable hash agg,
+    // no window sort; tie-break = ORDER BY score DESC, id_b ASC.
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-          .as("score"))
-      .groupBy(col("id_a"), col("id_b")) // same pair can share >1 bucket
-      .agg(max(col("score")).as("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id_a"), col("id_b").as("ann_id"), col("score"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
   }
 }

@@ -21,16 +21,14 @@ object TextDedupOps {
   /** Whitespace tokens of a trimmed text column. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct k-token shingles (word n-grams). Empty array when the
-    * document has fewer than k tokens.
+  /** Distinct k-token shingles (word n-grams), first-occurrence order;
+    * empty array when the document has fewer than k tokens. Native
+    * single-pass expression: the HOF formulation
+    * (transform+element_at+concat_ws) re-evaluates the token child per
+    * element inside the lambda — O(tokens) regex splits per row.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) >= k,
-      array_distinct(transform(sequence(lit(0), size(t) - k), i =>
-        concat_ws(" ", (1 to k).map(j => element_at(t, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.VectorFunctions.shingle_array(tokens(text), k)
 
   /** 60-bit integer hash of a string column (md5-prefix), optionally
     * seeded — identical in DuckDB as

@@ -24,7 +24,7 @@ object DedupQueries {
   val dd1Minhash = Q(
     "dd1_minhash_signature",
     (s, d) =>
-      documents(s, d)
+      spread(documents(s, d))
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
         .select(col("doc_id"),
@@ -54,7 +54,7 @@ object DedupQueries {
   val dd2LshPairs = Q(
     "dd2_minhash_lsh_pairs",
     (s, d) =>
-      minhashLshPairs(documents(s, d), "doc_id", "text",
+      minhashLshPairs(spread(documents(s, d)), "doc_id", "text",
         numHashes = 8, bands = 2)
         .orderBy(col("id_a"), col("id_b")),
     sql = Some(s"""
@@ -94,7 +94,7 @@ object DedupQueries {
   val dd3Simhash = Q(
     "dd3_simhash_fingerprint",
     (s, d) =>
-      documents(s, d)
+      spread(documents(s, d))
         .select(col("doc_id"), simhash(col("text")).as("fingerprint"))
         .orderBy(col("doc_id")),
     sql = Some(s"""
@@ -119,7 +119,7 @@ object DedupQueries {
   val dd4NgramJaccard = Q(
     "dd4_ngram_jaccard_pairs",
     (s, d) => {
-      val docs = documents(s, d)
+      val docs = spread(documents(s, d))
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
       val inv = docs.select(col("doc_id"), size(col("sh")).as("n"),

@@ -28,7 +28,7 @@ object EmbeddingQueries {
 
   /** vec_id, label, e (array<double>), nrm (L2 norm, computed once). */
   def vecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"), col("label"),
+    spread(embeddings(s, d)).select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("nrm", array_norm(col("e")))
 
@@ -38,21 +38,25 @@ object EmbeddingQueries {
   val em1Knn = Q(
     "em1_knn_top1",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val v = vecs(s, d)
       val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"),
         col("nrm").as("na"))
       val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"),
         col("nrm").as("nb"))
-      val w = Window.partitionBy(col("id_a"))
-        .orderBy(col("score").desc, col("id_b"))
+      // top-1 as max(struct(score, -id)) — a map-side-combinable hash
+      // aggregate (n² pair rows never shuffle; only one struct per id_a
+      // per partition does), vs a window that shuffles+sorts all pairs.
+      // Tie-break equals the oracle's ORDER BY score DESC, id_b ASC.
       a.join(b, col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-            .as("score"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id_a"), col("id_b").as("nn_id"), col("score"))
+        .select(col("id_a"),
+          struct(
+            round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+              .as("score"),
+            (-col("id_b")).as("neg_id")).as("cand"))
+        .groupBy(col("id_a"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("id_a"), (-col("best.neg_id")).as("nn_id"),
+          col("best.score").as("score"))
         .orderBy(col("id_a"))
     },
     sql = Some("""

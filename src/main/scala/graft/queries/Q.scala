@@ -42,4 +42,14 @@ object Q {
 
   /** Long-typed count helper (Spark count is already LongType). */
   def cnt: Column = count(lit(1))
+
+  /** Spread a narrow input across all cores before a compute-bound
+    * stage. The synthetic tables are single parquet files (one input
+    * split), so without this a CPU-heavy projection (hashing, vector
+    * math) runs on one core. On a real cluster wide inputs make this a
+    * no-op decision — but repartition-before-heavy-compute is the right
+    * pattern whenever input partitioning is coarser than the CPU work.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -19,7 +19,7 @@ object SimilarityQueries {
   val sim1LshAnn = Q(
     "sim1_lsh_ann_top1",
     (s, d) =>
-      SimilarityOps.annTop1(embeddings(s, d), "vec_id", "embedding",
+      SimilarityOps.annTop1(spread(embeddings(s, d)), "vec_id", "embedding",
         dims = 64, planes = 16, bands = 4)
         .orderBy(col("id_a")),
     sql = Some(s"""
