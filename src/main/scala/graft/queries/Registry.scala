@@ -8,7 +8,7 @@ object Registry {
   def all: Seq[Q] =
     Analytics.all ++ EventsQueries.all ++ TextQueries.all ++
       EmbeddingQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all
+      MultimodalQueries.all ++ StreamingQueries.all ++ WodQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.wod.{Cast, CastParser, Transform => WodTransform, WodSource}
+
+/** DataSource V2 for WOD native ASCII (`spark.read.format("wod")
+  * .load(dir)`) — the proper Spark-integrated source (SURVEY §7.1 step
+  * 4): file enumeration by the source, one InputPartition per gzip
+  * member (gzip is non-splittable — the same per-file parallelism unit
+  * the reference uses via HTCondor fan-out), streaming parse directly
+  * to InternalRow on executors.
+  *
+  * Casts that fail parse/transform are skipped here (use
+  * [[graft.wod.WodSource.read]] or the pipeline for the error
+  * side-channel contract).
+  */
+class WodDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "wod"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WodDataSource.castSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WodTable(properties.asScala.toMap)
+}
+
+object WodDataSource {
+  val castEncoder: ExpressionEncoder[Cast] = ExpressionEncoder[Cast]()
+  val castSchema: StructType = castEncoder.schema
+}
+
+final class WodTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"wod(${properties.getOrElse("path", properties.getOrElse("paths", "?"))})"
+  override def schema(): StructType = WodDataSource.castSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new WodScan(options)
+}
+
+final class WodScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
+
+  override def readSchema(): StructType = WodDataSource.castSchema
+  override def toBatch: Batch = this
+  override def description(): String = "WOD ASCII cast scan"
+
+  /** One partition per .gz file under the load path(s) — driver-side
+    * metadata listing only.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val paths = Option(options.get("paths"))
+      .map(_.split(",").toSeq)
+      .orElse(Option(options.get("path")).map(Seq(_)))
+      .getOrElse(Seq.empty)
+    require(paths.nonEmpty, "wod source requires a load path")
+    val files = paths.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      val stats =
+        if (fs.getFileStatus(path).isDirectory) {
+          val it = fs.listFiles(path, true)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".gz"))
+              buf += st.getPath.toString
+          }
+          buf.toSeq
+        } else Seq(path.toString)
+      stats
+    }
+    files.sorted.map(f => WodInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    WodReaderFactory(conf)
+  }
+}
+
+final case class WodInputPartition(file: String) extends InputPartition
+
+final case class WodReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new WodPartitionReader(p.asInstanceOf[WodInputPartition].file, conf.value)
+}
+
+/** Streams one gzip member: parse → transform → serialize, constant
+  * memory, no driver involvement.
+  */
+final class WodPartitionReader(file: String, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val dataset = WodSource.datasetOf(file)
+  private val path = new Path(file)
+  private val stream = path.getFileSystem(conf).open(path)
+  private val reader = new BufferedReader(new InputStreamReader(
+    if (file.endsWith(".gz")) new GZIPInputStream(stream, 64 * 1024)
+    else stream, StandardCharsets.UTF_8))
+  private val serializer = WodDataSource.castEncoder.createSerializer()
+  private val casts = CastParser.casts(reader, dataset).flatMap {
+    case Right(ascii) => WodTransform.toCast(dataset, ascii).toOption
+    case Left(_) => None
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (casts.hasNext) {
+      current = serializer(casts.next()).copy()
+      true
+    } else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
+}

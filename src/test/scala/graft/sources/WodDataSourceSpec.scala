@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class WodDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val fixtures = "/root/reference/src/test/resources/wod"
+
+  test("spark.read.format(wod) over a fixture file") {
+    val df = spark.read.format("wod").load(s"$fixtures/XBT/OBS/XBTO1967.gz")
+    assert(df.count() === 9390)
+    assert(df.schema.fieldNames.contains("geohash3"))
+    // column pruning + predicate work through the scan
+    import spark.implicits._
+    val years = df.filter($"country" === "US")
+      .select($"year").distinct().as[Int].collect()
+    assert(years.contains(1967))
+  }
+
+  test("directory load: one partition per gz member") {
+    val df = spark.read.format("wod").load(fixtures)
+    assert(df.rdd.getNumPartitions === 6) // six fixture files
+    // dataset inferred from <DATASET>/<LEVEL>/<FILE> layout
+    import spark.implicits._
+    val ds = df.select($"dataset").distinct().as[String].collect().sorted
+    assert(ds === Array("APB", "CTD", "DRB", "SUR", "XBT"))
+  }
+
+  test("SQL over the wod source") {
+    spark.read.format("wod").load(s"$fixtures/CTD/OBS/CTDO1971.gz")
+      .createOrReplaceTempView("wod_casts")
+    val row = spark.sql(
+      """SELECT castNumber, size(depths) AS n_depths, geohash3
+         FROM wod_casts""").head()
+    assert(row.getInt(0) === 19950762)
+    assert(row.getInt(1) === 562)
+    assert(row.getString(2) ===
+      graft.wod.Geohash.encode(67.3981, -6.3056).take(3))
+  }
+}

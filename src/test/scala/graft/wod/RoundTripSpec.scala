@@ -1,0 +1,273 @@
+package graft.wod
+
+import java.io.StringReader
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based round-trip: generate a cast, render it to WOD native
+  * ASCII (independent encoder below), parse with CastParser, compare.
+  * Covers the length-prefixed int/real field encodings, optional
+  * sections (character data, PIs, secondary, biological, taxa), missing
+  * values, multi-variable profiles, and 80-char line padding.
+  */
+class RoundTripSpec extends AnyFunSuite {
+
+  /** Deterministic property driver (scalacheck Gen sampled by seed;
+    * no scalatestplus bridge in the offline dependency set).
+    */
+  private def forAllSeeded[A](gen: Gen[A], n: Int)(body: A => Unit): Unit = {
+    var produced = 0
+    var seed = 0L
+    while (produced < n && seed < n * 10L) {
+      gen.apply(Gen.Parameters.default, Seed(seed)).foreach { a =>
+        produced += 1
+        try body(a)
+        catch {
+          case e: Throwable =>
+            throw new AssertionError(s"failed for seed $seed: ${e.getMessage}", e)
+        }
+      }
+      seed += 1
+    }
+    assert(produced >= n, s"generator produced only $produced/$n samples")
+  }
+
+  // ---- independent renderer (test-side encoder) ----
+
+  private def intF(v: Int): String = { val s = v.toString; s"${s.length}$s" }
+
+  /** Render (raw, prec) as a WOD real field; value = raw / 10^prec. */
+  private def realF(raw: Long, prec: Int): String = {
+    val chars = raw.toString
+    val sig = chars.count(_.isDigit)
+    s"$sig${chars.length}$prec$chars"
+  }
+
+  private def value(raw: Long, prec: Int): Double = raw / math.pow(10, prec)
+
+  private def render(c: AsciiCast,
+      reals: Map[String, (Long, Int)]): String = {
+    val b = new StringBuilder
+    b.append(intF(c.castNumber))
+    b.append(c.country)
+    b.append(intF(c.cruise))
+    b.append(f"${c.year}%4d").append(f"${c.month}%2d").append(f"${c.day}%2d")
+    def real(key: String, v: Option[Double]): Unit = v match {
+      case None => b.append('-')
+      case Some(_) => val (raw, p) = reals(key); b.append(realF(raw, p))
+    }
+    real("time", c.time); real("lat", c.latitude); real("lon", c.longitude)
+    b.append(intF(c.levels))
+    b.append(c.profileType.toString)
+    b.append(f"${c.variables.size}%2d")
+    for ((v, vi) <- c.variables.zipWithIndex) {
+      b.append(intF(v.code)).append(v.qcFlag.toString)
+      b.append(intF(v.metadata.size))
+      for ((m, mi) <- v.metadata.zipWithIndex) {
+        b.append(intF(m.code))
+        val (raw, p) = reals(s"meta_${vi}_$mi")
+        b.append(realF(raw, p))
+      }
+    }
+    // character data & PIs
+    val charBody = new StringBuilder
+    var entries = 0
+    c.originatorsCruise.foreach { s =>
+      charBody.append("1").append(f"${s.length}%2d").append(s); entries += 1 }
+    c.originatorsStation.foreach { s =>
+      charBody.append("2").append(f"${s.length}%2d").append(s); entries += 1 }
+    if (c.pis.nonEmpty) {
+      charBody.append("3").append(f"${c.pis.size}%2d")
+      c.pis.foreach(p =>
+        charBody.append(intF(p.variable)).append(intF(p.piCode)))
+      entries += 1
+    }
+    if (entries > 0) {
+      val body = entries.toString + charBody.toString
+      b.append(intF(body.length)).append(body)
+    } else b.append("0")
+    // secondary
+    def attrSection(attrs: Seq[AsciiAttr], prefix: String): Unit =
+      if (attrs.isEmpty) b.append("0")
+      else {
+        val body = new StringBuilder(intF(attrs.size))
+        for ((a, ai) <- attrs.zipWithIndex) {
+          body.append(intF(a.code))
+          val (raw, p) = reals(s"${prefix}_$ai")
+          body.append(realF(raw, p))
+        }
+        b.append(intF(body.length)).append(body)
+      }
+    attrSection(c.secondary, "sec")
+    // biological + taxa
+    if (c.biological.isEmpty && c.taxa.isEmpty) b.append("0")
+    else {
+      val body = new StringBuilder(intF(c.biological.size))
+      for ((a, ai) <- c.biological.zipWithIndex) {
+        body.append(intF(a.code))
+        val (raw, p) = reals(s"bio_$ai")
+        body.append(realF(raw, p))
+      }
+      b.append(intF(body.length)).append(body)
+      b.append(intF(c.taxa.size))
+      for ((ts, ti) <- c.taxa.zipWithIndex) {
+        b.append(intF(ts.size))
+        for ((t, ei) <- ts.zipWithIndex) {
+          b.append(intF(t.code))
+          val (raw, p) = reals(s"taxa_${ti}_$ei")
+          b.append(realF(raw, p))
+          b.append(t.qcFlag.toString).append(t.originatorsFlag.toString)
+        }
+      }
+    }
+    // profile
+    for ((lvl, li) <- c.profile.zipWithIndex) {
+      lvl.depth match {
+        case None => b.append('-')
+        case Some(_) =>
+          val (raw, p) = reals(s"dep_$li")
+          b.append(realF(raw, p))
+          b.append(lvl.depthErrorFlag.toString)
+          b.append(lvl.originatorsFlag.toString)
+      }
+      val byVar = lvl.data.map(m => m.variableCode -> m).toMap
+      for (v <- c.variables) byVar.get(v.code) match {
+        case None => b.append('-')
+        case Some(m) =>
+          val (raw, p) = reals(s"val_${li}_${v.code}")
+          b.append(realF(raw, p))
+          b.append(m.qcFlag.toString).append(m.originatorsFlag.toString)
+      }
+    }
+    // 'C' + self-including byte count, then pad to 80-char lines
+    val bodyStr = b.toString
+    var total = 1 + bodyStr.length
+    var prev = -1
+    while (total != prev) { prev = total; total = 1 + intF(prev).length + bodyStr.length }
+    val rec = "C" + intF(total) + bodyStr
+    rec + (" " * ((80 - rec.length % 80) % 80))
+  }
+
+  // ---- generators ----
+
+  private val genReal: Gen[(Long, Int)] = for {
+    prec <- Gen.choose(0, 4)
+    raw <- Gen.choose(-99999L, 999999L)
+  } yield (raw, prec)
+
+  private val genFlag = Gen.choose(0, 9)
+
+  private val genCast: Gen[(AsciiCast, Map[String, (Long, Int)])] = for {
+    castNumber <- Gen.choose(1, 99999999)
+    country <- Gen.listOfN(2, Gen.alphaUpperChar).map(_.mkString)
+    cruise <- Gen.choose(0, 9999999)
+    year <- Gen.choose(1900, 2023)
+    month <- Gen.choose(1, 12)
+    day <- Gen.choose(1, 28)
+    timeRaw <- Gen.option(Gen.zip(Gen.choose(0L, 2399L), Gen.const(2)))
+    latRaw <- Gen.option(Gen.zip(Gen.choose(-89999L, 89999L), Gen.const(3)))
+    lonRaw <- Gen.option(Gen.zip(Gen.choose(-179999L, 179999L), Gen.const(3)))
+    nVars <- Gen.choose(0, 3)
+    varCodes <- Gen.pick(nVars, 1 to 50)
+    vars <- Gen.sequence[Seq[AsciiVariable], AsciiVariable](
+      varCodes.toSeq.sorted.map { code =>
+        for {
+          qc <- genFlag
+          nMeta <- Gen.choose(0, 2)
+          metaCodes <- Gen.listOfN(nMeta, Gen.choose(1, 30))
+        } yield AsciiVariable(code, qc, metaCodes.map(AsciiAttr(_, 0.0)))
+      })
+    origCruise <- Gen.option(Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
+    origStation <- Gen.option(Gen.choose(1, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
+    pis <- Gen.listOf(Gen.zip(Gen.choose(1, 50), Gen.choose(1, 999)))
+      .map(_.take(4).map(p => AsciiPi(p._1, p._2)))
+    nSec <- Gen.choose(0, 4)
+    secCodes <- Gen.listOfN(nSec, Gen.choose(1, 99))
+    nBio <- Gen.choose(0, 3)
+    bioCodes <- Gen.listOfN(nBio, Gen.choose(1, 99))
+    nTaxaSets <- Gen.choose(0, 2)
+    taxaSizes <- Gen.listOfN(nTaxaSets, Gen.choose(0, 3))
+    taxaFlags <- Gen.listOfN(taxaSizes.sum * 2, genFlag)
+    nLevels <- Gen.choose(0, 5)
+    levelHasDepth <- Gen.listOfN(nLevels, Gen.frequency(9 -> true, 1 -> false))
+    levelVarPresent <- Gen.listOfN(nLevels,
+      Gen.listOfN(vars.size, Gen.frequency(4 -> true, 1 -> false)))
+    flags <- Gen.listOfN(nLevels * (1 + vars.size) * 2, genFlag)
+    realsSeed <- Gen.listOfN(200, genReal)
+  } yield {
+    val reals = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    var ri = 0
+    def nextReal(key: String): (Long, Int) = {
+      val r = realsSeed(ri % realsSeed.size); ri += 1
+      reals(key) = r; r
+    }
+    def rv(key: String): Double = { val (raw, p) = nextReal(key); value(raw, p) }
+
+    val time = timeRaw.map { case (raw, p) =>
+      reals("time") = (raw, p); value(raw, p) }
+    val lat = latRaw.map { case (raw, p) =>
+      reals("lat") = (raw, p); value(raw, p) }
+    val lon = lonRaw.map { case (raw, p) =>
+      reals("lon") = (raw, p); value(raw, p) }
+
+    val varsWithMeta = vars.zipWithIndex.map { case (v, vi) =>
+      v.copy(metadata = v.metadata.zipWithIndex.map { case (m, mi) =>
+        m.copy(value = rv(s"meta_${vi}_$mi")) })
+    }
+    val sec = secCodes.zipWithIndex.map { case (code, ai) =>
+      AsciiAttr(code, rv(s"sec_$ai")) }
+    val bio = bioCodes.zipWithIndex.map { case (code, ai) =>
+      AsciiAttr(code, rv(s"bio_$ai")) }
+    var tfi = 0
+    val taxa = taxaSizes.zipWithIndex.map { case (sz, ti) =>
+      (0 until sz).map { ei =>
+        val q = taxaFlags(tfi); val o = taxaFlags(tfi + 1); tfi += 2
+        AsciiTaxon(ei + 1, rv(s"taxa_${ti}_$ei"), q, o)
+      }
+    }
+    var fi = 0
+    def nf(): Int = { val f = flags(fi); fi += 1; f }
+    val profile = (0 until nLevels).map { li =>
+      val hasDepth = levelHasDepth(li)
+      val depth = if (hasDepth) Some(rv(s"dep_$li")) else None
+      val (df, of) = if (hasDepth) (nf(), nf()) else (0, 0)
+      val data = varsWithMeta.zipWithIndex.flatMap { case (v, vi) =>
+        if (levelVarPresent(li)(vi))
+          Some(AsciiMeasurement(v.code, rv(s"val_${li}_${v.code}"), nf(), nf()))
+        else None
+      }
+      AsciiLevel(depth, df, of, data)
+    }
+    val cast = AsciiCast(castNumber, country, cruise, year, month, day,
+      time, lat, lon, nLevels, 0, varsWithMeta, origCruise, origStation,
+      pis, sec, bio, taxa, profile)
+    (cast, reals.toMap)
+  }
+
+  test("render -> parse round-trips any generated cast") {
+    forAllSeeded(genCast, 200) { case (cast, reals) =>
+      val ascii = render(cast, reals)
+      val parsed = CastParser.casts(new StringReader(ascii), "TST").toVector
+      assert(parsed.size === 1)
+      parsed.head match {
+        case Right(p) => assert(p === cast)
+        case Left(e) => fail(s"parse error: ${e.error}\nrecord: $ascii")
+      }
+    }
+  }
+
+  test("multiple rendered casts in one stream parse in order") {
+    forAllSeeded(Gen.listOfN(5, genCast), 20) { cs =>
+      val ascii = cs.map { case (c, r) => render(c, r) }.mkString
+      val parsed = CastParser.casts(new StringReader(ascii), "TST").toVector
+      assert(parsed.size === cs.size)
+      parsed.zip(cs).foreach { case (p, (c, _)) =>
+        assert(p === Right(c))
+      }
+    }
+  }
+}
