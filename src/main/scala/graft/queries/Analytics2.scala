@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Q._
+import Tables._
+
+/** Second wave of relational coverage: rollup, set ops, correlated and
+  * scalar subqueries, conditional aggregation, temporal trends, string
+  * functions — each the portable (engine-identical) formulation.
+  */
+object Analytics2 {
+
+  /** ROLLUP hierarchy totals. NULL ordering differs between engines by
+    * default (Spark NULLS FIRST, DuckDB NULLS LAST) — pinned explicitly.
+    */
+  val q12Rollup = Q(
+    "q12_rollup_region_nation",
+    (s, d) => {
+      val c = customer(s, d)
+      val n = nation(s, d)
+      val r = region(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(cnt.as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    sql = Some(s"""
+      SELECT r_name, n_name, COUNT(*) AS n_customers,
+             ${sqlDsum("c_acctbal")} AS total_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  /** UNION ALL of heterogeneous sources into one entity list. */
+  val q13Union = Q(
+    "q13_union_entities",
+    (s, d) => {
+      val c = customer(s, d).select(col("c_name").as("name"),
+        lit("customer").as("kind"), col("c_acctbal").as("balance"))
+      val su = supplier(s, d).select(col("s_name").as("name"),
+        lit("supplier").as("kind"), col("s_acctbal").as("balance"))
+      c.unionByName(su).orderBy(col("name"), col("kind"))
+    },
+    sql = Some("""
+      SELECT c_name AS name, 'customer' AS kind, c_acctbal AS balance
+      FROM customer
+      UNION ALL
+      SELECT s_name, 'supplier', s_acctbal FROM supplier
+      ORDER BY name, kind"""))
+
+  /** Correlated EXISTS: customers having a big order (left-semi with
+    * inequality condition).
+    */
+  val q14Exists = Q(
+    "q14_exists_big_order",
+    (s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    sql = Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c.c_custkey
+                      AND o_totalprice > 400000.0)
+      ORDER BY c_custkey"""))
+
+  /** Scalar subquery: orders above the (decimal-exact) average price —
+    * Spark side as a broadcast cross join of the 1-row aggregate (no
+    * driver-side collect).
+    */
+  val q15ScalarSubquery = Q(
+    "q15_above_avg_orders",
+    (s, d) => {
+      val o = orders(s, d)
+      val avgDf = o.agg((sum(col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double") / cnt).as("avg_price"))
+      o.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round(col("avg_price"), 6).as("avg_price"))
+        .orderBy(col("o_orderkey"))
+    },
+    sql = Some(s"""
+      SELECT o_orderkey, o_totalprice,
+             ROUND((SELECT ${sqlDsum("o_totalprice")} / COUNT(*)
+                    FROM orders), 6) AS avg_price
+      FROM orders
+      WHERE o_totalprice > (SELECT ${sqlDsum("o_totalprice")} / COUNT(*)
+                            FROM orders)
+      ORDER BY o_orderkey"""))
+
+  /** CASE-based bucketing + grouped aggregation. */
+  val q16CaseBuckets = Q(
+    "q16_price_buckets",
+    (s, d) =>
+      orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 100000.0, "low")
+            .when(col("o_totalprice") < 250000.0, "mid")
+            .otherwise("high"))
+        .groupBy(col("bucket"))
+        .agg(cnt.as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket")),
+    sql = Some(s"""
+      SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
+                  WHEN o_totalprice < 250000.0 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+             COUNT(*) AS n_orders,
+             ${sqlDsum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY 1
+      ORDER BY bucket"""))
+
+  /** Monthly order trend (year/month extraction on TIMESTAMP_NTZ). */
+  val q17MonthlyTrend = Q(
+    "q17_monthly_trend",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("int").as("y"),
+          month(col("o_orderdate")).cast("int").as("m"))
+        .agg(cnt.as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("y"), col("m")),
+    sql = Some(s"""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+             CAST(month(o_orderdate) AS INTEGER) AS m,
+             COUNT(*) AS n_orders,
+             ${sqlDsum("o_totalprice")} AS total
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY y, m"""))
+
+  /** String function coverage: upper/substr/length/replace/concat. */
+  val q18StringOps = Q(
+    "q18_string_ops",
+    (s, d) =>
+      part(s, d)
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          length(col("p_name")).cast("long").as("name_len"),
+          regexp_replace(col("p_type"), " ", "_").as("type_slug"),
+          concat_ws("|", col("p_brand"), col("p_size").cast("string"))
+            .as("brand_size"))
+        .orderBy(col("p_partkey")),
+    sql = Some("""
+      SELECT p_partkey,
+             upper(substr(p_name, 1, 8)) AS name_prefix,
+             CAST(length(p_name) AS BIGINT) AS name_len,
+             replace(p_type, ' ', '_') AS type_slug,
+             p_brand || '|' || CAST(p_size AS VARCHAR) AS brand_size
+      FROM part
+      ORDER BY p_partkey"""))
+
+  /** Conditional (pivot-style) aggregation: per-flag quantities in one
+    * pass over lineitem.
+    */
+  val q19ConditionalAgg = Q(
+    "q19_conditional_agg",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          dsum(when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(0.0)).as("qty_returned"),
+          dsum(when(col("l_returnflag") === "A", col("l_quantity"))
+            .otherwise(0.0)).as("qty_a"),
+          dsum(when(col("l_returnflag") === "N", col("l_quantity"))
+            .otherwise(0.0)).as("qty_n"),
+          cnt.as("n_rows"))
+        .orderBy(col("l_linestatus")),
+    sql = Some(s"""
+      SELECT l_linestatus,
+             ${sqlDsum("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END")} AS qty_returned,
+             ${sqlDsum("CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END")} AS qty_a,
+             ${sqlDsum("CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END")} AS qty_n,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_linestatus
+      ORDER BY l_linestatus"""))
+
+  /** Percent-rank windows with deterministic integer arithmetic:
+    * ntile buckets over orders per customer segment.
+    */
+  val q20Ntile = Q(
+    "q20_ntile_quartiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy(col("quartile"))
+        .agg(cnt.as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          min(col("o_totalprice")).as("min_price"))
+        .orderBy(col("quartile"))
+    },
+    sql = Some(s"""
+      SELECT quartile, COUNT(*) AS n_orders,
+             ${sqlDsum("o_totalprice")} AS total,
+             MIN(o_totalprice) AS min_price
+      FROM (SELECT o_totalprice,
+                   NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                     AS quartile
+            FROM orders) t
+      GROUP BY quartile
+      ORDER BY quartile"""))
+
+  val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
+    q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
+    q20Ntile)
+}

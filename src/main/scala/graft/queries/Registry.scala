@@ -6,7 +6,7 @@ package graft.queries
   */
 object Registry {
   def all: Seq[Q] =
-    Analytics.all ++ EventsQueries.all ++ TextQueries.all ++
+    Analytics.all ++ Analytics2.all ++ EventsQueries.all ++ TextQueries.all ++
       EmbeddingQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ StreamingQueries.all ++ WodQueries.all
 
