@@ -75,5 +75,49 @@ object StreamingQueries {
         ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
       ORDER BY o.o_orderkey"""))
 
-  val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin)
+  /** Stateful sessionization (30-min gap) through
+    * flatMapGroupsWithState, verified against a completely different
+    * algorithm in DuckDB (window-based session reconstruction:
+    * break markers → running session ids → group). Money summed as
+    * exact cents so both engines agree bit-for-bit.
+    */
+  val st2Sessionize = Q(
+    "st2_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val ev = events(s, d).select(
+        col("user_id"),
+        expr("ts DIV 1000").as("t_us"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .as[(Long, Long, Long)]
+      graft.streaming.EventsStreaming.sessionize(ev, gapUs = 1800000000L)
+        .toDF()
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+      marked AS (
+        SELECT user_id, t, cents,
+               CASE WHEN LAG(t) OVER w IS NULL
+                      OR t - LAG(t) OVER w >= 1800000000 THEN 1
+                    ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, cents)),
+      numbered AS (
+        SELECT user_id, t, cents,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY t, cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM marked)
+      SELECT user_id, COUNT(*) AS n_events,
+             MIN(t) AS start_us, MAX(t) AS end_us,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM numbered
+      GROUP BY user_id, session_id
+      ORDER BY user_id, start_us"""))
+
+  val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize)
 }

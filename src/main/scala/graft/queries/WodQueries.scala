@@ -32,5 +32,16 @@ object WodQueries {
     sql = None,
     bench = true)
 
-  val all: Seq[Q] = Seq(wod1Convert)
+  /** Measurement-level analytics on the nested model: explode depths →
+    * per-variable depth-bucket profile statistics (rows-only; content
+    * gated by WodOpsSpec).
+    */
+  val wod2Profiles = Q(
+    "wod2_profile_stats",
+    (s, _) =>
+      graft.wod.WodOps.profileStats(
+        s.read.format("wod").load(fixtures)),
+    sql = None)
+
+  val all: Seq[Q] = Seq(wod1Convert, wod2Profiles)
 }

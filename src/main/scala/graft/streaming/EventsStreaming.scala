@@ -52,19 +52,22 @@ object EventsStreaming {
       .orderBy(col("hour_ts"), col("event_type"))
   }
 
-  /** A closed user session: burst of events separated by < gap. */
+  /** A closed user session: burst of events separated by < gap.
+    * Money carried as exact cents (portable across engines).
+    */
   final case class UserSession(user_id: Long, n_events: Long,
-      start_us: Long, end_us: Long, total_value: Double)
+      start_us: Long, end_us: Long, total_cents: Long)
 
   private final case class SessionState(n: Long, start: Long, last: Long,
-      total: Double)
+      cents: Long)
 
   /** Keyed stateful sessionization via flatMapGroupsWithState —
-    * emits a session when a new event arrives more than `gapUs` after
+    * emits a session when a new event arrives `gapUs` or more after
     * the previous one (processing-time-independent, deterministic on
     * bounded input; the streaming twin of ev4's gap analysis).
+    * Input rows: (user_id, ts_us, cents).
     */
-  def sessionize(events: Dataset[(Long, Long, Double)], gapUs: Long)
+  def sessionize(events: Dataset[(Long, Long, Long)], gapUs: Long)
       : Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events
@@ -76,15 +79,15 @@ object EventsStreaming {
           val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
           val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
           var st = state.getOption.orNull
-          for ((_, ts, v) <- sorted) {
-            if (st == null) st = SessionState(1, ts, ts, v)
+          for ((_, ts, c) <- sorted) {
+            if (st == null) st = SessionState(1, ts, ts, c)
             else if (ts - st.last >= gapUs) {
-              out += UserSession(user, st.n, st.start, st.last, st.total)
-              st = SessionState(1, ts, ts, v)
-            } else st = SessionState(st.n + 1, st.start, ts, st.total + v)
+              out += UserSession(user, st.n, st.start, st.last, st.cents)
+              st = SessionState(1, ts, ts, c)
+            } else st = SessionState(st.n + 1, st.start, ts, st.cents + c)
           }
           if (st != null) { // close the trailing session on bounded input
-            out += UserSession(user, st.n, st.start, st.last, st.total)
+            out += UserSession(user, st.n, st.start, st.last, st.cents)
             state.remove()
           }
           out.iterator

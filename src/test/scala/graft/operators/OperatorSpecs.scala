@@ -55,16 +55,16 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
   test("sessionize: splits on gap, closes trailing session") {
     import spark.implicits._
     val events = Seq(
-      (1L, 1000L, 1.0), (1L, 2000L, 2.0),              // session 1
-      (1L, 999999999L, 5.0),                           // session 2
-      (2L, 50L, 7.0))                                  // session 3
+      (1L, 1000L, 100L), (1L, 2000L, 200L),            // session 1
+      (1L, 999999999L, 500L),                          // session 2
+      (2L, 50L, 700L))                                 // session 3
       .toDS()
     val sessions = graft.streaming.EventsStreaming
       .sessionize(events, gapUs = 10000L)
       .collect().sortBy(s => (s.user_id, s.start_us))
     assert(sessions.length === 3)
     assert(sessions(0) === graft.streaming.EventsStreaming.UserSession(
-      1L, 2, 1000L, 2000L, 3.0))
+      1L, 2, 1000L, 2000L, 300L))
     assert(sessions(1).n_events === 1 && sessions(1).start_us === 999999999L)
     assert(sessions(2).user_id === 2L)
   }

@@ -1,0 +1,40 @@
+package graft.wod
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class WodOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val ctd = spark.read.format("wod")
+    .load("/root/reference/src/test/resources/wod/CTD/OBS/CTDO1971.gz")
+
+  test("measurements view: one row per observation") {
+    val m = WodOps.measurements(ctd)
+    // the CTD cast has 562 levels × 3 variables, all present
+    assert(m.count() === 562L * 3)
+    import spark.implicits._
+    val codes = m.select($"variableCode").distinct()
+      .as[Int].collect().sorted
+    assert(codes === Array(1, 2, 25))
+  }
+
+  test("profileStats: plausible ocean physics per depth bucket") {
+    import spark.implicits._
+    val stats = WodOps.profileStats(ctd).as[
+      (String, Int, Long, Long, Double, Double, Double, Double)].collect()
+    assert(stats.nonEmpty)
+    // temperature (code 1) decreases with depth in the N Atlantic cast
+    val temp = stats.filter(r => r._2 == 1).sortBy(_._3)
+    assert(temp.head._8 > temp.last._8,
+      s"surface max temp ${temp.head._8} should exceed deep ${temp.last._8}")
+    // observation counts match level density
+    assert(stats.map(_._4).sum === WodOps.measurements(ctd)
+      .filter($"qcFlag" === 0 && $"depth".isNotNull).count())
+  }
+}
