@@ -99,4 +99,41 @@ object SimilarityOps {
       .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
         col("best.score").as("score"))
   }
+
+  /** Multi-probe LSH ANN (IVF-flavored coarse quantization): one
+    * `cellBits`-bit hyperplane cell per vector (2^cellBits inverted
+    * lists); each QUERY probes its own cell plus every cell at Hamming
+    * distance 1 (bit flips) — recall comparable to multiple bands at a
+    * fraction of the index size, the classic multi-probe trade
+    * (public technique: Lv et al., multi-probe LSH). Index side stays
+    * 1 row per vector; only the query side fans out cellBits+1×.
+    */
+  def multiProbeTop1(vecsDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, cellBits: Int = 6): DataFrame = {
+    val v = vecsDf
+      .select(col(idCol).as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", array_norm(col("e")))
+      .withColumn("cell",
+        aggregate(lshBits(col("e"), cellBits, dims), lit(0),
+          (acc, bit) => acc * 2 + bit))
+    val probes = array(
+      col("cell") +: (0 until cellBits).map(b =>
+        col("cell").bitwiseXOR(lit(1 << b))): _*)
+    val queries = v.select(col("vid").as("id_a"), col("e").as("ea"),
+      col("nrm").as("na"), explode(probes).as("cell"))
+    val index = v.select(col("cell"), col("vid").as("id_b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    queries.join(index, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
+  }
 }

@@ -118,5 +118,24 @@ object EventsQueries {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps)
+  /** Salted (skew-aware) per-type rollup: two-stage aggregation on
+    * (key, salt) then key — the hot-key mitigation pattern — whose
+    * result must be bit-identical to the direct groupBy the oracle
+    * runs (exactness proof of the salting rewrite).
+    */
+  val q5Salted = Q(
+    "ev5_salted_rollup",
+    (s, d) =>
+      graft.operators.SkewOps.saltedCountSum(
+        events(s, d), col("event_type"), col("value"),
+        buckets = 16, col("event_id"))
+        .withColumnRenamed("k", "event_type")
+        .orderBy(col("event_type")),
+    sql = Some(s"""
+      SELECT event_type, COUNT(*) AS n, ${sqlDsum("value")} AS total
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted)
 }

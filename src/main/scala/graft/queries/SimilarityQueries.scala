@@ -55,5 +55,18 @@ object SimilarityQueries {
       ORDER BY id_a"""),
     bench = true)
 
-  val all: Seq[Q] = Seq(sim1LshAnn)
+  /** Multi-probe LSH (IVF-flavored) ANN — rows-only (recall gated by
+    * OperatorSpecs against brute force; the probe fan-out makes a SQL
+    * mirror disproportionate).
+    */
+  val sim2MultiProbe = Q(
+    "sim2_multiprobe_ann_top1",
+    (s, d) =>
+      graft.operators.SimilarityOps.multiProbeTop1(
+        spread(embeddings(s, d)), "vec_id", "embedding",
+        dims = 64, cellBits = 6)
+        .orderBy(col("id_a")),
+    sql = None)
+
+  val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -84,6 +85,38 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Double)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.8))
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("salted aggregation is bit-identical to direct groupBy") {
+    import spark.implicits._
+    // skewed keys: one key holds 80% of rows
+    val df = ((1 to 800).map(i => ("hot", i.toLong, i * 1.01)) ++
+      (1 to 200).map(i => (s"k${i % 7}", i.toLong, i * 2.02)))
+      .toDF("key", "id", "v")
+    val direct = df.groupBy($"key")
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast("decimal(18,6)")).cast("double").as("total"))
+      .orderBy($"key").collect()
+    val salted = SkewOps.saltedCountSum(df, $"key", $"v", 16, $"id")
+      .withColumnRenamed("k", "key").orderBy($"key").collect()
+    assert(salted.toSeq === direct.toSeq)
+  }
+
+  test("multi-probe ANN pairs within clusters like banded LSH") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def cluster(center: Array[Double], n: Int, from: Int) =
+      (0 until n).map { i =>
+        (from + i.toLong,
+          center.map(c => (c + rnd.nextGaussian() * 0.01).toFloat))
+      }
+    val vecs = (cluster(Array.fill(8)(1.0), 6, 0) ++
+      cluster(Array.fill(8)(-1.0), 6, 100)).toDF("vec_id", "embedding")
+    val ann = SimilarityOps.multiProbeTop1(vecs, "vec_id", "embedding",
+      dims = 8, cellBits = 4).as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(p => (p._1 < 100) == (p._2 < 100)))
+    assert(ann.forall(_._3 > 0.9))
   }
 
   test("ANN top-1 agrees with brute force on clustered vectors") {
