@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, MinHashSignature, ShingleArray, SimHashFingerprint}
+
+/** SparkSessionExtensions wiring: makes the graft kernels available to
+  * pure-SQL users via
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`):
+  *
+  *   SELECT array_dot(a, b), array_norm(a),
+  *          minhash_signature(shingles, 8),
+  *          simhash(tokens), shingle_array(tokens, 3) ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def info(name: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    e.injectFunction((FunctionIdentifier("array_dot"), info("array_dot"),
+      (es: Seq[Expression]) => ArrayDotProduct(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("array_norm"), info("array_norm"),
+      (es: Seq[Expression]) => ArrayNorm(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature"),
+      (es: Seq[Expression]) => MinHashSignature(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("simhash"), info("simhash"),
+      (es: Seq[Expression]) => SimHashFingerprint(es.head)))
+    e.injectFunction((FunctionIdentifier("shingle_array"),
+      info("shingle_array"),
+      (es: Seq[Expression]) => ShingleArray(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
+  }
+}
