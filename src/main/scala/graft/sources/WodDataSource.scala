@@ -134,10 +134,16 @@ final class WodPartitionReader(file: String, conf: Configuration)
   private var current: InternalRow = _
 
   override def next(): Boolean =
-    if (casts.hasNext) {
-      current = serializer(casts.next()).copy()
-      true
-    } else false
+    try {
+      if (casts.hasNext) {
+        current = serializer(casts.next()).copy()
+        true
+      } else false
+    } catch {
+      // corrupt/truncated member: end the partition instead of failing
+      // the task (error-channel semantics live in WodSource/pipeline)
+      case _: java.io.IOException => false
+    }
 
   override def get(): InternalRow = current
 

@@ -30,6 +30,18 @@ object WodOps {
         col("m.qcFlag").as("qcFlag"),
         col("m.originatorsFlag").as("originatorsFlag"))
 
+  /** Completeness differ (SURVEY §2.1 S14, the reference's
+    * `OsPoolS3Lister` set difference re-expressed relationally):
+    * expected (dataset, year) conversions minus those present in the
+    * output — EXCEPT semantics via left-anti join (no driver-side
+    * set materialization; both sides can be arbitrarily large).
+    */
+  def missingConversions(expected: DataFrame, produced: DataFrame): DataFrame =
+    expected.join(produced,
+      expected("dataset") === produced("dataset") &&
+        expected("year") === produced("year"),
+      "left_anti")
+
   /** Depth-bucketed per-variable profile statistics (the classic
     * oceanographic rollup: mean measurement by depth layer).
     */

@@ -46,11 +46,23 @@ object WodSource {
     spark.sparkContext.binaryFiles(paths, parts)
       .flatMap { case (path, pds) =>
         val dataset = datasetOf(path)
-        val stream = pds.open()
-        val in = new BufferedReader(new InputStreamReader(
-          if (path.endsWith(".gz")) new GZIPInputStream(stream, 64 * 1024)
-          else stream, StandardCharsets.UTF_8))
-        CastParser.casts(in, dataset).map {
+        // C5 error isolation extends to the file level: a corrupt /
+        // truncated gzip member yields one error row, never a task
+        // failure (one bad object in an S3 prefix must not kill a
+        // 100 TB job).
+        val casts =
+          try {
+            val stream = pds.open()
+            val in = new BufferedReader(new InputStreamReader(
+              if (path.endsWith(".gz")) new GZIPInputStream(stream, 64 * 1024)
+              else stream, StandardCharsets.UTF_8))
+            CastParser.casts(in, dataset)
+          } catch {
+            case e: java.io.IOException =>
+              Iterator.single(Left(CastError(dataset, -1,
+                s"unreadable file $path: ${e.getMessage}")))
+          }
+        ioSafe(casts, dataset, path).map {
           case Right(ascii) => Transform.toCast(dataset, ascii) match {
             case Right(cast) => WodRow(path, cast, null)
             case Left(err)   => WodRow(path, null, err)
@@ -62,6 +74,38 @@ object WodSource {
       }
       .toDS()
   }
+
+  /** Guard an iterator against mid-stream IO failures (gzip CRC /
+    * truncation): emit one error element, then end.
+    */
+  private def ioSafe(it: Iterator[Either[CastError, AsciiCast]],
+      dataset: String, path: String)
+      : Iterator[Either[CastError, AsciiCast]] =
+    new Iterator[Either[CastError, AsciiCast]] {
+      private var failed: Option[CastError] = None
+      private var done = false
+      override def hasNext: Boolean = !done && (failed.isDefined || {
+        try it.hasNext
+        catch {
+          case e: java.io.IOException =>
+            failed = Some(CastError(dataset, -1,
+              s"stream error in $path: ${e.getMessage}"))
+            true
+        }
+      })
+      override def next(): Either[CastError, AsciiCast] =
+        failed match {
+          case Some(err) => done = true; Left(err)
+          case None =>
+            try it.next()
+            catch {
+              case e: java.io.IOException =>
+                done = true
+                Left(CastError(dataset, -1,
+                  s"stream error in $path: ${e.getMessage}"))
+            }
+        }
+    }
 
   /** Casts only (drops the error channel). */
   def casts(spark: SparkSession, paths: String): Dataset[Cast] = {

@@ -24,6 +24,35 @@ class WodOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codes === Array(1, 2, 25))
   }
 
+  test("missingConversions: EXCEPT semantics via anti join") {
+    import spark.implicits._
+    val expected = Seq(("XBT", 1967), ("XBT", 1968), ("CTD", 1971))
+      .toDF("dataset", "year")
+    val produced = Seq(("XBT", 1967), ("CTD", 1971))
+      .toDF("dataset", "year")
+    val missing = WodOps.missingConversions(expected, produced)
+      .as[(String, Int)].collect()
+    assert(missing.toSeq === Seq(("XBT", 1968)))
+  }
+
+  test("corrupt gzip and empty file surface as errors, not crashes") {
+    val tmp = java.nio.file.Files.createTempDirectory("wodbad")
+    // corrupt gzip: header bytes only
+    java.nio.file.Files.write(tmp.resolve("bad.gz"),
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 1, 2, 3))
+    // empty (valid) gzip member
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(tmp.resolve("empty.gz")))
+    out.close()
+    val empty = WodSource.read(spark, tmp.resolve("empty.gz").toString)
+    assert(empty.count() === 0)
+    val bad = WodSource.read(spark, tmp.resolve("bad.gz").toString)
+    // corrupt stream must not kill the job: parse yields error rows or
+    // nothing, but the action completes
+    val rows = bad.collect()
+    assert(rows.forall(_.cast == null))
+  }
+
   test("profileStats: plausible ocean physics per depth bucket") {
     import spark.implicits._
     val stats = WodOps.profileStats(ctd).as[
