@@ -212,7 +212,28 @@ object Analytics2 {
       GROUP BY quartile
       ORDER BY quartile"""))
 
+  /** CUBE with GROUPING() disambiguation (a real NULL vs subtotal NULL). */
+  val q21Cube = Q(
+    "q21_cube_status_priority",
+    (s, d) =>
+      orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(cnt.as("n_orders"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first,
+          col("g_status"), col("g_priority")),
+    sql = Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+               g_status, g_priority"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
-    q20Ntile)
+    q20Ntile, q21Cube)
 }

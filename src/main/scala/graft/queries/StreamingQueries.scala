@@ -73,7 +73,8 @@ object StreamingQueries {
       FROM orders o
       ASOF LEFT JOIN events e
         ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
-      ORDER BY o.o_orderkey"""))
+      ORDER BY o.o_orderkey"""),
+    bench = true)
 
   /** Stateful sessionization (30-min gap) through
     * flatMapGroupsWithState, verified against a completely different
