@@ -60,12 +60,35 @@ final class WodTable(properties: Map[String, String])
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new WodScan(options)
+    new WodScanBuilder(options)
 }
 
-final class WodScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
+/** Column pruning: a cast must be fully parsed regardless (the gzip
+  * stream is sequential), but pruned scans emit narrow rows — nested
+  * `depths` arrays dominate row width, so `SELECT castNumber, geohash3`
+  * never materializes them downstream.
+  */
+final class WodScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = WodDataSource.castSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Catalyst may hand us NESTED-pruned struct types (inner fields of
+    // `depths` removed); our reader serializes full Cast rows, so honor
+    // the pruning at top level only and keep the full nested types —
+    // declaring a narrower nested type than the rows carry corrupts the
+    // unsafe row layout.
+    val full = WodDataSource.castSchema
+    required = StructType(
+      requiredSchema.fieldNames.map(n => full(full.fieldIndex(n))))
+  }
+  override def build(): Scan = new WodScan(options, required)
+}
 
-  override def readSchema(): StructType = WodDataSource.castSchema
+final class WodScan(options: CaseInsensitiveStringMap,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = "WOD ASCII cast scan"
 
@@ -102,22 +125,24 @@ final class WodScan(options: CaseInsensitiveStringMap) extends Scan with Batch {
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    WodReaderFactory(conf)
+    WodReaderFactory(conf, required)
   }
 }
 
 final case class WodInputPartition(file: String) extends InputPartition
 
-final case class WodReaderFactory(conf: SerializableConfiguration)
-    extends PartitionReaderFactory {
+final case class WodReaderFactory(conf: SerializableConfiguration,
+    required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new WodPartitionReader(p.asInstanceOf[WodInputPartition].file, conf.value)
+    new WodPartitionReader(p.asInstanceOf[WodInputPartition].file, conf.value,
+      required)
 }
 
-/** Streams one gzip member: parse → transform → serialize, constant
-  * memory, no driver involvement.
+/** Streams one gzip member: parse → transform → serialize (pruned to
+  * the required columns), constant memory, no driver involvement.
   */
-final class WodPartitionReader(file: String, conf: Configuration)
+final class WodPartitionReader(file: String, conf: Configuration,
+    required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val dataset = WodSource.datasetOf(file)
@@ -127,6 +152,18 @@ final class WodPartitionReader(file: String, conf: Configuration)
     if (file.endsWith(".gz")) new GZIPInputStream(stream, 64 * 1024)
     else stream, StandardCharsets.UTF_8))
   private val serializer = WodDataSource.castEncoder.createSerializer()
+  private val prune: InternalRow => InternalRow = {
+    val full = WodDataSource.castSchema
+    if (required.fieldNames.sameElements(full.fieldNames)) identity
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      val refs = required.fieldNames.toIndexedSeq.map { name =>
+        val i = full.fieldIndex(name)
+        BoundReference(i, full(i).dataType, full(i).nullable)
+      }
+      UnsafeProjection.create(refs)
+    }
+  }
   private val casts = CastParser.casts(reader, dataset).flatMap {
     case Right(ascii) => WodTransform.toCast(dataset, ascii).toOption
     case Left(_) => None
@@ -136,7 +173,7 @@ final class WodPartitionReader(file: String, conf: Configuration)
   override def next(): Boolean =
     try {
       if (casts.hasNext) {
-        current = serializer(casts.next()).copy()
+        current = prune(serializer(casts.next())).copy()
         true
       } else false
     } catch {

@@ -33,6 +33,21 @@ class WodDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ds === Array("APB", "CTD", "DRB", "SUR", "XBT"))
   }
 
+  test("column pruning reaches the wod scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = spark.read.format("wod")
+      .load(s"$fixtures/CTD/OBS/CTDO1971.gz")
+      .select("castNumber", "geohash3")
+    df.count()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.toSet === Set("castNumber", "geohash3"),
+      s"scan must read only required columns, got ${scans.head}")
+    assert(df.head().getInt(0) === 19950762)
+  }
+
   test("SQL over the wod source") {
     spark.read.format("wod").load(s"$fixtures/CTD/OBS/CTDO1971.gz")
       .createOrReplaceTempView("wod_casts")
