@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, MinHashSignature, ShingleArray, SimHashFingerprint}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, GeohashEncode, MinHashSignature, ShingleArray, SimHashFingerprint}
 
 /** SparkSessionExtensions wiring: makes the graft kernels available to
   * pure-SQL users via
@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_array"),
       (es: Seq[Expression]) => ShingleArray(es.head,
         es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("geohash_encode"),
+      info("geohash_encode"),
+      (es: Seq[Expression]) => GeohashEncode(es.head, es(1))))
   }
 }

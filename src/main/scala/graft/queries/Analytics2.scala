@@ -233,7 +233,23 @@ object Analytics2 {
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
                g_status, g_priority"""))
 
+  /** INTERSECT (distinct set semantics): nations present on both the
+    * customer and supplier side.
+    */
+  val q22Intersect = Q(
+    "q22_intersect_nations",
+    (s, d) =>
+      customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(
+          supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+    sql = Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
-    q20Ntile, q21Cube)
+    q20Ntile, q21Cube, q22Intersect)
 }

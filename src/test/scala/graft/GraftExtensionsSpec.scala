@@ -17,12 +17,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
                   array_norm(array(3.0d, 4.0d)) AS nrm,
                   simhash(array('the', 'cat')) AS fp,
                   shingle_array(array('a','b','c','d'), 3) AS sh,
-                  minhash_signature(array('a b c'), 2) AS sig""").head()
+                  minhash_signature(array('a b c'), 2) AS sig,
+                  geohash_encode(67.3981d, -6.3056d) AS gh""").head()
       assert(row.getDouble(0) === 11.0)
       assert(row.getDouble(1) === 5.0)
       assert(row.getLong(2) !== 0L)
       assert(row.getSeq[String](3) === Seq("a b c", "b c d"))
       assert(row.getSeq[Long](4).length === 2)
+      assert(row.getString(5) === graft.wod.Geohash.encode(67.3981, -6.3056))
     } finally spark.stop()
   }
 }
