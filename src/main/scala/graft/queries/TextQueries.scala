@@ -170,6 +170,32 @@ object TextQueries {
       ORDER BY doc_id""")
     })
 
+  /** Token-window chunking with overlap (size 32, stride 24) — the
+    * LLM-pipeline chunker; chunks identified by content hash.
+    */
+  val tx8Chunking = Q(
+    "tx8_chunking",
+    (s, d) =>
+      graft.operators.ChunkingOps.chunk(documents(s, d), "doc_id", "text",
+        size = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+    sql = Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest((len(toks)-1)//24, 0) + 1)) AS i
+        FROM t)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+             CAST(len(toks[i*24+1 : i*24+32]) AS BIGINT) AS n_tokens,
+             md5(array_to_string(toks[i*24+1 : i*24+32], ' ')) AS chunk_md5
+      FROM g
+      WHERE len(toks[i*24+1 : i*24+32]) > 0
+      ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
-    tx5Fingerprint, tx6SourceMix, tx7LangId)
+    tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking)
 }

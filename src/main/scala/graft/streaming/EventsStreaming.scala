@@ -52,6 +52,44 @@ object EventsStreaming {
       .orderBy(col("hour_ts"), col("event_type"))
   }
 
+  /** Watermarked APPEND-mode hourly windows: stages the events into
+    * time-range files and replays them one file per micro-batch, so the
+    * event-time watermark actually advances and closes windows — the
+    * production shape of incremental ingest (late data beyond 1h
+    * dropped, only finalized windows emitted). Windows still open at
+    * end-of-stream are withheld by design; compare against the
+    * complete-mode result as a superset.
+    */
+  def hourlyAppendStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val path = s"$dir/events.parquet"
+    val staged = java.nio.file.Files.createTempDirectory("graft_stage")
+    spark.read.parquet(path)
+      .repartitionByRange(slices, col("ts"))
+      .write.mode("overwrite").parquet(staged.toString)
+    val schema = spark.read.parquet(path).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val agg = src
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n_events"))
+    val name = s"graft_st_append_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("hour_ts"), col("event_type"))
+  }
+
   /** A closed user session: burst of events separated by < gap.
     * Money carried as exact cents (portable across engines).
     */
