@@ -196,6 +196,37 @@ object TextQueries {
       WHERE len(toks[i*24+1 : i*24+32]) > 0
       ORDER BY doc_id, chunk_id"""))
 
+  /** Deterministic stratified sampling for training-data mixing:
+    * per-language keep rates applied via a content-independent hash of
+    * the document id (reproducible across runs/engines/partitionings —
+    * no rand()), the sampling primitive of corpus mix control.
+    */
+  val tx9Sample = Q(
+    "tx9_stratified_sample",
+    (s, d) => {
+      val bucket = pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|mix"))),
+          1, 15), 16, 10).cast("long"), lit(100L))
+      val rate = when(col("lang") === "en", 80)
+        .when(col("lang") === "zh", 50)
+        .otherwise(25)
+      documents(s, d)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some("""
+      SELECT doc_id, lang, bucket
+      FROM (SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'),
+                     1, 15)) AS BIGINT) % 100 AS bucket
+            FROM documents) t
+      WHERE bucket < CASE WHEN lang = 'en' THEN 80
+                          WHEN lang = 'zh' THEN 50
+                          ELSE 25 END
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
-    tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking)
+    tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample)
 }
