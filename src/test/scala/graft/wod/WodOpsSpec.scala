@@ -24,6 +24,32 @@ class WodOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(codes === Array(1, 2, 25))
   }
 
+  test("typed Aggregator matches the untyped depth rollup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val casts = spark.read.format("wod")
+      .load("/root/reference/src/test/resources/wod")
+      .as[Cast]
+    val typed = casts.groupByKey(_.dataset)
+      .agg(DepthStatsAggregator.toColumn.name("stats"))
+      .collect().map { case (ds, st) => (ds, st.casts, st.levels, st.maxDepth) }
+      .sortBy(_._1)
+    val untyped = casts.toDF()
+      .select($"dataset", size($"depths").cast("long").as("n"),
+        expr("array_max(transform(depths, d -> d.depth))").as("mx"))
+      .groupBy($"dataset")
+      .agg(count(lit(1)).as("casts"), sum($"n").as("levels"),
+        max($"mx").as("maxDepth"))
+      .orderBy($"dataset")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.valueOf(r.getDouble(3))))
+    assert(typed.map(t => (t._1, t._2, t._3)).toSeq ===
+      untyped.map(t => (t._1, t._2, t._3)).toSeq)
+    typed.zip(untyped).foreach { case (t, u) =>
+      assert(t._4 === u._4, s"maxDepth mismatch for ${t._1}")
+    }
+  }
+
   test("missingConversions: EXCEPT semantics via anti join") {
     import spark.implicits._
     val expected = Seq(("XBT", 1967), ("XBT", 1968), ("CTD", 1971))
