@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.operators.MultimodalOps
-import Q._
 
 /** Multimodal (binary-column) queries. md1 is fully oracle-checked
   * (byte lengths + content hashes of the binary payloads); md2 runs the
