@@ -161,5 +161,55 @@ object DedupQueries {
       WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.2
       ORDER BY id_a, id_b"""))
 
-  val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard)
+  /** Duplicate clusters from LSH candidate pairs: distributed min-label
+    * propagation on Spark vs a recursive-CTE transitive closure in
+    * DuckDB — two different algorithms, hash-identical output.
+    */
+  val dd5Clusters = Q(
+    "dd5_dup_clusters",
+    (s, d) =>
+      graft.operators.ClusterOps.connectedComponents(
+        minhashLshPairs(spread(documents(s, d)), "doc_id", "text",
+          numHashes = 8, bands = 2, minJaccard = 0.2))
+        .orderBy(col("doc_id")),
+    sql = Some(s"""
+      WITH RECURSIVE
+      docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                AS DOUBLE) /
+              (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+              6) >= 0.2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst)
+      SELECT id AS doc_id, MIN(r) AS cluster_id
+      FROM reach
+      GROUP BY id
+      ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
+    dd5Clusters)
 }

@@ -87,6 +87,16 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("connectedComponents: transitive chains collapse to one cluster") {
+    import spark.implicits._
+    // chain 1-2-3 (transitive), isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = ClusterOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+  }
+
   test("salted aggregation is bit-identical to direct groupBy") {
     import spark.implicits._
     // skewed keys: one key holds 80% of rows
