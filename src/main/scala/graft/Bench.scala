@@ -1,12 +1,22 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import graft.queries.Registry
 
 /** Benchmark main: runs the headline (bench=true) queries at
-  * SPARK_GRAFT_SF_DIR and prints one JSON metrics line for the driver.
+  * SPARK_GRAFT_SF_DIR and emits one JSON metrics line for the driver.
   * Each query is fully executed (count() forces the whole plan); a
   * warm-up pass on sf0.001 primes the JVM/codegen so the measured
   * numbers reflect steady-state throughput, not JIT warmup.
+  *
+  * The metrics line is written to BENCH.json (cwd) in addition to
+  * stdout — sbt interleaves its own logging with stdout, so a file is
+  * the reliable channel for the driver's parser.
+  *
+  * A query that throws is recorded in an `errors` map (name → message)
+  * and contributes NO timing — a failure must never masquerade as a
+  * fast run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,15 +31,28 @@ object Bench {
       try q.fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    val results = headline.map { q =>
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    headline.foreach { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      try {
+        q.fn(spark, sfDir).count()
+        timings(q.name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("BENCH.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -42,6 +42,13 @@ object ClusterOps {
       labels = next.withColumnRenamed("next_label", "label")
       iter += 1
     }
+    // A silently-truncated propagation returns SPLIT clusters — a wrong
+    // answer, not a degraded one — so non-convergence is an error.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations " +
+          s"($changed labels still changing); raise maxIter — component " +
+          "diameter exceeds the iteration budget")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 }

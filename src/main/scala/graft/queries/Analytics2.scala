@@ -185,16 +185,50 @@ object Analytics2 {
       GROUP BY l_linestatus
       ORDER BY l_linestatus"""))
 
-  /** Percent-rank windows with deterministic integer arithmetic:
-    * ntile buckets over orders per customer segment.
+  /** NTILE quartiles computed DISTRIBUTIVELY — no global window. A
+    * `Window.orderBy` with no partitionBy funnels every row through one
+    * task (guaranteed OOM/straggler at 100 TB), so global rank is
+    * assembled instead from
+    *   range repartition (partitions follow the sort order)
+    *   + partition-local sort + local row index
+    *     (`monotonically_increasing_id` low bits — counts rows in
+    *     partition-local order)
+    *   + per-partition row counts → cumulative offsets (a partitions²
+    *     self-join over ONE ROW PER PARTITION — metadata-sized at any
+    *     data scale, and window-free itself)
+    * and the NTILE bucket follows from rank arithmetic: with q = n/k,
+    * rem = n%k, the first rem buckets take q+1 rows. Output is
+    * bit-identical to NTILE(4) because (price DESC, orderkey) is a
+    * total order. Plan gate: PlanQualitySpec asserts no Window node.
     */
   val q20Ntile = Q(
     "q20_ntile_quartiles",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      orders(s, d)
-        .withColumn("quartile", ntile(4).over(w).cast("long"))
+      val parts = math.max(s.sparkContext.defaultParallelism, 2)
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(parts, col("o_totalprice").desc, col("o_orderkey"))
+        .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_totalprice"), spark_partition_id().as("pid"),
+          // low 33 bits = row index within the partition, in row order
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+            .as("lrn"))
+      val counts = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      // offset(p) = Σ cnt(p') for p' < p  — window-free cumulative sum
+      val offs = counts.as("a")
+        .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+      val tot = counts.agg(sum(col("cnt")).as("n"))
+      base.join(broadcast(offs), Seq("pid"))
+        .crossJoin(broadcast(tot)) // 1-row scalar, broadcast like q15
+        .withColumn("grank", col("off") + col("lrn") + lit(1L))
+        .withColumn("quartile", expr(
+          """CASE WHEN grank <= ((n DIV 4) + 1) * (n % 4)
+                  THEN ((grank - 1) DIV ((n DIV 4) + 1)) + 1
+                  ELSE (n % 4)
+                       + ((grank - ((n DIV 4) + 1) * (n % 4) - 1)
+                          DIV greatest(n DIV 4, 1)) + 1 END""").cast("long"))
         .groupBy(col("quartile"))
         .agg(cnt.as("n_orders"),
           dsum(col("o_totalprice")).as("total"),

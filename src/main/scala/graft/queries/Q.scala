@@ -46,10 +46,13 @@ object Q {
   /** Spread a narrow input across all cores before a compute-bound
     * stage. The synthetic tables are single parquet files (one input
     * split), so without this a CPU-heavy projection (hashing, vector
-    * math) runs on one core. On a real cluster wide inputs make this a
-    * no-op decision — but repartition-before-heavy-compute is the right
-    * pattern whenever input partitioning is coarser than the CPU work.
+    * math) runs on one core. Conditional: when the scan already yields
+    * at least core-count partitions (any real cluster input), the
+    * round-robin exchange would be a pure waste and is skipped.
     */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // getNumPartitions plans the RDD (no job); cheap at metadata scale
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

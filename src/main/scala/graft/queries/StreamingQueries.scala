@@ -38,9 +38,13 @@ object StreamingQueries {
     "av1_asof_join",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // Compare at NANOSECOND precision (raw ts), exactly like DuckDB's
+      // ASOF JOIN on the ns-typed column: an event 1-999 ns after an
+      // order must NOT match. Orders' TIMESTAMP_NTZ is µs-exact, so
+      // µs→ns widening is lossless.
       val ev = events(s, d).select(
         col("user_id").as("uid"),
-        expr("ts DIV 1000").as("t_us"),
+        col("ts").as("t_ns"),
         lit(0).as("is_order"),
         col("event_id"),
         col("event_type"),
@@ -49,14 +53,14 @@ object StreamingQueries {
       val ord = orders(s, d).select(
         col("o_custkey").as("uid"),
         // o_orderdate is TIMESTAMP_NTZ in the parquet; session tz is UTC
-        unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("t_ns"),
         lit(1).as("is_order"),
         lit(null).cast("long").as("event_id"),
         lit(null).cast("string").as("event_type"),
         col("o_orderkey"),
         col("o_totalprice"))
       val w = Window.partitionBy(col("uid"))
-        .orderBy(col("t_us"), col("is_order"), col("event_id"))
+        .orderBy(col("t_ns"), col("is_order"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.unionByName(ord)
         .withColumn("last_event_id", last(col("event_id"), true).over(w))

@@ -59,6 +59,14 @@ object GeoParquet {
   /** Stamp every part file under `store` (distributed: one task per
     * part file). `bbox` defaults to the global WGS-84 extent; pass the
     * store's true extent when known.
+    *
+    * Resume safety: `stampFile` replaces each part with delete+rename —
+    * a crash between the two would leave the store missing a part while
+    * its `_SUCCESS` still says "complete", and a resumed run would skip
+    * the corrupted store (silent data loss). So the `_SUCCESS` marker is
+    * withdrawn for the duration of the footer pass and recreated only
+    * after every part is stamped: any crash inside the window makes
+    * `isComplete` false and the store is rebuilt on resume.
     */
   def addFooterMetadata(spark: SparkSession, store: String,
       bbox: (Double, Double, Double, Double) = (-180, -90, 180, 90)): Unit = {
@@ -67,11 +75,15 @@ object GeoParquet {
     val fs = root.getFileSystem(conf)
     val parts = collectParts(fs, root)
     if (parts.isEmpty) return
+    val success = new Path(root, "_SUCCESS")
+    val hadSuccess = fs.exists(success)
+    if (hadSuccess) fs.delete(success, false)
     val geo = geoJson(bbox)
     val serConf = new SerializableConf(conf)
     spark.sparkContext
       .parallelize(parts.map(_.toString), math.min(parts.size, 64))
       .foreach(p => stampFile(serConf.value, new Path(p), geo))
+    if (hadSuccess) fs.create(success, true).close()
   }
 
   private def collectParts(fs: FileSystem, dir: Path): Seq[Path] = {

@@ -71,16 +71,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("dd2: self-join reuses one exchange when not broadcast (AQE off)") {
     // AQE at toy scale legitimately turns the self-join into a broadcast
     // join (no exchange to reuse); the reuse property we designed for
-    // shows in the static plan.
-    val noAqe = graft.GraftSession.builder("local[4]", 4)
-      .config("spark.sql.adaptive.enabled", "false")
-      .getOrCreate()
-    val df = Registry.byName("dd2_minhash_lsh_pairs").fn(noAqe, dir)
-    val reused = df.queryExecution.executedPlan.collect {
-      case r: ReusedExchangeExec => r
-    }
-    assert(reused.nonEmpty,
-      s"expected ReusedExchange in:\n${df.queryExecution.executedPlan}")
+    // shows in the static plan. getOrCreate() hands back the shared
+    // session, so the AQE conf is saved and restored — otherwise every
+    // later test in this JVM silently runs with AQE off.
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = Registry.byName("dd2_minhash_lsh_pairs").fn(spark, dir)
+      val reused = df.queryExecution.executedPlan.collect {
+        case r: ReusedExchangeExec => r
+      }
+      assert(reused.nonEmpty,
+        s"expected ReusedExchange in:\n${df.queryExecution.executedPlan}")
+    } finally spark.conf.set(key, saved)
   }
 
   test("em1: top-1 is two-phase aggregation, not a window over all pairs") {
@@ -97,6 +101,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }.flatten
     assert(modes.contains(Partial) && modes.contains(Final),
       s"expected two-phase aggregation, got $modes")
+  }
+
+  test("q20: quartiles have NO window (global NTILE would single-task)") {
+    val plan = executedPlan("q20_ntile_quartiles")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"q20 must not contain a Window node:\n$plan")
+    assert(plan.toString.contains("rangepartitioning"),
+      "expected a range repartition feeding the local rank computation")
   }
 
   test("q7: semi/anti joins stay broadcast at dim size") {
