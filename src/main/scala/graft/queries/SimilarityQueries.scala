@@ -55,9 +55,9 @@ object SimilarityQueries {
       ORDER BY id_a"""),
     bench = true)
 
-  /** Multi-probe LSH (IVF-flavored) ANN — rows-only (recall gated by
-    * OperatorSpecs against brute force; the probe fan-out makes a SQL
-    * mirror disproportionate).
+  /** Multi-probe LSH (IVF-flavored) ANN, oracle-checked end to end:
+    * DuckDB re-derives the 6-bit hyperplane cell, the Hamming-1 probe
+    * fan-out (`xor(cell, 1<<b)`), and the same top-1 tie-break.
     */
   val sim2MultiProbe = Q(
     "sim2_multiprobe_ann_top1",
@@ -66,7 +66,38 @@ object SimilarityQueries {
         spread(embeddings(s, d)), "vec_id", "embedding",
         dims = 64, cellBits = 6)
         .orderBy(col("id_a")),
-    sql = None)
+    sql = Some(s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      vb AS (
+        SELECT vec_id, e,
+               list_transform(range(0, 6), p ->
+                 CASE WHEN list_sum(list_transform(range(0, 64), d ->
+                        e[d+1] * $planeSql)) >= 0
+                      THEN 1 ELSE 0 END) AS bits
+        FROM v),
+      vc AS (
+        SELECT vec_id, e,
+               bits[1]*32 + bits[2]*16 + bits[3]*8
+                 + bits[4]*4 + bits[5]*2 + bits[6] AS cell
+        FROM vb),
+      probes AS (
+        SELECT vec_id AS id_a, e AS ea,
+               unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4),
+                       xor(cell, 8), xor(cell, 16), xor(cell, 32)]) AS cell
+        FROM vc),
+      cand AS (
+        SELECT p.id_a, i.vec_id AS id_b,
+               ROUND(list_cosine_similarity(p.ea, i.e), 6) AS score
+        FROM probes p JOIN vc i
+          ON p.cell = i.cell AND p.id_a <> i.vec_id),
+      ranked AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM cand)
+      SELECT id_a, id_b AS ann_id, score FROM ranked WHERE rn = 1
+      ORDER BY id_a"""))
 
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe)
 }

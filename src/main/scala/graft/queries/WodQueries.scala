@@ -1,27 +1,51 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q._
 
 /** Reference-parity queries over the WOD ASCII fixtures (the
-  * reference's own test inputs, read-only). No DuckDB oracle exists for
-  * the WOD grammar (rows-only driver check); content correctness is
-  * covered by CastParserSpec / RoundTripSpec / WodPipelineSpec. wod1 is
-  * benched: it measures end-to-end parse+transform throughput of the
-  * `wod` DataSource each round.
+  * reference's own test inputs, read-only).
+  *
+  * Oracle strategy: the WOD grammar itself is not expressible in SQL
+  * (parse correctness is gated by CastParserSpec / RoundTripSpec
+  * round-trip properties), but everything DOWNSTREAM of the parse is.
+  * Each query first stages the parsed casts' analytic columns to a
+  * deterministic parquet path, aggregates FROM that staging, and hands
+  * DuckDB `read_parquet()` SQL over the same files — so the explode /
+  * bucket / aggregate semantics get full rows+schema+hash checks.
+  * wod1 is benched: it measures end-to-end parse+stage+aggregate
+  * throughput of the `wod` DataSource each round.
   */
 object WodQueries {
 
   private val fixtures = "/root/reference/src/test/resources/wod"
 
-  /** Parse all six fixtures through the DSv2 source; per-dataset cast
-    * and measurement counts (sfDir is ignored — the WOD fixtures are
-    * the dataset).
+  /** Absolute, deterministic staging path the oracle reads back. */
+  val stagedDir = "/root/repo/target/wod_stage/casts"
+
+  private val stagedGlob = s"$stagedDir/*.parquet"
+
+  /** Parse the six fixtures through the DSv2 source and stage the
+    * analytic column subset (idempotent overwrite). Aggregations below
+    * read the staging back, so Spark and DuckDB consume byte-identical
+    * rows.
+    */
+  private def stagedCasts(s: SparkSession): DataFrame = {
+    s.read.format("wod").load(fixtures)
+      .select(col("dataset"), col("castNumber"), col("year"),
+        col("latitude"), col("longitude"), col("geohash3"), col("depths"))
+      .write.mode("overwrite").parquet(stagedDir)
+    s.read.parquet(stagedDir)
+  }
+
+  /** Per-dataset cast and measurement counts over the parsed fixtures
+    * (sfDir is ignored — the WOD fixtures are the dataset).
     */
   val wod1Convert = Q(
     "wod1_parse_fixtures",
     (s, _) =>
-      s.read.format("wod").load(fixtures)
+      stagedCasts(s)
         .groupBy(col("dataset"))
         .agg(cnt.as("n_casts"),
           sum(size(col("depths"))).as("n_levels"),
@@ -29,19 +53,43 @@ object WodQueries {
           min(col("year")).as("min_year"),
           max(col("year")).as("max_year"))
         .orderBy(col("dataset")),
-    sql = None,
+    sql = Some(s"""
+      SELECT dataset, COUNT(*) AS n_casts,
+             CAST(SUM(len(depths)) AS BIGINT) AS n_levels,
+             COUNT(DISTINCT geohash3) AS n_geohash3,
+             MIN(year) AS min_year, MAX(year) AS max_year
+      FROM read_parquet('$stagedGlob')
+      GROUP BY dataset
+      ORDER BY dataset"""),
     bench = true)
 
   /** Measurement-level analytics on the nested model: explode depths →
-    * per-variable depth-bucket profile statistics (rows-only; content
-    * gated by WodOpsSpec).
+    * per-variable depth-bucket profile statistics. DuckDB re-derives
+    * the double unnest + decimal-routed mean from the staged casts.
     */
   val wod2Profiles = Q(
     "wod2_profile_stats",
-    (s, _) =>
-      graft.wod.WodOps.profileStats(
-        s.read.format("wod").load(fixtures)),
-    sql = None)
+    (s, _) => graft.wod.WodOps.profileStats(stagedCasts(s)),
+    sql = Some(s"""
+      WITH lvl AS (
+        SELECT dataset, unnest(depths) AS d
+        FROM read_parquet('$stagedGlob')),
+      m AS (
+        SELECT dataset, d.depth AS depth, unnest(d.data) AS md
+        FROM lvl),
+      obs AS (
+        SELECT dataset, md.variableCode AS variableCode, md.value AS value,
+               CAST(floor(depth / 100) * 100 AS BIGINT) AS depth_bucket
+        FROM m
+        WHERE depth IS NOT NULL AND md.qcFlag = 0)
+      SELECT dataset, variableCode, depth_bucket, COUNT(*) AS n_obs,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+             MIN(value) AS min_value, MAX(value) AS max_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS mean_value
+      FROM obs
+      GROUP BY dataset, variableCode, depth_bucket
+      ORDER BY dataset, variableCode, depth_bucket"""))
 
   val all: Seq[Q] = Seq(wod1Convert, wod2Profiles)
 }
