@@ -76,23 +76,20 @@ object EmbeddingQueries {
     bench = true)
 
   /** Embedding near-duplicate pairs: cosine above threshold, each pair
-    * once (id_a < id_b) — embedding-based near-dedup primitive.
+    * once (id_a < id_b). Routed through the blocked exact similarity
+    * join — an equi-join on block-pair keys that spreads the inherent
+    * O(n²) comparisons evenly across the cluster (no theta-join / no
+    * BroadcastNestedLoopJoin; see
+    * [[graft.operators.SimilarityOps.cosineThresholdJoin]] for why LSH
+    * cannot prune at this threshold on this data).
     */
   val em2NearDup = Q(
     "em2_embedding_near_dup",
-    (s, d) => {
-      val v = vecs(s, d)
-      val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"),
-        col("nrm").as("na"))
-      val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"),
-        col("nrm").as("nb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-            .as("score"))
-        .filter(col("score") >= 0.35)
-        .orderBy(col("id_a"), col("id_b"))
-    },
+    (s, d) =>
+      graft.operators.SimilarityOps.cosineThresholdJoin(
+        spread(embeddings(s, d)), "vec_id", "embedding",
+        threshold = 0.35, blocks = 8)
+        .orderBy(col("id_a"), col("id_b")),
     sql = Some("""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                  FROM embeddings)

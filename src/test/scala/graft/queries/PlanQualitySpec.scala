@@ -103,6 +103,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected two-phase aggregation, got $modes")
   }
 
+  test("em2: near-dup join is a block-keyed equi-join, never nested-loop") {
+    val plan = executedPlan("em2_embedding_near_dup")
+    val loops = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(loops.isEmpty,
+      s"em2 must distribute via block-pair equi-join, found:\n$plan")
+  }
+
   test("q20: quartiles have NO window (global NTILE would single-task)") {
     val plan = executedPlan("q20_ntile_quartiles")
     val windows = plan.collect {
