@@ -124,5 +124,30 @@ object StreamingQueries {
       GROUP BY user_id, session_id
       ORDER BY user_id, start_us"""))
 
-  val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize)
+  /** Watermarked APPEND-mode streaming: only finalized hourly windows
+    * (window end ≤ final watermark = max event time − 1h) are emitted —
+    * the production shape of incremental ingest. The staging replays
+    * ts-ascending slices one file per micro-batch (deterministic batch
+    * order via explicit mod-times), so the emitted subset is exactly
+    * SQL-expressible and the oracle mirrors the watermark predicate.
+    */
+  val st3AppendHourly = Q(
+    "st3_append_hourly_agg",
+    (s, d) => graft.streaming.EventsStreaming.hourlyAppendStream(s, d),
+    sql = Some("""
+      WITH e AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) AS us, event_type
+        FROM events),
+      agg AS (
+        SELECT (us // 3600000000) * 3600 AS hour_ts, event_type,
+               COUNT(*) AS n_events
+        FROM e GROUP BY 1, 2),
+      wm AS (SELECT MAX(us) // 1000 - 3600000 AS wm_ms FROM e)
+      SELECT hour_ts, event_type, n_events
+      FROM agg, wm
+      WHERE (hour_ts + 3600) * 1000 <= wm_ms
+      ORDER BY hour_ts, event_type"""))
+
+  val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
+    st3AppendHourly)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -53,23 +53,51 @@ object EventsStreaming {
   }
 
   /** Watermarked APPEND-mode hourly windows: stages the events into
-    * time-range files and replays them one file per micro-batch, so the
+    * ascending time-range files replayed one per micro-batch, so the
     * event-time watermark actually advances and closes windows — the
     * production shape of incremental ingest (late data beyond 1h
-    * dropped, only finalized windows emitted). Windows still open at
-    * end-of-stream are withheld by design; compare against the
-    * complete-mode result as a superset.
+    * dropped, only finalized windows emitted).
+    *
+    * Deterministic by construction, so the result is oracle-checkable:
+    * slice boundaries are equal subdivisions of [min ts, max ts] (pure
+    * long arithmetic); each slice is one file with an explicitly set,
+    * strictly increasing modification time (the file source's batch
+    * order); slices are ts-disjoint and ascending, so no row ever
+    * arrives behind the watermark and nothing is dropped. A trailing
+    * EMPTY slice makes the final emission happen in a data batch
+    * (independent of no-data-micro-batch timing): after it, the
+    * watermark is max event-time − 1h, and the emitted set is exactly
+    * the windows with end ≤ that — the predicate the DuckDB oracle
+    * mirrors (st3).
     */
   def hourlyAppendStream(spark: SparkSession, dir: String,
       slices: Int = 4): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val path = s"$dir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val Row(tsMin: Long, tsMax: Long) =
+      batch.select(min(col("ts")), max(col("ts"))).head()
     val staged = java.nio.file.Files.createTempDirectory("graft_stage")
-    spark.read.parquet(path)
-      .repartitionByRange(slices, col("ts"))
-      .write.mode("overwrite").parquet(staged.toString)
-    val schema = spark.read.parquet(path).schema
-    val src = spark.readStream.schema(schema)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val span = tsMax - tsMin + 1
+    for (i <- 0 to slices) { // slice `slices` is the empty trailer
+      val lo = tsMin + span * i / slices
+      val hi = tsMin + span * (i + 1) / slices
+      val slice =
+        if (i == slices) batch.filter(lit(false))
+        else batch.filter(col("ts") >= lo && col("ts") < hi)
+      val tmp = staged.resolve(s"tmp_$i")
+      slice.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      val dest = new org.apache.hadoop.fs.Path(
+        staged.resolve(f"slice-$i%04d.parquet").toString)
+      fs.rename(part, dest)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      fs.setTimes(dest, (i + 1) * 60000L, -1) // strict batch order
+    }
+    val src = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
     val agg = src
