@@ -1,0 +1,68 @@
+package graft.wod
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Completeness differ (SURVEY §2.1 S14; reference
+  * `OsPoolS3Lister.java:73-125`): the reference reads an expected
+  * conversion list, pages the produced S3 listing, and set-diffs on
+  * the driver. Here both sides are relations and the difference is a
+  * left-anti join — the expected side comes straight from
+  * [[WodPipeline.plan]] (the same metadata listing the conversion
+  * itself plans from, so the two can never disagree on naming), and
+  * "produced" means the store passes the resume predicate (`_SUCCESS`
+  * present, no `_temporary` crash residue) — a store that half-wrote
+  * counts as missing, exactly like a resume would treat it.
+  */
+object Differ {
+
+  /** Expected conversions not complete in the output. One row per
+    * missing (dataset, level, file) with its target store path.
+    */
+  def missing(spark: SparkSession, cfg: WodPipeline.Config): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(cfg.output).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def qualified(s: String): String =
+      fs.makeQualified(new Path(s)).toString
+    val expected = WodPipeline.plan(spark, cfg)
+      .map(t => (t.dataset, t.level, new Path(t.src).getName,
+        qualified(t.outStore)))
+      .toDF("dataset", "level", "file", "out_store")
+    val glob = new Path(s"${cfg.output}/yearly/*/*/*.parquet/_SUCCESS")
+    val produced = Option(fs.globStatus(glob)).map(_.toSeq).getOrElse(Seq.empty)
+      .map(_.getPath.getParent)
+      .filter(p => !fs.exists(new Path(p, "_temporary")))
+      .map(_.toString)
+      .toDF("out_store")
+    expected.join(produced, Seq("out_store"), "left_anti")
+      .select("dataset", "level", "file", "out_store")
+      .orderBy("dataset", "level", "file")
+  }
+
+  /** Runnable tool: `Differ <input> <output> <reportFile>` writes one
+    * `dataset,level,file` line per missing conversion (the reference's
+    * report format), empty file = complete.
+    */
+  def main(args: Array[String]): Unit = {
+    val Array(input, output, report) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // only stop the session if this main created it (getOrCreate may
+    // hand back a caller's session, e.g. under the test runner)
+    val preExisting =
+      org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = missing(spark, WodPipeline.Config(input, output)).collect()
+    val lines = rows.map(r =>
+      s"${r.getString(0)},${r.getString(1)},${r.getString(2)}")
+    val p = java.nio.file.Paths.get(report)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      lines.mkString("", "\n", if (lines.isEmpty) "" else "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[differ] ${lines.length} missing conversions -> $report")
+    if (!preExisting) spark.stop()
+  }
+}
