@@ -10,15 +10,24 @@ import graft.queries.Registry
   * warm-up pass on sf0.001 primes the JVM/codegen so the measured
   * numbers reflect steady-state throughput, not JIT warmup.
   *
+  * Each query runs REPEATS times and reports the MIN (all repeats kept
+  * in a `runs` map) — single-run jitter from bench order / JIT / GC
+  * previously made sub-second per-query deltas unreadable across
+  * rounds; min-of-3 is the stable point estimate of the plan's cost.
+  *
   * The metrics line is written to BENCH.json (cwd) in addition to
   * stdout — sbt interleaves its own logging with stdout, so a file is
   * the reliable channel for the driver's parser.
   *
-  * A query that throws is recorded in an `errors` map (name → message)
-  * and contributes NO timing — a failure must never masquerade as a
-  * fast run.
+  * A query that throws is recorded in an `errors` map (name → message,
+  * control characters stripped so the JSON stays parseable) and
+  * contributes NO timing — a failure must never masquerade as a fast
+  * run.
   */
 object Bench {
+
+  private val Repeats = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,26 +40,38 @@ object Bench {
       try q.fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val runs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     headline.foreach { q =>
-      val t0 = System.nanoTime()
-      try {
-        q.fn(spark, sfDir).count()
-        timings(q.name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < Repeats && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          q.fn(spark, sfDir).count()
+          ok += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failed = true
+            errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+        }
+        i += 1
       }
+      if (!failed && ok.nonEmpty) runs(q.name) = ok.toSeq
     }
+    val timings = runs.map { case (k, v) => k -> v.min }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val rs = runs.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$errs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()

@@ -21,6 +21,10 @@ object ClusterOps {
     * every id appearing in a pair.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // `changed` starts at 1, so with maxIter <= 0 the loop never runs
+    // and the non-convergence guard below would throw a spurious
+    // "did not converge after 0 iterations" even for trivial input
+    require(maxIter > 0, s"maxIter must be >= 1, got $maxIter")
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)

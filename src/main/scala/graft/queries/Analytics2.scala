@@ -214,6 +214,16 @@ object Analytics2 {
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
             .as("lrn"))
       val counts = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        // lrn is the LOW 33 BITS of monotonically_increasing_id: a range
+        // partition holding >= 2^33 rows would silently wrap and assign
+        // wrong quartiles. Fail loud instead (mirrors ClusterOps); at
+        // that size, raise `parts`.
+        .withColumn("cnt", when(col("cnt") >= (1L << 33),
+            raise_error(concat(lit("q20: range partition holds "),
+              col("cnt").cast("string"),
+              lit(" rows >= 2^33; monotonically_increasing_id" +
+                " row index would wrap — raise `parts`"))))
+          .otherwise(col("cnt")))
       // offset(p) = Σ cnt(p') for p' < p  — window-free cumulative sum
       val offs = counts.as("a")
         .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")

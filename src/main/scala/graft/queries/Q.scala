@@ -43,16 +43,31 @@ object Q {
   /** Long-typed count helper (Spark count is already LongType). */
   def cnt: Column = count(lit(1))
 
-  /** Spread a narrow input across all cores before a compute-bound
+  /** Spread a narrow SCAN across all cores before a compute-bound
     * stage. The synthetic tables are single parquet files (one input
     * split), so without this a CPU-heavy projection (hashing, vector
     * math) runs on one core. Conditional: when the scan already yields
     * at least core-count partitions (any real cluster input), the
     * round-robin exchange would be a pure waste and is skipped.
+    *
+    * Scan-level inputs ONLY: `.rdd` on a shuffle-bearing plan would
+    * eagerly materialize AQE query stages (running real jobs whose
+    * results are discarded). Guarded here — if the plan contains any
+    * shuffle-introducing operator the input is returned unchanged
+    * rather than probed, so misuse degrades to a no-op instead of
+    * hidden job execution.
     */
   def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // getNumPartitions plans the RDD (no job); cheap at metadata scale
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffles = df.queryExecution.analyzed.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Distinct |
+                _: Deduplicate | _: RepartitionOperation | _: Sort) => p
+    }
+    if (shuffles.nonEmpty) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      // on a shuffle-free plan .rdd just plans the scan (no job)
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 }
