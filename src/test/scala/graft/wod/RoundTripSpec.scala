@@ -159,7 +159,31 @@ class RoundTripSpec extends AnyFunSuite {
 
   private val genFlag = Gen.choose(0, 9)
 
-  private val genCast: Gen[(AsciiCast, Map[String, (Long, Int)])] = for {
+  /** Generator size knobs: `default` mirrors typical casts; `adversarial`
+    * pushes every optional section to its grammar boundaries — long
+    * character-data strings (2-digit length field ≤ 99), double-digit
+    * PI / secondary / biological / taxa counts, deep profiles whose
+    * self-including byte counts cross digit-count boundaries, and
+    * missing-marker rates high enough that all-dash level rows and
+    * header-only casts are common, not rare.
+    */
+  private final case class GenSize(maxVars: Int, maxMeta: Int, maxSec: Int,
+      maxBio: Int, maxTaxaSets: Int, maxTaxaPerSet: Int, maxLevels: Int,
+      maxCruiseStr: Int, maxStationStr: Int, maxPis: Int,
+      depthFreq: (Int, Int), varFreq: (Int, Int))
+
+  private val defaultSize = GenSize(maxVars = 3, maxMeta = 2, maxSec = 4,
+    maxBio = 3, maxTaxaSets = 2, maxTaxaPerSet = 3, maxLevels = 5,
+    maxCruiseStr = 20, maxStationStr = 15, maxPis = 4,
+    depthFreq = (9, 1), varFreq = (4, 1))
+
+  private val adversarialSize = GenSize(maxVars = 10, maxMeta = 6,
+    maxSec = 14, maxBio = 10, maxTaxaSets = 4, maxTaxaPerSet = 7,
+    maxLevels = 40, maxCruiseStr = 99, maxStationStr = 99, maxPis = 12,
+    depthFreq = (2, 1), varFreq = (2, 1))
+
+  private def genCastSized(
+      sz: GenSize): Gen[(AsciiCast, Map[String, (Long, Int)])] = for {
     castNumber <- Gen.choose(1, 99999999)
     country <- Gen.listOfN(2, Gen.alphaUpperChar).map(_.mkString)
     cruise <- Gen.choose(0, 9999999)
@@ -169,33 +193,35 @@ class RoundTripSpec extends AnyFunSuite {
     timeRaw <- Gen.option(Gen.zip(Gen.choose(0L, 2399L), Gen.const(2)))
     latRaw <- Gen.option(Gen.zip(Gen.choose(-89999L, 89999L), Gen.const(3)))
     lonRaw <- Gen.option(Gen.zip(Gen.choose(-179999L, 179999L), Gen.const(3)))
-    nVars <- Gen.choose(0, 3)
+    nVars <- Gen.choose(0, sz.maxVars)
     varCodes <- Gen.pick(nVars, 1 to 50)
     vars <- Gen.sequence[Seq[AsciiVariable], AsciiVariable](
       varCodes.toSeq.sorted.map { code =>
         for {
           qc <- genFlag
-          nMeta <- Gen.choose(0, 2)
+          nMeta <- Gen.choose(0, sz.maxMeta)
           metaCodes <- Gen.listOfN(nMeta, Gen.choose(1, 30))
         } yield AsciiVariable(code, qc, metaCodes.map(AsciiAttr(_, 0.0)))
       })
-    origCruise <- Gen.option(Gen.choose(1, 20).flatMap(n =>
+    origCruise <- Gen.option(Gen.choose(1, sz.maxCruiseStr).flatMap(n =>
       Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
-    origStation <- Gen.option(Gen.choose(1, 15).flatMap(n =>
+    origStation <- Gen.option(Gen.choose(1, sz.maxStationStr).flatMap(n =>
       Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))
     pis <- Gen.listOf(Gen.zip(Gen.choose(1, 50), Gen.choose(1, 999)))
-      .map(_.take(4).map(p => AsciiPi(p._1, p._2)))
-    nSec <- Gen.choose(0, 4)
+      .map(_.take(sz.maxPis).map(p => AsciiPi(p._1, p._2)))
+    nSec <- Gen.choose(0, sz.maxSec)
     secCodes <- Gen.listOfN(nSec, Gen.choose(1, 99))
-    nBio <- Gen.choose(0, 3)
+    nBio <- Gen.choose(0, sz.maxBio)
     bioCodes <- Gen.listOfN(nBio, Gen.choose(1, 99))
-    nTaxaSets <- Gen.choose(0, 2)
-    taxaSizes <- Gen.listOfN(nTaxaSets, Gen.choose(0, 3))
+    nTaxaSets <- Gen.choose(0, sz.maxTaxaSets)
+    taxaSizes <- Gen.listOfN(nTaxaSets, Gen.choose(0, sz.maxTaxaPerSet))
     taxaFlags <- Gen.listOfN(taxaSizes.sum * 2, genFlag)
-    nLevels <- Gen.choose(0, 5)
-    levelHasDepth <- Gen.listOfN(nLevels, Gen.frequency(9 -> true, 1 -> false))
+    nLevels <- Gen.choose(0, sz.maxLevels)
+    levelHasDepth <- Gen.listOfN(nLevels,
+      Gen.frequency(sz.depthFreq._1 -> true, sz.depthFreq._2 -> false))
     levelVarPresent <- Gen.listOfN(nLevels,
-      Gen.listOfN(vars.size, Gen.frequency(4 -> true, 1 -> false)))
+      Gen.listOfN(vars.size,
+        Gen.frequency(sz.varFreq._1 -> true, sz.varFreq._2 -> false)))
     flags <- Gen.listOfN(nLevels * (1 + vars.size) * 2, genFlag)
     realsSeed <- Gen.listOfN(200, genReal)
   } yield {
@@ -248,6 +274,8 @@ class RoundTripSpec extends AnyFunSuite {
     (cast, reals.toMap)
   }
 
+  private val genCast = genCastSized(defaultSize)
+
   test("render -> parse round-trips any generated cast") {
     forAllSeeded(genCast, 200) { case (cast, reals) =>
       val ascii = render(cast, reals)
@@ -269,5 +297,59 @@ class RoundTripSpec extends AnyFunSuite {
         assert(p === Right(c))
       }
     }
+  }
+
+  test("adversarial section variants round-trip (boundary sizes, " +
+      "dense missing markers, double-digit section counts)") {
+    forAllSeeded(genCastSized(adversarialSize), 150) { case (cast, reals) =>
+      val ascii = render(cast, reals)
+      val parsed = CastParser.casts(new StringReader(ascii), "TST").toVector
+      assert(parsed.size === 1)
+      parsed.head match {
+        case Right(p) => assert(p === cast)
+        case Left(e) => fail(s"parse error: ${e.error}\nrecord: $ascii")
+      }
+    }
+  }
+
+  test("adversarial casts mixed in one stream parse in order") {
+    forAllSeeded(Gen.listOfN(4, genCastSized(adversarialSize)), 10) { cs =>
+      val ascii = cs.map { case (c, r) => render(c, r) }.mkString
+      val parsed = CastParser.casts(new StringReader(ascii), "TST").toVector
+      assert(parsed.size === cs.size)
+      parsed.zip(cs).foreach { case (p, (c, _)) => assert(p === Right(c)) }
+    }
+  }
+
+  /** The record prefix is 'C' + a SELF-INCLUDING byte count: records
+    * whose total sits where the count's digit count changes (9→10,
+    * 99→100, …) are the fixed-point edge of that encoding, and the
+    * 80-char line padding has its own modulo edge. Sweep station-string
+    * lengths (1-char granularity) over two base casts so record totals
+    * walk through both digit-boundary windows and every padding
+    * residue.
+    */
+  test("record totals across count-digit and line-padding boundaries") {
+    def sweep(secCount: Int): Unit = {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      for (n <- 1 to 99) {
+        val station = "S" * n
+        val sec = (1 to secCount).map(i => AsciiAttr(i, 1.5))
+        val reals = (0 until secCount).map(i => s"sec_$i" -> (15L, 1))
+          .toMap ++ Map("dep_0" -> (1234L, 1), "val_0_7" -> (2100L, 2))
+        val cast = AsciiCast(42, "US", 77, 1999, 6, 15, None, None, None,
+          1, 0, Seq(AsciiVariable(7, 0, Nil)), None, Some(station),
+          Nil, sec, Nil, Nil,
+          Seq(AsciiLevel(Some(123.4), 0, 0,
+            Seq(AsciiMeasurement(7, 21.0, 0, 0)))))
+        val ascii = render(cast, reals)
+        seen += ascii.length
+        val parsed = CastParser.casts(new StringReader(ascii), "TST").toVector
+        assert(parsed === Vector(Right(cast)), s"station len $n failed")
+      }
+      assert(seen.size > 1) // the sweep actually moved across sizes
+    }
+    sweep(secCount = 0)  // totals walk the 99→100 window
+    sweep(secCount = 14) // bigger base: a later digit/padding window
   }
 }
