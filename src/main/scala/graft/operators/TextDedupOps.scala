@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /** Scalable text-deduplication primitives for a training-data pipeline.
   *
   * All hashing is md5-prefix-based (`conv(substr(md5(x),1,15),16,10)`,
-  * a 60-bit positive integer) — deterministic, engine-portable (the
-  * DuckDB oracle computes the identical value), and codegen'd end to
-  * end (built-in functions only; no UDFs, no serialization breaks).
+  * a 60-bit positive integer) — deterministic and engine-portable (the
+  * DuckDB oracle computes the identical value). The hot kernels
+  * (minhash / simhash / shingling) are native single-pass Catalyst
+  * expressions (direct byte-level hashing, CodegenFallback — the MD5
+  * work dominates, so a codegen shim would buy one virtual call per
+  * row); everything around them is built-in codegen'd functions. No
+  * UDFs, no serialization breaks.
   *
   * Scale notes (100 TB): every op here is a narrow map over documents
   * followed by ONE shuffle keyed on something small (band hash /

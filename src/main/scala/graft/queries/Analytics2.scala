@@ -213,6 +213,12 @@ object Analytics2 {
           // low 33 bits = row index within the partition, in row order
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
             .as("lrn"))
+        // three consumers (counts, offsets, final join) — without this
+        // the scan + range exchange re-plans per consumer (4x the
+        // dominant shuffle; AQE does NOT reuse these stages, measured).
+        // Persisting the narrow projection also pins pid/lrn to one
+        // evaluation. Gate: PlanQualitySpec asserts the cache is hit.
+        .persist()
       val counts = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
         // lrn is the LOW 33 BITS of monotonically_increasing_id: a range
         // partition holding >= 2^33 rows would silently wrap and assign

@@ -124,6 +124,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected a range repartition feeding the local rank computation")
   }
 
+  test("q20: triple-consumed base is cached — scan+range exchange run once") {
+    val plan = executedPlan("q20_ntile_quartiles")
+    val cached = plan.collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    assert(cached.nonEmpty, s"expected InMemoryTableScan consumers:\n$plan")
+    // every orders access must go through the cache; a direct FileScan
+    // outside it means the range exchange re-planned per consumer
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      s"base must not recompute; direct scans found:\n$plan")
+  }
+
   test("q7: semi/anti joins stay broadcast at dim size") {
     val plan = executedPlan("q7_semi_anti_except").toString
     assert(plan.contains("BroadcastHashJoin") &&
