@@ -60,6 +60,11 @@ object Bench {
         i += 1
       }
       if (!failed && ok.nonEmpty) runs(q.name) = ok.toSeq
+      // Outside the timed region: nudge the ContextCleaner (it cleans
+      // shuffle files only when their references are GC'd; the bench
+      // heap is large enough that organic GC may never run, letting
+      // tmp-disk shuffle state accumulate across the suite).
+      System.gc()
     }
     val timings = runs.map { case (k, v) => k -> v.min }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }

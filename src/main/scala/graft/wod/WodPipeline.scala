@@ -106,14 +106,27 @@ object WodPipeline {
 
       val nCasts = casts.count()
       if (nCasts > 0) {
-        casts.toDF()
+        val writer = casts.toDF()
           .repartition(col("geohash3"))
           .sortWithinPartitions(col("geohash"))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("geohash3")
-          .parquet(task.outStore)
-        if (geoMetadata)
-          GeoParquet.addFooterMetadata(spark, task.outStore)
+        if (geoMetadata) {
+          // True store extent for the footer bbox: a cheap agg over the
+          // persisted rows, then the `geo` entry is stamped at WRITE
+          // time (one write pass; GeoParquet.addFooterMetadata remains
+          // as the post-hoc fallback for externally-written stores).
+          val ext = casts.toDF().agg(
+            org.apache.spark.sql.functions.min(col("longitude")),
+            org.apache.spark.sql.functions.min(col("latitude")),
+            org.apache.spark.sql.functions.max(col("longitude")),
+            org.apache.spark.sql.functions.max(col("latitude"))).head()
+          val bbox = (ext.getDouble(0), ext.getDouble(1),
+            ext.getDouble(2), ext.getDouble(3))
+          writer.format(classOf[GeoParquetFileFormat].getName)
+            .option(GeoParquetFileFormat.GeoJsonOption, GeoParquet.geoJson(bbox))
+            .save(task.outStore)
+        } else writer.parquet(task.outStore)
       }
       val nErrors = errors.count()
       if (nErrors > 0)

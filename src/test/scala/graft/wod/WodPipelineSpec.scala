@@ -76,6 +76,10 @@ class WodPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally reader.close()
     assert(geo != null && geo.contains("\"version\":\"1.0.0\"") &&
       geo.contains("\"encoding\":\"WKB\""))
+    // stamped at write time with the store's TRUE extent, not the
+    // global-default bbox (and with no post-hoc rewrite pass)
+    assert(geo.contains("\"bbox\":["))
+    assert(!geo.contains("\"bbox\":[-180.0,-90.0,180.0,90.0]"))
   }
 
   private def surErrors: Long = {
