@@ -1,8 +1,9 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import graft.queries.Registry
+import graft.wod.WodPipeline
 
 /** Benchmark main: runs the headline (bench=true) queries at
   * SPARK_GRAFT_SF_DIR and emits one JSON metrics line for the driver.
@@ -66,6 +67,23 @@ object Bench {
       // tmp-disk shuffle state accumulate across the suite).
       System.gc()
     }
+    // WOD conversion headline — the engine's production path (parse →
+    // geohash3-partitioned GeoParquet with the full output contract),
+    // end-to-end over a 32-file corpus replicated from the reference
+    // fixtures (~28 MB gz ≈ 350 k casts). One rep: it is a multi-job
+    // pipeline whose wall time is dominated by real I/O, not JIT.
+    var castsPerSec = 0.0
+    try {
+      val (sec, casts) = benchWodConvert(spark)
+      runs("wod_convert") = Seq(sec)
+      castsPerSec = if (sec > 0) casts / sec else 0.0
+    } catch {
+      case e: Throwable =>
+        errors("wod_convert") = Option(e.getMessage)
+          .getOrElse(e.getClass.getName)
+          .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+    }
+
     val timings = runs.map { case (k, v) => k -> v.min }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -76,9 +94,52 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()
+  }
+
+  /** Replicate the reference WOD fixtures into a 32-file corpus and
+    * time one full `WodPipeline.run` (fresh output dir each call, so
+    * resume never short-circuits the measurement). Returns
+    * (seconds, casts converted).
+    */
+  private def benchWodConvert(
+      spark: org.apache.spark.sql.SparkSession): (Double, Long) = {
+    val fixtures = Paths.get("/root/reference/src/test/resources/wod")
+    val in = Files.createTempDirectory("wodbench_in")
+    val out = Files.createTempDirectory("wodbench_out")
+    def replicate(ds: String, file: String, n: Int): Unit = {
+      val src = fixtures.resolve(s"$ds/OBS/$file")
+      val dir = in.resolve(s"$ds/OBS")
+      Files.createDirectories(dir)
+      val base = file.stripSuffix(".gz")
+      (1 to n).foreach { i =>
+        Files.copy(src, dir.resolve(s"${base}_R$i.gz"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    replicate("XBT", "XBTO1967.gz", 12)
+    replicate("SUR", "SURF_ALL.gz", 10)
+    replicate("DRB", "DRBO2000.gz", 10)
+    try {
+      val cfg = WodPipeline.Config(input = in.toString, output = out.toString,
+        datasets = Seq("XBT", "SUR", "DRB"), maxConcurrentFiles = 8)
+      val t0 = System.nanoTime()
+      val res = WodPipeline.run(spark, cfg)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, res.map(_._2).sum)
+    } finally {
+      deleteRecursively(in)
+      deleteRecursively(out)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
   }
 }

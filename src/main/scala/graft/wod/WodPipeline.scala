@@ -98,37 +98,45 @@ object WodPipeline {
   def convertFile(spark: SparkSession, task: FileTask,
       geoMetadata: Boolean = true): (Long, Long) = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{count, min, max}
     val rows = WodSource.read(spark, task.src)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val casts = rows.filter(_.cast != null).map(_.cast)
       val errors = rows.filter(_.error != null).map(_.error)
 
-      val nCasts = casts.count()
+      // ONE stats job per file (cast count, error count, bbox extent
+      // for the GeoParquet footer) — count() on struct columns skips
+      // nulls, so the cast/error split needs no separate passes. The
+      // conversion wall-clock at fixture scale is job-count-bound, so
+      // every fused job is directly visible in casts/s.
+      val st = rows.toDF().agg(
+        count(col("cast")), count(col("error")),
+        min(col("cast.longitude")), min(col("cast.latitude")),
+        max(col("cast.longitude")), max(col("cast.latitude"))).head()
+      val (nCasts, nErrors) = (st.getLong(0), st.getLong(1))
       if (nCasts > 0) {
         val writer = casts.toDF()
           .repartition(col("geohash3"))
-          .sortWithinPartitions(col("geohash"))
+          // (geohash3, geohash) orders identically to plain geohash
+          // (geohash3 IS its 3-char prefix) but ALSO satisfies the
+          // dynamic-partition writer's required ordering on the
+          // partition column, so FileFormatWriter plans NO second sort
+          // before fan-out into the geohash3= dirs.
+          .sortWithinPartitions(col("geohash3"), col("geohash"))
           .write.mode(SaveMode.Overwrite)
           .partitionBy("geohash3")
         if (geoMetadata) {
-          // True store extent for the footer bbox: a cheap agg over the
-          // persisted rows, then the `geo` entry is stamped at WRITE
-          // time (one write pass; GeoParquet.addFooterMetadata remains
-          // as the post-hoc fallback for externally-written stores).
-          val ext = casts.toDF().agg(
-            org.apache.spark.sql.functions.min(col("longitude")),
-            org.apache.spark.sql.functions.min(col("latitude")),
-            org.apache.spark.sql.functions.max(col("longitude")),
-            org.apache.spark.sql.functions.max(col("latitude"))).head()
-          val bbox = (ext.getDouble(0), ext.getDouble(1),
-            ext.getDouble(2), ext.getDouble(3))
+          // True store extent in the footer bbox, stamped at WRITE time
+          // (one write pass; GeoParquet.addFooterMetadata remains as
+          // the post-hoc fallback for externally-written stores).
+          val bbox = (st.getDouble(2), st.getDouble(3),
+            st.getDouble(4), st.getDouble(5))
           writer.format(classOf[GeoParquetFileFormat].getName)
             .option(GeoParquetFileFormat.GeoJsonOption, GeoParquet.geoJson(bbox))
             .save(task.outStore)
         } else writer.parquet(task.outStore)
       }
-      val nErrors = errors.count()
       if (nErrors > 0)
         errors.toDF().coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(task.errStore)
