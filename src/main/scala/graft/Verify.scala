@@ -17,7 +17,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // Queries that persist an intermediate (q20's triple-consumed
+        // base) have no post-action hook to unpersist it; drop the
+        // whole cache here so a 55-query session never accumulates
+        // blocks across queries.
+        spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

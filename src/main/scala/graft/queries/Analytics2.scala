@@ -218,6 +218,9 @@ object Analytics2 {
         // dominant shuffle; AQE does NOT reuse these stages, measured).
         // Persisting the narrow projection also pins pid/lrn to one
         // evaluation. Gate: PlanQualitySpec asserts the cache is hit.
+        // Lifetime: a lazily-returned DataFrame has no post-action
+        // unpersist hook — long-lived sessions running many queries
+        // must clearCache() between queries (Verify does).
         .persist()
       val counts = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
         // lrn is the LOW 33 BITS of monotonically_increasing_id: a range

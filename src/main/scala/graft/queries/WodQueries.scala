@@ -21,10 +21,35 @@ object WodQueries {
 
   private val fixtures = "/root/reference/src/test/resources/wod"
 
-  /** Absolute, deterministic staging path the oracle reads back. */
-  val stagedDir = "/root/repo/target/wod_stage/casts"
+  private val stageRoot = "/root/repo/target/wod_stage"
+
+  /** Absolute staging path the oracle reads back. Per-JVM unique
+    * (concurrent Verify runs must not clobber each other's staging),
+    * but CONSTANT within the JVM so the `fn` that writes it and the
+    * oracle SQL dumped from the same process always agree — the oracle
+    * runs after this JVM exits, against the files it left behind.
+    */
+  val stagedDir =
+    s"$stageRoot/${java.util.UUID.randomUUID.toString.take(8)}/casts"
 
   private val stagedGlob = s"$stagedDir/*.parquet"
+
+  /** Drop sibling staging dirs older than a day so repeated runs don't
+    * accumulate copies (each run's dir is ~MBs of parquet).
+    */
+  private def pruneStaleStages(): Unit = {
+    val root = new java.io.File(stageRoot)
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.lastModified() < cutoff)
+      .foreach { d =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+          f.delete()
+        }
+        del(d)
+      }
+  }
 
   /** Parse the six fixtures through the DSv2 source and stage the
     * analytic column subset (idempotent overwrite). Aggregations below
@@ -32,6 +57,7 @@ object WodQueries {
     * rows.
     */
   private def stagedCasts(s: SparkSession): DataFrame = {
+    pruneStaleStages()
     s.read.format("wod").load(fixtures)
       .select(col("dataset"), col("castNumber"), col("year"),
         col("latitude"), col("longitude"), col("geohash3"), col("depths"))

@@ -24,6 +24,13 @@ object EventsStreaming {
     * complete mode into a memory sink; returns the final table.
     * Mirrors ev1_hourly_agg exactly (same integer-bucket arithmetic,
     * same DECIMAL-routed sum).
+    *
+    * TOY-SCALE BY DESIGN — batch-equivalence check only. Complete mode
+    * re-emits the entire aggregate every micro-batch and the memory
+    * sink keeps it all on the driver; over unbounded time the
+    * (hour × event_type) state grows without limit. The production
+    * shape is [[hourlyAppendStream]] (st3): watermarked APPEND
+    * mode, bounded state, finalized windows only.
     */
   def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
