@@ -292,7 +292,13 @@ object CastParser {
           Right(parseAfterByteCount(c, start, totalBytes, ctx))
         } catch {
           case e: Exception =>
-            if (declaredEnd > c.pos) c.skipTo(declaredEnd) // resync
+            // resync to the declared record end when the cursor hasn't
+            // overrun it — INCLUDING the ==-case (an error thrown on
+            // the record's last byte, e.g. a bad final flag, leaves the
+            // cursor exactly at the next record; stopping there would
+            // silently drop the rest of the stream). Only a cursor
+            // PAST the boundary (or no readable count) is undecodable.
+            if (declaredEnd >= c.pos && declaredEnd > start) c.skipTo(declaredEnd)
             else finished = true // undecodable remainder — stop after error
             Left(CastError(dataset, ctx.castNumber,
               s"parse error at byte $start: ${e.getMessage}"))

@@ -321,6 +321,124 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  /** PFL/GLD/MRB-shape casts: high-resolution profiles (hundreds of
+    * levels, few variables) — multi-KB records whose self-including
+    * byte counts reach 4-5 digits, the shape a profiling float or
+    * glider file is made of.
+    */
+  private val deepProfileSize = GenSize(maxVars = 3, maxMeta = 3,
+    maxSec = 6, maxBio = 0, maxTaxaSets = 0, maxTaxaPerSet = 0,
+    maxLevels = 300, maxCruiseStr = 12, maxStationStr = 12, maxPis = 3,
+    depthFreq = (30, 1), varFreq = (20, 1))
+
+  test("deep-profile (PFL/GLD/MRB shape) casts round-trip") {
+    forAllSeeded(genCastSized(deepProfileSize), 40) { case (cast, reals) =>
+      val ascii = render(cast, reals)
+      val parsed = CastParser.casts(new StringReader(ascii), "PFL").toVector
+      assert(parsed.size === 1)
+      parsed.head match {
+        case Right(p) => assert(p === cast)
+        case Left(e) => fail(s"parse error: ${e.error}")
+      }
+    }
+  }
+
+  /** OSD-shape casts: taxonomy-heavy (many taxa sets, flag extremes
+    * 0/9 on QC + originator), secondary/biological attr codes across
+    * the full multi-digit range — the corners the six fixtures never
+    * exercise.
+    */
+  test("taxa-heavy casts with flag extremes and wide attr codes round-trip") {
+    val gen = for {
+      (base, reals) <- genCastSized(defaultSize)
+      nSets <- Gen.choose(5, 8)
+      sizes <- Gen.listOfN(nSets, Gen.choose(1, 10))
+      flags <- Gen.listOfN(sizes.sum * 2, Gen.oneOf(0, 9))
+      secCodes <- Gen.listOfN(6, Gen.choose(100, 9999))
+      bioCodes <- Gen.listOfN(6, Gen.choose(100, 9999))
+    } yield {
+      var fi = -1
+      def nf(): Int = { fi += 1; flags(fi) }
+      val extraReals = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      val taxa = sizes.zipWithIndex.map { case (n, ti) =>
+        (0 until n).map { ei =>
+          extraReals(s"taxa_${ti}_$ei") = (ei * 1000L + 5, 2)
+          AsciiTaxon(ei + 1, (ei * 1000L + 5) / 100.0, nf(), nf())
+        }
+      }
+      val sec = secCodes.zipWithIndex.map { case (code, ai) =>
+        extraReals(s"sec_$ai") = (42L, 1); AsciiAttr(code, 4.2) }
+      val bio = bioCodes.zipWithIndex.map { case (code, ai) =>
+        extraReals(s"bio_$ai") = (77L, 1); AsciiAttr(code, 7.7) }
+      (base.copy(taxa = taxa, secondary = sec, biological = bio),
+        reals ++ extraReals)
+    }
+    forAllSeeded(gen, 60) { case (cast, reals) =>
+      val ascii = render(cast, reals)
+      val parsed = CastParser.casts(new StringReader(ascii), "OSD").toVector
+      assert(parsed.size === 1)
+      parsed.head match {
+        case Right(p) => assert(p === cast)
+        case Left(e) => fail(s"parse error: ${e.error}")
+      }
+    }
+  }
+
+  /** A cast every byte of which is structural (no free-text fields), so
+    * ANY interior byte replaced with '~' must fail its field parser or
+    * the final consumed-vs-declared check — the C5 resync fixture.
+    */
+  private def structuralCast: (AsciiCast, Map[String, (Long, Int)]) = {
+    val reals = Map("dep_0" -> (1234L, 1), "dep_1" -> (2234L, 1),
+      "val_0_7" -> (2100L, 2), "val_1_7" -> (2200L, 2),
+      "sec_0" -> (15L, 1), "sec_1" -> (25L, 1))
+    val cast = AsciiCast(4242, "US", 77, 1999, 6, 15, None, None, None,
+      2, 0, Seq(AsciiVariable(7, 1, Nil)), None, None, Nil,
+      Seq(AsciiAttr(3, 1.5), AsciiAttr(9, 2.5)), Nil, Nil,
+      Seq(AsciiLevel(Some(123.4), 1, 2, Seq(AsciiMeasurement(7, 21.0, 3, 4))),
+        AsciiLevel(Some(223.4), 5, 6, Seq(AsciiMeasurement(7, 22.0, 7, 8)))))
+    (cast, reals)
+  }
+
+  test("corrupted record yields one error and resyncs to the next cast") {
+    val (good, goodReals) = structuralCast
+    val a = render(good, goodReals)
+    val cCast = good.copy(castNumber = 777)
+    val c = render(cCast, goodReals)
+    val bPadded = render(good.copy(castNumber = 555), goodReals)
+    val bCore = bPadded.stripTrailing()
+    // corrupt every interior position past the 'C'+count header (so
+    // resync stays possible), EXCEPT the 2-char country field — a
+    // free-text field where any byte is valid by design (the record is
+    // "C290" + intF(castNumber) "3555" + country at offsets 8-9)
+    for (p <- 4 until bCore.length if p != 8 && p != 9) {
+      val corrupted = bPadded.substring(0, p) + "~" + bPadded.substring(p + 1)
+      val parsed =
+        CastParser.casts(new StringReader(a + corrupted + c), "TST")
+          .take(10).toVector
+      assert(parsed.head === Right(good), s"pos $p: first cast broke")
+      assert(parsed(1).isLeft, s"pos $p: corruption not detected")
+      // byte count stayed readable -> resync must land on cast C
+      assert(parsed.lift(2) === Some(Right(cCast)), s"pos $p: resync failed")
+      assert(parsed.size === 3, s"pos $p: expected exactly 3 outcomes")
+    }
+  }
+
+  test("mid-cast truncation at EOF yields one error and terminates") {
+    val (good, goodReals) = structuralCast
+    val a = render(good, goodReals)
+    val b = render(good.copy(castNumber = 555), goodReals).stripTrailing()
+    // cut B everywhere: inside the byte-count header, mid-body, last byte
+    for (k <- 1 until b.length) {
+      val stream = a + b.substring(0, k)
+      val parsed = CastParser.casts(new StringReader(stream), "TST")
+        .take(10).toVector // take() bounds the test if termination broke
+      assert(parsed.head === Right(good), s"cut $k: first cast broke")
+      assert(parsed.size === 2 && parsed(1).isLeft,
+        s"cut $k: want exactly one error then EOF, got $parsed")
+    }
+  }
+
   /** The record prefix is 'C' + a SELF-INCLUDING byte count: records
     * whose total sits where the count's digit count changes (9→10,
     * 99→100, …) are the fixed-point edge of that encoding, and the
