@@ -53,6 +53,38 @@ final class WodCursor(in: Reader) {
     sb.toString
   }
 
+  /** Consume exactly `n` chars as a signed long, allocation-free
+    * (the per-field `take(n).trim` + `parseLong` pair dominated the
+    * parse profile; numeric fields are the vast majority of a WOD
+    * record). Accepts leading/trailing spaces and a single sign,
+    * mirroring `java.lang.Long.parseLong(s.trim)` for the field
+    * shapes the grammar allows; anything else is a parse error.
+    */
+  def takeLong(n: Int): Long = {
+    var i = 0
+    var v = 0L
+    var sign = 1L
+    var digits = 0
+    var started = false  // a sign or digit was seen
+    var ended = false    // trailing-space region entered
+    while (i < n) {
+      val c = next()
+      if (c == ' ') { if (started) ended = true }
+      else if (ended) throw new WodParseException(
+        s"bad numeric field char '$c' at $pos")
+      else if (c == '-' && !started) { sign = -1L; started = true }
+      else if (c == '+' && !started) started = true
+      else if (c >= '0' && c <= '9') {
+        started = true; digits += 1; v = v * 10 + (c - '0')
+      } else throw new WodParseException(
+        s"bad numeric field char '$c' at $pos")
+      i += 1
+    }
+    if (digits == 0) throw new WodParseException(
+      s"empty numeric field at $pos")
+    sign * v
+  }
+
   /** Skip logical chars until `target` position (for error resync). */
   def skipTo(target: Long): Unit =
     while (pos < target && peek() >= 0) next()
@@ -88,10 +120,7 @@ object CastParser {
     if (f == '-') None
     else if (f == '0') Some(0)
     else if (f >= '1' && f <= '9') {
-      val n = f - '0'
-      val s = c.take(n)
-      val v = java.lang.Integer.parseInt(s.trim)
-      Some(v)
+      Some(c.takeLong(f - '0').toInt)
     } else throw new WodParseException(
       s"bad int-field count char '$f' at ${c.pos}")
   }
@@ -104,8 +133,7 @@ object CastParser {
       val prec = c.next() - '0'
       if (tot < 0 || tot > 9 || prec < 0 || prec > 9)
         throw new WodParseException(s"bad real-field descriptor at ${c.pos}")
-      val raw = c.take(tot).trim
-      Some(java.lang.Long.parseLong(raw) / math.pow(10, prec))
+      Some(c.takeLong(tot) / math.pow(10, prec))
     } else throw new WodParseException(
       s"bad real-field sig char '$f' at ${c.pos}")
   }
