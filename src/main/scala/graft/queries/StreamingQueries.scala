@@ -148,6 +148,28 @@ object StreamingQueries {
       WHERE (hour_ts + 3600) * 1000 <= wm_ms
       ORDER BY hour_ts, event_type"""))
 
+  /** Watermarked stream-stream inner join (click→purchase attribution
+    * within 30 min, same user): two unbounded sides joined on key +
+    * event-time range, watermarks bounding both join states. On the
+    * deterministic replay harness nothing is late, so the emitted set
+    * equals the batch join — which IS the oracle (micros precision on
+    * both sides: Spark compares `ts DIV 1000`-derived timestamps,
+    * DuckDB's parquet read truncates the ns column to micros).
+    */
+  val st4StreamJoin = Q(
+    "st4_stream_stream_join",
+    (s, d) => graft.streaming.EventsStreaming.clickPurchaseJoin(s, d),
+    sql = Some("""
+      SELECT c.user_id, CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+             CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+             p.value AS value
+      FROM events c
+      JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      ORDER BY c.user_id, click_us, purchase_us"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
-    st3AppendHourly)
+    st3AppendHourly, st4StreamJoin)
 }

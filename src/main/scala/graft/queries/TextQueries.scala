@@ -227,6 +227,104 @@ object TextQueries {
                           ELSE 25 END
       ORDER BY doc_id"""))
 
+  /** TF-IDF top-3 terms per document — keyword extraction for corpus
+    * exploration/labeling. Scale shape: the vocabulary relations (df,
+    * doc count) are tiny next to the token stream, so both ship as
+    * broadcasts; the per-doc top-k avoids a window sort (collect the
+    * ≤|vocab| scored terms per doc, array_sort, slice). Determinism:
+    * scores are rounded to 6 dp BEFORE ranking and the tie-break
+    * (score DESC, term ASC) is total, so both engines rank
+    * identically; ln() may differ by 1 ulp across libm builds, which
+    * is orders of magnitude below the rounding step.
+    */
+  val tx10Tfidf = Q(
+    "tx10_tfidf_top_terms",
+    (s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(cnt.as("tf"))
+      val df = tok.distinct().groupBy(col("term")).agg(cnt.as("df"))
+      val nDocs = docs.agg(cnt.as("n_docs"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", round(
+          col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .groupBy(col("doc_id"))
+        .agg(slice(array_sort(collect_list(
+          struct((-col("score")).as("neg"), col("term")))), 1, 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("idx", "t")))
+        .select(col("doc_id"), (col("idx") + 1).cast("long").as("rank"),
+          col("t.term").as("term"), (-col("t.neg")).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    sql = Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+                 AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6)
+                 AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+      FROM ranked
+      WHERE rank <= 3
+      ORDER BY doc_id, rank"""))
+
+  /** Unigram language-model scoring: each document's mean log
+    * probability under the corpus unigram distribution — the
+    * perplexity-style quality filter of training-data pipelines (a
+    * document of globally-rare tokens scores low). Scale shape: the
+    * unigram table is vocabulary-sized → broadcast; one shuffle for
+    * the counts, one for the per-doc sum. Determinism: per-token
+    * logprobs are rounded to 6 dp then DECIMAL-routed through the
+    * sum, so partition order never shows.
+    */
+  val tx11Logprob = Q(
+    "tx11_unigram_logprob",
+    (s, d) => {
+      val tok = documents(s, d).select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val counts = tok.groupBy(col("term")).agg(cnt.as("c"))
+      val total = counts.agg(sum(col("c")).as("n_total"))
+      tok.join(broadcast(counts), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("lp", round(
+          log(col("c").cast("double") / col("n_total").cast("double")), 6))
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_tokens"), dsum(col("lp")).as("sum_logprob"))
+        .withColumn("mean_logprob", col("sum_logprob") / col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM documents),
+      c AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+      n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM c),
+      lp AS (
+        SELECT tok.doc_id,
+               ROUND(ln(CAST(c.c AS DOUBLE) / n.n_total), 6) AS lp
+        FROM tok JOIN c USING (term) CROSS JOIN n)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             ${sqlDsum("lp")} AS sum_logprob,
+             ${sqlDsum("lp")} / COUNT(*) AS mean_logprob
+      FROM lp
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
-    tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample)
+    tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
+    tx10Tfidf, tx11Logprob)
 }

@@ -77,18 +77,25 @@ object EventsStreaming {
     * the windows with end ≤ that — the predicate the DuckDB oracle
     * mirrors (st3).
     */
-  def hourlyAppendStream(spark: SparkSession, dir: String,
-      slices: Int = 4): DataFrame = {
-    import org.apache.spark.sql.streaming.OutputMode
-    val path = s"$dir/events.parquet"
-    val batch = spark.read.parquet(path)
+  /** Stage `batch` into ts-ascending, ts-disjoint single-file slices
+    * (one per micro-batch via `maxFilesPerTrigger=1`, ordered by
+    * explicit modification times) so event-time watermarks advance
+    * deterministically across replay. `trailer` appends an EMPTY
+    * slice so the final watermark advance lands in a data batch
+    * (needed by append-mode AGGREGATES to emit their last windows;
+    * inner joins emit eagerly and don't need it).
+    */
+  private def stageTimeSlices(batch: DataFrame, slices: Int,
+      trailer: Boolean): String = {
+    val spark = batch.sparkSession
     val Row(tsMin: Long, tsMax: Long) =
       batch.select(min(col("ts")), max(col("ts"))).head()
     val staged = java.nio.file.Files.createTempDirectory("graft_stage")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     val span = tsMax - tsMin + 1
-    for (i <- 0 to slices) { // slice `slices` is the empty trailer
+    val last = if (trailer) slices else slices - 1
+    for (i <- 0 to last) { // slice `slices` (if present) = empty trailer
       val lo = tsMin + span * i / slices
       val hi = tsMin + span * (i + 1) / slices
       val slice =
@@ -104,9 +111,18 @@ object EventsStreaming {
       fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
       fs.setTimes(dest, (i + 1) * 60000L, -1) // strict batch order
     }
+    staged.toString
+  }
+
+  def hourlyAppendStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val path = s"$dir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val staged = stageTimeSlices(batch, slices, trailer = true)
     val src = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
+      .parquet(staged)
     val agg = src
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("event_time", "1 hour")
@@ -123,6 +139,60 @@ object EventsStreaming {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name).orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  /** Watermarked stream-stream INNER JOIN (st4): click→purchase
+    * attribution — each purchase joined to every click by the same
+    * user in the preceding 30 minutes. The remaining production
+    * streaming shape after windowed aggregation (st3) and keyed state
+    * (st2): two unbounded inputs joined on key + event-time range,
+    * with watermarks bounding both sides' join state (a click is
+    * evicted once the watermark passes click_time + 30 min — without
+    * the time-range condition the state would grow forever).
+    *
+    * Deterministic on the replay harness: both sources stage the SAME
+    * ts-disjoint ascending slices, so a cross-slice match's click is
+    * at most 30 min behind the slice boundary while eviction lags a
+    * full hour — nothing is dropped, and the emitted set equals the
+    * batch join the DuckDB oracle runs. Inner joins emit on match
+    * (no trailer slice needed).
+    */
+  def clickPurchaseJoin(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = stageTimeSlices(batch, slices, trailer = false)
+    def src() = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = src()
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_time").as("click_time"),
+        expr("ts DIV 1000").as("click_us"))
+      .withWatermark("click_time", "1 hour")
+    val purchases = src()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_time").as("purchase_time"),
+        expr("ts DIV 1000").as("purchase_us"), col("value"))
+      .withWatermark("purchase_time", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("click_us"), col("purchase_us"),
+        col("value"))
+    val name = s"graft_st_join_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
   }
 
   /** A closed user session: burst of events separated by < gap.

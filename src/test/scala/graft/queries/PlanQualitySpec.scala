@@ -143,4 +143,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       (plan.contains("LeftSemi") || plan.contains("LeftAnti")),
       s"expected broadcast semi/anti joins:\n$plan")
   }
+
+  test("tx10/tx11: vocabulary-sized relations join as broadcasts, " +
+      "never shuffling the token stream") {
+    for (name <- Seq("tx10_tfidf_top_terms", "tx11_unigram_logprob")) {
+      val plan = executedPlan(name).toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: vocab join must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: token stream must not shuffle for the vocab join:\n$plan")
+    }
+  }
 }
