@@ -129,7 +129,7 @@ object Bench {
       val t0 = System.nanoTime()
       val res = WodPipeline.run(spark, cfg)
       val sec = (System.nanoTime() - t0) / 1e9
-      (sec, res.map(_._2).sum)
+      (sec, res.map(_.casts).sum)
     } finally {
       deleteRecursively(in)
       deleteRecursively(out)

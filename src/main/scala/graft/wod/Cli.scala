@@ -49,7 +49,7 @@ object Cli {
     val spark = GraftSession.getOrCreate()
     attachFailFast(spark)
     val results = WodPipeline.run(spark, cfg)
-    val (casts, errors) = (results.map(_._2).sum, results.map(_._3).sum)
+    val (casts, errors) = (results.map(_.casts).sum, results.map(_.errors).sum)
     println(s"[wod] done: ${results.size} files, $casts casts, $errors errors")
     spark.stop()
   }

@@ -41,10 +41,32 @@ object WodPipeline {
       subset: Seq[String] = Seq.empty, // keep only these file names if set
       overwrite: Boolean = false,
       geoMetadata: Boolean = true,
-      maxConcurrentFiles: Int = 4)
+      maxConcurrentFiles: Int = 4,
+      /** In-engine retry envelope (C6): attempts per file before it is
+        * recorded failed — the reference runs ≤5 job starts via
+        * HTCondor `periodic_release`
+        * (`src/ospool/wod-ascii-to-parquet-spark.submit`); here the
+        * loop lives in the runner so a transient write/IO failure
+        * can't kill a corpus-wide conversion.
+        */
+      maxAttemptsPerFile: Int = 3,
+      /** Throw after the run if any file exhausted its attempts
+        * (automation must notice); the per-file results still carry
+        * every outcome for the completeness differ.
+        */
+      failFast: Boolean = true)
 
   final case class FileTask(src: String, dataset: String, level: String,
       outStore: String, errStore: String)
+
+  /** One file's conversion outcome. `failure` is set when every
+    * attempt failed; such a store is left without `_SUCCESS`, so the
+    * resume probe and [[Differ]] both see it as missing.
+    */
+  final case class FileResult(task: FileTask, casts: Long, errors: Long,
+      attempts: Int, failure: Option[String]) {
+    def ok: Boolean = failure.isEmpty
+  }
 
   /** `<FILE>.gz` → `<FILE>.parquet` with the SUR special case
     * (`SURF_ALL.gz` → `SUR_ALL.parquet`).
@@ -144,8 +166,17 @@ object WodPipeline {
     } finally rows.unpersist()
   }
 
-  /** Run the whole plan with bounded file-level concurrency. */
-  def run(spark: SparkSession, cfg: Config): Seq[(FileTask, Long, Long)] = {
+  /** Run the whole plan with bounded file-level concurrency and the
+    * per-file retry envelope (C6). A file that exhausts its attempts
+    * is recorded failed — its store has no `_SUCCESS`, so resume and
+    * the differ treat it as missing — and, with `failFast`, the run
+    * throws after all other files finish (a flaky file never blocks
+    * the rest of the corpus, but automation can't mistake a partial
+    * run for success).
+    */
+  def run(spark: SparkSession, cfg: Config): Seq[FileResult] = {
+    require(cfg.maxAttemptsPerFile >= 1,
+      s"maxAttemptsPerFile must be >= 1, got ${cfg.maxAttemptsPerFile}")
     val tasks = plan(spark, cfg)
     val fs = new Path(cfg.output).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -160,10 +191,34 @@ object WodPipeline {
     val par = todo.par
     par.tasksupport = new ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(cfg.maxConcurrentFiles))
-    par.map { t =>
-      val (nc, ne) = convertFile(spark, t, cfg.geoMetadata)
-      println(s"[wod] ${t.src}: $nc casts, $ne errors -> ${t.outStore}")
-      (t, nc, ne)
+    val results = par.map { t =>
+      var attempt = 0
+      var res: FileResult = null
+      while (res == null) {
+        attempt += 1
+        try {
+          val (nc, ne) = convertFile(spark, t, cfg.geoMetadata)
+          println(s"[wod] ${t.src}: $nc casts, $ne errors -> ${t.outStore}")
+          res = FileResult(t, nc, ne, attempt, None)
+        } catch {
+          case e: Exception if attempt < cfg.maxAttemptsPerFile =>
+            System.err.println(s"[wod] attempt $attempt failed for " +
+              s"${t.src}, retrying: ${e.getMessage}")
+          case e: Exception =>
+            System.err.println(s"[wod] FAILED after $attempt attempts: " +
+              s"${t.src}: ${e.getMessage}")
+            res = FileResult(t, -1, -1, attempt,
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        }
+      }
+      res
     }.seq
+    val failed = results.filter(!_.ok)
+    if (cfg.failFast && failed.nonEmpty)
+      throw new IllegalStateException(
+        s"${failed.size} of ${results.size} conversions failed after " +
+          s"${cfg.maxAttemptsPerFile} attempts each: " +
+          failed.map(_.task.src).mkString(", "))
+    results
   }
 }

@@ -64,7 +64,7 @@ class WodPipelineSchemeSpec extends AnyFunSuite with BeforeAndAfterAll {
       datasets = Seq("CTD", "SUR"), maxConcurrentFiles = 2)
     val results = WodPipeline.run(spark, cfg)
     assert(results.size === 2)
-    assert(results.map(_._2).sum > 12000)
+    assert(results.map(_.casts).sum > 12000)
 
     // contract checks through the scheme-resolved FS (no java.io here)
     val ctdStore = s"$out/yearly/CTD/OBS/CTDO1971.parquet"

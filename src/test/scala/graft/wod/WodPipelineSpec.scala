@@ -41,7 +41,7 @@ class WodPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       datasets = Seq("CTD", "SUR"), maxConcurrentFiles = 2)
     val results = WodPipeline.run(spark, cfg)
     assert(results.size === 2)
-    assert(results.map(_._2).sum > 12000) // CTD 1 + SUR 12611 casts
+    assert(results.map(_.casts).sum > 12000) // CTD 1 + SUR 12611 casts
 
     // _SUCCESS + SUR rename (SURF_ALL.gz -> SUR_ALL.parquet)
     val ctdStore = s"$outDir/yearly/CTD/OBS/CTDO1971.parquet"
@@ -103,6 +103,24 @@ class WodPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // second run: everything complete -> nothing converted
     val again = WodPipeline.run(spark, cfg)
     assert(again.isEmpty)
+  }
+
+  test("retry envelope: a persistently failing file is retried, " +
+      "recorded failed, and fails the run only under failFast") {
+    // output root is a regular FILE -> every store write fails
+    val blocked = Files.createTempFile("wodpipe_blocked", "")
+    val cfg = WodPipeline.Config(input = inDir, output = blocked.toString,
+      datasets = Seq("CTD"), maxAttemptsPerFile = 2, failFast = false)
+    val results = WodPipeline.run(spark, cfg)
+    assert(results.size === 1)
+    assert(!results.head.ok)
+    assert(results.head.attempts === 2) // exhausted exactly the budget
+    assert(results.head.casts === -1L)
+    // same run with failFast (the default) must throw, naming the file
+    val ex = intercept[IllegalStateException] {
+      WodPipeline.run(spark, cfg.copy(failFast = true))
+    }
+    assert(ex.getMessage.contains("CTDO1971.gz"))
   }
 
   test("geohash matches cast location") {
