@@ -19,6 +19,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime bloom-filter pruning: on selective shuffle joins the
+      // build side injects a bloom filter into the probe side's scan,
+      // cutting shuffled bytes — free locally, significant at 100 TB
+      // (explicitly on; the default has shifted across Spark releases)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
       // driver testdata writes TIMESTAMP(NANOS) which the vectorized
       // parquet reader rejects; read as LongType epoch-nanos instead.

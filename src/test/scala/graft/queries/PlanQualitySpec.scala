@@ -144,6 +144,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast semi/anti joins:\n$plan")
   }
 
+  test("ev6: time-range join is a bucketed equi-join, never nested-loop") {
+    val plan = executedPlan("ev6_range_join_bucketed").toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must decompose to an equi-join:\n$plan")
+    assert(plan.contains("Join"), s"expected a join:\n$plan")
+  }
+
   test("tx10/tx11: vocabulary-sized relations join as broadcasts, " +
       "never shuffling the token stream") {
     for (name <- Seq("tx10_tfidf_top_terms", "tx11_unigram_logprob")) {
