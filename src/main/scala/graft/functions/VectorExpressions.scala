@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, MinHashSignature, ShingleArray, SimHashFingerprint, GraftExpressionBridge => B}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, Int8QuantStats, MinHashSignature, ShingleArray, SimHashFingerprint, GraftExpressionBridge => B}
 
 /** User-facing API for Graft's native kernels (implemented in the
   * org.apache.spark.sql.graft bridge package).
@@ -31,6 +31,13 @@ object VectorFunctions {
   /** L2 norm of an array<double> column (codegen'd). */
   def array_norm(a: Column): Column =
     B.column(ArrayNorm(B.expression(a)))
+
+  /** Int8 scalar-quantization stats `[amax, sum_abs_q, err_units]`
+    * of an array<double> (codegen'd single pass; see
+    * [[org.apache.spark.sql.graft.Int8QuantStats]]).
+    */
+  def int8_quant_stats(a: Column): Column =
+    B.column(Int8QuantStats(B.expression(a)))
 
   /** Cosine similarity via the codegen'd kernels. */
   def cosine_sim(a: Column, b: Column): Column =

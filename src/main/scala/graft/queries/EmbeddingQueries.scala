@@ -150,5 +150,53 @@ object EmbeddingQueries {
       GROUP BY label
       ORDER BY label"""))
 
-  val all: Seq[Q] = Seq(em1Knn, em2NearDup, em3Centroids, em4Norms)
+  /** Int8 scalar quantization of embeddings with reconstruction-error
+    * accounting — the vector-compression step of an ANN/serving
+    * pipeline (4× smaller than float32, 8× than float64). Per-vector
+    * scale = 127/max|x|; quantized magnitude q = floor(|x|·scale+0.5)
+    * clamped at 127. All reported stats are maxes or sums of
+    * integer-valued doubles, so the result is bit-stable under any
+    * partition order and the DuckDB oracle replays the identical floor
+    * arithmetic (engine round() functions disagree on negative ties —
+    * floor(x+0.5) on magnitudes does not). Single codegen'd pass via
+    * [[graft.functions.VectorFunctions.int8_quant_stats]].
+    */
+  val em5Quant = Q(
+    "em5_int8_quant_stats",
+    (s, d) =>
+      vecs(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.int8_quant_stats(col("e")).as("st"))
+        .select(col("vec_id"),
+          round(col("st")(0), 6).as("amax"),
+          col("st")(1).cast("long").as("sum_abs_q"),
+          col("st")(2).cast("long").as("err_units"))
+        .orderBy(col("vec_id")),
+    sql = Some("""
+      WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS amax
+        FROM v),
+      q AS (
+        SELECT vec_id, amax,
+               CASE WHEN amax = 0 THEN 0.0 ELSE
+                 list_sum(list_transform(e, x ->
+                   least(floor(abs(x) * (127.0 / amax) + 0.5), 127.0)))
+               END AS sum_abs_q,
+               CASE WHEN amax = 0 THEN 0.0 ELSE
+                 list_sum(list_transform(e, x ->
+                   floor(abs(abs(x)
+                     - least(floor(abs(x) * (127.0 / amax) + 0.5), 127.0)
+                       / (127.0 / amax)) * 1e9 + 0.5)))
+               END AS err_units
+        FROM s)
+      SELECT vec_id, ROUND(amax, 6) AS amax,
+             CAST(sum_abs_q AS BIGINT) AS sum_abs_q,
+             CAST(err_units AS BIGINT) AS err_units
+      FROM q
+      ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(em1Knn, em2NearDup, em3Centroids, em4Norms, em5Quant)
 }

@@ -94,6 +94,99 @@ case class ArrayNorm(child: Expression)
     copy(child = c)
 }
 
+/** Single-pass int8 scalar-quantization statistics for an
+  * array<double> embedding: returns `[amax, sum_abs_q, err_units]`
+  * where `amax` = max |x_i| (the per-vector scale denominator),
+  * `sum_abs_q` = Σ |q_i| for q_i = min(floor(|x_i|·127/amax + 0.5),
+  * 127) — the quantized magnitudes — and `err_units` =
+  * Σ floor(|x_i − q_i/scale|·1e9 + 0.5), the reconstruction error in
+  * integer nano-units.
+  *
+  * Why this exact formulation: every output is either a max or a sum
+  * of INTEGER-VALUED doubles (each ≪ 2^53), so the result is
+  * bit-identical under any partition/summation order and any engine —
+  * an oracle can replay the same floor arithmetic in SQL. (A float
+  * MSE would depend on summation order; engine round() functions
+  * disagree on negative ties, so rounding is spelled floor(x+0.5) on
+  * magnitudes.) A zero vector (amax = 0) yields [0, 0, 0].
+  *
+  * One codegen'd pass, no per-element lambda dispatch — the same
+  * rationale as [[ArrayDotProduct]]; a HOF formulation referencing a
+  * precomputed scale column would re-evaluate the amax reduction per
+  * element after projection collapse.
+  */
+case class Int8QuantStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "int8_quant_stats"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getDouble(i)); if (v > amax) amax = v; i += 1
+    }
+    var sq = 0.0
+    var eu = 0.0
+    if (amax > 0) {
+      val scale = 127.0 / amax
+      i = 0
+      while (i < n) {
+        val av = math.abs(x.getDouble(i))
+        var q = math.floor(av * scale + 0.5)
+        if (q > 127) q = 127
+        sq += q
+        eu += math.floor(math.abs(av - q / scale) * 1e9 + 0.5)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(amax, sq, eu))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val amax = ctx.freshName("amax")
+      val scale = ctx.freshName("scale")
+      val sq = ctx.freshName("sq")
+      val eu = ctx.freshName("eu")
+      val av = ctx.freshName("av")
+      val q = ctx.freshName("q")
+      s"""
+         |int $n = $a.numElements();
+         |double $amax = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $av = java.lang.Math.abs($a.getDouble($i));
+         |  if ($av > $amax) $amax = $av;
+         |}
+         |double $sq = 0.0;
+         |double $eu = 0.0;
+         |if ($amax > 0) {
+         |  double $scale = 127.0 / $amax;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $av = java.lang.Math.abs($a.getDouble($i));
+         |    double $q = java.lang.Math.floor($av * $scale + 0.5);
+         |    if ($q > 127) $q = 127;
+         |    $sq += $q;
+         |    $eu += java.lang.Math.floor(
+         |      java.lang.Math.abs($av - $q / $scale) * 1e9 + 0.5);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new double[] {$amax, $sq, $eu});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object GraftExpressionBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
