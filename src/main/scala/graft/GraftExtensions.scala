@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, GeohashEncode, MinHashSignature, ShingleArray, SimHashFingerprint}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, GeohashEncode, Int8QuantStats, MinHashSignature, ShingleArray, SimHashFingerprint}
 
 /** SparkSessionExtensions wiring: makes the graft kernels available to
   * pure-SQL users via
@@ -35,5 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("geohash_encode"),
       info("geohash_encode"),
       (es: Seq[Expression]) => GeohashEncode(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("int8_quant_stats"),
+      info("int8_quant_stats"),
+      (es: Seq[Expression]) => Int8QuantStats(es.head)))
   }
 }

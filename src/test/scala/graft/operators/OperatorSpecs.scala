@@ -147,4 +147,37 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(ann.forall(p => (p._1 < 100) == (p._2 < 100)))
     assert(ann.forall(_._3 > 0.9))
   }
+
+  test("int8_quant_stats: zero vector, exact scale hit, clipping, " +
+      "interpreted == codegen") {
+    import graft.functions.VectorFunctions.int8_quant_stats
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(0.0, 0.0, 0.0)),          // zero vector -> [0,0,0]
+      (2L, Array(2.0, -2.0, 1.0)),         // amax maps to exactly 127
+      (3L, Array(0.5)),                    // single element = its own amax
+      (4L, Array(1e-300, 1.0))             // tiny value quantizes to 0
+    ).toDF("id", "e")
+    val out = rows.select(col("id"), int8_quant_stats(col("e")).as("st"))
+      .select(col("id"), col("st")(0).as("amax"),
+        col("st")(1).cast("long").as("sq"),
+        col("st")(2).cast("long").as("eu"))
+      .orderBy(col("id"))
+      .as[(Long, Double, Long, Long)].collect()
+    assert(out(0) === ((1L, 0.0, 0L, 0L)))
+    // amax=2 -> scale=63.5; |q| = 127,127,64 (1.0*63.5+0.5 -> 64)
+    assert(out(1)._2 === 2.0 && out(1)._3 === (127L + 127L + 64L))
+    assert(out(2) === ((3L, 0.5, 127L, 0L))) // own amax -> q=127, err=0
+    assert(out(3)._3 === 127L) // tiny element contributes q=0
+    // interpreted eval path must agree with the codegen'd result
+    val expr = org.apache.spark.sql.graft.Int8QuantStats(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0, -2.0, 1.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    assert(interp(0) === 2.0 && interp(1) === 318.0)
+  }
 }
