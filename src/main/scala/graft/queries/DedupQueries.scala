@@ -239,6 +239,82 @@ object DedupQueries {
       GROUP BY id
       ORDER BY doc_id"""))
 
+  /** MinHash estimation quality: for every LSH candidate pair, the
+    * signature-agreement estimate of Jaccard (matching components / 8)
+    * next to the exact shingle Jaccard and the absolute error — the
+    * calibration readout that tells an operator whether the signature
+    * width is adequate before scaling a dedup run. Scale shape: the
+    * candidate-pair relation is orders of magnitude smaller than the
+    * corpus, so the pair side broadcasts into the two signature
+    * lookups; signatures are computed once per doc (scan-local native
+    * expression), never per pair.
+    */
+  val dd6EstVsExact = Q(
+    "dd6_minhash_est_vs_exact",
+    (s, d) => {
+      val docs = spread(documents(s, d))
+      val sigs = docs
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), minhashSignature(col("sh"), 8).as("sig"))
+      val pairs = minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 8, bands = 2)
+      broadcast(pairs)
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+          "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+          "id_b")
+        .withColumn("est_jaccard", round(
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / 8, 6))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("est_jaccard"),
+          round(abs(col("jaccard") - col("est_jaccard")), 6)
+            .as("est_abs_err"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                   AS DOUBLE) /
+                 (len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+                 6) AS jaccard
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+      best AS (
+        SELECT id_a, id_b, MAX(jaccard) AS jaccard
+        FROM pairs GROUP BY id_a, id_b),
+      est AS (
+        SELECT p.id_a, p.id_b, p.jaccard,
+               ROUND(CAST(len(list_filter(range(0, 8),
+                   i -> sa.sig[i+1] = sb.sig[i+1])) AS DOUBLE) / 8, 6)
+                 AS est_jaccard
+        FROM best p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b)
+      SELECT id_a, id_b, jaccard, est_jaccard,
+             ROUND(ABS(jaccard - est_jaccard), 6) AS est_abs_err
+      FROM est
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
-    dd5Clusters)
+    dd5Clusters, dd6EstVsExact)
 }

@@ -324,7 +324,72 @@ object TextQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** End-to-end corpus curation — the composition every training-data
+    * pipeline runs, as ONE declarative plan Catalyst optimizes whole:
+    * quality gate (≥ 60 tokens) → exact dedup keep-first (min doc_id
+    * per distinct text, AFTER the gate so boilerplate shorts never win
+    * a dedup group) → deterministic stratified sample (per-lang keep
+    * rates on a content-independent doc_id hash, tx9's primitive) →
+    * per-(lang, source) mix report. Stage order matters and is pinned
+    * by the oracle. Scale: one shuffle per keyed stage (dedup group,
+    * final mix agg); the gate and sampler are scan-local predicates
+    * Catalyst pushes below the dedup shuffle.
+    */
+  val tx12Pipeline = Q(
+    "tx12_corpus_pipeline",
+    (s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val gated = documents(s, d)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .filter(col("n_tokens") >= 60)
+      val deduped = gated
+        .groupBy(col("text"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"))).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+          col("keep.source").as("source"),
+          col("keep.n_tokens").as("n_tokens"))
+      val bucket = pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("|mix"))),
+          1, 15), 16, 10).cast("long"), lit(100L))
+      deduped
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < when(col("lang") === "en", 80)
+          .when(col("lang") === "zh", 50).otherwise(25))
+        .groupBy(col("lang"), col("source"))
+        .agg(cnt.as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"), col("source"))
+    },
+    sql = Some("""
+      WITH gated AS (
+        SELECT * FROM (
+          SELECT doc_id, text, lang, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents) t
+        WHERE n_tokens >= 60),
+      deduped AS (
+        SELECT MIN(doc_id) AS doc_id,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(source, doc_id) AS source,
+               arg_min(n_tokens, doc_id) AS n_tokens
+        FROM gated
+        GROUP BY text),
+      sampled AS (
+        SELECT lang, source, n_tokens
+        FROM (SELECT *,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'),
+                  1, 15)) AS BIGINT) % 100 AS bucket
+              FROM deduped) t
+        WHERE bucket < CASE WHEN lang = 'en' THEN 80
+                            WHEN lang = 'zh' THEN 50 ELSE 25 END)
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM sampled
+      GROUP BY lang, source
+      ORDER BY lang, source"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
-    tx10Tfidf, tx11Logprob)
+    tx10Tfidf, tx11Logprob, tx12Pipeline)
 }
