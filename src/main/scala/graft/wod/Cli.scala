@@ -16,9 +16,20 @@ import graft.GraftSession
   *   --overwrite                  redo completed stores
   *   --no-geo                     skip GeoParquet footer stamping
   *   --max-files N                concurrent file conversions (default 4)
+  *   --max-attempts N             per-file retry budget (default 3; C6)
+  *   --no-fail-fast               report failed files but exit 0
   *
   * The reference's `-bs` batch size has no equivalent: batching bounded
   * its driver-side parse loop; our parse is executor-side and streaming.
+  *
+  * C4/C6 interaction: the reference's context-level fail-fast listener
+  * (abort on any failed Spark job) is correct in its one-JVM-per-file
+  * model, where HTCondor restarts the JVM. In this shared-session
+  * runner it would kill the context before the per-file retry envelope
+  * could act, so the listener attaches only when retries are disabled
+  * (`--max-attempts 1` = pure reference semantics); otherwise failure
+  * policy is the runner's: bounded retries, then a non-zero exit via
+  * the end-of-run failure check.
   */
 object Cli {
 
@@ -39,18 +50,25 @@ object Cli {
         case "--no-geo"          => cfg = cfg.copy(geoMetadata = false); i += 1
         case "--max-files"       =>
           cfg = cfg.copy(maxConcurrentFiles = args(i + 1).toInt); i += 2
+        case "--max-attempts"    =>
+          cfg = cfg.copy(maxAttemptsPerFile = args(i + 1).toInt); i += 2
+        case "--no-fail-fast"    => cfg = cfg.copy(failFast = false); i += 1
         case other => sys.error(s"unknown option: $other")
       }
     }
     require(cfg.input != null && cfg.output != null,
       "usage: Cli --input <dir> --output <dir> [--datasets CSV] " +
-        "[--levels CSV] [--subset CSV] [--overwrite] [--no-geo]")
+        "[--levels CSV] [--subset CSV] [--overwrite] [--no-geo] " +
+        "[--max-files N] [--max-attempts N] [--no-fail-fast]")
 
     val spark = GraftSession.getOrCreate()
-    attachFailFast(spark)
+    if (cfg.maxAttemptsPerFile == 1) attachFailFast(spark)
     val results = WodPipeline.run(spark, cfg)
-    val (casts, errors) = (results.map(_.casts).sum, results.map(_.errors).sum)
-    println(s"[wod] done: ${results.size} files, $casts casts, $errors errors")
+    val ok = results.filter(_.ok)
+    val (casts, errors) = (ok.map(_.casts).sum, ok.map(_.errors).sum)
+    println(s"[wod] done: ${ok.size} files, $casts casts, $errors errors" +
+      (if (ok.size < results.size)
+        s"; ${results.size - ok.size} files FAILED" else ""))
     spark.stop()
   }
 

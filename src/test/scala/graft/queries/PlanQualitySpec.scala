@@ -144,6 +144,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected broadcast semi/anti joins:\n$plan")
   }
 
+  test("dd6: pair relation broadcasts into signature lookups") {
+    val plan = executedPlan("dd6_minhash_est_vs_exact").toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pair->signature joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("ev6: time-range join is a bucketed equi-join, never nested-loop") {
     val plan = executedPlan("ev6_range_join_bucketed").toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
