@@ -117,5 +117,34 @@ object WodQueries {
       GROUP BY dataset, variableCode, depth_bucket
       ORDER BY dataset, variableCode, depth_bucket"""))
 
-  val all: Seq[Q] = Seq(wod1Convert, wod2Profiles)
+  /** Spatial density over the engine's own partition key: per-geohash3
+    * cell cast counts, dataset diversity, and exact extents — the
+    * query shape the geohash3 layout exists to serve (a cell predicate
+    * prunes to one partition directory). Mean latitude is
+    * DECIMAL-routed so partition order can't show.
+    */
+  val wod3Density = Q(
+    "wod3_geocell_density",
+    (s, _) =>
+      stagedCasts(s)
+        .groupBy(col("geohash3"))
+        .agg(cnt.as("n_casts"),
+          countDistinct(col("dataset")).as("n_datasets"),
+          min(col("latitude")).as("min_lat"),
+          max(col("latitude")).as("max_lat"),
+          min(col("longitude")).as("min_lon"),
+          max(col("longitude")).as("max_lon"),
+          davg(col("latitude")).as("mean_lat"))
+        .orderBy(col("geohash3")),
+    sql = Some(s"""
+      SELECT geohash3, COUNT(*) AS n_casts,
+             COUNT(DISTINCT dataset) AS n_datasets,
+             MIN(latitude) AS min_lat, MAX(latitude) AS max_lat,
+             MIN(longitude) AS min_lon, MAX(longitude) AS max_lon,
+             ${sqlDavg("latitude")} AS mean_lat
+      FROM read_parquet('$stagedGlob')
+      GROUP BY geohash3
+      ORDER BY geohash3"""))
+
+  val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density)
 }
