@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -121,6 +122,27 @@ class WodPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       WodPipeline.run(spark, cfg.copy(failFast = true))
     }
     assert(ex.getMessage.contains("CTDO1971.gz"))
+  }
+
+  test("geohash3 predicate prunes to matching partition directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = s"$outDir/yearly/SUR/OBS/SUR_ALL.parquet"
+    val aCell = new java.io.File(store).listFiles.filter(_.isDirectory)
+      .head.getName.stripPrefix("geohash3=")
+    val df = spark.read.parquet(store)
+      .filter(col("geohash3") === aCell)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "geohash3 filter must become a partition filter, not a data filter")
+    // the scan must touch ONE partition dir, not the whole store
+    assert(scan.relation.location.listFiles(
+      scan.partitionFilters, scan.dataFilters).size === 1)
   }
 
   test("geohash matches cast location") {
