@@ -170,6 +170,17 @@ object StreamingQueries {
        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       ORDER BY c.user_id, click_us, purchase_us"""))
 
+  /** st3's windows through the PRODUCTION sink: watermarked append
+    * windows → parquet files with checkpoint (file-sink manifest =
+    * exactly-once across restarts; `StreamingSpec` drives an actual
+    * stop/resume), read back and checked against the same watermark
+    * oracle as st3.
+    */
+  val st5FileSink = Q(
+    "st5_file_sink_hourly_agg",
+    (s, d) => graft.streaming.EventsStreaming.hourlyAppendFileSink(s, d),
+    sql = st3AppendHourly.sql)
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
-    st3AppendHourly, st4StreamJoin)
+    st3AppendHourly, st4StreamJoin, st5FileSink)
 }

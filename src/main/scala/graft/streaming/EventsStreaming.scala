@@ -85,7 +85,7 @@ object EventsStreaming {
     * (needed by append-mode AGGREGATES to emit their last windows;
     * inner joins emit eagerly and don't need it).
     */
-  private def stageTimeSlices(batch: DataFrame, slices: Int,
+  private[streaming] def stageTimeSlices(batch: DataFrame, slices: Int,
       trailer: Boolean): String = {
     val spark = batch.sparkSession
     val Row(tsMin: Long, tsMax: Long) =
@@ -114,22 +114,30 @@ object EventsStreaming {
     staged.toString
   }
 
-  def hourlyAppendStream(spark: SparkSession, dir: String,
-      slices: Int = 4): DataFrame = {
-    import org.apache.spark.sql.streaming.OutputMode
-    val path = s"$dir/events.parquet"
-    val batch = spark.read.parquet(path)
-    val staged = stageTimeSlices(batch, slices, trailer = true)
-    val src = spark.readStream.schema(batch.schema)
+  /** The st3/st5 watermarked hourly aggregate over a staged slice
+    * dir (shared so the memory-sink check and the file-sink path run
+    * the identical plan).
+    */
+  private[streaming] def hourlyWindowAgg(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String): DataFrame =
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
-    val agg = src
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(unix_timestamp(col("window.start")).as("hour_ts"),
         col("event_type"), col("n_events"))
+
+  def hourlyAppendStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val path = s"$dir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val staged = stageTimeSlices(batch, slices, trailer = true)
+    val agg = hourlyWindowAgg(spark, batch.schema, staged)
     val name = s"graft_st_append_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
       .outputMode(OutputMode.Append())
@@ -139,6 +147,47 @@ object EventsStreaming {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name).orderBy(col("hour_ts"), col("event_type"))
+  }
+
+  /** Drain whatever slices currently exist in `staged` into the
+    * parquet FILE sink at `out` with checkpoint `chk`. Restartable:
+    * calling again (same out/chk) after more slices appear resumes
+    * from the checkpointed offsets + watermark state, emitting each
+    * finalized window exactly once across runs — the recovery
+    * contract `StreamingSpec` exercises.
+    */
+  private[streaming] def drainToFileSink(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String, out: String, chk: String): Unit = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val q = hourlyWindowAgg(spark, schema, staged).writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** st5: the PRODUCTION sink shape — watermarked append windows
+    * written to parquet FILES with a checkpoint (exactly-once via the
+    * file-sink manifest `_spark_metadata` + WAL offsets), then read
+    * back. Same windows as st3, so the same oracle applies; what st5
+    * adds over st3 is the durable-sink path: at scale this is the
+    * only shape that survives driver loss (the memory sink's state
+    * dies with the driver; the file sink's manifest makes restart
+    * idempotent).
+    */
+  def hourlyAppendFileSink(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = stageTimeSlices(batch, slices, trailer = true)
+    val base = java.nio.file.Files.createTempDirectory("graft_filesink")
+    val out = base.resolve("out").toString
+    val chk = base.resolve("chk").toString
+    drainToFileSink(spark, batch.schema, staged, out, chk)
+    spark.read.parquet(out).orderBy(col("hour_ts"), col("event_type"))
   }
 
   /** Watermarked stream-stream INNER JOIN (st4): click→purchase
