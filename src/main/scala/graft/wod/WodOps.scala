@@ -42,6 +42,38 @@ object WodOps {
         expected("year") === produced("year"),
       "left_anti")
 
+  /** Compact a geohash3-partitioned store into few large
+    * range-partitioned files — the maintenance pass for the
+    * small-file cost the hive layout implies (one tiny file per
+    * populated geohash3 cell; a worldwide store at fixture scale is
+    * hundreds of KB-sized files, and at corpus scale millions).
+    *
+    * The compacted layout drops the partition DIRECTORIES but keeps
+    * the pruning: rows are range-partitioned and sorted on the full
+    * geohash, so each output file covers a contiguous geohash range
+    * and parquet's per-file/row-group min-max stats on `geohash` and
+    * `geohash3` (now a data column) serve the same cell predicates
+    * via pushed filters — directory pruning becomes stats pruning.
+    * Query semantics are unchanged; `WodCompactionSpec` locks row
+    * parity, in-file ordering, filter pushdown, and footer survival.
+    *
+    * Not resume-safe in-place by design: writes to a NEW location
+    * (the caller swaps atomically per their store's semantics), with
+    * the GeoParquet footer re-stamped at write time.
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, store: String,
+      out: String, files: Int = 4,
+      bbox: (Double, Double, Double, Double) = (-180, -90, 180, 90)): Long = {
+    val df = spark.read.parquet(store)
+    df.repartitionByRange(files, col("geohash"))
+      .sortWithinPartitions(col("geohash"))
+      .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .format(classOf[GeoParquetFileFormat].getName)
+      .option(GeoParquetFileFormat.GeoJsonOption, GeoParquet.geoJson(bbox))
+      .save(out)
+    spark.read.parquet(out).count()
+  }
+
   /** Depth-bucketed per-variable profile statistics (the classic
     * oceanographic rollup: mean measurement by depth layer).
     */
