@@ -56,12 +56,23 @@ object WodQueries {
     * read the staging back, so Spark and DuckDB consume byte-identical
     * rows.
     */
-  private def stagedCasts(s: SparkSession): DataFrame = {
-    pruneStaleStages()
-    s.read.format("wod").load(fixtures)
-      .select(col("dataset"), col("castNumber"), col("year"),
-        col("latitude"), col("longitude"), col("geohash3"), col("depths"))
-      .write.mode("overwrite").parquet(stagedDir)
+  @volatile private var stagedOnce = false
+
+  /** `reuse = false` (wod1, the bench entry) parses + stages every
+    * call — it MEASURES the source; `reuse = true` (wod2/wod3) skips
+    * the re-parse when this JVM already staged (same content: the
+    * write is a deterministic overwrite of the same fixtures).
+    */
+  private def stagedCasts(s: SparkSession,
+      reuse: Boolean = false): DataFrame = {
+    if (!(reuse && stagedOnce)) {
+      pruneStaleStages()
+      s.read.format("wod").load(fixtures)
+        .select(col("dataset"), col("castNumber"), col("year"),
+          col("latitude"), col("longitude"), col("geohash3"), col("depths"))
+        .write.mode("overwrite").parquet(stagedDir)
+      stagedOnce = true
+    }
     s.read.parquet(stagedDir)
   }
 
@@ -95,7 +106,7 @@ object WodQueries {
     */
   val wod2Profiles = Q(
     "wod2_profile_stats",
-    (s, _) => graft.wod.WodOps.profileStats(stagedCasts(s)),
+    (s, _) => graft.wod.WodOps.profileStats(stagedCasts(s, reuse = true)),
     sql = Some(s"""
       WITH lvl AS (
         SELECT dataset, unnest(depths) AS d
@@ -126,7 +137,7 @@ object WodQueries {
   val wod3Density = Q(
     "wod3_geocell_density",
     (s, _) =>
-      stagedCasts(s)
+      stagedCasts(s, reuse = true)
         .groupBy(col("geohash3"))
         .agg(cnt.as("n_casts"),
           countDistinct(col("dataset")).as("n_datasets"),
