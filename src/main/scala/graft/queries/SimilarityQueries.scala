@@ -99,5 +99,101 @@ object SimilarityQueries {
       SELECT id_a, id_b AS ann_id, score FROM ranked WHERE rn = 1
       ORDER BY id_a"""))
 
-  val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe)
+  /** ANN calibration readout (the sim-side twin of dd6): LSH top-1
+    * (sim1's exact parameters) scored against the brute-force exact
+    * top-1 — coverage (how many vectors got any candidate) and
+    * recall@1 over the covered set, as one summary row. This is the
+    * number an operator checks before trusting the ANN path at scale;
+    * at 100 TB only the two top-1 relations (1 row/vector) meet here,
+    * never pair sets.
+    */
+  val sim3Recall = Q(
+    "sim3_ann_recall",
+    (s, d) => {
+      import graft.functions.VectorFunctions.{array_dot, array_norm}
+      val v = spread(embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("nrm", array_norm(col("e")))
+      val a = v.select(col("vec_id").as("id_a"), col("e").as("ea"),
+        col("nrm").as("na"))
+      val b = v.select(col("vec_id").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb"))
+      val exact = a.join(b, col("id_a") =!= col("id_b"))
+        .select(col("id_a"),
+          struct(
+            round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+              .as("score"),
+            (-col("id_b")).as("neg_id")).as("cand"))
+        .groupBy(col("id_a"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("id_a"), (-col("best.neg_id")).as("exact_id"))
+      val ann = SimilarityOps.annTop1(v, "vec_id", "e",
+        dims = 64, planes = 16, bands = 4)
+        .select(col("id_a"), col("ann_id"))
+      val n = v.count()
+      ann.join(exact, "id_a")
+        .agg(cnt.as("n_ann_covered"),
+          sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+            .as("n_top1_match"))
+        .select(lit(n).as("n_vectors"), col("n_ann_covered"),
+          col("n_top1_match"),
+          round(col("n_top1_match").cast("double") / col("n_ann_covered"), 6)
+            .as("recall_at_1"),
+          round(col("n_ann_covered").cast("double") / n, 6).as("coverage"))
+    },
+    sql = Some(s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      exact AS (
+        SELECT id_a, id_b AS exact_id FROM (
+          SELECT id_a, id_b,
+                 ROW_NUMBER() OVER (PARTITION BY id_a
+                   ORDER BY score DESC, id_b) AS rn
+          FROM scored) WHERE rn = 1),
+      vb AS (
+        SELECT vec_id, e,
+               list_transform(range(0, 16), p ->
+                 CASE WHEN list_sum(list_transform(range(0, 64), d ->
+                        e[d+1] * $planeSql)) >= 0
+                      THEN 1 ELSE 0 END) AS bits
+        FROM v),
+      banded AS (
+        SELECT vec_id, e, band,
+               bits[band*4+1]*8 + bits[band*4+2]*4
+                 + bits[band*4+3]*2 + bits[band*4+4] AS bucket
+        FROM vb, (SELECT unnest(range(0, 4)) AS band) bd),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id <> b.vec_id),
+      cbest AS (
+        SELECT id_a, id_b, MAX(score) AS score
+        FROM cand GROUP BY id_a, id_b),
+      ann AS (
+        SELECT id_a, id_b AS ann_id FROM (
+          SELECT id_a, id_b,
+                 ROW_NUMBER() OVER (PARTITION BY id_a
+                   ORDER BY score DESC, id_b) AS rn
+          FROM cbest) WHERE rn = 1),
+      joined AS (
+        SELECT ann.id_a, ann.ann_id, exact.exact_id
+        FROM ann JOIN exact ON ann.id_a = exact.id_a)
+      SELECT (SELECT COUNT(*) FROM v) AS n_vectors,
+             COUNT(*) AS n_ann_covered,
+             CAST(SUM(CASE WHEN ann_id = exact_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_top1_match,
+             ROUND(CAST(SUM(CASE WHEN ann_id = exact_id THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS recall_at_1,
+             ROUND(CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM v), 6) AS coverage
+      FROM joined"""))
+
+  val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall)
 }
