@@ -315,6 +315,78 @@ object DedupQueries {
       FROM est
       ORDER BY id_a, id_b"""))
 
+  /** The dedup capstone: corpus shrink report. LSH candidate pairs →
+    * connected components → keep one representative per cluster (the
+    * min-id label IS the representative under min-label propagation)
+    * → one summary row: how much near-dup dedup shrinks the corpus.
+    * The number a data lead reads before green-lighting a dedup run.
+    */
+  val dd7Shrink = Q(
+    "dd7_dedup_shrink_report",
+    (s, d) => {
+      val docs = spread(documents(s, d))
+      val clusters = graft.operators.ClusterOps.connectedComponents(
+        minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 8, bands = 2, minJaccard = 0.2))
+      val n = docs.count()
+      clusters.agg(
+        cnt.as("n_clustered"),
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+          .as("n_removed"))
+        .select(lit(n).as("n_docs"), col("n_clustered"), col("n_clusters"),
+          col("n_removed"), (lit(n) - col("n_removed")).as("n_kept"),
+          round(col("n_removed").cast("double") / n, 6).as("shrink_ratio"))
+    },
+    sql = Some(s"""
+      WITH RECURSIVE
+      docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                AS DOUBLE) /
+              (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+              6) >= 0.2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      clusters AS (
+        SELECT id AS doc_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY id)
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             COUNT(*) AS n_clustered,
+             COUNT(DISTINCT cluster_id) AS n_clusters,
+             CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_removed,
+             (SELECT COUNT(*) FROM documents)
+               - CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+             ROUND(CAST(SUM(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents), 6) AS shrink_ratio
+      FROM clusters"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
-    dd5Clusters, dd6EstVsExact)
+    dd5Clusters, dd6EstVsExact, dd7Shrink)
 }
