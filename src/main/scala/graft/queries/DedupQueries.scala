@@ -387,6 +387,60 @@ object DedupQueries {
                / (SELECT COUNT(*) FROM documents), 6) AS shrink_ratio
       FROM clusters"""))
 
+  /** Benchmark decontamination — the train/eval n-gram overlap check
+    * every serious training-data pipeline runs (the public GPT-3/C4
+    * reports describe the same shape with 13-grams): take a held-out
+    * eval set (here the deterministic doc_id % 50 == 0 slice), build
+    * its distinct shingle set, and flag any training document whose
+    * shingles overlap it above threshold. Scale shape: the eval
+    * shingle set is benchmark-sized — a broadcast — so the training
+    * corpus is scanned once with a map-side semi-join; no shuffle
+    * touches corpus-scale data until the per-doc aggregation.
+    */
+  val dd8Decontaminate = Q(
+    "dd8_decontamination",
+    (s, d) => {
+      val docs = spread(documents(s, d))
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val evalSh = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          explode(col("sh")).as("shingle"))
+        .join(broadcast(evalSh), Seq("shingle"))
+        .groupBy(col("doc_id"), col("n_shingles"))
+        .agg(cnt.as("n_hits"))
+        .withColumn("contamination",
+          round(col("n_hits").cast("double") / col("n_shingles"), 6))
+        .filter(col("contamination") >= 0.5)
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          col("contamination"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      nz AS (SELECT * FROM docs WHERE len(sh) > 0),
+      eval_sh AS (
+        SELECT DISTINCT unnest(sh) AS shingle FROM nz
+        WHERE doc_id % 50 = 0),
+      train AS (
+        SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle
+        FROM nz WHERE doc_id % 50 <> 0),
+      hits AS (
+        SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_hits
+        FROM train t JOIN eval_sh e USING (shingle)
+        GROUP BY 1, 2)
+      SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_hits,
+             ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) AS contamination
+      FROM hits
+      WHERE ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) >= 0.5
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
-    dd5Clusters, dd6EstVsExact, dd7Shrink)
+    dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate)
 }
