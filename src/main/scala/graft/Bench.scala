@@ -35,7 +35,16 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val headline = Registry.all.filter(_.bench)
+    // Isolation knobs (plan-noise forensics + scale probes):
+    //   SPARK_GRAFT_SKIP_WOD=1  — queries only, no conversion tail
+    //   SPARK_GRAFT_WOD_ONLY=1  — conversion only
+    //   SPARK_GRAFT_WOD_FILES=n — conversion corpus size (default 32)
+    //   SPARK_GRAFT_WOD_CONC=n  — concurrent file conversions (default 24)
+    val skipWod = sys.env.get("SPARK_GRAFT_SKIP_WOD").contains("1")
+    val wodOnly = sys.env.get("SPARK_GRAFT_WOD_ONLY").contains("1")
+
+    val headline =
+      if (wodOnly) Seq.empty else Registry.all.filter(_.bench)
     // JVM/codegen warm-up at the smallest SF (not measured).
     headline.foreach { q =>
       try q.fn(spark, "/root/testdata/sf0.001").count()
@@ -70,12 +79,15 @@ object Bench {
     // WOD conversion headline — the engine's production path (parse →
     // geohash3-partitioned GeoParquet with the full output contract),
     // end-to-end over a 32-file corpus replicated from the reference
-    // fixtures (~28 MB gz ≈ 350 k casts). One rep: it is a multi-job
-    // pipeline whose wall time is dominated by real I/O, not JIT.
+    // fixtures (~28 MB gz ≈ 350 k casts). TWO reps, min reported like
+    // every other query (r4's single rep made the number un-diffable
+    // against ambient harness load); input replicated once, fresh
+    // output dir per rep so resume never short-circuits the timing.
     var castsPerSec = 0.0
-    try {
-      val (sec, casts) = benchWodConvert(spark)
-      runs("wod_convert") = Seq(sec)
+    if (!skipWod) try {
+      val reps = benchWodConvert(spark, wodReps = 2)
+      runs("wod_convert") = reps.map(_._1)
+      val (sec, casts) = reps.minBy(_._1)
       castsPerSec = if (sec > 0) casts / sec else 0.0
     } catch {
       case e: Throwable =>
@@ -100,16 +112,18 @@ object Bench {
     spark.stop()
   }
 
-  /** Replicate the reference WOD fixtures into a 32-file corpus and
-    * time one full `WodPipeline.run` (fresh output dir each call, so
-    * resume never short-circuits the measurement). Returns
-    * (seconds, casts converted).
+  /** Replicate the reference WOD fixtures into an n-file corpus
+    * (default 32; SPARK_GRAFT_WOD_FILES scales it for the driver-bound
+    * probe) and time `wodReps` full `WodPipeline.run`s — fresh output
+    * dir each rep, so resume never short-circuits the measurement.
+    * Returns (seconds, casts converted) per rep.
     */
-  private def benchWodConvert(
-      spark: org.apache.spark.sql.SparkSession): (Double, Long) = {
+  private def benchWodConvert(spark: org.apache.spark.sql.SparkSession,
+      wodReps: Int): Seq[(Double, Long)] = {
     val fixtures = Paths.get("/root/reference/src/test/resources/wod")
+    val nFiles = sys.env.get("SPARK_GRAFT_WOD_FILES").map(_.toInt).getOrElse(32)
+    val conc = sys.env.get("SPARK_GRAFT_WOD_CONC").map(_.toInt).getOrElse(24)
     val in = Files.createTempDirectory("wodbench_in")
-    val out = Files.createTempDirectory("wodbench_out")
     def replicate(ds: String, file: String, n: Int): Unit = {
       val src = fixtures.resolve(s"$ds/OBS/$file")
       val dir = in.resolve(s"$ds/OBS")
@@ -120,20 +134,24 @@ object Bench {
           StandardCopyOption.REPLACE_EXISTING)
       }
     }
-    replicate("XBT", "XBTO1967.gz", 12)
-    replicate("SUR", "SURF_ALL.gz", 10)
-    replicate("DRB", "DRBO2000.gz", 10)
+    // 12:10:10 mix at the default 32, scaled proportionally.
+    replicate("XBT", "XBTO1967.gz", math.max(1, nFiles * 12 / 32))
+    replicate("SUR", "SURF_ALL.gz", math.max(1, nFiles * 10 / 32))
+    replicate("DRB", "DRBO2000.gz", math.max(1, nFiles * 10 / 32))
     try {
-      val cfg = WodPipeline.Config(input = in.toString, output = out.toString,
-        datasets = Seq("XBT", "SUR", "DRB"), maxConcurrentFiles = 8)
-      val t0 = System.nanoTime()
-      val res = WodPipeline.run(spark, cfg)
-      val sec = (System.nanoTime() - t0) / 1e9
-      (sec, res.map(_.casts).sum)
-    } finally {
-      deleteRecursively(in)
-      deleteRecursively(out)
-    }
+      (1 to wodReps).map { _ =>
+        val out = Files.createTempDirectory("wodbench_out")
+        try {
+          val cfg = WodPipeline.Config(input = in.toString,
+            output = out.toString, datasets = Seq("XBT", "SUR", "DRB"),
+            maxConcurrentFiles = conc)
+          val t0 = System.nanoTime()
+          val res = WodPipeline.run(spark, cfg)
+          val sec = (System.nanoTime() - t0) / 1e9
+          (sec, res.map(_.casts).sum)
+        } finally deleteRecursively(out)
+      }
+    } finally deleteRecursively(in)
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -60,17 +60,24 @@ object WodOps {
     * Not resume-safe in-place by design: writes to a NEW location
     * (the caller swaps atomically per their store's semantics), with
     * the GeoParquet footer re-stamped at write time.
+    *
+    * Footer bbox: by default each compacted file stamps its own TRUE
+    * lon/lat extent, accumulated as rows stream through the writer
+    * (`geobbox=auto` — same write-time mechanism as the conversion
+    * path, no extra extent pass over the source store). Pass `bbox`
+    * only to force an explicit store-wide footer instead.
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession, store: String,
       out: String, files: Int = 4,
-      bbox: (Double, Double, Double, Double) = (-180, -90, 180, 90)): Long = {
+      bbox: Option[(Double, Double, Double, Double)] = None): Long = {
     val df = spark.read.parquet(store)
-    df.repartitionByRange(files, col("geohash"))
+    val writer = df.repartitionByRange(files, col("geohash"))
       .sortWithinPartitions(col("geohash"))
       .write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
       .format(classOf[GeoParquetFileFormat].getName)
-      .option(GeoParquetFileFormat.GeoJsonOption, GeoParquet.geoJson(bbox))
-      .save(out)
+    bbox.fold(writer.option(GeoParquetFileFormat.GeoAutoOption, "auto")) { b =>
+      writer.option(GeoParquetFileFormat.GeoJsonOption, GeoParquet.geoJson(b))
+    }.save(out)
     spark.read.parquet(out).count()
   }
 

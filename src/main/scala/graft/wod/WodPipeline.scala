@@ -114,53 +114,63 @@ object WodPipeline {
   }
 
   /** Convert one file: stream-parse, split casts/errors, write the
-    * geohash3-partitioned store (+ optional GeoParquet footer pass) and
-    * the error store. Returns (castRows, errorRows).
+    * geohash3-partitioned store (with write-time GeoParquet footers)
+    * and the error store. Returns (castRows, errorRows).
+    *
+    * ONE Spark job per clean file (the common case), two when the file
+    * has parse errors. The conversion wall-clock at many-small-files
+    * scale is driver-job-count bound, so the former per-file stats job
+    * is fused away twice over:
+    *
+    *  - cast/error counts ride the write job itself via
+    *    `Dataset.observe` (a `CollectMetrics` node above the scan —
+    *    Catalyst never pushes the cast-only filter through it, so the
+    *    error count sees every row);
+    *  - the GeoParquet footer bbox no longer needs a pre-write extent
+    *    pass at all: [[GeoParquetWriteSupport]] accumulates each part
+    *    file's true lon/lat extent as rows stream through it and
+    *    stamps the per-file bbox at close (`geobbox=auto`).
+    *
+    * The parsed rows stay persisted so the error store (rare) is a
+    * cache read, not a second gzip parse.
     */
   def convertFile(spark: SparkSession, task: FileTask,
       geoMetadata: Boolean = true): (Long, Long) = {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{count, min, max}
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.count
     val rows = WodSource.read(spark, task.src)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val casts = rows.filter(_.cast != null).map(_.cast)
-      val errors = rows.filter(_.error != null).map(_.error)
-
-      // ONE stats job per file (cast count, error count, bbox extent
-      // for the GeoParquet footer) — count() on struct columns skips
-      // nulls, so the cast/error split needs no separate passes. The
-      // conversion wall-clock at fixture scale is job-count-bound, so
-      // every fused job is directly visible in casts/s.
-      val st = rows.toDF().agg(
-        count(col("cast")), count(col("error")),
-        min(col("cast.longitude")), min(col("cast.latitude")),
-        max(col("cast.longitude")), max(col("cast.latitude"))).head()
-      val (nCasts, nErrors) = (st.getLong(0), st.getLong(1))
-      if (nCasts > 0) {
-        val writer = casts.toDF()
-          .repartition(col("geohash3"))
-          // (geohash3, geohash) orders identically to plain geohash
-          // (geohash3 IS its 3-char prefix) but ALSO satisfies the
-          // dynamic-partition writer's required ordering on the
-          // partition column, so FileFormatWriter plans NO second sort
-          // before fan-out into the geohash3= dirs.
-          .sortWithinPartitions(col("geohash3"), col("geohash"))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("geohash3")
-        if (geoMetadata) {
-          // True store extent in the footer bbox, stamped at WRITE time
-          // (one write pass; GeoParquet.addFooterMetadata remains as
-          // the post-hoc fallback for externally-written stores).
-          val bbox = (st.getDouble(2), st.getDouble(3),
-            st.getDouble(4), st.getDouble(5))
-          writer.format(classOf[GeoParquetFileFormat].getName)
-            .option(GeoParquetFileFormat.GeoJsonOption, GeoParquet.geoJson(bbox))
-            .save(task.outStore)
-        } else writer.parquet(task.outStore)
-      }
+      val obs = Observation()
+      // Stays in InternalRow land end-to-end (no typed filter/map
+      // deserialization): observe counts both channels, then the cast
+      // branch projects the struct open.
+      val writer = rows.toDF()
+        .observe(obs, count(col("cast")).as("n_casts"),
+          count(col("error")).as("n_errors"))
+        .filter(col("cast").isNotNull)
+        .select("cast.*")
+        .repartition(col("geohash3"))
+        // (geohash3, geohash) orders identically to plain geohash
+        // (geohash3 IS its 3-char prefix) but ALSO satisfies the
+        // dynamic-partition writer's required ordering on the
+        // partition column, so FileFormatWriter plans NO second sort
+        // before fan-out into the geohash3= dirs.
+        .sortWithinPartitions(col("geohash3"), col("geohash"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("geohash3")
+      if (geoMetadata)
+        writer.format(classOf[GeoParquetFileFormat].getName)
+          .option(GeoParquetFileFormat.GeoAutoOption, "auto")
+          .save(task.outStore)
+      else writer.parquet(task.outStore)
+      val m = obs.get
+      val nCasts = m("n_casts").asInstanceOf[Long]
+      val nErrors = m("n_errors").asInstanceOf[Long]
       if (nErrors > 0)
-        errors.toDF().coalesce(1).write.mode(SaveMode.Overwrite)
+        rows.filter(_.error != null).map(_.error).toDF()
+          .coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(task.errStore)
       (nCasts, nErrors)
     } finally rows.unpersist()

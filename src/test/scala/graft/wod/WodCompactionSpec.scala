@@ -83,6 +83,22 @@ class WodCompactionSpec extends AnyFunSuite with BeforeAndAfterAll {
       try reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
       finally reader.close()
     assert(geo != null && geo.contains("\"version\":\"1.0.0\""))
+
+    // ... and with NO caller-supplied bbox, the footer carries the
+    // file's TRUE extent: bbox == min/max lon/lat of that file's rows
+    // (the auto-bbox contract; a world-default (-180,-90,180,90) or a
+    // store-wide copy would both fail this).
+    val ext = spark.read.parquet(one.toString)
+      .agg(org.apache.spark.sql.functions.min("longitude"),
+        org.apache.spark.sql.functions.min("latitude"),
+        org.apache.spark.sql.functions.max("longitude"),
+        org.apache.spark.sql.functions.max("latitude")).head()
+    val bboxJson = geo.split("\"bbox\":\\[")(1).split("]")(0)
+      .split(",").map(_.toDouble)
+    assert(bboxJson.length === 4)
+    assert(bboxJson(0) === ext.getDouble(0) && bboxJson(1) === ext.getDouble(1)
+      && bboxJson(2) === ext.getDouble(2) && bboxJson(3) === ext.getDouble(3),
+      s"footer bbox ${bboxJson.mkString(",")} != file extent $ext")
   }
 
   test("cell predicates push down to parquet stats on the compacted layout") {
