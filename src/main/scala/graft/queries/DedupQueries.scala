@@ -328,15 +328,19 @@ object DedupQueries {
       val clusters = graft.operators.ClusterOps.connectedComponents(
         minhashLshPairs(docs, "doc_id", "text",
           numHashes = 8, bands = 2, minJaccard = 0.2))
-      val n = docs.count()
+      // n_docs folds into the plan as a 1-row broadcast (q15/q20
+      // pattern) instead of a separate driver count() job.
+      val nDocs = docs.agg(cnt.as("n_docs"))
       clusters.agg(
         cnt.as("n_clustered"),
         countDistinct(col("cluster_id")).as("n_clusters"),
         sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
           .as("n_removed"))
-        .select(lit(n).as("n_docs"), col("n_clustered"), col("n_clusters"),
-          col("n_removed"), (lit(n) - col("n_removed")).as("n_kept"),
-          round(col("n_removed").cast("double") / n, 6).as("shrink_ratio"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("n_docs"), col("n_clustered"), col("n_clusters"),
+          col("n_removed"), (col("n_docs") - col("n_removed")).as("n_kept"),
+          round(col("n_removed").cast("double") / col("n_docs"), 6)
+            .as("shrink_ratio"))
     },
     sql = Some(s"""
       WITH RECURSIVE

@@ -18,6 +18,8 @@ import graft.GraftSession
   *   --max-files N                concurrent file conversions (default 4)
   *   --max-attempts N             per-file retry budget (default 3; C6)
   *   --no-fail-fast               report failed files but exit 0
+  *   --version/-V                 print name+version and exit
+  *                                (⇔ `VersionProvider.java:1-22`)
   *
   * The reference's `-bs` batch size has no equivalent: batching bounded
   * its driver-side parse loop; our parse is executor-side and streaming.
@@ -33,7 +35,21 @@ import graft.GraftSession
   */
 object Cli {
 
+  /** Jar manifest version when packaged, build.sbt default otherwise —
+    * the same manifest-backed scheme as the reference's picocli
+    * `VersionProvider`.
+    */
+  def versionLine: String = {
+    val v = Option(getClass.getPackage.getImplementationVersion)
+      .getOrElse("0.1.0")
+    s"graft wod-ascii-to-parquet $v"
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--version") || args.contains("-V")) {
+      println(versionLine)
+      return
+    }
     var cfg = WodPipeline.Config(input = null, output = null)
     var i = 0
     while (i < args.length) {

@@ -42,11 +42,17 @@ object HttpFetch {
       .timeout(Duration.ofMinutes(10)).GET().build()
     var attempt = 0
     var status = -1
+    val tmp = dest.resolveSibling(s".fetch_${dest.getFileName}")
     while (attempt <= retries) {
       try {
         Option(dest.getParent).foreach(Files.createDirectories(_))
-        val tmp = dest.resolveSibling(s".fetch_${dest.getFileName}")
-        val rsp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+        // TRUNCATE_EXISTING: a retained partial tmp from a failed
+        // attempt must never contribute stale trailing bytes to a
+        // later, shorter 2xx body.
+        val rsp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+          java.nio.file.StandardOpenOption.WRITE))
         status = rsp.statusCode()
         if (status >= 200 && status < 300) {
           Files.move(tmp, dest,
@@ -57,7 +63,12 @@ object HttpFetch {
         Files.deleteIfExists(tmp)
         if (status < 500) return status // 4xx: retrying won't help
       } catch {
-        case e: Exception if attempt < retries =>
+        // Unconditional: a last-attempt transport failure still falls
+        // through to return the last status (-1 if none), per the
+        // "returns the final HTTP status" contract — the CLI prints
+        // and exits 1 instead of dying on a stack trace.
+        case e: Exception =>
+          try Files.deleteIfExists(tmp) catch { case _: Exception => () }
           System.err.println(s"[http-fetch] attempt ${attempt + 1} " +
             s"failed: ${e.getMessage}")
       }
@@ -97,15 +108,20 @@ object Uploader {
     */
   def upload(source: Path, destPrefix: String, conf: Configuration,
       retries: Int = 3): Seq[(String, Long)] = {
-    val destRoot = new HPath(normalize(destPrefix))
-    val fs = destRoot.getFileSystem(conf)
+    // A blank/"/" prefix normalizes to "" (reference key semantics),
+    // which Hadoop's Path cannot represent — resolve those targets
+    // against the default FS working directory instead.
+    val destRoot = Some(normalize(destPrefix)).filter(_.nonEmpty)
+      .map(new HPath(_))
+    val fs = destRoot.fold(org.apache.hadoop.fs.FileSystem.get(conf))(
+      _.getFileSystem(conf))
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val it = Files.walk(source).iterator()
     while (it.hasNext) {
       val p = it.next()
       if (!Files.isDirectory(p)) {
         val rel = source.relativize(p).toString
-        val target = new HPath(destRoot, rel)
+        val target = destRoot.fold(new HPath(rel))(new HPath(_, rel))
         var attempt = 0
         var done = false
         while (!done) {

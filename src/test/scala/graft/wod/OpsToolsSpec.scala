@@ -71,6 +71,29 @@ class OpsToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
       === "eventually")
   }
 
+  test("fetch returns -1 instead of throwing when transport fails on " +
+      "every attempt, and leaves no tmp behind") {
+    val dest = Files.createTempDirectory("fetch").resolve("never.bin")
+    // nothing listens on loopback:1 → immediate connection refused
+    val status = HttpFetch.fetch("http://127.0.0.1:1/x", dest,
+      retries = 1, backoffMs = 1L)
+    assert(status === -1)
+    assert(!Files.exists(dest))
+    assert(!Files.exists(dest.resolveSibling(".fetch_never.bin")))
+  }
+
+  test("a stale partial tmp never contributes trailing bytes to a " +
+      "shorter 2xx body") {
+    val dir = Files.createTempDirectory("fetch")
+    val dest = dir.resolve("data.gz")
+    Files.write(dir.resolve(".fetch_data.gz"),
+      ("X" * 100).getBytes(StandardCharsets.UTF_8))
+    val status = HttpFetch.fetch(url("/data.gz"), dest)
+    assert(status === 200)
+    assert(new String(Files.readAllBytes(dest), StandardCharsets.UTF_8)
+      === "payload-bytes")
+  }
+
   test("uploader preserves relative paths under a normalized prefix " +
       "through a non-file scheme") {
     val src = Files.createTempDirectory("up_src")
@@ -89,6 +112,21 @@ class OpsToolsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .get(0) === "AA")
     assert(Files.readAllLines(destRoot.resolve("prefix/top.txt"))
       .get(0) === "T")
+  }
+
+  test("blank/root dest prefix resolves against the FS working " +
+      "directory instead of crashing") {
+    val conf = new Configuration()
+    conf.set("fs.mockobj.impl", classOf[MockObjFileSystem].getName)
+    conf.set("fs.defaultFS", "mockobj:///")
+    val wd = Files.createTempDirectory("up_wd")
+    org.apache.hadoop.fs.FileSystem.get(conf).setWorkingDirectory(
+      new org.apache.hadoop.fs.Path(wd.toString))
+    val src = Files.createTempDirectory("up_src2")
+    Files.write(src.resolve("r.txt"), "R".getBytes(StandardCharsets.UTF_8))
+    val uploaded = Uploader.upload(src, "/", conf)
+    assert(uploaded.map(_._1) === Seq("r.txt"))
+    assert(Files.readAllLines(wd.resolve("r.txt")).get(0) === "R")
   }
 
   test("normalize matches the reference's key rules") {

@@ -61,6 +61,10 @@ class WodOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(missing.toSeq === Seq(("XBT", 1968)))
   }
 
+  test("Cli --version surface matches the manifest-backed scheme") {
+    assert(Cli.versionLine.matches("graft wod-ascii-to-parquet \\S+"))
+  }
+
   test("corrupt gzip and empty file surface as errors, not crashes") {
     val tmp = java.nio.file.Files.createTempDirectory("wodbad")
     // corrupt gzip: header bytes only
