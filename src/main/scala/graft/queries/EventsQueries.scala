@@ -181,6 +181,69 @@ object EventsQueries {
       GROUP BY o.o_orderkey
       ORDER BY o.o_orderkey"""))
 
+  /** Sessionization: split each user's event stream into sessions at
+    * inactivity gaps > 12 h, emit one row per session. THE canonical
+    * clickstream/agent-trace operator at pipeline scale.
+    *
+    * Shape: one hash shuffle on `user_id` + one sort per partition
+    * serve BOTH window passes (lag for the gap, running sum for the
+    * session index — same partition/order spec, so no second
+    * exchange), then the per-(user, session) agg combines map-side on
+    * data already clustered by user. At 100 TB this is shuffle-bound
+    * on exactly one exchange of the events table — the minimum any
+    * gap-based sessionization needs. Per-user data stays streaming
+    * (no per-user materialization), so a power user with millions of
+    * events costs sort time, not memory blowup.
+    *
+    * 12 h threshold: the synthetic stream is sparse (median per-user
+    * gap ~7 h), so 30 min would make every event its own session;
+    * 12 h yields a real mix of multi-event sessions and singletons.
+    */
+  val q7Sessionize = Q(
+    "ev7_sessionize",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 43200L * 1000000L // 12 h of inactivity ends a session
+      events(s, d)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .withColumn("gap_us",
+          col("ts_us") - lag(col("ts_us"), 1).over(byTime))
+        .withColumn("sess_seq", sum(
+          when(col("gap_us").isNull || col("gap_us") > gapUs, 1L)
+            .otherwise(0L))
+          .over(byTime.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_seq"))
+        .agg(min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          cnt.as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("sess_seq"))
+    },
+    sql = Some(s"""
+      SELECT user_id, sess_seq,
+             MIN(ts_us) AS session_start_us,
+             MAX(ts_us) AS session_end_us,
+             COUNT(*) AS n_events,
+             MAX(ts_us) - MIN(ts_us) AS duration_us,
+             ${sqlDsum("value")} AS total_value
+      FROM (
+        SELECT user_id, value, ts_us,
+               CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 43200000000
+                             THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq
+        FROM (
+          SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                 epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events))
+      GROUP BY user_id, sess_seq
+      ORDER BY user_id, sess_seq"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
-    q6RangeJoin)
+    q6RangeJoin, q7Sessionize)
 }

@@ -181,6 +181,22 @@ object StreamingQueries {
     (s, d) => graft.streaming.EventsStreaming.hourlyAppendFileSink(s, d),
     sql = st3AppendHourly.sql)
 
+  /** Streaming exact dedup under at-least-once redelivery: every
+    * event arrives twice, `dropDuplicatesWithinWatermark(event_id)`
+    * (watermark-bounded state — the only dedup shape that survives an
+    * unbounded stream) must restore exactly the original event set.
+    * Oracle: per-type rollup of the events table itself.
+    */
+  val st6StreamDedup = Q(
+    "st6_stream_dedup",
+    (s, d) => graft.streaming.EventsStreaming.streamingDedup(s, d),
+    sql = Some(s"""
+      SELECT event_type, COUNT(*) AS n_events,
+             ${sqlDsum("value")} AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
-    st3AppendHourly, st4StreamJoin, st5FileSink)
+    st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup)
 }

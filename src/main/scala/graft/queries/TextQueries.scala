@@ -389,7 +389,126 @@ object TextQueries {
       GROUP BY lang, source
       ORDER BY lang, source"""))
 
+  /** PII scrubbing: regex-redact emails / phone numbers / IPv4s to
+    * typed placeholders, report per-doc match counts + a fingerprint
+    * of the scrubbed text. The synthetic corpus contains no PII (no
+    * digits, no `@`), so the query first INJECTS deterministic
+    * doc_id-derived PII-shaped strings — identically on both engines —
+    * then proves the scrubber actually fires (counts are nonzero and
+    * the fingerprint differs from the injected text's).
+    *
+    * Scan-local (one projection, no shuffle); regexes are shared
+    * Java/RE2-compatible syntax so Spark and DuckDB see the same
+    * matches. At 100 TB this is the cheapest kind of operator — pure
+    * map — and the codegen'd `regexp_replace`/`regexp_count` keep it
+    * inside WholeStageCodegen.
+    */
+  val tx13PiiScrub = Q(
+    "tx13_pii_scrub",
+    (s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      documents(s, d)
+        .withColumn("pii_text", concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), (pmod(col("doc_id"), lit(256))).cast("string"),
+          lit(".1")))
+        .select(col("doc_id"),
+          regexp_count(col("pii_text"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("pii_text"), lit(phoneRe)).as("n_phones"),
+          regexp_count(col("pii_text"), lit(ipRe)).as("n_ips"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"),
+            ipRe, "<IP>")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(pii_text,
+               '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+             CAST(len(regexp_extract_all(pii_text,
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+               AS INT) AS n_ips,
+             md5(regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '<IP>', 'g')) AS scrubbed_md5
+      FROM (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+               ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 AS pii_text
+        FROM documents)
+      ORDER BY doc_id"""))
+
+  /** Gopher-style repetition signals: duplicate-token and
+    * duplicate-bigram fractions per document — the "is this page
+    * boilerplate/spam" filter every pretraining pipeline runs.
+    * Scan-local HOFs on a token array built ONCE per row: Spark
+    * re-evaluates a HOF's array argument per element, so the split
+    * lives in its own projection below the distinct-counting
+    * expressions instead of being inlined into each of them.
+    */
+  val tx14Repetition = Q(
+    "tx14_repetition_ratio",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("bigrams",
+          when(size(col("toks")) >= 2,
+            expr("transform(sequence(0, size(toks) - 2), " +
+              "i -> concat(toks[i], ' ', toks[i + 1]))"))
+            .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+          round(lit(1) - size(array_distinct(col("toks")))
+            .cast("double") / size(col("toks")), 6)
+            .as("dup_token_ratio"),
+          size(col("bigrams")).as("n_bigrams"),
+          size(array_distinct(col("bigrams"))).as("n_distinct_bigrams"),
+          round(when(size(col("bigrams")) > 0,
+            lit(1) - size(array_distinct(col("bigrams")))
+              .cast("double") / size(col("bigrams"))).otherwise(0.0), 6)
+            .as("dup_bigram_ratio"))
+        .orderBy(col("doc_id")),
+    sql = Some("""
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+             ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE)
+               / len(toks), 6) AS dup_token_ratio,
+             CAST(len(bigrams) AS INT) AS n_bigrams,
+             CAST(len(list_distinct(bigrams)) AS INT)
+               AS n_distinct_bigrams,
+             ROUND(CASE WHEN len(bigrams) > 0
+               THEN 1 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / len(bigrams) ELSE 0.0 END, 6) AS dup_bigram_ratio
+      FROM (
+        SELECT doc_id, toks,
+               CASE WHEN len(toks) >= 2 THEN
+                 list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1])
+               ELSE [] END AS bigrams
+        FROM (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents))
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
-    tx10Tfidf, tx11Logprob, tx12Pipeline)
+    tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition)
 }

@@ -244,6 +244,47 @@ object EventsStreaming {
       .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
   }
 
+  /** st6: streaming exact dedup — `dropDuplicatesWithinWatermark` on
+    * `event_id` over a stream that delivers every event TWICE (the
+    * batch unioned with itself before staging — the at-least-once
+    * redelivery shape every ingest pipeline has to absorb).
+    *
+    * The watermark is what makes this viable at scale: a plain
+    * streaming `dropDuplicates` holds every id seen FOREVER, so state
+    * grows with the stream; `dropDuplicatesWithinWatermark` evicts an
+    * id's entry once the watermark passes its event time + delay,
+    * bounding state to one watermark window of ids. Duplicates here
+    * carry identical event times, so both copies land in the same
+    * micro-batch, the first is emitted, the second always falls
+    * inside the live window and is dropped — the emitted set equals
+    * batch DISTINCT, which the oracle checks via a per-type rollup.
+    */
+  def streamingDedup(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = stageTimeSlices(batch.union(batch), slices,
+      trailer = false)
+    val deduped = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = s"graft_st_dedup_${nameCounter.incrementAndGet()}"
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.Q.dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** A closed user session: burst of events separated by < gap.
     * Money carried as exact cents (portable across engines).
     */

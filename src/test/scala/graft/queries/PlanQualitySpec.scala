@@ -170,4 +170,28 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name: token stream must not shuffle for the vocab join:\n$plan")
     }
   }
+
+  test("ev7: sessionization runs on ONE hash exchange — both windows " +
+      "and the session agg reuse the user_id partitioning") {
+    val plan = executedPlan("ev7_sessionize")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashExchanges.size == 1,
+      s"gap-sessionization needs exactly one data shuffle, got " +
+        s"${hashExchanges.size}:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected lag + running-sum windows:\n$plan")
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    // one partition-local sort under the windows + the presentation
+    // sort; a third would mean the windows stopped sharing their order
+    assert(sorts.size <= 2, s"windows must share one sort:\n$plan")
+  }
 }
