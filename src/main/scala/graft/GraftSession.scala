@@ -28,6 +28,10 @@ object GraftSession {
       // driver testdata writes TIMESTAMP(NANOS) which the vectorized
       // parquet reader rejects; read as LongType epoch-nanos instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // partition dirs carry geohash cells (base32): a cell like "977"
+      // must read back as the string "977", never be inferred numeric
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled",
+        "false")
 
   def defaultCpus: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

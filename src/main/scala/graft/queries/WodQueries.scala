@@ -157,5 +157,42 @@ object WodQueries {
       GROUP BY geohash3
       ORDER BY geohash3"""))
 
-  val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density)
+  private val bulkOut =
+    s"$stageRoot/${java.util.UUID.randomUUID.toString.take(8)}/bulkrun"
+
+  @volatile private var bulkOnce = false
+
+  /** Bulk-conversion parity: the ONE-job corpus conversion
+    * ([[graft.wod.WodPipeline.convertBulk]] — the many-small-files
+    * scale path) must reproduce wod1's per-dataset numbers exactly
+    * from its (dataset, geohash3)-partitioned store: same casts, same
+    * measurement totals, same cells, nothing lost or duplicated
+    * through the shuffle + dynamic-partition write. The oracle is
+    * wod1's own SQL over the independently staged parse.
+    */
+  val wod4Bulk = Q(
+    "wod4_bulk_convert_parity",
+    (s, _) => {
+      stagedCasts(s, reuse = true) // the oracle reads this staging
+      if (!bulkOnce) synchronized {
+        if (!bulkOnce) {
+          graft.wod.WodPipeline.convertBulk(s, graft.wod.WodPipeline.Config(
+            input = fixtures, output = bulkOut,
+            datasets = Seq("APB", "CTD", "DRB", "SUR", "XBT"),
+            levels = Seq("OBS", "STD"), overwrite = true))
+          bulkOnce = true
+        }
+      }
+      s.read.parquet(s"$bulkOut/bulk/casts")
+        .groupBy(col("dataset"))
+        .agg(cnt.as("n_casts"),
+          sum(size(col("depths"))).as("n_levels"),
+          countDistinct(col("geohash3")).as("n_geohash3"),
+          min(col("year")).as("min_year"),
+          max(col("year")).as("max_year"))
+        .orderBy(col("dataset"))
+    },
+    sql = wod1Convert.sql)
+
+  val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density, wod4Bulk)
 }

@@ -165,15 +165,32 @@ object WodPipeline {
           .option(GeoParquetFileFormat.GeoAutoOption, "auto")
           .save(task.outStore)
       else writer.parquet(task.outStore)
-      val m = obs.get
-      val nCasts = m("n_casts").asInstanceOf[Long]
-      val nErrors = m("n_errors").asInstanceOf[Long]
+      val (nCasts, nErrors) = channelCounts(obs, rows)
       if (nErrors > 0)
         rows.filter(_.error != null).map(_.error).toDF()
           .coalesce(1).write.mode(SaveMode.Overwrite)
           .parquet(task.errStore)
       (nCasts, nErrors)
     } finally rows.unpersist()
+  }
+
+  /** Channel counts from the write job's observed metrics, with a
+    * cached-agg fallback: when the cast channel is EMPTY (an all-error
+    * file), AQE replaces the empty write subtree — CollectMetrics node
+    * included — with an empty relation, and the Observation never
+    * receives its row. The fallback agg runs on the persisted rows
+    * (a cache scan, not a re-parse) only in that rare case.
+    */
+  private def channelCounts(obs: org.apache.spark.sql.Observation,
+      rows: org.apache.spark.sql.Dataset[WodSource.WodRow]): (Long, Long) = {
+    import org.apache.spark.sql.functions.count
+    val m = obs.get // returns once the action completes; may be empty
+    if (m.contains("n_casts") && m.contains("n_errors"))
+      (m("n_casts").asInstanceOf[Long], m("n_errors").asInstanceOf[Long])
+    else {
+      val st = rows.toDF().agg(count(col("cast")), count(col("error"))).head()
+      (st.getLong(0), st.getLong(1))
+    }
   }
 
   /** Run the whole plan with bounded file-level concurrency and the
@@ -230,5 +247,80 @@ object WodPipeline {
           s"${cfg.maxAttemptsPerFile} attempts each: " +
           failed.map(_.task.src).mkString(", "))
     results
+  }
+
+  /** BULK mode: convert the ENTIRE planned corpus in ONE Spark job.
+    *
+    * [[run]] mirrors the reference's store-per-input-file contract
+    * (resume, differ, error stores all keyed by source file), which
+    * costs one driver-scheduled job per file — the documented
+    * wall-clock bound at many-small-files scale, and a real limit at
+    * 100 TB (millions of inputs = millions of DAGScheduler events,
+    * single driver event loop). Bulk mode is the scale path when
+    * per-file stores are not required: every input becomes one task
+    * in a single parse stage, one hash exchange on (dataset,
+    * geohash3) feeds a single dynamic-partitioned write, and the
+    * driver schedules O(1) jobs total regardless of input count.
+    *
+    *  - Output: `<output>/bulk/casts/dataset=<DS>/geohash3=<cell>/`
+    *    — the analytic layout [[WodOps.compactStore]] produces,
+    *    directly; provenance is kept as a `src_file` DATA column
+    *    instead of a store-per-file directory contract.
+    *  - Per-cast (C5) and per-file IO error isolation are inherited
+    *    from [[WodSource.read]]; error rows land in
+    *    `<output>/bulk/errors` with their source path.
+    *  - Resume (C2) is store-level: a complete bulk store is skipped
+    *    unless `overwrite`. Task-level retry inside the single job is
+    *    Spark's own (`spark.task.maxFailures`), which replaces the
+    *    per-file attempt envelope (C6) here.
+    *  - GeoParquet footers: same write-time `geobbox=auto` per-file
+    *    true-extent stamping as [[convertFile]].
+    *
+    * Returns (castRows, errorRows).
+    */
+  def convertBulk(spark: SparkSession, cfg: Config): (Long, Long) = {
+    import spark.implicits._
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.count
+    val castStore = s"${cfg.output}/bulk/casts"
+    val errStore = s"${cfg.output}/bulk/errors"
+    if (!cfg.overwrite && isComplete(spark, castStore)) {
+      val casts = spark.read.parquet(castStore).count()
+      val fs = new Path(errStore).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val errs = if (fs.exists(new Path(errStore)))
+        spark.read.parquet(errStore).count() else 0L
+      return (casts, errs)
+    }
+    val tasks = plan(spark, cfg)
+    require(tasks.nonEmpty, s"no input files under ${cfg.input}")
+    val rows = WodSource.read(spark, tasks.map(_.src).mkString(","))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val obs = Observation()
+      val writer = rows.toDF()
+        .observe(obs, count(col("cast")).as("n_casts"),
+          count(col("error")).as("n_errors"))
+        .filter(col("cast").isNotNull)
+        .select(col("sourceFile").as("src_file"), col("cast.*"))
+        .repartition(col("dataset"), col("geohash3"))
+        .sortWithinPartitions(col("dataset"), col("geohash3"),
+          col("geohash"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("dataset", "geohash3")
+      if (cfg.geoMetadata)
+        writer.format(classOf[GeoParquetFileFormat].getName)
+          .option(GeoParquetFileFormat.GeoAutoOption, "auto")
+          .save(castStore)
+      else writer.parquet(castStore)
+      val (nCasts, nErrors) = channelCounts(obs, rows)
+      if (nErrors > 0)
+        rows.toDF().filter(col("error").isNotNull)
+          .select(col("sourceFile").as("src_file"), col("error.*"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(errStore)
+      println(s"[wod] bulk: ${tasks.size} files, $nCasts casts, " +
+        s"$nErrors errors -> $castStore")
+      (nCasts, nErrors)
+    } finally rows.unpersist()
   }
 }

@@ -6,6 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("SQL users reach the graft kernels via spark.sql.extensions") {
+    // getOrCreate would hand back another suite's live session, which
+    // was built WITHOUT the extensions — force a fresh context (later
+    // suites lazily getOrCreate their own again)
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .foreach(_.stop())
     val spark = SparkSession.builder()
       .master("local[2]")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,143 @@
+package graft.wod
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bulk-mode contract ([[WodPipeline.convertBulk]] — the ONE-job
+  * many-small-files scale path): identical content to the per-file
+  * pipeline, per-file IO error isolation preserved, partition-pruned
+  * cell predicates, write-time geo footers.
+  */
+class WodBulkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  private val fixtures = "/root/reference/src/test/resources/wod"
+  private var inDir: String = _
+  private var bulkOut: String = _
+  private var perFileOut: String = _
+  private var bulkCasts: Long = 0
+  private var bulkErrors: Long = 0
+
+  private def castStore = s"$bulkOut/bulk/casts"
+  private def errStore = s"$bulkOut/bulk/errors"
+
+  override def beforeAll(): Unit = {
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = Files.createTempDirectory("wodbulk").toString
+    inDir = s"$tmp/in"
+    bulkOut = s"$tmp/bulk"
+    perFileOut = s"$tmp/perfile"
+    for (rel <- Seq("XBT/OBS/XBTO1967.gz", "DRB/OBS/DRBO2000.gz")) {
+      val dst = Paths.get(inDir, rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(fixtures, rel), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // a corrupt member: must become error rows, never a job failure
+    Files.write(Paths.get(inDir, "XBT/OBS/BROKEN.gz"),
+      Array[Byte](0x1f, 0x0b, 0x00, 0x42, 0x42, 0x42))
+    val cfg = WodPipeline.Config(input = inDir, output = bulkOut,
+      datasets = Seq("XBT", "DRB"))
+    val (c, e) = WodPipeline.convertBulk(spark, cfg)
+    bulkCasts = c
+    bulkErrors = e
+    WodPipeline.run(spark, cfg.copy(output = perFileOut))
+  }
+
+  test("one-job bulk store carries exactly the per-file pipeline's rows") {
+    // (castNumber, cruiseNumber, geohash) identifies a cast across
+    // both layouts (per-file stores carry dataset only in their path)
+    val key = Seq(col("castNumber"), col("cruiseNumber"), col("geohash"))
+    val bulk = spark.read.parquet(castStore).select(key: _*)
+    // each per-file store is its own partitioned root — read separately
+    val perFile = spark.read
+      .parquet(s"$perFileOut/yearly/XBT/OBS/XBTO1967.parquet")
+      .select(key: _*)
+      .unionAll(spark.read
+        .parquet(s"$perFileOut/yearly/DRB/OBS/DRBO2000.parquet")
+        .select(key: _*))
+    assert(bulk.exceptAll(perFile).count() === 0)
+    assert(perFile.exceptAll(bulk).count() === 0)
+    assert(bulkCasts === spark.read.parquet(castStore).count())
+  }
+
+  test("corrupt member lands in the bulk error store, job completes") {
+    assert(bulkErrors >= 1)
+    val errs = spark.read.parquet(errStore)
+    assert(errs.filter(col("src_file").endsWith("BROKEN.gz")).count() >= 1)
+  }
+
+  test("src_file provenance survives into the bulk store") {
+    val perSrc = spark.read.parquet(castStore)
+      .groupBy(col("src_file")).count().collect()
+      .map(r => (r.getString(0).split("/").last, r.getLong(1))).toMap
+    assert(perSrc.keySet === Set("XBTO1967.gz", "DRBO2000.gz"))
+    assert(perSrc.values.sum === bulkCasts)
+  }
+
+  test("dataset+cell predicate prunes the bulk scan to one directory") {
+    val cell = spark.read.parquet(castStore)
+      .filter(col("dataset") === "XBT")
+      .select(col("geohash3")).head().getString(0)
+    val df = spark.read.parquet(castStore)
+      .filter(col("dataset") === "XBT" && col("geohash3") === cell)
+    df.collect() // execute THIS QueryExecution so its scan metrics fill
+    val scan = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collectFirst { case s: FileSourceScanExec => s }.get
+    val pf = scan.partitionFilters.map(_.toString).mkString(",")
+    assert(pf.contains("dataset") && pf.contains("geohash3"),
+      s"both partition columns must prune: $pf")
+    val dirFiles = Files.list(
+      Paths.get(castStore, "dataset=XBT", s"geohash3=$cell"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .count()
+    assert(scan.metrics("numFiles").value === dirFiles,
+      "scan must read only the one selected partition directory")
+  }
+
+  test("bulk part files carry write-time true-extent geo footers") {
+    import scala.jdk.CollectionConverters._
+    val one = Files.walk(Paths.get(castStore)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(one.toString),
+      spark.sparkContext.hadoopConfiguration))
+    val geo =
+      try reader.getFooter.getFileMetaData.getKeyValueMetaData.get("geo")
+      finally reader.close()
+    assert(geo != null && geo.contains("\"version\":\"1.0.0\""), geo)
+    val ext = spark.read.parquet(one.toString)
+      .agg(org.apache.spark.sql.functions.min("longitude"),
+        org.apache.spark.sql.functions.min("latitude"),
+        org.apache.spark.sql.functions.max("longitude"),
+        org.apache.spark.sql.functions.max("latitude")).head()
+    val bbox = geo.split("\"bbox\":\\[")(1).split("]")(0)
+      .split(",").map(_.toDouble)
+    assert(bbox(0) === ext.getDouble(0) && bbox(1) === ext.getDouble(1)
+      && bbox(2) === ext.getDouble(2) && bbox(3) === ext.getDouble(3),
+      s"footer bbox ${bbox.mkString(",")} != file extent $ext")
+  }
+
+  test("bulk resume: a complete store is not rewritten") {
+    val before = Files.getLastModifiedTime(
+      Paths.get(castStore, "_SUCCESS")).toMillis
+    val (c, e) = WodPipeline.convertBulk(spark, WodPipeline.Config(
+      input = inDir, output = bulkOut, datasets = Seq("XBT", "DRB")))
+    assert(c === bulkCasts && e === bulkErrors)
+    val after = Files.getLastModifiedTime(
+      Paths.get(castStore, "_SUCCESS")).toMillis
+    assert(after === before, "resume must skip the completed bulk store")
+  }
+}
