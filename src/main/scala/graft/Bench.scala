@@ -84,16 +84,33 @@ object Bench {
     // against ambient harness load); input replicated once, fresh
     // output dir per rep so resume never short-circuits the timing.
     var castsPerSec = 0.0
-    if (!skipWod) try {
-      val reps = benchWodConvert(spark, wodReps = 2)
-      runs("wod_convert") = reps.map(_._1)
-      val (sec, casts) = reps.minBy(_._1)
-      castsPerSec = if (sec > 0) casts / sec else 0.0
-    } catch {
-      case e: Throwable =>
-        errors("wod_convert") = Option(e.getMessage)
-          .getOrElse(e.getClass.getName)
-          .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+    var bulkCastsPerSec = 0.0
+    if (!skipWod) {
+      try {
+        val reps = benchWodConvert(spark, wodReps = 2, bulk = false)
+        runs("wod_convert") = reps.map(_._1)
+        val (sec, casts) = reps.minBy(_._1)
+        castsPerSec = if (sec > 0) casts / sec else 0.0
+      } catch {
+        case e: Throwable =>
+          errors("wod_convert") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName)
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+      }
+      // Same corpus through the ONE-job bulk path (convertBulk) — the
+      // many-small-files scale shape; the gap vs wod_convert is the
+      // per-file driver scheduling cost made visible.
+      try {
+        val reps = benchWodConvert(spark, wodReps = 2, bulk = true)
+        runs("wod_convert_bulk") = reps.map(_._1)
+        val (sec, casts) = reps.minBy(_._1)
+        bulkCastsPerSec = if (sec > 0) casts / sec else 0.0
+      } catch {
+        case e: Throwable =>
+          errors("wod_convert_bulk") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName)
+            .replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(200)
+      }
     }
 
     val timings = runs.map { case (k, v) => k -> v.min }
@@ -106,7 +123,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"wod_bulk_casts_per_sec":$bulkCastsPerSec,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()
@@ -119,7 +136,7 @@ object Bench {
     * Returns (seconds, casts converted) per rep.
     */
   private def benchWodConvert(spark: org.apache.spark.sql.SparkSession,
-      wodReps: Int): Seq[(Double, Long)] = {
+      wodReps: Int, bulk: Boolean): Seq[(Double, Long)] = {
     val fixtures = Paths.get("/root/reference/src/test/resources/wod")
     val nFiles = sys.env.get("SPARK_GRAFT_WOD_FILES").map(_.toInt).getOrElse(32)
     val conc = sys.env.get("SPARK_GRAFT_WOD_CONC").map(_.toInt).getOrElse(24)
@@ -146,9 +163,11 @@ object Bench {
             output = out.toString, datasets = Seq("XBT", "SUR", "DRB"),
             maxConcurrentFiles = conc)
           val t0 = System.nanoTime()
-          val res = WodPipeline.run(spark, cfg)
+          val casts =
+            if (bulk) WodPipeline.convertBulk(spark, cfg)._1
+            else WodPipeline.run(spark, cfg).map(_.casts).sum
           val sec = (System.nanoTime() - t0) / 1e9
-          (sec, res.map(_.casts).sum)
+          (sec, casts)
         } finally deleteRecursively(out)
       }
     } finally deleteRecursively(in)
