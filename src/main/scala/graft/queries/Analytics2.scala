@@ -302,7 +302,37 @@ object Analytics2 {
       SELECT s_nationkey FROM supplier
       ORDER BY nationkey"""))
 
+  /** Exact interpolated percentiles per group (the distribution
+    * readout behind pricing/quality dashboards). Spark's `percentile`
+    * buffers each group's value frequencies — right when per-group
+    * cardinality is bounded (7-ish return-flag groups here, value
+    * space ~100k); for unbounded groups at 100 TB the swap-in is
+    * `approx_percentile` (GK sketch, fixed memory) — the exact form
+    * is pinned here because the oracle can match it bit-for-bit
+    * (both engines: linear interpolation at p·(n−1)).
+    */
+  val q23Percentiles = Q(
+    "q23_price_percentiles",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"),
+          cnt.as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    sql = Some("""
+      SELECT l_returnflag,
+             ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+             ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
-    q20Ntile, q21Cube, q22Intersect)
+    q20Ntile, q21Cube, q22Intersect, q23Percentiles)
 }

@@ -198,5 +198,57 @@ object EmbeddingQueries {
       FROM q
       ORDER BY vec_id"""))
 
-  val all: Seq[Q] = Seq(em1Knn, em2NearDup, em3Centroids, em4Norms, em5Quant)
+  /** One Lloyd (k-means) ASSIGNMENT step: every vector to its
+    * nearest-by-cosine of k=8 deterministic centroids (the first 8
+    * vectors), reported as per-centroid cluster sizes and mean
+    * similarity. The full Lloyd loop is this exact plan iterated with
+    * recomputed centroid literals: the corpus never shuffles — the
+    * k-row centroid relation broadcasts into a map-side scored
+    * projection, top-1 is the same max(struct) hash agg as em1 (no
+    * window over n·k score rows), and only k rows cross the final
+    * exchange. Mean similarity is DECIMAL-routed so partition order
+    * can't show in the double sum.
+    */
+  val em6Kmeans = Q(
+    "em6_kmeans_assign",
+    (s, d) => {
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("ce"),
+          col("nrm").as("cn"))
+      v.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(
+            round(array_dot(col("e"), col("ce")) / (col("nrm") * col("cn")),
+              6).as("score"),
+            (-col("cid")).as("neg_cid")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("vec_id"), (-col("best.neg_cid")).as("cid"),
+          col("best.score").as("score"))
+        .groupBy(col("cid"))
+        .agg(cnt.as("n_assigned"), davg(col("score")).as("mean_cos"))
+        .orderBy(col("cid"))
+    },
+    sql = Some(s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+      scored AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS score
+        FROM v CROSS JOIN c),
+      assigned AS (
+        SELECT vec_id, cid, score,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, cid) AS rn
+        FROM scored)
+      SELECT cid, COUNT(*) AS n_assigned,
+             ${sqlDavg("score")} AS mean_cos
+      FROM assigned WHERE rn = 1
+      GROUP BY cid
+      ORDER BY cid"""))
+
+  val all: Seq[Q] = Seq(em1Knn, em2NearDup, em3Centroids, em4Norms, em5Quant,
+    em6Kmeans)
 }
