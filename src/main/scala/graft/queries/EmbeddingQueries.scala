@@ -108,11 +108,16 @@ object EmbeddingQueries {
     (s, d) =>
       vecs(s, d)
         .select(col("label"), posexplode(col("e")).as(Seq("dim", "x")))
+        // explicit nano-unit quantization (floor(x·1e9 + 0.5), the em5
+        // pattern) instead of a DECIMAL cast: a double sitting exactly
+        // on a decimal's half-ulp boundary rounds HALF_UP in Spark but
+        // can differ in other engines — floor arithmetic is identical
+        // IEEE everywhere, and the BIGINT sum is exact
         .groupBy(col("label"), col("dim"))
         .agg(cnt.as("n"),
-          sum(col("x").cast("decimal(18,9)")).cast("double").as("sum_x"))
+          sum(floor(col("x") * 1e9 + 0.5).cast("long")).as("units"))
         .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
-          (col("sum_x") / col("n")).as("centroid"))
+          (col("units").cast("double") / (col("n") * 1e9)).as("centroid"))
         .orderBy(col("label"), col("dim")),
     sql = Some("""
       WITH ex AS (
@@ -121,8 +126,8 @@ object EmbeddingQueries {
                unnest(CAST(embedding AS DOUBLE[])) AS x
         FROM embeddings)
       SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
-               AS centroid
+             CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1e9) AS centroid
       FROM ex
       GROUP BY label, dim
       ORDER BY label, dim"""))
