@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, GeohashEncode, Int8QuantStats, MinHashSignature, ShingleArray, SimHashFingerprint}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, GeohashEncode, Int8QuantStats, MinHashSignature, RollingHashWindows, ShingleArray, SimHashFingerprint}
 
 /** SparkSessionExtensions wiring: makes the graft kernels available to
   * pure-SQL users via
@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("int8_quant_stats"),
       info("int8_quant_stats"),
       (es: Seq[Expression]) => Int8QuantStats(es.head)))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash"),
+      (es: Seq[Expression]) => RollingHashWindows(es.head,
+        es(1).eval().asInstanceOf[Number].intValue())))
   }
 }

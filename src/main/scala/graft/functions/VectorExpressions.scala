@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, Int8QuantStats, MinHashSignature, ShingleArray, SimHashFingerprint, GraftExpressionBridge => B}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, Int8QuantStats, MinHashSignature, RollingHashWindows, ShingleArray, SimHashFingerprint, GraftExpressionBridge => B}
 
 /** User-facing API for Graft's native kernels (implemented in the
   * org.apache.spark.sql.graft bridge package).
@@ -38,6 +38,13 @@ object VectorFunctions {
     */
   def int8_quant_stats(a: Column): Column =
     B.column(Int8QuantStats(B.expression(a)))
+
+  /** Rabin-Karp rolling window hashes (array<long> per doc) over an
+    * array<long> of token hashes — O(n) native pass; the winnowing
+    * fingerprint primitive.
+    */
+  def rolling_hash(tokenHashes: Column, window: Int): Column =
+    B.column(RollingHashWindows(B.expression(tokenHashes), window))
 
   /** Cosine similarity via the codegen'd kernels. */
   def cosine_sim(a: Column, b: Column): Column =

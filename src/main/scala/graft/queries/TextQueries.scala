@@ -508,7 +508,52 @@ object TextQueries {
           FROM documents))
       ORDER BY doc_id"""))
 
+  /** Rolling-hash (Rabin-Karp) document fingerprinting — the
+    * winnowing primitive: every 8-token window's polynomial hash via
+    * the native O(n) `rolling_hash` kernel (one pass with the rolling
+    * update; the HOF formulation the oracle runs is O(n·w) per doc),
+    * reduced per doc to the minimum window hash (the winnowing
+    * fingerprint) and the distinct-window count. Token hashes use the
+    * portable 60-bit md5 prefix, so both engines hash identically.
+    */
+  val tx15RollingFp = Q(
+    "tx15_rolling_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("th", expr(
+          "transform(split(trim(text), '\\\\s+'), " +
+            "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"))
+        .withColumn("rh",
+          graft.functions.VectorFunctions.rolling_hash(col("th"), 8))
+        .select(col("doc_id"),
+          size(col("rh")).as("n_windows"),
+          array_min(col("rh")).as("fingerprint"),
+          size(array_distinct(col("rh"))).as("n_distinct_windows"))
+        .orderBy(col("doc_id")),
+    sql = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                 s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                   % 2147483647) AS th
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= 8 THEN
+                 list_transform(range(1, len(th) - 8 + 2),
+                   i -> list_reduce(th[i : i + 7],
+                     (a, b) -> (a * 1000003 + b) % 2147483647))
+               ELSE [] END AS rh
+        FROM t)
+      SELECT doc_id,
+             CAST(len(rh) AS INT) AS n_windows,
+             list_min(rh) AS fingerprint,
+             CAST(len(list_distinct(rh)) AS INT) AS n_distinct_windows
+      FROM r
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
-    tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition)
+    tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
+    tx15RollingFp)
 }

@@ -104,3 +104,59 @@ case class SimHashFingerprint(child: Expression, bits: Int = 60)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Rabin-Karp rolling hashes over an array<long> of token hashes:
+  * every length-`window` substring's polynomial hash
+  * `(t_i·B^(w-1) + t_{i+1}·B^(w-2) + … + t_{i+w-1}) mod M`, computed
+  * in ONE O(n) pass via the rolling update (drop the outgoing term,
+  * multiply by B, add the incoming) instead of O(n·w) per-window
+  * refolds — the winnowing/fingerprinting primitive (Schleimer et
+  * al., SIGMOD'03). Inputs reduce mod M first and M ≤ 2^31−1, so
+  * every intermediate product fits a 64-bit long in both engines;
+  * value-identical to the DuckDB per-window `list_reduce` Horner
+  * formulation the oracle runs.
+  */
+case class RollingHashWindows(child: Expression, window: Int,
+    base: Long = 1000003L, mod: Long = 2147483647L)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(window >= 1, s"window must be >= 1, got $window")
+  require(mod > 1 && mod <= Int.MaxValue.toLong,
+    s"mod must be in (1, 2^31-1], got $mod")
+  require(base > 0 && base < mod, s"base must be in (0, mod), got $base")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < window) return new GenericArrayData(Array.emptyLongArray)
+    var pw = 1L // B^(w-1) mod M, for evicting the outgoing term
+    var k = 1
+    while (k < window) { pw = pw * base % mod; k += 1 }
+    val t = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      t(i) = ((arr.getLong(i) % mod) + mod) % mod
+      i += 1
+    }
+    val out = new Array[Long](n - window + 1)
+    var h = 0L
+    i = 0
+    while (i < window) { h = (h * base + t(i)) % mod; i += 1 }
+    out(0) = h
+    i = window
+    while (i < n) {
+      h = (h + mod - t(i - window) * pw % mod) % mod
+      h = (h * base + t(i)) % mod
+      out(i - window + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -180,4 +180,34 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .toDoubleArray()
     assert(interp(0) === 2.0 && interp(1) === 318.0)
   }
+
+  test("rolling_hash: O(n) rolling update equals naive per-window " +
+      "refold, boundary cases covered") {
+    import graft.functions.VectorFunctions.rolling_hash
+    import spark.implicits._
+    val B = 1000003L
+    val M = 2147483647L
+    def naive(t: Seq[Long], w: Int): Seq[Long] = {
+      val r = t.map(x => ((x % M) + M) % M)
+      if (r.length < w) Seq.empty
+      else r.sliding(w).map(_.foldLeft(0L)((a, b) => (a * B + b) % M)).toSeq
+    }
+    val rng = new scala.util.Random(42)
+    val cases = Seq(
+      Seq.empty[Long],                       // under-window
+      Seq(7L),                               // under-window
+      Seq.fill(8)(rng.nextLong()),           // exactly one window
+      Seq.fill(100)(rng.nextLong()),         // long stream, neg inputs
+      Seq.fill(20)(1152921504606846975L))    // max 60-bit hash values
+    val out = cases.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }
+      .toDF("id", "th")
+      .select(col("id"), rolling_hash(col("th"), 8).as("rh"))
+      .orderBy(col("id"))
+      .as[(Long, Seq[Long])].collect()
+    for (((c, _), (_, rh)) <- cases.zipWithIndex.zip(out))
+      assert(rh === naive(c, 8), s"input $c")
+    // every emitted hash is a canonical residue
+    assert(out.flatMap(_._2).forall(h => h >= 0 && h < M))
+  }
 }
