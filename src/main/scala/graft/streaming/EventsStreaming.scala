@@ -285,6 +285,31 @@ object EventsStreaming {
       .orderBy(col("event_type"))
   }
 
+  /** st6's dedup through the durable file sink (parquet + checkpoint):
+    * restartable with the same out/chk — dedup state and offsets
+    * resume from the checkpoint, so redelivered ids stay deduped
+    * across a stop/restart (exercised by `StreamingSpec`).
+    */
+  private[streaming] def drainDedupToFileSink(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String, out: String, chk: String): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** A closed user session: burst of events separated by < gap.
     * Money carried as exact cents (portable across engines).
     */

@@ -67,4 +67,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exactly-once across the restart: same rows, no dupes, no gaps
     assert(resumed.toSeq === expected.toSeq)
   }
+
+  test("streaming dedup stays exactly-once across stop/resume and " +
+      "post-restart redelivery") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val nIds = batch.select("event_id").distinct().count()
+    // every event delivered twice (at-least-once redelivery)
+    val fullStage = EventsStreaming.stageTimeSlices(
+      batch.union(batch), 4, trailer = false)
+    val sliceFiles = Files.list(Paths.get(fullStage)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (sliceFiles.hasNext) all += sliceFiles.next()
+    // drop the local-FS .crc sidecars — only real slices
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    val stage2 = Files.createTempDirectory("st6_partial")
+    val base = Files.createTempDirectory("st6_resume")
+    val (out, chk) = (base.resolve("out").toString, base.resolve("chk").toString)
+    def copyIn(p: java.nio.file.Path, name: String = null): Unit =
+      Files.copy(p, stage2.resolve(
+        if (name == null) p.getFileName.toString else name),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    ordered.take(2).foreach(p => copyIn(p))
+    EventsStreaming.drainDedupToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 1, then "crash"
+    ordered.drop(2).foreach(p => copyIn(p))
+    // a whole slice REDELIVERED after the restart: its rows are dups
+    // (checkpointed dedup state) and/or late (behind the watermark) —
+    // either way none may re-emit
+    copyIn(ordered.head, "slice-9998.parquet")
+    EventsStreaming.drainDedupToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 2: resume from checkpoint
+    val emitted = spark.read.parquet(out).select("event_id")
+      .as[Long].collect()
+    assert(emitted.length === nIds,
+      s"expected each of $nIds ids exactly once, got ${emitted.length}")
+    assert(emitted.distinct.length === emitted.length, "duplicate emits")
+  }
 }
