@@ -40,6 +40,42 @@ object Differ {
       .orderBy("dataset", "level", "file")
   }
 
+  /** Bulk-store completeness: expected source files with NO cast (and
+    * no error row) in a [[WodPipeline.convertBulk]] store. The bulk
+    * job is all-or-nothing (`_SUCCESS` on the whole store), so the
+    * per-store resume probe degenerates; the real question becomes
+    * "did every planned input contribute rows", answered from the
+    * store's `src_file` provenance column — a left-anti join of the
+    * plan against the union of cast and error provenance. A file
+    * whose every cast errored still counts as processed (it has error
+    * rows); a file missing entirely (e.g. added after the run) shows
+    * up here.
+    */
+  def missingInBulk(spark: SparkSession,
+      cfg: WodPipeline.Config): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(cfg.output).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def qualified(s: String): String =
+      fs.makeQualified(new Path(s)).toString
+    val expected = WodPipeline.plan(spark, cfg)
+      .map(t => (t.dataset, t.level, new Path(t.src).getName,
+        qualified(t.src)))
+      .toDF("dataset", "level", "file", "src_file")
+    val castStore = s"${cfg.output}/bulk/casts"
+    val errStore = s"${cfg.output}/bulk/errors"
+    if (!WodPipeline.isComplete(spark, castStore))
+      return expected.orderBy("dataset", "level", "file") // nothing done
+    val casts = spark.read.parquet(castStore).select("src_file")
+    val produced =
+      if (fs.exists(new Path(errStore)))
+        casts.unionAll(spark.read.parquet(errStore).select("src_file"))
+      else casts
+    expected.join(produced.distinct(), Seq("src_file"), "left_anti")
+      .select("dataset", "level", "file", "src_file")
+      .orderBy("dataset", "level", "file")
+  }
+
   /** Runnable tool: `Differ <input> <output> <reportFile>` writes one
     * `dataset,level,file` line per missing conversion (the reference's
     * report format), empty file = complete.

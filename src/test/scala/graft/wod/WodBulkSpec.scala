@@ -130,6 +130,23 @@ class WodBulkSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"footer bbox ${bbox.mkString(",")} != file extent $ext")
   }
 
+  test("bulk differ: every input accounted for (errors included), a " +
+      "late-added file surfaces as missing") {
+    val cfg = WodPipeline.Config(input = inDir, output = bulkOut,
+      datasets = Seq("XBT", "DRB"))
+    // BROKEN.gz contributed only error rows — still processed
+    assert(Differ.missingInBulk(spark, cfg).count() === 0)
+    // a file added AFTER the run is exactly what shows up
+    Files.copy(Paths.get(fixtures, "XBT/OBS/XBTO1967.gz"),
+      Paths.get(inDir, "XBT/OBS/LATE.gz"),
+      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val miss = Differ.missingInBulk(spark, cfg).collect()
+      assert(miss.length === 1 && miss(0).getString(2) === "LATE.gz",
+        miss.mkString(";"))
+    } finally Files.delete(Paths.get(inDir, "XBT/OBS/LATE.gz"))
+  }
+
   test("bulk resume: a complete store is not rewritten") {
     val before = Files.getLastModifiedTime(
       Paths.get(castStore, "_SUCCESS")).toMillis
