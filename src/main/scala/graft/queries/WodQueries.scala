@@ -194,5 +194,55 @@ object WodQueries {
     },
     sql = wod1Convert.sql)
 
-  val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density, wod4Bulk)
+  /** Spatial containment join: casts against a (tiny, broadcast)
+    * bbox dimension — the named-region rollup every geo store serves.
+    * The quadrant boxes partition the globe exactly (lon/lat sign),
+    * so every cast matches exactly one region. Plan shape at 100 TB:
+    * the 4-row dimension broadcasts into a nested-loop join that is
+    * O(casts·4) map-side work with NO shuffle of the cast table —
+    * for large dimension tables the ev6 bucket-decomposition applies
+    * instead; this query pins the broadcast shape.
+    */
+  val wod5BasinJoin = Q(
+    "wod5_basin_join",
+    (s, _) => {
+      import s.implicits._
+      val basins = Seq(
+        ("ne", 0.0, 0.0, 180.0, 90.0),
+        ("nw", -180.0, 0.0, 0.0, 90.0),
+        ("se", 0.0, -90.0, 180.0, 0.0),
+        ("sw", -180.0, -90.0, 0.0, 0.0))
+        .toDF("region", "lon_min", "lat_min", "lon_max", "lat_max")
+      stagedCasts(s, reuse = true)
+        .join(broadcast(basins),
+          col("longitude") >= col("lon_min") &&
+            col("longitude") < col("lon_max") &&
+            col("latitude") >= col("lat_min") &&
+            col("latitude") < col("lat_max"))
+        .groupBy(col("region"))
+        .agg(cnt.as("n_casts"),
+          countDistinct(col("geohash3")).as("n_cells"),
+          countDistinct(col("dataset")).as("n_datasets"),
+          davg(col("latitude")).as("mean_lat"))
+        .orderBy(col("region"))
+    },
+    sql = Some(s"""
+      WITH basins(region, lon_min, lat_min, lon_max, lat_max) AS (
+        VALUES ('ne', 0.0, 0.0, 180.0, 90.0),
+               ('nw', -180.0, 0.0, 0.0, 90.0),
+               ('se', 0.0, -90.0, 180.0, 0.0),
+               ('sw', -180.0, -90.0, 0.0, 0.0))
+      SELECT region, COUNT(*) AS n_casts,
+             COUNT(DISTINCT geohash3) AS n_cells,
+             COUNT(DISTINCT dataset) AS n_datasets,
+             ${sqlDavg("latitude")} AS mean_lat
+      FROM read_parquet('$stagedGlob') c
+      JOIN basins b
+        ON c.longitude >= b.lon_min AND c.longitude < b.lon_max
+       AND c.latitude >= b.lat_min AND c.latitude < b.lat_max
+      GROUP BY region
+      ORDER BY region"""))
+
+  val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density, wod4Bulk,
+    wod5BasinJoin)
 }
