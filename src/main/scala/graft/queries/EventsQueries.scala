@@ -244,6 +244,60 @@ object EventsQueries {
       GROUP BY user_id, sess_seq
       ORDER BY user_id, sess_seq"""))
 
+  /** Funnel analysis: how far does each user progress through the
+    * ordered view → click → purchase funnel? One pass: events
+    * collect per user in event-time order, a single fold advances the
+    * stage counter only on the NEXT expected step (a purchase before
+    * any click doesn't count), then a 4-row histogram. The canonical
+    * product-analytics sequence operator.
+    *
+    * Scale shape: one hash exchange on `user_id` (the collect_list
+    * agg combines map-side), per-user state is that user's events
+    * only (bounded), and the fold is a scan-local HOF. The histogram
+    * agg moves 1 row per user.
+    *
+    * Window: first 48 h of the stream — long enough that some users
+    * complete the funnel, short enough that all four stages are
+    * populated (the whole month degenerates to everyone at stage 3).
+    */
+  val q8Funnel = Q(
+    "ev8_funnel",
+    (s, d) =>
+      events(s, d)
+        .withColumn("ts_us", expr("ts DIV 1000"))
+        .filter(col("ts_us") < 1704240000000000L) // < 2024-01-03 UTC
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .withColumn("stage", expr(
+          """aggregate(
+               transform(evs, e -> CASE e.event_type
+                 WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                 WHEN 'purchase' THEN 3 ELSE 0 END),
+               0,
+               (a, b) -> CASE WHEN b = a + 1 THEN a + 1 ELSE a END)"""))
+        .groupBy(col("stage"))
+        .agg(cnt.as("n_users"))
+        .orderBy(col("stage")),
+    sql = Some("""
+      WITH coded AS (
+        SELECT user_id, ts, event_id,
+               CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                 WHEN 'purchase' THEN 3 ELSE 0 END AS code
+        FROM events
+        WHERE epoch_us(ts) < 1704240000000000),
+      folded AS (
+        SELECT user_id,
+               list_reduce([0] || list(code ORDER BY ts, event_id),
+                 (a, b) -> CASE WHEN b = a + 1 THEN a + 1 ELSE a END)
+                 AS stage
+        FROM coded
+        GROUP BY user_id)
+      SELECT CAST(stage AS INT) AS stage, COUNT(*) AS n_users
+      FROM folded
+      GROUP BY stage
+      ORDER BY stage"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
-    q6RangeJoin, q7Sessionize)
+    q6RangeJoin, q7Sessionize, q8Funnel)
 }
