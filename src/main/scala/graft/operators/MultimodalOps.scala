@@ -66,6 +66,32 @@ object MultimodalOps {
     }
   }
 
+  /** Frame sampling over an opaque media payload: treat `content` as
+    * fixed-size frames (`frameBytes` each — a real container's
+    * keyframe index replaces this arithmetic at deployment) and keep
+    * every `stride`-th frame, one output row per SAMPLED frame with
+    * its byte slice. The shape a video pipeline needs: explode to
+    * frames early, process the slices, never ship the full payload
+    * downstream. Pure per-row projection+explode — scan-local, no
+    * shuffle; the payload bytes are sliced, not copied whole, into
+    * each frame row.
+    */
+  def frameSample(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int): org.apache.spark.sql.DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    media.toDF()
+      .withColumn("n_frames",
+        ceil(length(col("content")).cast("double") / frameBytes)
+          .cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"), col("content"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1,
+          lit(stride.toLong))).as("frame_id"))
+      .select(col("media_id"), col("n_frames"), col("frame_id"),
+        expr(s"substring(content, cast(frame_id * $frameBytes + 1 " +
+          s"as int), $frameBytes)").as("frame"))
+  }
+
   /** Build a deterministic media table from `documents` (text bytes as
     * payload) — gives the multimodal path real data to flow through in
     * tests and the oracle-checked md1 query.

@@ -69,5 +69,37 @@ object MultimodalQueries {
       FROM bins
       ORDER BY media_id"""))
 
-  val all: Seq[Q] = Seq(md1BinaryStats, md2Features)
+  /** Frame sampling (every 4th 32-byte frame of each payload) — one
+    * row per sampled frame with slice length + fingerprint. DuckDB
+    * re-slices the same bytes from the blob, so frame boundaries,
+    * the tail-frame short slice, and the md5-over-hex fingerprint
+    * are all checked bit-exact.
+    */
+  val md3FrameSample = Q(
+    "md3_frame_sample",
+    (s, d) =>
+      MultimodalOps.frameSample(
+        MultimodalOps.mediaFromDocuments(s, d), frameBytes = 32, stride = 4)
+        .select(col("media_id"), col("n_frames"), col("frame_id"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          md5(hex(col("frame"))).as("frame_md5"))
+        .orderBy(col("media_id"), col("frame_id")),
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+               CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)
+                 AS n_frames
+        FROM documents),
+      f AS (
+        SELECT media_id, hx, n_frames,
+               unnest(range(0, n_frames, 4)) AS frame_id
+        FROM m WHERE n_frames > 0)
+      SELECT media_id, n_frames, CAST(frame_id AS BIGINT) AS frame_id,
+             CAST(length(substring(hx, frame_id * 64 + 1, 64)) // 2
+               AS BIGINT) AS n_bytes,
+             md5(substring(hx, frame_id * 64 + 1, 64)) AS frame_md5
+      FROM f
+      ORDER BY media_id, frame_id"""))
+
+  val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample)
 }
