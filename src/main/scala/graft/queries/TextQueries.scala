@@ -552,8 +552,47 @@ object TextQueries {
       FROM r
       ORDER BY doc_id"""))
 
+  /** BPE-style pre-tokenization (tx1 is the whitespace variant): the
+    * GPT-2 pre-tokenizer regex minus its negative lookahead (RE2 has
+    * none, and the oracle runs RE2) — leading-space letter runs,
+    * digit runs, punctuation runs, whitespace runs. What a real BPE
+    * tokenizer applies BEFORE merges; token counts from it are the
+    * unit every data-mix budget is denominated in. Scan-local
+    * regexp_extract_all, identical pattern text both engines.
+    */
+  val tx16BpeTokens = Q(
+    "tx16_bpe_pretokenize",
+    (s, d) => {
+      val pat = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+      documents(s, d)
+        .withColumn("toks",
+          regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(filter(col("toks"), t => t.rlike("\\p{L}")))
+            .as("n_word_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          md5(array_join(col("toks"), "|")).as("tok_md5"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(text,
+                 ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+') AS toks
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '\p{L}'))) AS INT)
+               AS n_word_tokens,
+             CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+             md5(array_to_string(toks, '|')) AS tok_md5
+      FROM t
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
-    tx15RollingFp)
+    tx15RollingFp, tx16BpeTokens)
 }
