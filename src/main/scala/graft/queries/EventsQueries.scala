@@ -242,7 +242,8 @@ object EventsQueries {
                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
           FROM events))
       GROUP BY user_id, sess_seq
-      ORDER BY user_id, sess_seq"""))
+      ORDER BY user_id, sess_seq"""),
+    bench = true)
 
   /** Funnel analysis: how far does each user progress through the
     * ordered view → click → purchase funnel? One pass: events

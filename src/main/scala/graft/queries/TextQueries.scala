@@ -550,7 +550,8 @@ object TextQueries {
              list_min(rh) AS fingerprint,
              CAST(len(list_distinct(rh)) AS INT) AS n_distinct_windows
       FROM r
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   /** BPE-style pre-tokenization (tx1 is the whitespace variant): the
     * GPT-2 pre-tokenizer regex minus its negative lookahead (RE2 has

@@ -171,6 +171,34 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("em6: k-means assignment broadcasts the centroids — the " +
+      "corpus never shuffles before its top-1 agg") {
+    val plan = executedPlan("em6_kmeans_assign")
+    val s = plan.toString
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"),
+      s"centroid side must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      s"corpus must not shuffle for the centroid join:\n$s")
+  }
+
+  test("ev8: funnel needs exactly one data shuffle (user_id) — the " +
+      "fold is scan-local above it") {
+    val plan = executedPlan("ev8_funnel")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    // one exchange on user_id; the 4-row histogram agg may add a tiny
+    // single-partition exchange, never a second full-data one
+    assert(hashExchanges.nonEmpty &&
+      hashExchanges.count(_.outputPartitioning
+        .asInstanceOf[HashPartitioning].numPartitions > 1) <= 2,
+      s"funnel must not reshuffle the event stream:\n$plan")
+  }
+
   test("ev7: sessionization runs on ONE hash exchange — both windows " +
       "and the session agg reuse the user_id partitioning") {
     val plan = executedPlan("ev7_sessionize")
