@@ -592,8 +592,104 @@ object TextQueries {
       FROM t
       ORDER BY doc_id"""))
 
+  /** The round-5 capstone: a corpus FREEZE in one declarative plan —
+    * repetition gate (tx14's dup-token ratio ≤ 0.6) → length gate →
+    * PII scrub (tx13's email redaction, applied BEFORE dedup so the
+    * dedup key is the clean text) → exact dedup on the scrubbed md5 →
+    * near-dup dedup on the winnowing fingerprint (tx15's rolling-hash
+    * min — two docs sharing a min window hash collapse to the
+    * smallest doc_id) → per-(lang, source) mix report.
+    *
+    * Scale shape: the gates and scrub are scan-local; the plan
+    * shuffles the corpus exactly twice (md5 key, then fingerprint
+    * key), both with map-side min(struct) combines; the report agg
+    * moves one row per surviving doc. Stage ORDER is pinned by the
+    * oracle: scrub-then-dedup ≠ dedup-then-scrub.
+    */
+  val tx17Freeze = Q(
+    "tx17_corpus_freeze",
+    (s, d) => {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val base = documents(s, d)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("dup_ratio",
+          round(lit(1) - size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")), 6))
+        .filter(col("n_tokens") >= 40 && col("dup_ratio") <= 0.6)
+        .withColumn("clean", regexp_replace(col("text"), emailRe, "<EMAIL>"))
+      val exact = base
+        .groupBy(md5(col("clean")).as("k"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("dup_ratio"), col("clean"))).as("keep"))
+        .select(col("keep.*"))
+      val withFp = exact
+        .withColumn("th", expr(
+          "transform(split(trim(clean), '\\\\s+'), " +
+            "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"))
+        .withColumn("fp", array_min(
+          graft.functions.VectorFunctions.rolling_hash(col("th"), 8)))
+      withFp
+        .groupBy(col("fp"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens"), col("dup_ratio"))).as("keep"))
+        .select(col("keep.*"))
+        .groupBy(col("lang"), col("source"))
+        .agg(cnt.as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          davg(col("dup_ratio")).as("mean_dup_ratio"))
+        .orderBy(col("lang"), col("source"))
+    },
+    sql = Some(s"""
+      WITH base AS (
+        SELECT doc_id, lang, source, text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents),
+      gated AS (
+        SELECT doc_id, lang, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / len(toks), 6) AS dup_ratio,
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS clean
+        FROM base
+        WHERE len(toks) >= 40
+          AND ROUND(1 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                / len(toks), 6) <= 0.6),
+      exact AS (
+        SELECT MIN(doc_id) AS doc_id,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(source, doc_id) AS source,
+               arg_min(n_tokens, doc_id) AS n_tokens,
+               arg_min(dup_ratio, doc_id) AS dup_ratio,
+               arg_min(clean, doc_id) AS clean
+        FROM gated GROUP BY md5(clean)),
+      fp AS (
+        SELECT doc_id, lang, source, n_tokens, dup_ratio,
+               list_min(list_transform(range(1, len(th) - 8 + 2),
+                 i -> list_reduce(th[i : i + 7],
+                   (a, b) -> (a * 1000003 + b) % 2147483647))) AS fp
+        FROM (SELECT *,
+                list_transform(regexp_split_to_array(trim(clean), '\\s+'),
+                  s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                    % 2147483647) AS th
+              FROM exact)),
+      neardedup AS (
+        SELECT MIN(doc_id) AS doc_id,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(source, doc_id) AS source,
+               arg_min(n_tokens, doc_id) AS n_tokens,
+               arg_min(dup_ratio, doc_id) AS dup_ratio
+        FROM fp GROUP BY fp)
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             ${sqlDavg("dup_ratio")} AS mean_dup_ratio
+      FROM neardedup
+      GROUP BY lang, source
+      ORDER BY lang, source"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
-    tx15RollingFp, tx16BpeTokens)
+    tx15RollingFp, tx16BpeTokens, tx17Freeze)
 }
