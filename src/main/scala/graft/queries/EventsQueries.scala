@@ -299,6 +299,45 @@ object EventsQueries {
       GROUP BY stage
       ORDER BY stage"""))
 
+  /** Cohort retention matrix: users grouped by first-activity day,
+    * distinct active users (and event volume) per (cohort, day-offset)
+    * cell — the engagement-decay readout of product analytics, and a
+    * different aggregation topology from ev7 (per-user sessions) and
+    * ev8 (global funnel).
+    *
+    * Scale shape: the cohort relation is ONE map-side-combinable
+    * min-agg at user cardinality — orders of magnitude smaller than
+    * the event stream — so it joins back as a broadcast (fixture) or a
+    * co-partitioned user_id shuffle (cluster); the cell agg's distinct
+    * count is Spark's two-phase partial-distinct expand. Day buckets
+    * are integer epoch arithmetic: nanos DIV 86400e9 == DuckDB's
+    * truncated-micros // 86400e6 (nested floor division).
+    */
+  val q9Cohort = Q(
+    "ev9_cohort_retention",
+    (s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        expr("ts DIV 86400000000000").as("day"))
+      val cohorts = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("cohort").as("cohort_day"),
+          (col("day") - col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          cnt.as("n_events"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      c AS (SELECT user_id, MIN(day) AS cohort FROM e GROUP BY user_id)
+      SELECT c.cohort AS cohort_day, e.day - c.cohort AS day_offset,
+             COUNT(DISTINCT e.user_id) AS n_users,
+             COUNT(*) AS n_events
+      FROM e JOIN c ON e.user_id = c.user_id
+      GROUP BY 1, 2
+      ORDER BY cohort_day, day_offset"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
-    q6RangeJoin, q7Sessionize, q8Funnel)
+    q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort)
 }

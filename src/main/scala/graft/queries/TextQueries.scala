@@ -688,8 +688,158 @@ object TextQueries {
       GROUP BY lang, source
       ORDER BY lang, source"""))
 
+  /** One BPE merge step (vocabulary induction): count adjacent
+    * character pairs across the corpus, weighted by word frequency —
+    * the argmax pair is the merge a BPE trainer performs first. Top-20
+    * merge candidates out, ties broken on the pair string.
+    *
+    * Scale shape: the only corpus-size stage is the word explode +
+    * count (map-side combinable hash agg); pair generation runs at
+    * DISTINCT-WORD scale — the classic BPE-trainer optimization (a
+    * 100 TB corpus has billions of word instances but only millions of
+    * distinct words). The pair agg shuffles word-level rows only, and
+    * top-k plans TakeOrderedAndProject, never a global sort.
+    */
+  val tx18BpeMerge = Q(
+    "tx18_bpe_merge_step",
+    (s, d) => {
+      val words = documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(cnt.as("freq"))
+      words
+        .select(col("freq"), explode(
+          transform(sequence(lit(1), length(col("w")) - 1), i =>
+            concat(col("w").substr(i, lit(1)), lit(" "),
+              col("w").substr(i + 1, lit(1))))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+    sql = Some("""
+      WITH winst AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents),
+      words AS (
+        SELECT w, COUNT(*) AS freq
+        FROM winst WHERE length(w) >= 2 GROUP BY w),
+      pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                 i -> w[i:i] || ' ' || w[i+1:i+1])) AS pair,
+               freq
+        FROM words)
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+      FROM pairs GROUP BY pair
+      ORDER BY n DESC, pair LIMIT 20"""))
+
+  /** Temperature-scaled data-mixture weights (the sampling-alpha op a
+    * multi-source training run uses to up-weight low-resource slices):
+    * per-language token totals → weight ∝ tokens^0.5, normalized →
+    * expected docs for a 10k-sample budget. alpha = 0.5 flattens the
+    * mix: en holds 44% of docs here but gets well under 44% of the
+    * budget.
+    *
+    * Scale shape: one map-side-combinable agg over the corpus; the
+    * normalizer joins back as a broadcast 1-row scalar (q15/q20
+    * pattern — no window, no driver collect). The per-group sqrt is
+    * 6-dp-rounded then DECIMAL-summed so the normalizer is bit-stable
+    * under any partition order.
+    */
+  val tx19MixWeights = Q(
+    "tx19_mix_weights",
+    (s, d) => {
+      val byLang = documents(s, d)
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+        .groupBy(col("lang"))
+        .agg(cnt.as("n_docs"), sum(col("ntok")).as("total_tokens"))
+        .withColumn("rs", round(sqrt(col("total_tokens")), 6))
+      val tot = byLang.agg(dsum(col("rs")).as("t"))
+      byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          round(col("rs") / col("t"), 6).as("weight"),
+          floor(lit(10000) * round(col("rs") / col("t"), 6)).cast("long")
+            .as("expected_docs"))
+        .orderBy(col("lang"))
+    },
+    sql = Some(s"""
+      WITH d AS (
+        SELECT lang,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS ntok
+        FROM documents),
+      by_lang AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS total_tokens
+        FROM d GROUP BY lang),
+      w AS (SELECT *, ROUND(sqrt(total_tokens), 6) AS rs FROM by_lang),
+      tot AS (SELECT ${sqlDsum("rs")} AS t FROM w)
+      SELECT lang, n_docs, total_tokens,
+             ROUND(rs / t, 6) AS weight,
+             CAST(FLOOR(10000 * ROUND(rs / t, 6)) AS BIGINT)
+               AS expected_docs
+      FROM w, tot ORDER BY lang"""))
+
+  /** Segment-level (C4-style) boilerplate detection: chunk every doc
+    * with tx8's exact parameters, find chunks whose hash appears in
+    * MORE THAN ONE document, and report each doc's shared-chunk
+    * fraction — the filter signal for nav-bars/footers/licence
+    * blocks that document-level dedup can't see.
+    *
+    * Scale shape: one chunking pass; the (hash, doc) partial agg and
+    * the hash-level agg that feeds the shared set read the SAME
+    * exchange (dd2's reuse pattern), and the shared-hash relation is
+    * duplicate-scale (tiny) so it broadcasts back — the corpus
+    * shuffles twice ((h, doc) then doc), never for the join.
+    */
+  val tx20Boilerplate = Q(
+    "tx20_boilerplate_chunks",
+    (s, d) => {
+      val perDocHash = graft.operators.ChunkingOps
+        .chunk(documents(s, d), "doc_id", "text", size = 32, stride = 24)
+        .select(col("doc_id"), md5(col("chunk_text")).as("h"))
+        .groupBy(col("h"), col("doc_id")).agg(cnt.as("k"))
+      val shared = perDocHash.groupBy(col("h")).agg(cnt.as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("h"), lit(1L).as("is_shared"))
+      perDocHash.join(broadcast(shared), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_chunks"),
+          sum(when(col("is_shared").isNotNull, col("k")).otherwise(0L))
+            .as("n_shared_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_shared_chunks"),
+          round(col("n_shared_chunks").cast("double") / col("n_chunks"), 6)
+            .as("boilerplate_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest((len(toks)-1)//24, 0) + 1)) AS i
+        FROM t),
+      c AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[i*24+1 : i*24+32], ' ')) AS h
+        FROM g WHERE len(toks[i*24+1 : i*24+32]) > 0),
+      pd AS (SELECT h, doc_id, COUNT(*) AS k FROM c GROUP BY h, doc_id),
+      sh AS (SELECT h FROM pd GROUP BY h HAVING COUNT(*) > 1),
+      agg AS (
+        SELECT pd.doc_id,
+               CAST(SUM(k) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN sh.h IS NOT NULL THEN k ELSE 0 END)
+                 AS BIGINT) AS n_shared_chunks
+        FROM pd LEFT JOIN sh ON pd.h = sh.h
+        GROUP BY pd.doc_id)
+      SELECT doc_id, n_chunks, n_shared_chunks,
+             ROUND(CAST(n_shared_chunks AS DOUBLE) / n_chunks, 6)
+               AS boilerplate_ratio
+      FROM agg ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
-    tx15RollingFp, tx16BpeTokens, tx17Freeze)
+    tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
+    tx20Boilerplate)
 }

@@ -199,6 +199,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"funnel must not reshuffle the event stream:\n$plan")
   }
 
+  test("tx18: BPE pair counts are two hash aggs + TakeOrderedAndProject " +
+      "(no window, no global sort)") {
+    val plan = executedPlan("tx18_bpe_merge_step")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"pair ranking must not use a window:\n$plan")
+  }
+
   test("ev7: sessionization runs on ONE hash exchange — both windows " +
       "and the session agg reuse the user_id partitioning") {
     val plan = executedPlan("ev7_sessionize")
