@@ -41,11 +41,14 @@ object Differ {
   }
 
   /** Bulk-store completeness: expected source files with NO cast (and
-    * no error row) in a [[WodPipeline.convertBulk]] store. The bulk
-    * job is all-or-nothing (`_SUCCESS` on the whole store), so the
-    * per-store resume probe degenerates; the real question becomes
-    * "did every planned input contribute rows", answered from the
-    * store's `src_file` provenance column — a left-anti join of the
+    * no error row) in a [[WodPipeline.convertBulk]] store. Bulk
+    * commits per (dataset, level) sub-run, so the differ reads only
+    * COMPLETED sub-stores (`_SUCCESS`, no `_temporary` residue) — a
+    * partially-converted corpus reports exactly the files of the
+    * sub-runs that have not committed, plus any file that committed
+    * sub-runs somehow missed. Within a completed sub-store the
+    * question is "did every planned input contribute rows", answered
+    * from the `src_file` provenance column — a left-anti join of the
     * plan against the union of cast and error provenance. A file
     * whose every cast errored still counts as processed (it has error
     * rows); a file missing entirely (e.g. added after the run) shows
@@ -64,13 +67,22 @@ object Differ {
       .toDF("dataset", "level", "file", "src_file")
     val castStore = s"${cfg.output}/bulk/casts"
     val errStore = s"${cfg.output}/bulk/errors"
-    if (!WodPipeline.isComplete(spark, castStore))
+    val subGlob = new Path(s"$castStore/dataset=*/level=*/_SUCCESS")
+    val done = Option(fs.globStatus(subGlob)).map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .map(_.getPath.getParent)
+      .filter(p => !fs.exists(new Path(p, "_temporary")))
+    if (done.isEmpty)
       return expected.orderBy("dataset", "level", "file") // nothing done
-    val casts = spark.read.parquet(castStore).select("src_file")
+    def relErr(sub: Path) = new Path(new Path(errStore,
+      sub.getParent.getName), sub.getName) // dataset=DS/level=LVL
+    val errDirs = done.map(relErr).filter(fs.exists(_)).map(_.toString)
+    val casts =
+      spark.read.parquet(done.map(_.toString): _*).select("src_file")
     val produced =
-      if (fs.exists(new Path(errStore)))
-        casts.unionAll(spark.read.parquet(errStore).select("src_file"))
-      else casts
+      if (errDirs.isEmpty) casts
+      else casts.unionAll(
+        spark.read.parquet(errDirs: _*).select("src_file"))
     expected.join(produced.distinct(), Seq("src_file"), "left_anti")
       .select("dataset", "level", "file", "src_file")
       .orderBy("dataset", "level", "file")

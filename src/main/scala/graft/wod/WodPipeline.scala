@@ -54,7 +54,15 @@ object WodPipeline {
         * (automation must notice); the per-file results still carry
         * every outcome for the completeness differ.
         */
-      failFast: Boolean = true)
+      failFast: Boolean = true,
+      /** Bulk-mode skew guard: a geohash3 cell with more rows than
+        * this is salted into ceil(n/this) shards so one dense cell
+        * can't become one reducer task / one giant parquet file
+        * (see [[convertBulkDetailed]]).
+        */
+      bulkMaxRowsPerCellFile: Long = 1000000L,
+      /** Concurrent (dataset, level) bulk sub-runs. */
+      bulkConcurrency: Int = 4)
 
   final case class FileTask(src: String, dataset: String, level: String,
       outStore: String, errStore: String)
@@ -249,77 +257,185 @@ object WodPipeline {
     results
   }
 
-  /** BULK mode: convert the ENTIRE planned corpus in ONE Spark job.
+  /** One bulk sub-run's outcome ([[convertBulkDetailed]]): a
+    * (dataset, level) slice of the corpus, with `skipped = true` when
+    * resume found its sub-store already complete.
+    */
+  final case class BulkRun(dataset: String, level: String, files: Int,
+      casts: Long, errors: Long, skipped: Boolean)
+
+  /** BULK mode: convert the planned corpus in O(datasets×levels)
+    * Spark jobs (NOT O(files) — [[run]]'s per-file contract costs one
+    * driver-scheduled job per input, the documented wall-clock bound
+    * at many-small-files scale; at 100 TB that is millions of
+    * DAGScheduler events through a single driver event loop).
     *
-    * [[run]] mirrors the reference's store-per-input-file contract
-    * (resume, differ, error stores all keyed by source file), which
-    * costs one driver-scheduled job per file — the documented
-    * wall-clock bound at many-small-files scale, and a real limit at
-    * 100 TB (millions of inputs = millions of DAGScheduler events,
-    * single driver event loop). Bulk mode is the scale path when
-    * per-file stores are not required: every input becomes one task
-    * in a single parse stage, one hash exchange on (dataset,
-    * geohash3) feeds a single dynamic-partitioned write, and the
-    * driver schedules O(1) jobs total regardless of input count.
+    * The corpus is split into one SUB-RUN per (dataset, level). Each
+    * sub-run is a single fully-distributed lineage — one parse stage
+    * over all its files, one hash exchange on (geohash3 [, salt]), one
+    * dynamic-partitioned write — committed independently under its own
+    * `_SUCCESS`. Sub-runs execute concurrently (driver-side bounded
+    * pool, like [[run]]) so the cluster stays saturated even when a
+    * single dataset has too few files to fill it.
     *
-    *  - Output: `<output>/bulk/casts/dataset=<DS>/geohash3=<cell>/`
-    *    — the analytic layout [[WodOps.compactStore]] produces,
-    *    directly; provenance is kept as a `src_file` DATA column
-    *    instead of a store-per-file directory contract.
+    *  - Output: `<output>/bulk/casts/dataset=<DS>/level=<LVL>/
+    *    geohash3=<cell>/` — the analytic layout, with level kept as a
+    *    partition dimension (the flat r5 layout lost it). Provenance
+    *    is the `src_file` DATA column instead of a store-per-file
+    *    directory contract.
+    *  - Resume (C2) is per sub-run: a driver crash at 95% loses one
+    *    (dataset, level) slice, not the corpus (the reference's
+    *    per-file `_SUCCESS` resume, `DatasetYearTrain.java:89-94`, at
+    *    bulk granularity). A complete root store short-circuits via
+    *    the root `_SUCCESS` stamped after the last sub-run commits.
+    *  - SKEW GUARD: one very dense geohash3 cell would otherwise map
+    *    to ONE reducer task and ONE giant parquet file (AQE skew
+    *    splitting does not apply to dynamic-partition writes, and the
+    *    write-side sort requirement pins the exchange). Each sub-run
+    *    therefore counts rows per cell on the cached parse (a cache
+    *    scan, not a re-parse) and salts any cell whose count exceeds
+    *    `cfg.bulkMaxRowsPerCellFile` into ceil(n/max) deterministic
+    *    shards — `xxhash64(src_file, geohash, castNumber,
+    *    cruiseNumber) % factor`, so retried tasks re-derive the same
+    *    shard. The salt feeds ONLY the exchange (dropped before the
+    *    write); every output file still holds a geohash-sorted run,
+    *    and an unskewed corpus (no cell over the threshold) takes the
+    *    exact unsalted plan: one file per cell, no extra count job
+    *    beyond the cache scan.
     *  - Per-cast (C5) and per-file IO error isolation are inherited
-    *    from [[WodSource.read]]; error rows land in
-    *    `<output>/bulk/errors` with their source path.
-    *  - Resume (C2) is store-level: a complete bulk store is skipped
-    *    unless `overwrite`. Task-level retry inside the single job is
-    *    Spark's own (`spark.task.maxFailures`), which replaces the
-    *    per-file attempt envelope (C6) here.
+    *    from [[WodSource.read]]; error rows land under
+    *    `<output>/bulk/errors/dataset=<DS>/level=<LVL>/` with their
+    *    source path. Task-level retry inside each job is Spark's own
+    *    (`spark.task.maxFailures`), replacing the per-file attempt
+    *    envelope (C6) here.
     *  - GeoParquet footers: same write-time `geobbox=auto` per-file
     *    true-extent stamping as [[convertFile]].
     *
-    * Returns (castRows, errorRows).
+    * Returns (castRows, errorRows) summed over all sub-runs,
+    * previously-completed ones included.
     */
   def convertBulk(spark: SparkSession, cfg: Config): (Long, Long) = {
-    import spark.implicits._
-    import org.apache.spark.sql.Observation
-    import org.apache.spark.sql.functions.count
+    val runs = convertBulkDetailed(spark, cfg)
+    (runs.map(_.casts).sum, runs.map(_.errors).sum)
+  }
+
+  /** [[convertBulk]] with per-sub-run outcomes. */
+  def convertBulkDetailed(spark: SparkSession, cfg: Config): Seq[BulkRun] = {
     val castStore = s"${cfg.output}/bulk/casts"
     val errStore = s"${cfg.output}/bulk/errors"
-    if (!cfg.overwrite && isComplete(spark, castStore)) {
-      val casts = spark.read.parquet(castStore).count()
-      val fs = new Path(errStore).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val errs = if (fs.exists(new Path(errStore)))
-        spark.read.parquet(errStore).count() else 0L
-      return (casts, errs)
+    val fs = new Path(cfg.output).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (cfg.overwrite) {
+      fs.delete(new Path(castStore), true)
+      fs.delete(new Path(errStore), true)
     }
     val tasks = plan(spark, cfg)
     require(tasks.nonEmpty, s"no input files under ${cfg.input}")
+    val rootDone = !cfg.overwrite && isComplete(spark, castStore)
+    val subRuns = tasks.groupBy(t => (t.dataset, t.level)).toSeq
+      .sortBy(_._1)
+    import scala.collection.parallel.CollectionConverters._
+    import scala.collection.parallel.ForkJoinTaskSupport
+    val par = subRuns.par
+    par.tasksupport = new ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(
+        math.max(1, cfg.bulkConcurrency)))
+    val results = par.map { case ((ds, lvl), ts) =>
+      val subStore = s"$castStore/dataset=$ds/level=$lvl"
+      val errSub = s"$errStore/dataset=$ds/level=$lvl"
+      // NB: the root marker is deliberately NOT a skip condition —
+      // the plan can grow between runs (new dataset, new level); only
+      // the sub-store's own probe decides.
+      if (isComplete(spark, subStore)) {
+        println(s"[wod] bulk skip (complete): $subStore")
+        BulkRun(ds, lvl, ts.size, storeCount(spark, subStore),
+          storeCount(spark, errSub), skipped = true)
+      } else {
+        val (nc, ne) = bulkSubRun(spark, cfg, ts, subStore, errSub)
+        println(s"[wod] bulk: $ds/$lvl ${ts.size} files, $nc casts, " +
+          s"$ne errors -> $subStore")
+        BulkRun(ds, lvl, ts.size, nc, ne, skipped = false)
+      }
+    }.seq
+    // Root marker = "every planned sub-run committed"; stamped last so
+    // a crash anywhere above leaves resume to the per-sub-run probes.
+    if (!rootDone) fs.create(new Path(castStore, "_SUCCESS"), true).close()
+    results
+  }
+
+  /** Row count of a (possibly absent / row-less) parquet store. */
+  private def storeCount(spark: SparkSession, store: String): Long = {
+    val p = new Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (hasData) spark.read.parquet(store).count() else 0L
+  }
+
+  /** One (dataset, level) bulk sub-run: parse its files, salt any
+    * over-threshold cell, write the geohash3-partitioned sub-store +
+    * error sub-store. Returns (castRows, errorRows).
+    */
+  private def bulkSubRun(spark: SparkSession, cfg: Config,
+      tasks: Seq[FileTask], subStore: String, errSub: String): (Long, Long) = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{coalesce, count, element_at, lit,
+      pmod, typedLit, xxhash64}
     val rows = WodSource.read(spark, tasks.map(_.src).mkString(","))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Skew census on the cached parse: cells needing more than one
+      // shard, cell -> shard count. Empty for an unskewed corpus.
+      val hot: Map[String, Int] = rows.toDF()
+        .filter(col("cast").isNotNull)
+        .groupBy(col("cast.geohash3").as("cell")).agg(count("*").as("n"))
+        .filter(col("n") > cfg.bulkMaxRowsPerCellFile)
+        .collect()
+        .map(r => r.getString(0) ->
+          math.ceil(r.getLong(1).toDouble / cfg.bulkMaxRowsPerCellFile).toInt)
+        .toMap
       val obs = Observation()
-      val writer = rows.toDF()
+      val casts = rows.toDF()
         .observe(obs, count(col("cast")).as("n_casts"),
           count(col("error")).as("n_errors"))
         .filter(col("cast").isNotNull)
         .select(col("sourceFile").as("src_file"), col("cast.*"))
-        .repartition(col("dataset"), col("geohash3"))
-        .sortWithinPartitions(col("dataset"), col("geohash3"),
-          col("geohash"))
+        .drop("dataset") // constant in a sub-run; the dir carries it
+      val sharded =
+        if (hot.isEmpty) casts.repartition(col("geohash3"))
+        else casts
+          .withColumn("__shard", pmod(
+            xxhash64(col("src_file"), col("geohash"), col("castNumber"),
+              col("cruiseNumber")),
+            coalesce(element_at(typedLit(hot), col("geohash3")), lit(1))))
+          .repartition(col("geohash3"), col("__shard"))
+          .drop("__shard")
+      val writer = sharded
+        // (geohash3, geohash) satisfies the dynamic-partition writer's
+        // required ordering AND orders identically to plain geohash,
+        // so FileFormatWriter plans no second sort (see convertFile).
+        .sortWithinPartitions(col("geohash3"), col("geohash"))
         .write.mode(SaveMode.Overwrite)
-        .partitionBy("dataset", "geohash3")
+        .partitionBy("geohash3")
       if (cfg.geoMetadata)
         writer.format(classOf[GeoParquetFileFormat].getName)
           .option(GeoParquetFileFormat.GeoAutoOption, "auto")
-          .save(castStore)
-      else writer.parquet(castStore)
+          .save(subStore)
+      else writer.parquet(subStore)
       val (nCasts, nErrors) = channelCounts(obs, rows)
+      val fs = new Path(errSub).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
       if (nErrors > 0)
         rows.toDF().filter(col("error").isNotNull)
-          .select(col("sourceFile").as("src_file"), col("error.*"))
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(errStore)
-      println(s"[wod] bulk: ${tasks.size} files, $nCasts casts, " +
-        s"$nErrors errors -> $castStore")
+          .select(col("sourceFile").as("src_file"),
+            col("error.castNumber"), col("error.error"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(errSub)
+      else fs.delete(new Path(errSub), true) // stale errors from a prior run
       (nCasts, nErrors)
     } finally rows.unpersist()
   }

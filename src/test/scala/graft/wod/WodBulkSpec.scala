@@ -100,7 +100,7 @@ class WodBulkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pf.contains("dataset") && pf.contains("geohash3"),
       s"both partition columns must prune: $pf")
     val dirFiles = Files.list(
-      Paths.get(castStore, "dataset=XBT", s"geohash3=$cell"))
+      Paths.get(castStore, "dataset=XBT", "level=OBS", s"geohash3=$cell"))
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .count()
     assert(scan.metrics("numFiles").value === dirFiles,
@@ -145,6 +145,122 @@ class WodBulkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(miss.length === 1 && miss(0).getString(2) === "LATE.gz",
         miss.mkString(";"))
     } finally Files.delete(Paths.get(inDir, "XBT/OBS/LATE.gz"))
+  }
+
+  test("unskewed corpus: exactly one file per cell dir (no salt, no " +
+      "small-file explosion)") {
+    import scala.jdk.CollectionConverters._
+    val cellDirs = Files.walk(Paths.get(castStore)).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("geohash3=")).toSeq
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val n = Files.list(d)
+        .filter(_.getFileName.toString.endsWith(".parquet")).count()
+      assert(n === 1, s"$d must hold exactly one file, found $n")
+    }
+  }
+
+  test("skew guard: an over-threshold cell splits into multiple files, " +
+      "each a sorted run, content intact") {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("wodskew").toString
+    // replicate one fixture 3x: same cells, 3x the density, distinct
+    // src_file provenance (the salt hashes src_file, so copies shard)
+    val skewIn = s"$tmp/in"
+    for (i <- 1 to 3) {
+      val dst = Paths.get(skewIn, s"XBT/OBS/XBTO1967_R$i.gz")
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(fixtures, "XBT/OBS/XBTO1967.gz"), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def convert(out: String, threshold: Long) =
+      WodPipeline.convertBulk(spark, WodPipeline.Config(input = skewIn,
+        output = out, datasets = Seq("XBT"),
+        bulkMaxRowsPerCellFile = threshold))
+    convert(s"$tmp/salted", 25L)
+    convert(s"$tmp/plain", Long.MaxValue)
+    val salted = spark.read.parquet(s"$tmp/salted/bulk/casts")
+    val plain = spark.read.parquet(s"$tmp/plain/bulk/casts")
+    // content parity through the salted exchange
+    val key = Seq(col("src_file"), col("castNumber"), col("cruiseNumber"),
+      col("geohash"))
+    assert(salted.select(key: _*).exceptAll(plain.select(key: _*))
+      .count() === 0)
+    assert(plain.select(key: _*).exceptAll(salted.select(key: _*))
+      .count() === 0)
+    val cells = salted.groupBy(col("geohash3")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dense = cells.filter(_._2 >= 200) // factor >= 8: split certain
+    assert(dense.nonEmpty,
+      s"fixture must have a dense cell; counts: ${cells.values.max}")
+    def cellFiles(out: String, cell: String) = Files.list(
+      Paths.get(s"$out/bulk/casts", "dataset=XBT", "level=OBS",
+        s"geohash3=$cell"))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .iterator().asScala.toSeq
+    dense.keys.foreach { cell =>
+      val files = cellFiles(s"$tmp/salted", cell)
+      assert(files.size >= 2,
+        s"dense cell $cell (${cells(cell)} rows) must shard, " +
+          s"got ${files.size} file(s)")
+      // every shard is still a geohash-sorted run
+      files.foreach { f =>
+        val gh = spark.read.parquet(f.toString)
+          .select(col("geohash")).collect().map(_.getString(0))
+        assert(gh.sameElements(gh.sorted), s"$f not sorted by geohash")
+      }
+      assert(cellFiles(s"$tmp/plain", cell).size === 1,
+        s"unsalted run must keep one file for $cell")
+    }
+    // under-threshold cells stay single-file even in the salted run
+    cells.filter(_._2 <= 25).keys.foreach { cell =>
+      assert(cellFiles(s"$tmp/salted", cell).size === 1)
+    }
+  }
+
+  test("incremental resume: completed sub-runs are skipped when the " +
+      "plan grows; crash residue forces a redo") {
+    val tmp = Files.createTempDirectory("wodincr").toString
+    val out = s"$tmp/out"
+    def cfg(ds: String*) = WodPipeline.Config(input = inDir,
+      output = out, datasets = ds)
+    val first = WodPipeline.convertBulkDetailed(spark, cfg("XBT"))
+    assert(first.map(r => (r.dataset, r.skipped)) === Seq(("XBT", false)))
+    val xbtSuccess = Paths.get(out,
+      "bulk/casts/dataset=XBT/level=OBS/_SUCCESS")
+    val t0 = Files.getLastModifiedTime(xbtSuccess).toMillis
+    // plan grows: XBT sub-run must be skipped, DRB must run
+    val second = WodPipeline.convertBulkDetailed(spark, cfg("XBT", "DRB"))
+    assert(second.map(r => (r.dataset, r.skipped)).toSet ===
+      Set(("XBT", true), ("DRB", false)))
+    assert(Files.getLastModifiedTime(xbtSuccess).toMillis === t0,
+      "skipped sub-run must not be rewritten")
+    assert(second.map(_.casts).sum === bulkCasts)
+    assert(second.map(_.errors).sum === bulkErrors)
+    // crash residue in one sub-store: _SUCCESS gone, _temporary left
+    val drbStore = Paths.get(out, "bulk/casts/dataset=DRB/level=OBS")
+    Files.delete(drbStore.resolve("_SUCCESS"))
+    Files.createDirectories(drbStore.resolve("_temporary"))
+    val third = WodPipeline.convertBulkDetailed(spark, cfg("XBT", "DRB"))
+    assert(third.map(r => (r.dataset, r.skipped)).toSet ===
+      Set(("XBT", true), ("DRB", false)),
+      "a sub-store with crash residue must be redone")
+    assert(!Files.exists(drbStore.resolve("_temporary")))
+    assert(third.map(_.casts).sum === bulkCasts)
+  }
+
+  test("partial-store differ: uncommitted sub-runs' files are missing, " +
+      "committed ones are not") {
+    val tmp = Files.createTempDirectory("wodpart").toString
+    val out = s"$tmp/out"
+    WodPipeline.convertBulk(spark, WodPipeline.Config(input = inDir,
+      output = out, datasets = Seq("XBT")))
+    val miss = Differ.missingInBulk(spark, WodPipeline.Config(
+      input = inDir, output = out, datasets = Seq("XBT", "DRB")))
+      .collect()
+    assert(miss.map(_.getString(2)).toSeq === Seq("DRBO2000.gz"),
+      miss.mkString(";"))
   }
 
   test("bulk resume: a complete store is not rewritten") {
