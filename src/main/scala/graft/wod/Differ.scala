@@ -77,12 +77,18 @@ object Differ {
     def relErr(sub: Path) = new Path(new Path(errStore,
       sub.getParent.getName), sub.getName) // dataset=DS/level=LVL
     val errDirs = done.map(relErr).filter(fs.exists(_)).map(_.toString)
-    val casts =
-      spark.read.parquet(done.map(_.toString): _*).select("src_file")
+    // basePath anchors partition discovery at the store root: the
+    // sub-store roots passed here sit BELOW dataset=/level= segments,
+    // and without it Spark infers conflicting partition roots and
+    // throws CONFLICTING_DIRECTORY_STRUCTURES as soon as two sub-runs
+    // have committed.
+    val casts = spark.read.option("basePath", castStore)
+      .parquet(done.map(_.toString): _*).select("src_file")
     val produced =
       if (errDirs.isEmpty) casts
       else casts.unionAll(
-        spark.read.parquet(errDirs: _*).select("src_file"))
+        spark.read.option("basePath", errStore)
+          .parquet(errDirs: _*).select("src_file"))
     expected.join(produced.distinct(), Seq("src_file"), "left_anti")
       .select("dataset", "level", "file", "src_file")
       .orderBy("dataset", "level", "file")

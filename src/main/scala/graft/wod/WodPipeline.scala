@@ -297,11 +297,15 @@ object WodPipeline {
     *    `cfg.bulkMaxRowsPerCellFile` into ceil(n/max) deterministic
     *    shards — `xxhash64(src_file, geohash, castNumber,
     *    cruiseNumber) % factor`, so retried tasks re-derive the same
-    *    shard. The salt feeds ONLY the exchange (dropped before the
-    *    write); every output file still holds a geohash-sorted run,
-    *    and an unskewed corpus (no cell over the threshold) takes the
-    *    exact unsalted plan: one file per cell, no extra count job
-    *    beyond the cache scan.
+    *    shard. ceil(n/max) files per hot cell is the EXPECTED outcome
+    *    (shards hash into the shuffle-partition space and can
+    *    collide onto one reducer); the hard per-file bound comes from
+    *    `maxRecordsPerFile` on the write, which rolls a new file at
+    *    the limit. The salt feeds ONLY the exchange (dropped before
+    *    the write); every output file still holds a geohash-sorted
+    *    run, and an unskewed corpus (no cell over the threshold)
+    *    takes the exact unsalted plan: one file per cell, no extra
+    *    count job beyond the cache scan.
     *  - Per-cast (C5) and per-file IO error isolation are inherited
     *    from [[WodSource.read]]; error rows land under
     *    `<output>/bulk/errors/dataset=<DS>/level=<LVL>/` with their
@@ -345,12 +349,24 @@ object WodPipeline {
       val errSub = s"$errStore/dataset=$ds/level=$lvl"
       // NB: the root marker is deliberately NOT a skip condition —
       // the plan can grow between runs (new dataset, new level); only
-      // the sub-store's own probe decides.
-      if (isComplete(spark, subStore)) {
+      // the sub-store's own probe decides. And a COMMITTED sub-store
+      // only short-circuits if its src_file provenance covers every
+      // planned input: a .gz added after the sub-run committed redoes
+      // the whole (dataset, level) slice — without this, only a
+      // corpus-wide overwrite would ever convert it (the differ would
+      // report it missing forever with nothing able to act on that).
+      val committed = isComplete(spark, subStore)
+      lazy val (castRows, castProv) = storeCensus(spark, subStore)
+      lazy val (errRows, errProv) = storeCensus(spark, errSub)
+      lazy val fresh = ts.map(t =>
+        fs.makeQualified(new Path(t.src)).toString)
+        .filterNot(castProv ++ errProv)
+      if (committed && fresh.isEmpty) {
         println(s"[wod] bulk skip (complete): $subStore")
-        BulkRun(ds, lvl, ts.size, storeCount(spark, subStore),
-          storeCount(spark, errSub), skipped = true)
+        BulkRun(ds, lvl, ts.size, castRows, errRows, skipped = true)
       } else {
+        if (committed) println(s"[wod] bulk redo (plan grew by " +
+          s"${fresh.size} files): $subStore")
         val (nc, ne) = bulkSubRun(spark, cfg, ts, subStore, errSub)
         println(s"[wod] bulk: $ds/$lvl ${ts.size} files, $nc casts, " +
           s"$ne errors -> $subStore")
@@ -363,8 +379,15 @@ object WodPipeline {
     results
   }
 
-  /** Row count of a (possibly absent / row-less) parquet store. */
-  private def storeCount(spark: SparkSession, store: String): Long = {
+  /** Row count + `src_file` provenance of a (possibly absent /
+    * row-less) parquet store — one column-pruned read serves both the
+    * skip branch's counts and its plan-growth check. The collect is
+    * bounded by the sub-run's file count (driver-metadata scale, the
+    * same order as [[plan]]'s own listing).
+    */
+  private def storeCensus(spark: SparkSession,
+      store: String): (Long, Set[String]) = {
+    import org.apache.spark.sql.functions.count
     val p = new Path(store)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(p) && {
@@ -374,7 +397,12 @@ object WodPipeline {
         found = it.next().getPath.getName.endsWith(".parquet")
       found
     }
-    if (hasData) spark.read.parquet(store).count() else 0L
+    if (!hasData) (0L, Set.empty[String])
+    else {
+      val rows = spark.read.parquet(store)
+        .groupBy(col("src_file")).agg(count("*").as("n")).collect()
+      (rows.map(_.getLong(1)).sum, rows.map(_.getString(0)).toSet)
+    }
   }
 
   /** One (dataset, level) bulk sub-run: parse its files, salt any
@@ -383,26 +411,43 @@ object WodPipeline {
     */
   private def bulkSubRun(spark: SparkSession, cfg: Config,
       tasks: Seq[FileTask], subStore: String, errSub: String): (Long, Long) = {
-    import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{coalesce, count, element_at, lit,
       pmod, typedLit, xxhash64}
     val rows = WodSource.read(spark, tasks.map(_.src).mkString(","))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Skew census on the cached parse: cells needing more than one
-      // shard, cell -> shard count. Empty for an unskewed corpus.
-      val hot: Map[String, Int] = rows.toDF()
-        .filter(col("cast").isNotNull)
-        .groupBy(col("cast.geohash3").as("cell")).agg(count("*").as("n"))
-        .filter(col("n") > cfg.bulkMaxRowsPerCellFile)
+      // Census on the cached parse, ONE job for two purposes: per-cell
+      // cast counts (skew guard) and the channel totals. Error rows
+      // have a null cast, so they fold into the null-cell group and
+      // n_errors sums them; the bounded collect is <= 32^3 cells + 1.
+      val census = rows.toDF()
+        .groupBy(col("cast.geohash3").as("cell"))
+        .agg(count(col("cast")).as("n_casts"),
+          count(col("error")).as("n_errors"))
         .collect()
+      val nCasts = census.map(_.getLong(1)).sum
+      val nErrors = census.map(_.getLong(2)).sum
+      // Cells needing more than one shard, cell -> shard count. Empty
+      // for an unskewed corpus.
+      val hot: Map[String, Int] = census.iterator
+        .filter(r => !r.isNullAt(0) && r.getLong(1) > cfg.bulkMaxRowsPerCellFile)
         .map(r => r.getString(0) ->
           math.ceil(r.getLong(1).toDouble / cfg.bulkMaxRowsPerCellFile).toInt)
         .toMap
-      val obs = Observation()
+      // ERROR SUB-STORE FIRST: the cast write's _SUCCESS is the resume
+      // marker, so it must be the LAST thing this sub-run produces — a
+      // crash between a cast-first write and the error write would
+      // leave a store resume deems complete whose error rows are lost
+      // permanently (differ reports all-error files missing forever).
+      val fs = new Path(errSub).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (nErrors > 0)
+        rows.toDF().filter(col("error").isNotNull)
+          .select(col("sourceFile").as("src_file"),
+            col("error.castNumber"), col("error.error"))
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(errSub)
+      else fs.delete(new Path(errSub), true) // stale errors from a prior run
       val casts = rows.toDF()
-        .observe(obs, count(col("cast")).as("n_casts"),
-          count(col("error")).as("n_errors"))
         .filter(col("cast").isNotNull)
         .select(col("sourceFile").as("src_file"), col("cast.*"))
         .drop("dataset") // constant in a sub-run; the dir carries it
@@ -421,21 +466,19 @@ object WodPipeline {
         // so FileFormatWriter plans no second sort (see convertFile).
         .sortWithinPartitions(col("geohash3"), col("geohash"))
         .write.mode(SaveMode.Overwrite)
+        // Hard backstop on file size: (cell, shard) hashes into the
+        // shuffle-partition space, so two shards of one hot cell CAN
+        // land on the same reducer; the salt makes ceil(n/max) files
+        // the EXPECTED outcome, this option makes max-rows-per-file a
+        // guarantee (the writer rolls to a new file at the bound, each
+        // still a sorted run).
+        .option("maxRecordsPerFile", cfg.bulkMaxRowsPerCellFile)
         .partitionBy("geohash3")
       if (cfg.geoMetadata)
         writer.format(classOf[GeoParquetFileFormat].getName)
           .option(GeoParquetFileFormat.GeoAutoOption, "auto")
           .save(subStore)
       else writer.parquet(subStore)
-      val (nCasts, nErrors) = channelCounts(obs, rows)
-      val fs = new Path(errSub).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      if (nErrors > 0)
-        rows.toDF().filter(col("error").isNotNull)
-          .select(col("sourceFile").as("src_file"),
-            col("error.castNumber"), col("error.error"))
-          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(errSub)
-      else fs.delete(new Path(errSub), true) // stale errors from a prior run
       (nCasts, nErrors)
     } finally rows.unpersist()
   }

@@ -213,6 +213,15 @@ class WodBulkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cellFiles(s"$tmp/plain", cell).size === 1,
         s"unsalted run must keep one file for $cell")
     }
+    // HARD per-file bound: even if shards of one hot cell collide onto
+    // the same reducer, maxRecordsPerFile rolls the file at the limit
+    import java.nio.file.Path
+    Files.walk(Paths.get(s"$tmp/salted/bulk/casts")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { f: Path =>
+        val n = spark.read.parquet(f.toString).count()
+        assert(n <= 25L, s"$f holds $n rows, over the hard 25-row bound")
+      }
     // under-threshold cells stay single-file even in the salted run
     cells.filter(_._2 <= 25).keys.foreach { cell =>
       assert(cellFiles(s"$tmp/salted", cell).size === 1)
@@ -251,16 +260,70 @@ class WodBulkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("partial-store differ: uncommitted sub-runs' files are missing, " +
-      "committed ones are not") {
+      "committed ones are not — across MULTIPLE committed sub-stores " +
+      "and MULTIPLE error sub-stores") {
     val tmp = Files.createTempDirectory("wodpart").toString
+    val in2 = s"$tmp/in"
     val out = s"$tmp/out"
-    WodPipeline.convertBulk(spark, WodPipeline.Config(input = inDir,
-      output = out, datasets = Seq("XBT")))
+    // two datasets, EACH with a corrupt member (so two committed cast
+    // sub-stores AND two error sub-stores — the multi-root reads that
+    // need basePath to not trip partition discovery), plus a third
+    // dataset that is planned but never converted
+    for (rel <- Seq("XBT/OBS/XBTO1967.gz", "DRB/OBS/DRBO2000.gz",
+        "APB/OBS/APBO1997.gz")) {
+      val dst = Paths.get(in2, rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(fixtures, rel), dst,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    for (rel <- Seq("XBT/OBS/BAD1.gz", "DRB/OBS/BAD2.gz"))
+      Files.write(Paths.get(in2, rel),
+        Array[Byte](0x1f, 0x0b, 0x00, 0x42, 0x42, 0x42))
+    WodPipeline.convertBulk(spark, WodPipeline.Config(input = in2,
+      output = out, datasets = Seq("XBT", "DRB")))
+    assert(Files.exists(Paths.get(out, "bulk/errors/dataset=XBT")) &&
+      Files.exists(Paths.get(out, "bulk/errors/dataset=DRB")),
+      "both sub-runs must have committed an error sub-store")
     val miss = Differ.missingInBulk(spark, WodPipeline.Config(
-      input = inDir, output = out, datasets = Seq("XBT", "DRB")))
+      input = in2, output = out, datasets = Seq("XBT", "DRB", "APB")))
       .collect()
-    assert(miss.map(_.getString(2)).toSeq === Seq("DRBO2000.gz"),
+    assert(miss.map(_.getString(2)).toSeq === Seq("APBO1997.gz"),
       miss.mkString(";"))
+  }
+
+  test("plan growth inside a committed sub-run forces a redo (a " +
+      "late-added .gz is converted without overwrite)") {
+    val tmp = Files.createTempDirectory("wodgrow").toString
+    val in2 = s"$tmp/in"
+    val out = s"$tmp/out"
+    val dst = Paths.get(in2, "XBT/OBS/XBTO1967.gz")
+    Files.createDirectories(dst.getParent)
+    Files.copy(Paths.get(fixtures, "XBT/OBS/XBTO1967.gz"), dst,
+      StandardCopyOption.REPLACE_EXISTING)
+    def cfg = WodPipeline.Config(input = in2, output = out,
+      datasets = Seq("XBT"))
+    val first = WodPipeline.convertBulkDetailed(spark, cfg)
+    assert(first.map(_.skipped) === Seq(false))
+    val n1 = first.head.casts
+    // same plan -> skip (provenance covers everything)
+    assert(WodPipeline.convertBulkDetailed(spark, cfg)
+      .map(_.skipped) === Seq(true))
+    // a file lands in the ALREADY-COMMITTED sub-run's directory: the
+    // sub-store's _SUCCESS alone would skip it forever; the provenance
+    // check must redo the slice and pick it up
+    Files.copy(Paths.get(fixtures, "XBT/OBS/XBTO1967.gz"),
+      Paths.get(in2, "XBT/OBS/LATE.gz"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val third = WodPipeline.convertBulkDetailed(spark, cfg)
+    assert(third.map(_.skipped) === Seq(false),
+      "grown plan must redo the committed sub-run")
+    assert(third.head.casts === 2 * n1)
+    val prov = spark.read.parquet(s"$out/bulk/casts")
+      .select(col("src_file")).distinct().collect()
+      .map(_.getString(0).split("/").last).toSet
+    assert(prov === Set("XBTO1967.gz", "LATE.gz"))
+    // and the differ agrees the store is now complete
+    assert(Differ.missingInBulk(spark, cfg).count() === 0)
   }
 
   test("bulk resume: a complete store is not rewritten") {
