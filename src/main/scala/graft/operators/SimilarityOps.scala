@@ -73,17 +73,47 @@ object SimilarityOps {
       .repartition(col("band"), col("bucket"))
   }
 
+  /** Deterministic per-group candidate cap: keep the `cap` rows with
+    * the lowest `xxhash64(vid)` in each key group — a uniform
+    * pseudo-random sample, stable across runs and task retries. The
+    * window's partitioning matches the group key, so on an input
+    * already hash-partitioned by the key it adds a local sort, never
+    * an exchange.
+    */
+  private def capPerGroup(df: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy(xxhash64(col("vid")), col("vid"))))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
   /** Approximate top-1 neighbor per vector: candidates from shared LSH
     * buckets, exact cosine within buckets, best per id. Vectors whose
     * buckets are all singletons get no row (the recall/coverage
     * trade-off of ANN; raise `bands` for coverage).
+    *
+    * `maxBucket` (0 = off) bounds the INDEX side of each bucket to a
+    * deterministic `maxBucket`-vector sample: a pathological corpus
+    * (constant / duplicated vectors) collapses into one bucket and
+    * would otherwise make the self-join quadratic; with the cap the
+    * candidate count is ≤ rows × bands × maxBucket, linear in corpus
+    * size. Query-side rows are never capped, so coverage is unchanged
+    * — each vector still scores against a uniform sample of its
+    * bucket. On healthy corpora whose buckets stay under the cap the
+    * result is bit-identical to the uncapped run.
     */
   def annTop1(vecsDf: DataFrame, idCol: String, vecCol: String, dims: Int,
-      planes: Int = 16, bands: Int = 4): DataFrame = {
+      planes: Int = 16, bands: Int = 4, maxBucket: Int = 0): DataFrame = {
     val v = bucketed(vecsDf, idCol, vecCol, dims, planes, bands)
     val a = v.select(col("band"), col("bucket"), col("vid").as("id_a"),
       col("e").as("ea"), col("nrm").as("na"))
-    val b = v.select(col("band"), col("bucket"), col("vid").as("id_b"),
+    val bSrc =
+      if (maxBucket > 0) capPerGroup(v, Seq("band", "bucket"), maxBucket)
+      else v
+    val b = bSrc.select(col("band"), col("bucket"), col("vid").as("id_b"),
       col("e").as("eb"), col("nrm").as("nb"))
     // top-1 as max(struct(score, -id)): map-side-combinable hash agg,
     // no window sort; tie-break = ORDER BY score DESC, id_b ASC.
@@ -166,7 +196,7 @@ object SimilarityOps {
     * 1 row per vector; only the query side fans out cellBits+1×.
     */
   def multiProbeTop1(vecsDf: DataFrame, idCol: String, vecCol: String,
-      dims: Int, cellBits: Int = 6): DataFrame = {
+      dims: Int, cellBits: Int = 6, maxBucket: Int = 0): DataFrame = {
     val v = vecsDf
       .select(col(idCol).as("vid"),
         transform(col(vecCol), x => x.cast("double")).as("e"))
@@ -179,7 +209,11 @@ object SimilarityOps {
         col("cell").bitwiseXOR(lit(1 << b))): _*)
     val queries = v.select(col("vid").as("id_a"), col("e").as("ea"),
       col("nrm").as("na"), explode(probes).as("cell"))
-    val index = v.select(col("cell"), col("vid").as("id_b"),
+    // same pathological-bucket guard as annTop1: cap only the inverted
+    // lists (index side); every query still probes cellBits+1 cells
+    val idxSrc =
+      if (maxBucket > 0) capPerGroup(v, Seq("cell"), maxBucket) else v
+    val index = idxSrc.select(col("cell"), col("vid").as("id_b"),
       col("e").as("eb"), col("nrm").as("nb"))
     queries.join(index, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))

@@ -87,4 +87,64 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bands=1 unexpectedly cleared the gate " +
         s"(coverage=$coverage, recall=$recall) — gate is not sharp")
   }
+
+  test("a bucket cap above every bucket size is bit-identical to the " +
+      "uncapped run") {
+    val capped = SimilarityOps.annTop1(vectors, "vec_id", "e",
+      dims = 64, planes = 16, bands = 4, maxBucket = 1 << 20)
+    val plain = SimilarityOps.annTop1(vectors, "vec_id", "e",
+      dims = 64, planes = 16, bands = 4)
+    assert(capped.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(capped).count() === 0)
+  }
+
+  test("a binding bucket cap keeps the recall gate green on the " +
+      "fixture (recall impact of the sampling measured)") {
+    // measured dose-response on this fixture (500 vectors, avg bucket
+    // ~31/band): cap 64/48 → 0.410 (no-op), 32 → 0.376, 24 → 0.300,
+    // 16 → 0.214. 32 is the largest binding cap that clears the gate —
+    // the guard costs recall only once it actually truncates buckets,
+    // linearly in the truncated fraction.
+    val n = vectors.count().toDouble
+    val ann = SimilarityOps.annTop1(vectors, "vec_id", "e",
+      dims = 64, planes = 16, bands = 4, maxBucket = 32)
+      .select(col("id_a"), col("ann_id"))
+    val row = ann.join(exactTop1, "id_a")
+      .agg(count(lit(1)).as("covered"),
+        sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+          .as("matched"))
+      .head()
+    val coverage = row.getLong(0).toDouble / n
+    val recall =
+      if (row.getLong(0) == 0) 0.0
+      else row.getLong(1).toDouble / row.getLong(0)
+    info(f"maxBucket=32: coverage=$coverage%.3f recall@1=$recall%.3f")
+    assert(coverage >= minCoverage,
+      s"capped coverage $coverage below $minCoverage — cap must never " +
+        "drop query-side rows")
+    assert(recall >= minRecall,
+      s"capped recall $recall below $minRecall at maxBucket=32")
+  }
+
+  test("adversarial constant-vector corpus: the cap bounds the " +
+      "candidate join linearly and the run completes fast") {
+    import spark.implicits._
+    val nRows = 5000
+    val const = Seq.fill(64)(0.5)
+    val dup = (1L to nRows.toLong).toDF("vec_id")
+      .withColumn("e", typedlit(const))
+    // all rows share every bucket: uncapped candidates would be
+    // n^2 * bands = 100M pairs; capped = n * bands * cap = 640k
+    val t0 = System.nanoTime()
+    val out = SimilarityOps.annTop1(dup, "vec_id", "e",
+      dims = 64, planes = 16, bands = 4, maxBucket = 32)
+    val covered = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(covered === nRows.toLong,
+      "every vector must still get a neighbor (query side uncapped)")
+    // all-identical vectors: any sampled candidate is an exact match
+    assert(out.filter(col("score") =!= 1.0).count() === 0)
+    assert(sec < 60.0,
+      f"capped adversarial run took $sec%.1f s — cap not effective")
+  }
 }
