@@ -170,26 +170,31 @@ object Analytics {
       ORDER BY r_name"""))
 
   /** Set-op semantics of the reference's completeness differ
-    * (`OsPoolS3Lister.removeAll` → EXCEPT; SURVEY §2.4 S14): nations that
-    * have customers but no suppliers, as left-semi + left-anti joins.
+    * (`OsPoolS3Lister.removeAll` → EXCEPT; SURVEY §2.4 S14): customers
+    * that HAVE orders (left-semi) but none of them urgent (left-anti)
+    * — the "present in A, absent from B" shape the differ runs, on a
+    * pair of sets guaranteed non-empty at every SF.
     */
   val q7AntiJoin = Q(
     "q7_semi_anti_except",
     (s, d) => {
-      val n = nation(s, d)
-      val c = customer(s, d).select(col("c_nationkey"))
-      val su = supplier(s, d).select(col("s_nationkey"))
-      n.join(c, col("n_nationkey") === col("c_nationkey"), "left_semi")
-        .join(su, col("n_nationkey") === col("s_nationkey"), "left_anti")
-        .select(col("n_nationkey"), col("n_name"))
-        .orderBy(col("n_nationkey"))
+      val c = customer(s, d)
+      val o = orders(s, d).select(col("o_custkey"))
+      val urgent = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === o("o_custkey"), "left_semi")
+        .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
     },
     sql = Some("""
-      SELECT n_nationkey, n_name
-      FROM nation
-      WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
-        AND n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
-      ORDER BY n_nationkey"""))
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey"""))
 
   /** Window function: latest order per customer via row_number over a
     * deterministic (tie-broken) ordering.

@@ -137,49 +137,52 @@ object EventsQueries {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  /** Bucketed range join: events within ±1 day of each order by the
-    * same user. A naive time-range theta-join plans as a nested-loop
-    * (quadratic per user at scale); the classic decomposition maps
-    * both sides onto day buckets — each order fans out to the 2-3
-    * buckets its ±1d interval overlaps, events keep their single
-    * bucket — turning it into a plain (user, bucket) EQUI-join (one
-    * hash shuffle, linear in matches) with the exact predicate as a
-    * post-filter. The bucket dedup is free: a matching (order, event)
-    * pair meets in exactly the event's bucket. PlanQualitySpec locks
-    * the no-nested-loop shape. All arithmetic is exact integer micros
-    * on both engines.
+  /** Bucketed range join: every click within ±1 hour of each purchase
+    * by the same user (purchase-attribution context window). A naive
+    * time-range theta-join plans as a nested-loop (quadratic per user
+    * at scale); the classic decomposition maps both sides onto hour
+    * buckets — each purchase fans out to the 2-3 buckets its ±1h
+    * interval overlaps, clicks keep their single bucket — turning it
+    * into a plain (user, bucket) EQUI-join (one hash shuffle, linear
+    * in matches) with the exact predicate as a post-filter. The
+    * bucket dedup is free: a matching (purchase, click) pair meets in
+    * exactly the click's bucket. PlanQualitySpec locks the
+    * no-nested-loop shape. All arithmetic is exact integer micros on
+    * both engines.
     */
   val q6RangeJoin = Q(
     "ev6_range_join_bucketed",
     (s, d) => {
-      val DayUs = 86400000000L
-      val ev = events(s, d).select(
-        col("user_id"),
-        expr("ts DIV 1000").as("ets_us"))
-        .withColumn("bucket", expr(s"ets_us DIV $DayUs"))
-      val ord = orders(s, d).select(
-        col("o_orderkey"), col("o_custkey").as("user_id"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("ots_us"))
+      val HourUs = 3600000000L
+      val clicks = events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts DIV 1000").as("cts_us"))
+        .withColumn("bucket", expr(s"cts_us DIV $HourUs"))
+      val purchases = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          expr("ts DIV 1000").as("pts_us"))
         .withColumn("bucket", explode(sequence(
-          expr(s"(ots_us - $DayUs) DIV $DayUs"),
-          expr(s"(ots_us + $DayUs) DIV $DayUs"))))
-      ord.join(ev, Seq("user_id", "bucket"))
-        .filter(abs(col("ets_us") - col("ots_us")) <= DayUs)
-        .groupBy(col("o_orderkey"))
-        .agg(cnt.as("n_events_1d"),
-          min(abs(col("ets_us") - col("ots_us"))).as("min_gap_us"))
-        .orderBy(col("o_orderkey"))
+          expr(s"(pts_us - $HourUs) DIV $HourUs"),
+          expr(s"(pts_us + $HourUs) DIV $HourUs"))))
+      purchases.join(clicks, Seq("user_id", "bucket"))
+        .filter(abs(col("cts_us") - col("pts_us")) <= HourUs)
+        .groupBy(col("purchase_id"))
+        .agg(cnt.as("n_clicks_1h"),
+          min(abs(col("cts_us") - col("pts_us"))).as("min_gap_us"))
+        .orderBy(col("purchase_id"))
     },
     sql = Some("""
-      SELECT o.o_orderkey, COUNT(*) AS n_events_1d,
-             CAST(MIN(ABS(epoch_us(e.ts) - epoch_us(o.o_orderdate)))
+      SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks_1h,
+             CAST(MIN(ABS(epoch_us(c.ts) - epoch_us(p.ts)))
                AS BIGINT) AS min_gap_us
-      FROM orders o
-      JOIN events e
-        ON e.user_id = o.o_custkey
-       AND ABS(epoch_us(e.ts) - epoch_us(o.o_orderdate)) <= 86400000000
-      GROUP BY o.o_orderkey
-      ORDER BY o.o_orderkey"""))
+      FROM events p
+      JOIN events c
+        ON c.user_id = p.user_id
+       AND p.event_type = 'purchase' AND c.event_type = 'click'
+       AND ABS(epoch_us(c.ts) - epoch_us(p.ts)) <= 3600000000
+      GROUP BY p.event_id
+      ORDER BY purchase_id"""))
 
   /** Sessionization: split each user's event stream into sessions at
     * inactivity gaps > 12 h, emit one row per session. THE canonical

@@ -1,10 +1,20 @@
 package graft.streaming
 
+import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session state carried between micro-batches by the
+  * sessionizers. Top-level (not object-nested) because the streaming
+  * state store serializes it through the product encoder, whose
+  * generated code needs a plainly-constructible class.
+  */
+private[streaming] final case class SessionState(n: Long, start: Long,
+    last: Long, cents: Long)
 
 /** Structured-streaming operators over the events table (SURVEY §2.4:
   * the reference has no streaming; this is engine capability the
@@ -316,14 +326,41 @@ object EventsStreaming {
   final case class UserSession(user_id: Long, n_events: Long,
       start_us: Long, end_us: Long, total_cents: Long)
 
-  private final case class SessionState(n: Long, start: Long, last: Long,
+  /** One streaming-sessionize input row; `event_time` carries the
+    * event-time watermark that drives state timeout.
+    */
+  final case class SessionEvent(user_id: Long, event_time: Timestamp,
       cents: Long)
+
+  /** Fold one user's new events (sorted by ts) into `st0`, emitting a
+    * closed session each time a gap ≥ `gapUs` is crossed. Returns the
+    * still-open trailing state (null iff no events ever arrived) plus
+    * the sessions closed by this batch — shared by the batch and
+    * streaming sessionizers so both split identically.
+    */
+  private def foldSessions(user: Long, st0: SessionState,
+      sorted: Seq[(Long, Long)], gapUs: Long)
+      : (SessionState, Seq[UserSession]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+    var st = st0
+    for ((ts, c) <- sorted) {
+      if (st == null) st = SessionState(1, ts, ts, c)
+      else if (ts - st.last >= gapUs) {
+        out += UserSession(user, st.n, st.start, st.last, st.cents)
+        st = SessionState(1, ts, ts, c)
+      } else st = SessionState(st.n + 1, st.start, ts, st.cents + c)
+    }
+    (st, out.toSeq)
+  }
 
   /** Keyed stateful sessionization via flatMapGroupsWithState —
     * emits a session when a new event arrives `gapUs` or more after
     * the previous one (processing-time-independent, deterministic on
     * bounded input; the streaming twin of ev4's gap analysis).
-    * Input rows: (user_id, ts_us, cents).
+    * Input rows: (user_id, ts_us, cents). BOUNDED input only: the
+    * trailing session closes at end-of-input. The unbounded-stream
+    * shape (watermark-driven close for quiet users) is
+    * [[sessionizeStream]].
     */
   def sessionize(events: Dataset[(Long, Long, Long)], gapUs: Long)
       : Dataset[UserSession] = {
@@ -334,21 +371,64 @@ object EventsStreaming {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (user, rows, state: GroupState[SessionState]) =>
           // bounded-input batch call: rows arrive unordered; sort by ts
-          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-          var st = state.getOption.orNull
-          for ((_, ts, c) <- sorted) {
-            if (st == null) st = SessionState(1, ts, ts, c)
-            else if (ts - st.last >= gapUs) {
-              out += UserSession(user, st.n, st.start, st.last, st.cents)
-              st = SessionState(1, ts, ts, c)
-            } else st = SessionState(st.n + 1, st.start, ts, st.cents + c)
-          }
-          if (st != null) { // close the trailing session on bounded input
-            out += UserSession(user, st.n, st.start, st.last, st.cents)
+          val sorted = rows.map(r => (r._2, r._3)).toSeq.sorted
+          val (st, closed) =
+            foldSessions(user, state.getOption.orNull, sorted, gapUs)
+          state.remove()
+          val trailing = // close the trailing session on bounded input
+            if (st == null) Nil
+            else Seq(UserSession(user, st.n, st.start, st.last, st.cents))
+          (closed ++ trailing).iterator
+      }
+  }
+
+  /** PRODUCTION sessionization over an unbounded stream: same gap
+    * split as [[sessionize]], but keyed state is closed by the
+    * event-time WATERMARK, not end-of-input (an unbounded stream has
+    * none). After a user's last event, `EventTimeTimeout` fires once
+    * the watermark passes `last + gapUs` and the open session is
+    * emitted and its state dropped — a quiet user costs one state
+    * entry for one gap window, never forever. State size is bounded
+    * by (active users in the current gap window), independent of
+    * stream length.
+    *
+    * Late rows: flatMapGroupsWithState does NOT auto-drop rows behind
+    * the watermark; a row arriving after its user's session timed out
+    * starts a fresh session (at-least-once semantics downstream
+    * dedups on (user_id, start_us)).
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: the open
+            // session is final — emit it and free the user's state.
+            val st = state.get
             state.remove()
+            Iterator.single(
+              UserSession(user, st.n, st.start, st.last, st.cents))
+          } else {
+            val sorted = rows
+              .map(e => (DateTimeUtils.fromJavaTimestamp(e.event_time),
+                e.cents))
+              .toSeq.sorted
+            val (st, closed) =
+              foldSessions(user, state.getOption.orNull, sorted, gapUs)
+            state.update(st)
+            // arm the event-time timeout at last+gap; clamp above the
+            // current watermark (setTimeoutTimestamp rejects a time
+            // the watermark already passed — fire next batch instead).
+            val fireMs = st.last / 1000L + gapUs / 1000L
+            state.setTimeoutTimestamp(
+              math.max(fireMs, state.getCurrentWatermarkMs() + 1L))
+            closed.iterator
           }
-          out.iterator
       }
   }
 }

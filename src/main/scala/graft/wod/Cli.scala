@@ -18,6 +18,15 @@ import graft.GraftSession
   *   --max-files N                concurrent file conversions (default 4)
   *   --max-attempts N             per-file retry budget (default 3; C6)
   *   --no-fail-fast               report failed files but exit 0
+  *   --bulk                       corpus-scale mode: ONE shuffled job per
+  *                                (dataset, level) instead of one job per
+  *                                file (WodPipeline.convertBulk — the
+  *                                many-small-files escape hatch, ~5× the
+  *                                per-file throughput at sf0.1)
+  *   --bulk-max-rows-per-cell N   skew guard / per-file row bound
+  *                                (default 1000000)
+  *   --bulk-concurrency N         concurrent (dataset, level) sub-runs
+  *                                (default 4)
   *   --version/-V                 print name+version and exit
   *                                (⇔ `VersionProvider.java:1-22`)
   *
@@ -50,10 +59,24 @@ object Cli {
       println(versionLine)
       return
     }
+    val (cfg, bulk) = parse(args)
+    val spark = GraftSession.getOrCreate()
+    try println(execute(spark, cfg, bulk))
+    finally spark.stop()
+  }
+
+  /** Option surface → (pipeline config, bulk flag). */
+  def parse(args: Array[String]): (WodPipeline.Config, Boolean) = {
     var cfg = WodPipeline.Config(input = null, output = null)
+    var bulk = false
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case "--bulk"            => bulk = true; i += 1
+        case "--bulk-max-rows-per-cell" =>
+          cfg = cfg.copy(bulkMaxRowsPerCellFile = args(i + 1).toLong); i += 2
+        case "--bulk-concurrency" =>
+          cfg = cfg.copy(bulkConcurrency = args(i + 1).toInt); i += 2
         case "--input" | "-i"    => cfg = cfg.copy(input = args(i + 1)); i += 2
         case "--output" | "-o"   => cfg = cfg.copy(output = args(i + 1)); i += 2
         case "--datasets" | "-d" =>
@@ -75,18 +98,33 @@ object Cli {
     require(cfg.input != null && cfg.output != null,
       "usage: Cli --input <dir> --output <dir> [--datasets CSV] " +
         "[--levels CSV] [--subset CSV] [--overwrite] [--no-geo] " +
-        "[--max-files N] [--max-attempts N] [--no-fail-fast]")
-
-    val spark = GraftSession.getOrCreate()
-    if (cfg.maxAttemptsPerFile == 1) attachFailFast(spark)
-    val results = WodPipeline.run(spark, cfg)
-    val ok = results.filter(_.ok)
-    val (casts, errors) = (ok.map(_.casts).sum, ok.map(_.errors).sum)
-    println(s"[wod] done: ${ok.size} files, $casts casts, $errors errors" +
-      (if (ok.size < results.size)
-        s"; ${results.size - ok.size} files FAILED" else ""))
-    spark.stop()
+        "[--max-files N] [--max-attempts N] [--no-fail-fast] " +
+        "[--bulk] [--bulk-max-rows-per-cell N] [--bulk-concurrency N]")
+    (cfg, bulk)
   }
+
+  /** Run the conversion the parsed options describe; returns the
+    * summary line `main` prints (separated from `main` so specs can
+    * drive the full CLI path on a shared session).
+    */
+  def execute(spark: SparkSession, cfg: WodPipeline.Config,
+      bulk: Boolean): String =
+    if (bulk) {
+      // bulk failure policy is Spark's own (task retries via
+      // spark.task.maxFailures; a failed sub-run job throws) — the
+      // per-file retry envelope and the C4 listener don't apply.
+      val runs = WodPipeline.convertBulkDetailed(spark, cfg)
+      s"[wod] bulk done: ${runs.size} (dataset, level) sub-runs, " +
+        s"${runs.map(_.casts).sum} casts, ${runs.map(_.errors).sum} errors"
+    } else {
+      if (cfg.maxAttemptsPerFile == 1) attachFailFast(spark)
+      val results = WodPipeline.run(spark, cfg)
+      val ok = results.filter(_.ok)
+      val (casts, errors) = (ok.map(_.casts).sum, ok.map(_.errors).sum)
+      s"[wod] done: ${ok.size} files, $casts casts, $errors errors" +
+        (if (ok.size < results.size)
+          s"; ${results.size - ok.size} files FAILED" else "")
+    }
 
   /** Fail-fast listener (reference C4, `Sparkler.java:90-100`): any
     * failed Spark job aborts the application non-zero.

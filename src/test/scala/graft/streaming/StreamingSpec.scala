@@ -109,4 +109,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected each of $nIds ids exactly once, got ${emitted.length}")
     assert(emitted.distinct.length === emitted.length, "duplicate emits")
   }
+
+  test("sessionizeStream closes a quiet user's session via event-time " +
+      "timeout, not end-of-input") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import EventsStreaming.{SessionEvent, UserSession}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(u: Long, sec: Long, c: Long) =
+      SessionEvent(u, new java.sql.Timestamp(sec * 1000L), c)
+
+    val input = MemoryStream[SessionEvent]
+    val sessions = EventsStreaming.sessionizeStream(
+      input.toDS(), gapUs = 5_000_000L, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream
+      .outputMode("append").format("memory")
+      .queryName("sess_timeout").start()
+    def emitted(): Set[UserSession] =
+      spark.table("sess_timeout").as[UserSession].collect().toSet
+    try {
+      // batch 1: user 1 bursts (3 events inside the 5 s gap);
+      // user 2 pings once at the same time.
+      input.addData(ev(1, 1, 10), ev(1, 2, 20), ev(1, 3, 30), ev(2, 3, 5))
+      q.processAllAvailable()
+      // nothing may close yet: no gap crossed, and the watermark (3 s)
+      // has not passed either user's last+gap (8 s).
+      assert(emitted().isEmpty, "no session may close while inside the gap")
+
+      // batches 2+3: ONLY user 2 speaks, far in the future. User 1 goes
+      // quiet forever — under the old NoTimeout design its state would
+      // be held until end-of-input; here the watermark (→ 100000 s)
+      // passes user 1's last+gap and EventTimeTimeout must emit the
+      // session with user 1 contributing zero rows.
+      input.addData(ev(2, 100000, 7))
+      q.processAllAvailable()
+      input.addData(ev(2, 100001, 9)) // guarantees a batch AFTER the
+      q.processAllAvailable()         // watermark advance, so timeouts fire
+      val got = emitted()
+      assert(got.contains(UserSession(1L, 3L, 1000000L, 3000000L, 60L)),
+        s"user 1's session must close via timeout; got $got")
+      // user 2's first session closed by the gap-split on arrival
+      assert(got.contains(UserSession(2L, 1L, 3000000L, 3000000L, 5L)))
+      // user 2's current session (100000 s …) is still open: the
+      // watermark has not passed ITS last+gap
+      assert(!got.exists(s => s.user_id == 2L && s.start_us >= 100000000000L),
+        s"open session must not emit early; got $got")
+    } finally q.stop()
+  }
 }

@@ -67,5 +67,73 @@ except duckdb.Error as e:
     print(f"spatial extension unavailable (offline) - skipped: "
           f"{str(e).splitlines()[0]}")
 
+
+# ---- geometry ROUND-TRIP (independent OGC WKB reader) ----------------
+# DuckDB's spatial extension needs a network install, so decode the WKB
+# with a from-scratch OGC 06-103r4 parser instead: byte order flag +
+# uint32 type + two IEEE-754 doubles. Sharing zero code with the Scala
+# writer, this is a true cross-implementation round-trip.
+import struct
+
+
+def parse_wkb_point(b: bytes):
+    assert len(b) == 21, f"Point WKB must be 21 bytes, got {len(b)}"
+    order = "<" if b[0] == 1 else ">"
+    (gtype,) = struct.unpack(order + "I", b[1:5])
+    assert gtype == 1, f"expected Point (1), got {gtype}"
+    return struct.unpack(order + "dd", b[5:21])
+
+
+mismatch = 0
+for fname, payload in rows:
+    g = json.loads(payload)
+    bbox = g["columns"][g["primary_column"]]["bbox"]
+    pts = con.execute(
+        "SELECT geometry, longitude, latitude FROM "
+        f"read_parquet('{fname}')").fetchall()
+    for wkb, lon, lat in pts:
+        x, y = parse_wkb_point(bytes(wkb))
+        # exact: the writer serialized these very doubles
+        if (x, y) != (lon, lat):
+            mismatch += 1
+        # and the footer bbox CONTAINS the decoded geometry
+        assert bbox[0] <= x <= bbox[2] and bbox[1] <= y <= bbox[3], (
+            f"{fname}: point ({x},{y}) outside footer bbox {bbox}")
+assert mismatch == 0, f"{mismatch} WKB points != (longitude, latitude)"
+
+# ---- bbox-predicate consistency --------------------------------------
+# A spatial reader prunes files by footer bbox, then filters rows by
+# decoded geometry. Both routes must agree: for a query window W, rows
+# whose DECODED point falls in W == rows found in files whose footer
+# bbox intersects W filtered the same way — i.e. footer pruning never
+# drops a matching row.
+west, south, east, north = con.execute(
+    "SELECT min(longitude), min(latitude), "
+    "avg(longitude), avg(latitude) FROM "
+    f"read_parquet('{store}/*/*.parquet')").fetchone()
+full = 0
+pruned = 0
+for fname, payload in rows:
+    g = json.loads(payload)
+    bbox = g["columns"][g["primary_column"]]["bbox"]
+    pts = con.execute(
+        f"SELECT geometry FROM read_parquet('{fname}')").fetchall()
+    hits = sum(1 for (wkb,) in pts
+               if west <= parse_wkb_point(bytes(wkb))[0] <= east
+               and south <= parse_wkb_point(bytes(wkb))[1] <= north)
+    full += hits
+    intersects = not (bbox[2] < west or bbox[0] > east
+                      or bbox[3] < south or bbox[1] > north)
+    if intersects:
+        pruned += hits
+    else:
+        assert hits == 0, (
+            f"{fname}: footer bbox misses query window but {hits} "
+            "decoded points match - pruning would lose rows")
+assert full == pruned and full > 0, (full, pruned)
+print(f"round-trip OK: every WKB point == (longitude, latitude), "
+      f"inside its footer bbox; bbox pruning exact on a "
+      f"{full}-row query window")
+
 print(f"INTEROP OK: {n} rows, {len(files)} part files, "
       "all geo footers valid with true per-file bbox")
