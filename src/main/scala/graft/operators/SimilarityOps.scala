@@ -227,4 +227,83 @@ object SimilarityOps {
       .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
         col("best.score").as("score"))
   }
+
+  /** IVF (inverted-file) ANN top-1 — the centroid-quantized scale
+    * path next to hyperplane LSH (public technique: IVF-Flat, the
+    * coarse half of Jégou et al.'s IVFADC). Coarse quantizer = the
+    * `k` vectors with the lowest ids (the same deterministic seeding
+    * as em6's Lloyd step; in production the trained centroids are
+    * passed the same way — they are ALWAYS driver/broadcast-resident,
+    * that's what makes IVF cheap). Every vector lands in exactly ONE
+    * inverted list (its nearest centroid); every query probes its
+    * `nprobe` nearest lists.
+    *
+    * Plan shape: the k×dims centroid matrix ships as a struct-array
+    * LITERAL, so both the list assignment and the probe selection are
+    * ONE map-side projection per vector — `array_sort` over k scored
+    * structs in-row, no n×k exchange, no window. The only shuffle is
+    * the (cid)-keyed equi-join of queries (nprobe rows each) against
+    * inverted lists (1 row each): candidate count ≤ n × nprobe ×
+    * list size, linear in corpus size. A (query, index) pair meets in
+    * at most one list, so — unlike banded LSH — no pair dedup is
+    * needed between scoring and the top-1 agg.
+    *
+    * `maxList` (0 = off) is the same pathological-bucket guard as
+    * `annTop1`'s `maxBucket`: a corpus collapsing into one centroid's
+    * list is bounded to a deterministic uniform sample on the INDEX
+    * side only (queries all stay covered).
+    *
+    * Tie-breaks mirror the rest of the ANN surface: centroid order =
+    * (cosine DESC, cid ASC); neighbor = (score DESC, id ASC).
+    */
+  def ivfTop1(vecsDf: DataFrame, idCol: String, vecCol: String, dims: Int,
+      k: Int = 16, nprobe: Int = 2, maxList: Int = 0): DataFrame = {
+    require(nprobe <= k, s"nprobe $nprobe > k $k")
+    val v = vecsDf
+      .select(col(idCol).as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", array_norm(col("e")))
+    // bounded driver collect (k rows): the coarse quantizer is literal
+    // by contract — same footprint class as the broadcast plane matrix
+    val cents = v.orderBy(col("vid")).limit(k)
+      .select(col("vid"), col("e")).collect()
+    require(cents.length == k, s"corpus has ${cents.length} < k=$k vectors")
+    val centArr = array(cents.map { r =>
+      val ce = r.getSeq[Double](1)
+      var ss = 0.0 // same left-to-right fold as array_norm
+      ce.foreach(x => ss += x * x)
+      struct(lit(r.getLong(0)).as("cid"),
+        array(ce.map(lit(_)): _*).as("ce"),
+        lit(math.sqrt(ss)).as("cn"))
+    }: _*)
+    // one in-row pass: score all k centroids, sort (cos DESC, cid ASC)
+    val scored = v.withColumn("cent_rank",
+      array_sort(transform(centArr, c => struct(
+        (-round(array_dot(col("e"), c.getField("ce"))
+          / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+        c.getField("cid").as("cid")))))
+    val idxAll = scored.select(
+      element_at(col("cent_rank"), 1).getField("cid").as("cid"),
+      col("vid").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    val index =
+      if (maxList > 0)
+        capPerGroup(idxAll.withColumnRenamed("id_b", "vid"), Seq("cid"),
+          maxList).withColumnRenamed("vid", "id_b")
+      else idxAll
+    val queries = scored.select(col("vid").as("id_a"), col("e").as("ea"),
+      col("nrm").as("na"),
+      explode(transform(slice(col("cent_rank"), 1, nprobe),
+        s => s.getField("cid"))).as("cid"))
+    queries.join(index, Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
+  }
 }

@@ -195,5 +195,51 @@ object SimilarityQueries {
                / (SELECT COUNT(*) FROM v), 6) AS coverage
       FROM joined"""))
 
-  val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall)
+  /** IVF-Flat ANN top-1 (k=16 deterministic centroids, nprobe=3),
+    * oracle-checked end to end: DuckDB re-derives the same coarse
+    * quantizer (centroids = vec_id < 16), the same (cosine DESC, cid)
+    * centroid ranking for list assignment (rank 1) and probes
+    * (rank ≤ 3), and the same top-1 tie-break. Unlike banded LSH a
+    * (query, index) pair meets in at most one inverted list, so the
+    * oracle needs no pair-dedup stage. Recall/coverage at these
+    * parameters CI-gated in `AnnRecallSpec` (measured 0.442 / 1.000).
+    */
+  val sim4IvfAnn = Q(
+    "sim4_ivf_ann_top1",
+    (s, d) =>
+      SimilarityOps.ivfTop1(spread(embeddings(s, d)), "vec_id", "embedding",
+        dims = 64, k = 16, nprobe = 3)
+        .orderBy(col("id_a")),
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+      cscore AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs
+        FROM v CROSS JOIN c),
+      ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cid) AS rn
+        FROM cscore),
+      assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 3),
+      cand AS (
+        SELECT p.vec_id AS id_a, a.vec_id AS id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS score
+        FROM probes p
+        JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN v va ON va.vec_id = p.vec_id
+        JOIN v vb ON vb.vec_id = a.vec_id),
+      best AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM cand)
+      SELECT id_a, id_b AS ann_id, score FROM best WHERE rn = 1
+      ORDER BY id_a"""),
+    bench = true)
+
+  val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn)
 }

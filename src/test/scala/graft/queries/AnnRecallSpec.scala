@@ -126,6 +126,69 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"capped recall $recall below $minRecall at maxBucket=32")
   }
 
+  /** (coverage, recall@1-over-covered) for ivfTop1. */
+  private def ivfQuality(k: Int, nprobe: Int, maxList: Int = 0)
+      : (Double, Double) = {
+    val n = vectors.count().toDouble
+    val ann = SimilarityOps.ivfTop1(vectors, "vec_id", "e",
+      dims = 64, k = k, nprobe = nprobe, maxList = maxList)
+      .select(col("id_a"), col("ann_id"))
+    val row = ann.join(exactTop1, "id_a")
+      .agg(count(lit(1)).as("covered"),
+        sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+          .as("matched"))
+      .head()
+    val covered = row.getLong(0).toDouble
+    (covered / n, if (covered == 0) 0.0 else row.getLong(1).toDouble / covered)
+  }
+
+  test("IVF bench parameters (k=16, nprobe=3) clear the quality gate") {
+    // measured dose-response on this fixture (500 vectors, 16 lists of
+    // ~31): nprobe 2 → 0.334, 3 → 0.442, 4 → 0.526, 6 → 0.664, all at
+    // coverage 1.000. nprobe=3 (a ~19% candidate share, comparable to
+    // sim1's banded-LSH share) is the pinned bench parameter.
+    val (coverage, recall) = ivfQuality(k = 16, nprobe = 3)
+    info(f"ivf k=16 nprobe=3: coverage=$coverage%.3f recall@1=$recall%.3f")
+    assert(coverage >= minCoverage,
+      s"IVF coverage $coverage below the $minCoverage gate")
+    assert(recall >= minRecall,
+      s"IVF recall@1 $recall below the $minRecall gate")
+  }
+
+  test("IVF: a list cap above every list size is bit-identical to the " +
+      "uncapped run, and fewer probes degrade recall (dose-response)") {
+    val capped = SimilarityOps.ivfTop1(vectors, "vec_id", "e",
+      dims = 64, k = 16, nprobe = 3, maxList = 1 << 20)
+    val plain = SimilarityOps.ivfTop1(vectors, "vec_id", "e",
+      dims = 64, k = 16, nprobe = 3)
+    assert(capped.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(capped).count() === 0)
+    val (_, r3) = ivfQuality(k = 16, nprobe = 3)
+    val (_, r1) = ivfQuality(k = 16, nprobe = 1)
+    info(f"recall nprobe=3: $r3%.3f, nprobe=1: $r1%.3f")
+    assert(r1 <= r3,
+      s"more probes must never lower recall (nprobe1=$r1 > nprobe3=$r3)")
+  }
+
+  test("IVF adversarial constant-vector corpus: every vector lands in " +
+      "ONE list; the cap bounds the join and coverage holds") {
+    import spark.implicits._
+    val nRows = 5000
+    val const = Seq.fill(64)(0.5)
+    val dup = (1L to nRows.toLong).toDF("vec_id")
+      .withColumn("e", typedlit(const))
+    val t0 = System.nanoTime()
+    val out = SimilarityOps.ivfTop1(dup, "vec_id", "e",
+      dims = 64, k = 16, nprobe = 2, maxList = 32)
+    val covered = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(covered === nRows.toLong,
+      "every vector must still get a neighbor (query side uncapped)")
+    assert(out.filter(col("score") =!= 1.0).count() === 0)
+    assert(sec < 60.0,
+      f"capped adversarial IVF run took $sec%.1f s — cap not effective")
+  }
+
   test("adversarial constant-vector corpus: the cap bounds the " +
       "candidate join linearly and the run completes fast") {
     import spark.implicits._

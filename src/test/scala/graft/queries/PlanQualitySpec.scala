@@ -160,6 +160,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Join"), s"expected a join:\n$plan")
   }
 
+  test("sim4: IVF probes in-row off literal centroids — no n×k join, " +
+      "no window, never nested-loop") {
+    val plan = executedPlan("sim4_ivf_ann_top1")
+    val s = plan.toString
+    // centroid ranking must be a projection over a literal array, so
+    // the plan has NO join/window/exchange for the n×k scoring
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"centroid scoring must not materialize n×k rows:\n$s")
+    assert(!s.contains("Window"),
+      s"probe selection must be in-row array_sort, not a window:\n$s")
+    // the candidate join is the cid-keyed equi-join
+    assert(s.contains("Join"), s"expected the inverted-list join:\n$s")
+  }
+
   test("tx10/tx11: vocabulary-sized relations join as broadcasts, " +
       "never shuffling the token stream") {
     for (name <- Seq("tx10_tfidf_top_terms", "tx11_unigram_logprob")) {
