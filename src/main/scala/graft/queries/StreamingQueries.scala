@@ -197,6 +197,54 @@ object StreamingQueries {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** st2's sessionization as a REAL streaming query (st7): watermarked
+    * `EventTimeTimeout` state through the deterministic replay harness.
+    * Gap-closed sessions emit when the closing event arrives; each
+    * user's final session emits only once the watermark (max event
+    * time − 1h) passes its `end + 30 min` — quiet users' state closes
+    * without end-of-input, the property an unbounded stream needs. The
+    * oracle is st2's window-based session reconstruction PLUS the
+    * watermark predicate: a user's last session is withheld iff
+    * `end_ms + gap_ms >= wm_ms` (engine fires on strict `<`; no
+    * exact-ms tie exists in the fixtures, checked at sf0.001/sf0.01).
+    */
+  val st7SessionizeStream = Q(
+    "st7_stream_sessionize",
+    (s, d) => graft.streaming.EventsStreaming.sessionizeAppendStream(s, d),
+    sql = Some("""
+      WITH e AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+      wm AS (SELECT MAX(t) // 1000 - 3600000 AS wm_ms FROM e),
+      marked AS (
+        SELECT user_id, t, cents,
+               CASE WHEN LAG(t) OVER w IS NULL
+                      OR t - LAG(t) OVER w >= 1800000000 THEN 1
+                    ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, cents)),
+      numbered AS (
+        SELECT user_id, t, cents,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY t, cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM marked),
+      sess AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(t) AS start_us, MAX(t) AS end_us,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM numbered
+        GROUP BY user_id, session_id),
+      lastsess AS (
+        SELECT user_id, MAX(session_id) AS msid FROM sess GROUP BY user_id)
+      SELECT s.user_id, s.n_events, s.start_us, s.end_us, s.total_cents
+      FROM sess s JOIN lastsess l ON s.user_id = l.user_id, wm
+      WHERE NOT (s.session_id = l.msid
+                 AND s.end_us // 1000 + 1800000 >= wm.wm_ms)
+      ORDER BY s.user_id, s.start_us"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
-    st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup)
+    st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
+    st7SessionizeStream)
 }

@@ -397,6 +397,45 @@ object EventsStreaming {
     * starts a fresh session (at-least-once semantics downstream
     * dedups on (user_id, start_us)).
     */
+  /** st7: [[sessionizeStream]] over the deterministic replay harness —
+    * REAL streaming sessionization, oracle-checkable. Slices are
+    * ts-ascending and ts-disjoint, so (a) a user's events always
+    * arrive in time order, (b) no row is ever near the watermark
+    * (each batch's data is a full delay ahead of the previous
+    * watermark), and (c) the emitted set is exactly SQL-expressible:
+    * every gap-closed session, plus each user's final (open) session
+    * iff the watermark passed its `end + gap` — i.e. withheld iff
+    * `end_ms + gap_ms >= max_event_ms - delay_ms` (the engine fires
+    * on strict `<`; the fixtures have no exact-ms tie at any SF, so
+    * the boundary convention is not load-bearing). The trailer slice
+    * makes the final watermark advance land in a data batch, so the
+    * last timeouts fire under `processAllAvailable`.
+    */
+  def sessionizeAppendStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import spark.implicits._
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = stageTimeSlices(batch, slices, trailer = true)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("event_time"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .as[SessionEvent]
+    val sessions = sessionizeStream(src, gapUs = 1800000000L,
+      watermarkDelay = "1 hour")
+    val name = s"graft_st_sess_${nameCounter.incrementAndGet()}"
+    val q = sessions.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("start_us"))
+  }
+
   def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long,
       watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
