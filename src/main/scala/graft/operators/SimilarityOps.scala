@@ -253,6 +253,14 @@ object SimilarityOps {
     * list is bounded to a deterministic uniform sample on the INDEX
     * side only (queries all stay covered).
     *
+    * SIZING k AT SCALE: the list join has exactly k distinct shuffle
+    * keys, so k bounds both per-query candidate work (nprobe × n/k)
+    * AND reduce-side parallelism — k=16 is fixture-sized. Grow k with
+    * the corpus (the classic IVF sizing is k ≈ √n: ~10⁴–10⁵ lists at
+    * 10⁸–10¹⁰ vectors), which keeps lists reducer-sized and the
+    * centroid literal in driver-broadcast territory; AQE skew-split
+    * covers residual imbalance between lists.
+    *
     * Tie-breaks mirror the rest of the ANN surface: centroid order =
     * (cosine DESC, cid ASC); neighbor = (score DESC, id ASC).
     */
