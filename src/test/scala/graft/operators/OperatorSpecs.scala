@@ -53,6 +53,46 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) === "zh")
   }
 
+  test("sessionize: distributed result equals a sequential reference " +
+      "on randomized inputs (seeded property)") {
+    import spark.implicits._
+    import graft.streaming.EventsStreaming
+    import graft.streaming.EventsStreaming.UserSession
+    // driver-side reference: per user, sort by (ts, cents), linear split
+    // — the distributed path must match it whatever the partitioning
+    def reference(evs: Seq[(Long, Long, Long)], gap: Long)
+        : Set[UserSession] =
+      evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+        var (n, start, last, cents) = (0L, 0L, 0L, 0L)
+        for ((ts, c) <- sorted) {
+          if (n == 0) { n = 1; start = ts; last = ts; cents = c }
+          else if (ts - last >= gap) {
+            out += UserSession(u, n, start, last, cents)
+            n = 1; start = ts; last = ts; cents = c
+          } else { n += 1; last = ts; cents += c }
+        }
+        if (n > 0) out += UserSession(u, n, start, last, cents)
+        out
+      }.toSet
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val n = rnd.nextInt(61) // 0 events is a legal corpus
+      // tiny ts domain forces duplicate timestamps AND gap crossings
+      val evs = Seq.fill(n)((1L + rnd.nextInt(4).toLong,
+        rnd.nextInt(2000).toLong, (rnd.nextInt(251) - 50).toLong))
+      val gap = Seq(1L, 7L, 100L, 500L)(rnd.nextInt(4))
+      val got = EventsStreaming
+        .sessionize(evs.toDS().repartition(3), gapUs = gap)
+        .collect().toSet
+      val want = reference(evs, gap)
+      assert(got === want,
+        s"trial $trial (n=$n gap=$gap): got ${got.size} sessions, " +
+          s"want ${want.size}; diff=${(got -- want) ++ (want -- got)}")
+    }
+  }
+
   test("sessionize: splits on gap, closes trailing session") {
     import spark.implicits._
     val events = Seq(
