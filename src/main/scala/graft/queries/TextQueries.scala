@@ -837,9 +837,62 @@ object TextQueries {
                AS boilerplate_ratio
       FROM agg ORDER BY doc_id"""))
 
+  /** Per-source quality cap: keep only each source's top-3 documents
+    * by quality rank — the "cap every crawl domain at its N best
+    * pages" curation primitive (the frequency-capping half of
+    * source-mix control; tx9's stratified sample is the rate half).
+    * The rank key is INTEGER-exact (stopword density in ppm,
+    * `1e6·n_stop DIV n_tok`) with a doc_id tie-break, so the ranking
+    * is bit-identical across engines — a double-ratio ORDER BY could
+    * disagree in the last ulp and flip a rank.
+    *
+    * Scale shape: one hash exchange on `source` + a per-partition
+    * sort for `row_number` — partition count = number of sources
+    * (domains: millions at crawl scale, well-spread), per-group state
+    * is the sort, and only capped rows survive the filter. The
+    * scoring is scan-local.
+    */
+  val tx21SourceCap = Q(
+    "tx21_per_source_quality_cap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = split(trim(col("text")), "\\s+")
+      val nTok = size(toks).cast("long")
+      val nStop = size(filter(toks,
+        t => array_contains(lit(stopwords.toArray), t))).cast("long")
+      val scored = documents(s, d)
+        .select(col("source"), col("doc_id"),
+          (nStop * 1000000L).as("num"), nTok.as("den"))
+        .select(col("source"), col("doc_id"),
+          expr("num DIV den").as("q_ppm"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q_ppm").desc, col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("source"), col("rn"))
+    },
+    sql = Some(s"""
+      WITH scored AS (
+        SELECT source, doc_id,
+               1000000 * CAST(len(list_filter(toks,
+                   t -> list_contains($sqlStopList, t))) AS BIGINT)
+                 // CAST(len(toks) AS BIGINT) AS q_ppm
+        FROM (SELECT source, doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      ranked AS (
+        SELECT source, doc_id, q_ppm,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY q_ppm DESC, doc_id) AS rn
+        FROM scored)
+      SELECT source, doc_id, q_ppm, rn
+      FROM ranked WHERE rn <= 3
+      ORDER BY source, rn"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
-    tx20Boilerplate)
+    tx20Boilerplate, tx21SourceCap)
 }
