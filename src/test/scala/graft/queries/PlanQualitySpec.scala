@@ -197,6 +197,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus must not shuffle for the centroid join:\n$s")
   }
 
+  test("tx21: per-source cap scores scan-locally and shuffles the " +
+      "corpus exactly once (source)") {
+    val plan = executedPlan("tx21_per_source_quality_cap")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    // one hash exchange keyed source feeds the row_number window; the
+    // final orderBy adds a range exchange, never a second hash one
+    assert(hashExchanges.length === 1,
+      s"cap must shuffle once on source:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("SortMergeJoin"), plan.toString)
+  }
+
   test("ev8: funnel needs exactly one data shuffle (user_id) — the " +
       "fold is scan-local above it") {
     val plan = executedPlan("ev8_funnel")
