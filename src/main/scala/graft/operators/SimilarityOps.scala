@@ -264,8 +264,13 @@ object SimilarityOps {
     * Tie-breaks mirror the rest of the ANN surface: centroid order =
     * (cosine DESC, cid ASC); neighbor = (score DESC, id ASC).
     */
-  def ivfTop1(vecsDf: DataFrame, idCol: String, vecCol: String, dims: Int,
-      k: Int = 16, nprobe: Int = 2, maxList: Int = 0): DataFrame = {
+  /** The shared IVF candidate stage: (id_a, id_b, score) scored pairs
+    * from the `nprobe` probed inverted lists (see [[ivfTop1]] for the
+    * plan-shape discussion). Each pair appears exactly once.
+    */
+  private def ivfCandidates(vecsDf: DataFrame, idCol: String,
+      vecCol: String, dims: Int, k: Int, nprobe: Int,
+      maxList: Int): DataFrame = {
     require(nprobe <= k, s"nprobe $nprobe > k $k")
     val v = vecsDf
       .select(col(idCol).as("vid"),
@@ -304,14 +309,38 @@ object SimilarityOps {
         s => s.getField("cid"))).as("cid"))
     queries.join(index, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("score"))
+  }
+
+  def ivfTop1(vecsDf: DataFrame, idCol: String, vecCol: String, dims: Int,
+      k: Int = 16, nprobe: Int = 2, maxList: Int = 0): DataFrame =
+    ivfCandidates(vecsDf, idCol, vecCol, dims, k, nprobe, maxList)
       .select(col("id_a"),
-        struct(
-          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-            .as("score"),
-          (-col("id_b")).as("neg_id")).as("cand"))
+        struct(col("score"), (-col("id_b")).as("neg_id")).as("cand"))
       .groupBy(col("id_a"))
       .agg(max(col("cand")).as("best"))
       .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
         col("best.score").as("score"))
+
+  /** IVF top-K retrieval (the k>1 shape real retrieval pipelines run):
+    * same candidate stage as [[ivfTop1]], ranked per query by
+    * (score DESC, id ASC) and cut at `topK`. The rank is a window
+    * partitioned by id_a — key cardinality = corpus size, so the sort
+    * is well-spread; per-group width is the bounded candidate count
+    * (nprobe × list size), never the corpus.
+    */
+  def ivfTopK(vecsDf: DataFrame, idCol: String, vecCol: String, dims: Int,
+      k: Int = 16, nprobe: Int = 2, topK: Int = 5,
+      maxList: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("score").desc, col("id_b"))
+    ivfCandidates(vecsDf, idCol, vecCol, dims, k, nprobe, maxList)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("id_a"), col("rank"), col("id_b").as("nn_id"),
+        col("score"))
   }
 }

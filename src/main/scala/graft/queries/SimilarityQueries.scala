@@ -241,5 +241,46 @@ object SimilarityQueries {
       ORDER BY id_a"""),
     bench = true)
 
-  val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn)
+  /** sim4's candidates cut at top-5 per query (the k>1 retrieval
+    * shape); same quantizer/probes, rank = (score DESC, id ASC).
+    */
+  val sim5IvfTopK = Q(
+    "sim5_ivf_ann_topk",
+    (s, d) =>
+      SimilarityOps.ivfTopK(spread(embeddings(s, d)), "vec_id", "embedding",
+        dims = 64, k = 16, nprobe = 3, topK = 5)
+        .orderBy(col("id_a"), col("rank")),
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+      cscore AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs
+        FROM v CROSS JOIN c),
+      ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cid) AS rn
+        FROM cscore),
+      assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 3),
+      cand AS (
+        SELECT p.vec_id AS id_a, a.vec_id AS id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS score
+        FROM probes p
+        JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN v va ON va.vec_id = p.vec_id
+        JOIN v vb ON vb.vec_id = a.vec_id),
+      topk AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rank
+        FROM cand)
+      SELECT id_a, rank, id_b AS nn_id, score
+      FROM topk WHERE rank <= 5
+      ORDER BY id_a, rank"""))
+
+  val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
+    sim5IvfTopK)
 }
