@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    // storage-aware optimizer rule: geohash predicates imply geohash3
+    // partition predicates on converted stores (directory pruning)
+    e.injectOptimizerRule(_ => graft.plans.InferGeohashPartitionFilter)
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
     e.injectFunction((FunctionIdentifier("array_dot"), info("array_dot"),

@@ -18,6 +18,9 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // the engine's own extensions: SQL-surface kernels plus the
+      // geohash→geohash3 partition-pruning inference rule
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       // runtime bloom-filter pruning: on selective shuffle joins the
       // build side injects a bloom filter into the probe side's scan,

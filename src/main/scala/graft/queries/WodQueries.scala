@@ -170,19 +170,25 @@ object WodQueries {
     * through the shuffle + dynamic-partition write. The oracle is
     * wod1's own SQL over the independently staged parse.
     */
+  /** Idempotently run the one-job corpus conversion this JVM (wod4 and
+    * wod6 both read the resulting store).
+    */
+  private def ensureBulk(s: SparkSession): Unit =
+    if (!bulkOnce) synchronized {
+      if (!bulkOnce) {
+        graft.wod.WodPipeline.convertBulk(s, graft.wod.WodPipeline.Config(
+          input = fixtures, output = bulkOut,
+          datasets = Seq("APB", "CTD", "DRB", "SUR", "XBT"),
+          levels = Seq("OBS", "STD"), overwrite = true))
+        bulkOnce = true
+      }
+    }
+
   val wod4Bulk = Q(
     "wod4_bulk_convert_parity",
     (s, _) => {
       stagedCasts(s, reuse = true) // the oracle reads this staging
-      if (!bulkOnce) synchronized {
-        if (!bulkOnce) {
-          graft.wod.WodPipeline.convertBulk(s, graft.wod.WodPipeline.Config(
-            input = fixtures, output = bulkOut,
-            datasets = Seq("APB", "CTD", "DRB", "SUR", "XBT"),
-            levels = Seq("OBS", "STD"), overwrite = true))
-          bulkOnce = true
-        }
-      }
+      ensureBulk(s)
       s.read.parquet(s"$bulkOut/bulk/casts")
         .groupBy(col("dataset"))
         .agg(cnt.as("n_casts"),
@@ -243,6 +249,51 @@ object WodQueries {
       GROUP BY region
       ORDER BY region"""))
 
+  /** Geo point/prefix lookup — THE query the geohash3 layout exists
+    * for: all casts in one geohash cell, summarized per dataset, found
+    * by filtering the row-level 12-char `geohash` column alone. The
+    * [[graft.plans.InferGeohashPartitionFilter]] optimizer rule derives
+    * the implied `geohash3 = cell` partition predicate from the prefix
+    * filter, so the scan touches only that cell's directories instead
+    * of the whole store (`GeohashPruneRuleSpec` gates the pruning; at
+    * 100 TB this is a point lookup vs a full-store scan). The probed
+    * cell is the store's BUSIEST (max cast count, max cell name on
+    * ties — integer-exact, so deterministic) — the hot-cell lookup is
+    * the worst case the pruning has to win, and the oracle re-derives
+    * the same cell.
+    */
+  val wod6GeoLookup = Q(
+    "wod6_geo_cell_lookup",
+    (s, _) => {
+      ensureBulk(s)
+      val store = s.read.parquet(s"$bulkOut/bulk/casts")
+      val cell = store.groupBy(col("geohash3")).agg(cnt.as("n"))
+        .agg(max(struct(col("n"), col("geohash3"))).as("top"))
+        .select(col("top.geohash3")).head.getString(0)
+      store.filter(col("geohash").startsWith(cell))
+        .groupBy(col("dataset"))
+        .agg(cnt.as("n_casts"),
+          countDistinct(col("geohash")).as("n_locations"),
+          sum(size(col("depths"))).as("n_levels"),
+          davg(col("latitude")).as("mean_lat"))
+        .orderBy(col("dataset"))
+    },
+    sql = Some(s"""
+      WITH store AS (
+        SELECT * FROM read_parquet('$bulkOut/bulk/casts/*/*/*/*.parquet',
+                                   hive_partitioning=1)),
+      cell AS (SELECT geohash3 AS c FROM store
+               GROUP BY geohash3
+               ORDER BY COUNT(*) DESC, geohash3 DESC LIMIT 1)
+      SELECT dataset, COUNT(*) AS n_casts,
+             COUNT(DISTINCT geohash) AS n_locations,
+             CAST(SUM(len(depths)) AS BIGINT) AS n_levels,
+             ${sqlDavg("latitude")} AS mean_lat
+      FROM store, cell
+      WHERE geohash LIKE c || '%'
+      GROUP BY dataset
+      ORDER BY dataset"""))
+
   val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density, wod4Bulk,
-    wod5BasinJoin)
+    wod5BasinJoin, wod6GeoLookup)
 }

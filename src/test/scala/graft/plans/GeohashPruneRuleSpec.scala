@@ -1,0 +1,145 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.PredicateHelper
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates [[InferGeohashPartitionFilter]]: geohash point/prefix/IN/OR
+  * predicates must prune a geohash3-partitioned store to the implied
+  * partition DIRECTORIES (not just filter rows), results must be
+  * byte-identical with the rule excluded, and the rule must stand down
+  * when the user already constrains geohash3 or the layout columns are
+  * absent.
+  */
+class GeohashPruneRuleSpec extends AnyFunSuite with PredicateHelper {
+
+  // the rule ships in the session factory's extensions; other suites'
+  // sessions are built the same way, so getOrCreate is safe here
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  private val cells = Seq("gfq", "gkp", "u4p", "9q8")
+
+  private lazy val store: String = {
+    val dir = Files.createTempDirectory("gh_prune_store").toString
+    val rows = for {
+      cell <- cells
+      i <- 0 until 25
+    } yield (s"$cell${"%09d".format(i)}", cell, i)
+    import spark.implicits._
+    rows.toDF("geohash", "geohash3", "v")
+      .write.partitionBy("geohash3").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def read(): DataFrame = spark.read.parquet(store)
+
+  private def scanOf(df: DataFrame): FileSourceScanExec = {
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectFirst { case s: FileSourceScanExec => s }.get
+  }
+
+  /** Partition directories the scan actually touches after pruning. */
+  private def dirsTouched(df: DataFrame): Int = {
+    val s = scanOf(df)
+    s.relation.location.listFiles(s.partitionFilters, s.dataFilters).size
+  }
+
+  test("full-geohash equality prunes to ONE partition directory") {
+    val df = read().filter(col("geohash") === "gfq000000007")
+    assert(df.count() === 1)
+    assert(dirsTouched(df) === 1)
+    assert(scanOf(df).partitionFilters.nonEmpty)
+  }
+
+  test("prefix LIKE prunes: 3-char prefix to one dir, shorter to the matching dirs") {
+    val exact = read().filter(col("geohash").startsWith("u4p"))
+    assert(exact.count() === 25)
+    assert(dirsTouched(exact) === 1)
+    // 'g' matches cells gfq and gkp but not u4p/9q8
+    val short = read().filter(col("geohash").startsWith("g"))
+    assert(short.count() === 50)
+    assert(dirsTouched(short) === 2)
+  }
+
+  test("IN and OR of point lookups prune to the union of their cells") {
+    val in = read().filter(
+      col("geohash").isin("gfq000000001", "9q8000000002"))
+    assert(in.count() === 2)
+    assert(dirsTouched(in) === 2)
+    val or = read().filter(
+      col("geohash") === "gkp000000003" ||
+        col("geohash") === "u4p000000004")
+    assert(or.count() === 2)
+    assert(dirsTouched(or) === 2)
+  }
+
+  test("pure SQL gets the same pruning") {
+    read().createOrReplaceTempView("gh_store")
+    val df = spark.sql(
+      "SELECT * FROM gh_store WHERE geohash LIKE 'gfq00000000%'")
+    assert(df.count() === 10)
+    assert(dirsTouched(df) === 1)
+  }
+
+  test("results are identical with the rule excluded; without it the scan reads every dir") {
+    val key = "spark.sql.optimizer.excludedRules"
+    // no orderBy: an exchange would wrap the scan in an AQE query
+    // stage where dirsTouched can't see it; the single row needs none
+    val q = () => read().filter(col("geohash") === "gfq000000007")
+    val withRule = q().collect()
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "graft.plans.InferGeohashPartitionFilter")
+    try {
+      val without = q()
+      assert(without.collect() === withRule)
+      assert(dirsTouched(without) === cells.size,
+        "excluding the rule must restore the unpruned scan")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("a user-supplied geohash3 conjunct is respected, not duplicated") {
+    val df = read().filter(
+      col("geohash") === "gfq000000007" && col("geohash3") === "gfq")
+    assert(df.count() === 1)
+    assert(dirsTouched(df) === 1)
+    // count EQUALITY conjuncts only: constraint inference legitimately
+    // adds isnotnull(geohash3), which also references the column
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, AttributeReference}
+    val gh3Preds = df.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) =>
+        splitConjunctivePredicates(c).count {
+          case EqualTo(a: AttributeReference, _) => a.name == "geohash3"
+          case EqualTo(_, a: AttributeReference) => a.name == "geohash3"
+          case _ => false
+        }
+    }.sum
+    assert(gh3Preds === 1, "the rule must not add beside an existing geohash3 predicate")
+  }
+
+  test("stands down without the layout column pair; short equality implies nothing") {
+    import spark.implicits._
+    // geohash present, geohash3 absent: no crash, plain row filter
+    val bare = Seq(("gfq000000001", 1)).toDF("geohash", "v")
+      .filter(col("geohash") === "gfq000000001")
+    assert(bare.count() === 1)
+    // a 2-char EQUALITY can never match a 12-char geohash; the rule
+    // must not invent a prefix constraint from it
+    val short = read().filter(col("geohash") === "gf")
+    assert(short.count() === 0)
+    assert(dirsTouched(short) === cells.size)
+  }
+}

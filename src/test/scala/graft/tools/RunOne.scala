@@ -11,8 +11,25 @@ object RunOne {
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.queries.Registry.byName(name).fn(spark, sfDir)
+    val query = graft.queries.Registry.byName(name)
+    val df = query.fn(spark, sfDir)
     df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    // single-query oracle_sql.json so tools/crosscheck.py can compare
+    // just this dump (same escaping as graft.Verify)
+    query.sql.foreach { s =>
+      val esc = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+        s"""{"$name": "$esc"}""")
+    }
     println(s"RUNONE_ROWS=${spark.read.parquet(s"$outDir/$name").count()}")
     spark.stop()
   }
