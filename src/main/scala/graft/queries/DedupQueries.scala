@@ -445,6 +445,106 @@ object DedupQueries {
       WHERE ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) >= 0.5
       ORDER BY doc_id"""))
 
+  /** Bloom-filter decontamination — dd8's scale twin. dd8 broadcasts
+    * the eval set's DISTINCT SHINGLES, which grows with the eval
+    * corpus; here the broadcast is a Bloom filter over them — m = 32 Ki
+    * positions, k = 3 md5-derived probes per shingle — whose size is
+    * FIXED no matter how many benchmarks the suite holds. The training
+    * corpus is scanned once: each shingle's k probe positions are
+    * checked against the broadcast bit set MAP-SIDE, so rows that miss
+    * (the overwhelming majority) never reach an exchange — only
+    * bloom-positive probes (fill ≈ 5% ⇒ ~0.01% of shingles) shuffle to
+    * the per-doc aggregation. By construction the filter cannot miss
+    * (every truly contaminated doc appears); the query also joins the
+    * exact eval set back on the candidates only, labelling each as a
+    * true hit or a false positive — the calibration readout for
+    * choosing m and k. (At production scale the position set would be
+    * a bitmask in a broadcast variable / native expression; the
+    * position-set join here is semantically identical and keeps the
+    * oracle SQL-expressible.)
+    */
+  val dd9BloomDecontaminate = Q(
+    "dd9_bloom_decontamination",
+    (s, d) => {
+      import org.apache.spark.sql.Column
+      val m = 32768L
+      val k = 3
+      def pos(c: Column, i: Int): Column =
+        pmod(conv(substring(md5(concat(lit(s"$i|"), c)), 1, 15), 16, 10)
+          .cast("long"), lit(m))
+      def probeBits(c: Column): Column =
+        explode(array((0 until k).map(i => pos(c, i)): _*))
+      val docs = spread(documents(s, d))
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val evalSh = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val evalBits = evalSh
+        .select(probeBits(col("shingle")).as("bit")).distinct()
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+          explode(col("sh")).as("shingle"))
+      // a shingle is bloom-positive iff ALL k probe positions are set:
+      // each probe row survives the (broadcast, map-side) join iff its
+      // bit is set, so surviving-count == k is exactly that
+      val bloomHits = train
+        .select(col("doc_id"), col("n_shingles"), col("shingle"),
+          probeBits(col("shingle")).as("bit"))
+        .join(broadcast(evalBits), Seq("bit"))
+        .groupBy(col("doc_id"), col("n_shingles"), col("shingle"))
+        .agg(cnt.as("n_set"))
+        .filter(col("n_set") === k)
+        .groupBy(col("doc_id"), col("n_shingles"))
+        .agg(cnt.as("n_bloom_hits"))
+      val exactHits = train.join(broadcast(evalSh), Seq("shingle"))
+        .groupBy(col("doc_id")).agg(cnt.as("n_exact_hits"))
+      bloomHits.join(exactHits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+          coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"))
+        .withColumn("false_positive", col("n_exact_hits") === 0L)
+        .orderBy(col("doc_id"))
+    },
+    sql = Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      nz AS (SELECT * FROM docs WHERE len(sh) > 0),
+      eval_sh AS (
+        SELECT DISTINCT unnest(sh) AS shingle FROM nz
+        WHERE doc_id % 50 = 0),
+      eval_bits AS (
+        SELECT DISTINCT
+               ${hash60Sql.format("i.i::VARCHAR || '|' || shingle")} % 32768
+                 AS bit
+        FROM eval_sh, (SELECT unnest(range(0, 3)) AS i) i),
+      train AS (
+        SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle
+        FROM nz WHERE doc_id % 50 <> 0),
+      probes AS (
+        SELECT t.doc_id, t.n_shingles, t.shingle,
+               ${hash60Sql.format("i.i::VARCHAR || '|' || t.shingle")} % 32768
+                 AS bit
+        FROM train t, (SELECT unnest(range(0, 3)) AS i) i),
+      pos_sh AS (
+        SELECT doc_id, n_shingles, shingle
+        FROM probes p JOIN eval_bits e USING (bit)
+        GROUP BY doc_id, n_shingles, shingle
+        HAVING COUNT(*) = 3),
+      bloom AS (
+        SELECT doc_id, n_shingles, COUNT(*) AS n_bloom_hits
+        FROM pos_sh GROUP BY 1, 2),
+      exact AS (
+        SELECT doc_id, COUNT(*) AS n_exact_hits
+        FROM train JOIN eval_sh USING (shingle) GROUP BY 1)
+      SELECT b.doc_id, CAST(b.n_shingles AS BIGINT) AS n_shingles,
+             b.n_bloom_hits,
+             COALESCE(e.n_exact_hits, 0) AS n_exact_hits,
+             COALESCE(e.n_exact_hits, 0) = 0 AS false_positive
+      FROM bloom b LEFT JOIN exact e USING (doc_id)
+      ORDER BY b.doc_id"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
-    dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate)
+    dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
+    dd9BloomDecontaminate)
 }

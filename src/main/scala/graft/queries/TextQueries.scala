@@ -890,9 +890,46 @@ object TextQueries {
       FROM ranked WHERE rn <= 3
       ORDER BY source, rn"""))
 
+  /** Sequence-packing manifest ([[graft.operators.PackingOps]]): lay
+    * each source's documents end-to-end (doc_id order) and cut
+    * 512-token training sequences across the concatenation — the
+    * "concat then chunk" packing that wastes no pad tokens. Each row
+    * maps a document to its token range and the sequences it spans;
+    * tx1's whitespace tokenization keeps the token unit consistent
+    * across the text queries. Packing is PER SOURCE (one hash
+    * exchange + per-partition window sort), never a global order —
+    * all derived columns are integer division on exact token offsets,
+    * bit-identical across engines.
+    */
+  val tx22Packing = Q(
+    "tx22_sequence_packing",
+    (s, d) =>
+      graft.operators.PackingOps.packManifest(documents(s, d),
+        "source", "doc_id", "text", capacity = 512)
+        .orderBy(col("source"), col("doc_id")),
+    sql = Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS end_off
+        FROM t)
+      SELECT source, doc_id, n_tokens, end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 512 AS seq_first,
+             (end_off - 1) // 512 AS seq_last,
+             (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1
+               AS n_seqs
+      FROM o
+      ORDER BY source, doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
-    tx20Boilerplate, tx21SourceCap)
+    tx20Boilerplate, tx21SourceCap, tx22Packing)
 }

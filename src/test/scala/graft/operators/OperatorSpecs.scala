@@ -250,4 +250,29 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     // every emitted hash is a canonical residue
     assert(out.flatMap(_._2).forall(h => h >= 0 && h < M))
   }
+
+  test("packManifest: offsets, boundary straddling, and per-stream " +
+      "independence match the hand-computed example") {
+    import spark.implicits._
+    def text(n: Int): String = Seq.fill(n)("x").mkString(" ")
+    val docs = Seq(
+      ("a", 1L, text(4)), ("a", 2L, text(5)), ("a", 3L, text(3)),
+      ("a", 4L, text(12)), ("b", 5L, text(7)))
+      .toDF("source", "doc_id", "text")
+    val got = PackingOps.packManifest(docs, "source", "doc_id", "text", 10)
+      .orderBy("source", "doc_id")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      // stream a: [0,4) [4,9) [9,12) [12,24) over capacity 10 —
+      // doc 3 straddles the 10-token boundary, doc 4 spans seqs 1-2
+      ("a", 1L, 4L, 0L, 0L, 0L, 1L),
+      ("a", 2L, 5L, 4L, 0L, 0L, 1L),
+      ("a", 3L, 3L, 9L, 0L, 1L, 2L),
+      ("a", 4L, 12L, 12L, 1L, 2L, 2L),
+      // stream b restarts at offset 0: packing is per-stream
+      ("b", 5L, 7L, 0L, 0L, 0L, 1L)))
+    // invariant: a stream's sequence count covers its token total
+    val aSeqs = got.filter(_._1 == "a").map(_._6).max + 1
+    assert(aSeqs === math.ceil(24.0 / 10).toLong)
+  }
 }

@@ -214,6 +214,34 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.toString.contains("SortMergeJoin"), plan.toString)
   }
 
+  test("tx22: packing manifest shuffles the corpus exactly once " +
+      "(source) — offset arithmetic is scan-local above the window") {
+    val plan = executedPlan("tx22_sequence_packing")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashExchanges.length === 1,
+      s"packing must shuffle once on source:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("SortMergeJoin"), plan.toString)
+  }
+
+  test("dd9: bloom probes filter map-side — the eval bit set and the " +
+      "exact verify both broadcast, nothing sort-merge joins") {
+    val plan = executedPlan("dd9_bloom_decontamination")
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val broadcasts = plan.collect { case b: BroadcastHashJoinExec => b }
+    // bit-set membership + exact-verify + candidate labelling
+    assert(broadcasts.length >= 2,
+      s"bloom membership and exact verify must broadcast:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct") &&
+      !plan.toString.contains("SortMergeJoin"),
+      s"corpus-scale side must never sort-merge:\n$plan")
+  }
+
   test("ev8: funnel needs exactly one data shuffle (user_id) — the " +
       "fold is scan-local above it") {
     val plan = executedPlan("ev8_funnel")
