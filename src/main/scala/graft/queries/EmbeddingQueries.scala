@@ -254,6 +254,125 @@ object EmbeddingQueries {
       GROUP BY cid
       ORDER BY cid"""))
 
+  /** Two full Lloyd iterations in one declarative plan — em6 is one
+    * assignment step against FIXED centroids; this closes the loop:
+    * assign → recompute centroids from the assignment (em3's
+    * nano-exact per-dimension means) → re-assign against the refined
+    * centroids → report per-cluster sizes, mean cosine, and how far
+    * each centroid moved. The full k-means driver is THIS plan
+    * iterated, each round broadcasting k freshly-aggregated centroids.
+    *
+    * Scale shape per iteration: the corpus never shuffles — centroids
+    * broadcast into a map-side scored projection, the top-1 is a
+    * map-side-combinable max(struct) agg, and the update aggregates
+    * (cid, dim) pairs (k·dims rows out, corpus-scale rows combined
+    * map-side). Determinism: centroid components are exact BIGINT
+    * nano-unit sums divided once, diffs and scores round at 6dp with
+    * id tie-breaks, so both engines derive bit-identical assignments.
+    */
+  val em7KmeansIter = Q(
+    "em7_kmeans_iterate",
+    (s, d) => {
+      val v = vecs(s, d)
+      val c1 = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("ce"),
+          col("nrm").as("cn"))
+      // iteration 1: nearest centroid, the vector riding the agg
+      // buffer (score and neg_cid decide the max before e compares)
+      val a1 = v.crossJoin(broadcast(c1))
+        .select(col("vec_id"),
+          struct(
+            round(array_dot(col("e"), col("ce")) / (col("nrm") * col("cn")),
+              6).as("score"),
+            (-col("cid")).as("neg_cid"),
+            col("e").as("e")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cand")).as("best"))
+        .select((-col("best.neg_cid")).as("cid"), col("best.e").as("e"))
+      // centroid update: nano-exact per-dimension means (em3 pattern)
+      val upd = a1
+        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(cnt.as("n"),
+          sum(floor(col("x") * 1e9 + 0.5).cast("long")).as("units"))
+        .select(col("cid"), col("dim"),
+          (col("units").cast("double") / (col("n") * 1e9)).as("c2val"))
+      val c2 = upd.groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c2val")))),
+          p => p.getField("c2val")).as("ce2"))
+        .select(col("cid"), col("ce2"), array_norm(col("ce2")).as("cn2"))
+      // how far each centroid moved: exact per-dim diffs, nano-unit
+      // squared sums (identical IEEE arithmetic in both engines)
+      val c1ex = c1.select(col("cid"),
+        posexplode(col("ce")).as(Seq("dim", "x1")))
+      val shift = upd.join(c1ex, Seq("cid", "dim"))
+        .select(col("cid"), (col("c2val") - col("x1")).as("diff"))
+        .groupBy(col("cid"))
+        .agg(round(sqrt(
+          sum(floor(col("diff") * col("diff") * 1e9 + 0.5).cast("long"))
+            .cast("double") / 1e9), 6).as("shift"))
+      // iteration 2: re-assign against the refined centroids
+      v.crossJoin(broadcast(c2))
+        .select(col("vec_id"),
+          struct(
+            round(array_dot(col("e"), col("ce2")) / (col("nrm") * col("cn2")),
+              6).as("score"),
+            (-col("cid")).as("neg_cid")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("vec_id"), (-col("best.neg_cid")).as("cid"),
+          col("best.score").as("score"))
+        .groupBy(col("cid"))
+        .agg(cnt.as("n_assigned"), davg(col("score")).as("mean_cos"))
+        .join(broadcast(shift), Seq("cid")) // k rows — never sort-merge
+        .select(col("cid"), col("n_assigned"), col("mean_cos"),
+          col("shift"))
+        .orderBy(col("cid"))
+    },
+    sql = Some(s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      c1 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+      s1 AS (SELECT v.vec_id, c.cid, v.e,
+                    ROUND(list_cosine_similarity(v.e, c.ce), 6) AS score
+             FROM v CROSS JOIN c1 c),
+      a1 AS (SELECT cid, e FROM (
+               SELECT cid, e, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, cid) AS rn
+               FROM s1) WHERE rn = 1),
+      ex AS (SELECT cid, generate_subscripts(e, 1) - 1 AS dim,
+                    unnest(e) AS x
+             FROM a1),
+      uval AS (SELECT cid, dim,
+                      CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT))
+                        AS DOUBLE) / (COUNT(*) * 1e9) AS c2val
+               FROM ex GROUP BY cid, dim),
+      c2 AS (SELECT cid, list(c2val ORDER BY dim) AS ce2
+             FROM uval GROUP BY cid),
+      c1ex AS (SELECT cid, generate_subscripts(ce, 1) - 1 AS dim,
+                      unnest(ce) AS x1
+               FROM c1),
+      shift AS (SELECT u.cid,
+                       ROUND(sqrt(CAST(SUM(CAST(floor(
+                         (u.c2val - x.x1) * (u.c2val - x.x1) * 1e9 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1e9), 6) AS shift
+                FROM uval u JOIN c1ex x USING (cid, dim)
+                GROUP BY u.cid),
+      s2 AS (SELECT v.vec_id, c.cid,
+                    ROUND(list_cosine_similarity(v.e, c.ce2), 6) AS score
+             FROM v CROSS JOIN c2 c),
+      a2 AS (SELECT vec_id, cid, score FROM (
+               SELECT vec_id, cid, score,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY score DESC, cid) AS rn
+               FROM s2) WHERE rn = 1)
+      SELECT a.cid, COUNT(*) AS n_assigned, ${sqlDavg("score")} AS mean_cos,
+             s.shift
+      FROM a2 a JOIN shift s USING (cid)
+      GROUP BY a.cid, s.shift
+      ORDER BY a.cid"""))
+
   val all: Seq[Q] = Seq(em1Knn, em2NearDup, em3Centroids, em4Norms, em5Quant,
-    em6Kmeans)
+    em6Kmeans, em7KmeansIter)
 }

@@ -927,9 +927,65 @@ object TextQueries {
       FROM o
       ORDER BY source, doc_id"""))
 
+  /** Corpus snapshot delta — the incremental-refresh primitive: a new
+    * crawl snapshot lands and the pipeline needs exactly what changed
+    * (add / delete / update / unchanged per document) before deciding
+    * what to re-process downstream (re-dedup only updated docs,
+    * retire deleted ones). Snapshots are simulated deterministically
+    * from `documents`: the "old" snapshot is doc_id%10<8, the "new"
+    * one doc_id%10>=2 with every doc_id%3==0 text revised — so all
+    * four statuses occur and both engines derive identical content
+    * hashes.
+    *
+    * Scale shape: content comparison is by md5 computed scan-local on
+    * EACH side, so the full-outer join carries (id, hash) pairs only —
+    * never document bodies; both sides hash-partition on doc_id (one
+    * exchange each, co-partitioned merge). At 100 TB the snapshots
+    * would be bucketed on doc_id and the exchanges vanish entirely
+    * (see BucketingSpec for the engine's zero-shuffle bucketed-join
+    * evidence).
+    */
+  val tx23SnapshotDelta = Q(
+    "tx23_snapshot_delta",
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val oldSnap = base.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      val newSnap = base.filter(col("doc_id") % 10 >= 2)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("new_md5"))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_md5").isNull, "added")
+            .when(col("new_md5").isNull, "deleted")
+            .when(col("old_md5") === col("new_md5"), "unchanged")
+            .otherwise("updated"))
+        .select(col("doc_id"), col("status"), col("old_md5"),
+          col("new_md5"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some("""
+      WITH old AS (
+        SELECT doc_id, md5(text) AS old_md5
+        FROM documents WHERE doc_id % 10 < 8),
+      neu AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                        ELSE text END) AS new_md5
+        FROM documents WHERE doc_id % 10 >= 2)
+      SELECT doc_id,
+             CASE WHEN o.old_md5 IS NULL THEN 'added'
+                  WHEN n.new_md5 IS NULL THEN 'deleted'
+                  WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+                  ELSE 'updated' END AS status,
+             o.old_md5, n.new_md5
+      FROM old o FULL OUTER JOIN neu n USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
-    tx20Boilerplate, tx21SourceCap, tx22Packing)
+    tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta)
 }

@@ -197,6 +197,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus must not shuffle for the centroid join:\n$s")
   }
 
+  test("em7: iterated k-means broadcasts BOTH centroid generations — " +
+      "no sort-merge or cartesian anywhere in the two-iteration plan") {
+    val plan = executedPlan("em7_kmeans_iterate")
+    val s = plan.toString
+    assert(s.contains("BroadcastNestedLoopJoin") ||
+      s.contains("BroadcastHashJoin"),
+      s"centroid sides must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      s"the corpus must never shuffle for a centroid join:\n$s")
+  }
+
   test("tx21: per-source cap scores scan-locally and shuffles the " +
       "corpus exactly once (source)") {
     val plan = executedPlan("tx21_per_source_quality_cap")
