@@ -983,9 +983,52 @@ object TextQueries {
       FROM old o FULL OUTER JOIN neu n USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** Training-shard manifest — the terminal write-planning step after
+    * packing (tx22): every document lands in one of 16 shards by a
+    * content-independent md5 hash of its id (the reshuffle-free
+    * "global shuffle" of training data: hash placement decorrelates
+    * neighbouring source documents without ever materializing a global
+    * order), and the manifest reports each shard's doc count, token
+    * total, source diversity, and id range — the numbers a trainer
+    * needs to size epochs and verify balance. One shuffle at SHARD
+    * cardinality (16 rows out) after map-side combine; the hash is the
+    * same doc_id-keyed md5 family as tx9's sampler, so both engines
+    * derive identical placements.
+    */
+  val tx24ShardManifest = Q(
+    "tx24_shard_manifest",
+    (s, d) => {
+      val shard = pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("|shard"))), 1, 15), 16, 10).cast("long"), lit(16L))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), shard.as("shard"),
+          size(split(trim(col("text")), "\\s+")).cast("long")
+            .as("n_tokens"))
+        .groupBy(col("shard"))
+        .agg(cnt.as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    },
+    sql = Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|shard'), 1, 15))
+                 AS BIGINT) % 16 AS shard,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents)
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT source) AS n_sources,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM t GROUP BY shard ORDER BY shard"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
-    tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta)
+    tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
+    tx24ShardManifest)
 }

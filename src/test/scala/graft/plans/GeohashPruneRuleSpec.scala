@@ -130,6 +130,23 @@ class GeohashPruneRuleSpec extends AnyFunSuite with PredicateHelper {
     assert(gh3Preds === 1, "the rule must not add beside an existing geohash3 predicate")
   }
 
+  test("wod6's bulk-store lookup gets partition filters from the rule " +
+      "(the real store, not the synthetic fixture)") {
+    val df = graft.queries.Registry.byName("wod6_geo_cell_lookup")
+      .fn(spark, "/root/testdata/sf0.001")
+    // pre-adaptive physical plan: partition filters are extracted at
+    // planning time (FileSourceStrategy), and AQE's materialized query
+    // stages would hide the scan from a plain collect
+    val scans = df.queryExecution.sparkPlan.collectWithSubqueries {
+      case s: FileSourceScanExec => s
+    }
+    val pruned = scans.filter(_.partitionFilters.exists(
+      _.references.exists(_.name == "geohash3")))
+    assert(pruned.nonEmpty,
+      s"wod6's geohash prefix filter must prune geohash3 partitions:\n" +
+        scans.map(_.partitionFilters).mkString("\n"))
+  }
+
   test("stands down without the layout column pair; short equality implies nothing") {
     import spark.implicits._
     // geohash present, geohash3 absent: no crash, plain row filter
