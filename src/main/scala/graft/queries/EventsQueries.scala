@@ -341,6 +341,58 @@ object EventsQueries {
       GROUP BY 1, 2
       ORDER BY cohort_day, day_offset"""))
 
+  /** ev7's declarative twin: the SAME 12 h-gap sessions through
+    * Spark's native `session_window` operator instead of hand-built
+    * lag + running-sum windows — the idiomatic form, and the one that
+    * carries unchanged to Structured Streaming (watermark + merging
+    * session state). Boundary semantics differ at EXACTLY the gap:
+    * `session_window` starts a new session when the gap is >= 12 h
+    * (windows are half-open), ev7's lag split keeps a gap == 12 h
+    * in-session; the oracle mirrors the >= semantics (the fixture has
+    * no exact-boundary gap at either sf, checked).
+    *
+    * Scale shape: one user_id hash exchange into a sort-based session
+    * aggregation — the same single-shuffle topology as ev7, with the
+    * session merging done by the operator rather than two window
+    * passes; `session_window.end` = last event + gap by definition,
+    * so the oracle re-derives it as max(ts)+gap.
+    */
+  val q10SessionWindow = Q(
+    "ev10_session_window",
+    (s, d) =>
+      events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(col("user_id"),
+          session_window(col("t"), "12 hours").as("sw"))
+        .agg(cnt.as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("start_us")),
+    sql = Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+        FROM events),
+      m AS (
+        SELECT user_id, value, ts_us,
+               CASE WHEN LAG(ts_us) OVER w IS NULL
+                      OR ts_us - LAG(ts_us) OVER w >= 43200000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      s AS (
+        SELECT user_id, value, ts_us,
+               CAST(SUM(brk) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, brk DESC ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS sess
+        FROM m)
+      SELECT user_id, MIN(ts_us) AS start_us,
+             MAX(ts_us) + 43200000000 AS end_us,
+             COUNT(*) AS n_events, ${sqlDsum("value")} AS total_value
+      FROM s GROUP BY user_id, sess
+      ORDER BY user_id, start_us"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
-    q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort)
+    q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort, q10SessionWindow)
 }

@@ -197,6 +197,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus must not shuffle for the centroid join:\n$s")
   }
 
+  test("ev10: native session_window keeps ev7's single-shuffle " +
+      "topology — one user_id hash exchange feeds the session agg") {
+    val plan = executedPlan("ev10_session_window")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashExchanges.length === 1,
+      s"session_window must shuffle once on user_id:\n$plan")
+  }
+
   test("em7: iterated k-means broadcasts BOTH centroid generations — " +
       "no sort-merge or cartesian anywhere in the two-iteration plan") {
     val plan = executedPlan("em7_kmeans_iterate")
