@@ -281,6 +281,11 @@ object SimilarityOps {
     val cents = v.orderBy(col("vid")).limit(k)
       .select(col("vid"), col("e")).collect()
     require(cents.length == k, s"corpus has ${cents.length} < k=$k vectors")
+    cents.foreach { r =>
+      val len = r.getSeq[Double](1).length
+      require(len == dims,
+        s"centroid vec ${r.getLong(0)} has $len dims, expected $dims")
+    }
     val centArr = array(cents.map { r =>
       val ce = r.getSeq[Double](1)
       var ss = 0.0 // same left-to-right fold as array_norm
@@ -289,14 +294,25 @@ object SimilarityOps {
         array(ce.map(lit(_)): _*).as("ce"),
         lit(math.sqrt(ss)).as("cn"))
     }: _*)
-    // one in-row pass: score all k centroids, sort (cos DESC, cid ASC)
-    val scored = v.withColumn("cent_rank",
-      array_sort(transform(centArr, c => struct(
-        (-round(array_dot(col("e"), c.getField("ce"))
-          / (col("nrm") * c.getField("cn")), 6)).as("ns"),
-        c.getField("cid").as("cid")))))
+    // one in-row pass: score all k centroids, sort (cos DESC, cid ASC),
+    // keep only the nprobe best centroid ids. Persisted: the index and
+    // query branches below both consume this projection, and without
+    // the cache each branch re-plans the source scan AND the k-centroid
+    // scoring (a double full-scan — real money at corpus scale). The
+    // persisted row is (vid, e, nrm, nprobe longs) — the embedding plus
+    // a few bytes. Lifetime: like q20's cached base, a lazily-returned
+    // DataFrame has no post-action unpersist hook — long-lived sessions
+    // must clearCache() between queries (Verify does).
+    val scored = v.select(col("vid"), col("e"), col("nrm"),
+        transform(
+          slice(array_sort(transform(centArr, c => struct(
+            (-round(array_dot(col("e"), c.getField("ce"))
+              / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+            c.getField("cid").as("cid")))), 1, nprobe),
+          s => s.getField("cid")).as("probe_cids"))
+      .persist()
     val idxAll = scored.select(
-      element_at(col("cent_rank"), 1).getField("cid").as("cid"),
+      element_at(col("probe_cids"), 1).as("cid"),
       col("vid").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
     val index =
       if (maxList > 0)
@@ -304,9 +320,7 @@ object SimilarityOps {
           maxList).withColumnRenamed("vid", "id_b")
       else idxAll
     val queries = scored.select(col("vid").as("id_a"), col("e").as("ea"),
-      col("nrm").as("na"),
-      explode(transform(slice(col("cent_rank"), 1, nprobe),
-        s => s.getField("cid"))).as("cid"))
+      col("nrm").as("na"), explode(col("probe_cids")).as("cid"))
     queries.join(index, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -197,7 +197,9 @@ object SimilarityQueries {
 
   /** IVF-Flat ANN top-1 (k=16 deterministic centroids, nprobe=3),
     * oracle-checked end to end: DuckDB re-derives the same coarse
-    * quantizer (centroids = vec_id < 16), the same (cosine DESC, cid)
+    * quantizer (centroids = the 16 lowest vec_ids, the library's
+    * actual selection rule — ORDER BY vec_id LIMIT 16, independent of
+    * the fixture's id layout), the same (cosine DESC, cid)
     * centroid ranking for list assignment (rank 1) and probes
     * (rank ≤ 3), and the same top-1 tie-break. Unlike banded LSH a
     * (query, index) pair meets in at most one inverted list, so the
@@ -213,7 +215,8 @@ object SimilarityQueries {
     sql = Some("""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                  FROM embeddings),
-      c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v
+           ORDER BY vec_id LIMIT 16),
       cscore AS (
         SELECT v.vec_id, c.cid,
                ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs
@@ -253,7 +256,8 @@ object SimilarityQueries {
     sql = Some("""
       WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                  FROM embeddings),
-      c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v
+           ORDER BY vec_id LIMIT 16),
       cscore AS (
         SELECT v.vec_id, c.cid,
                ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs

@@ -294,6 +294,54 @@ object WodQueries {
       GROUP BY dataset
       ORDER BY dataset"""))
 
+  /** Geo RANGE scan — the other query shape the geohash3 layout
+    * serves: a bbox decomposition emits `geohash >= lo AND geohash <
+    * hi` ranges, and [[graft.plans.InferGeohashPartitionFilter]]'s r8
+    * range inference turns each into a `geohash3` partition range
+    * (strict `<` on a 3-char bound prunes the boundary cell itself).
+    * Bounds are derived from the store deterministically — lo = the
+    * second-lowest cell, hi = the highest (so the scan provably
+    * excludes both edge cells: the lowest by the range, the highest by
+    * the strict bound) — and the oracle re-derives the same bounds.
+    * `GeohashPruneRuleSpec` gates that this exact query shape gets
+    * geohash3 partition filters on the real bulk store.
+    */
+  val wod7RangeScan = Q(
+    "wod7_geo_range_scan",
+    (s, _) => {
+      ensureBulk(s)
+      val store = s.read.parquet(s"$bulkOut/bulk/casts")
+      // bounded driver collect: distinct cells ≤ 32^3 (the same census
+      // bound as the bulk skew guard)
+      val cs = store.select(col("geohash3")).distinct()
+        .orderBy(col("geohash3")).collect().map(_.getString(0))
+      require(cs.length >= 3, s"need >= 3 cells for a range, got ${cs.length}")
+      val (lo, hi) = (cs(1), cs.last)
+      store.filter(col("geohash") >= lo && col("geohash") < hi)
+        .groupBy(col("geohash3"))
+        .agg(cnt.as("n_casts"),
+          countDistinct(col("geohash")).as("n_locations"),
+          countDistinct(col("dataset")).as("n_datasets"),
+          davg(col("latitude")).as("mean_lat"))
+        .orderBy(col("geohash3"))
+    },
+    sql = Some(s"""
+      WITH store AS (
+        SELECT * FROM read_parquet('$bulkOut/bulk/casts/*/*/*/*.parquet',
+                                   hive_partitioning=1)),
+      cs AS (SELECT DISTINCT geohash3 FROM store),
+      bounds AS (SELECT
+          (SELECT geohash3 FROM cs ORDER BY geohash3 LIMIT 1 OFFSET 1) AS lo,
+          (SELECT MAX(geohash3) FROM cs) AS hi)
+      SELECT geohash3, COUNT(*) AS n_casts,
+             COUNT(DISTINCT geohash) AS n_locations,
+             COUNT(DISTINCT dataset) AS n_datasets,
+             ${sqlDavg("latitude")} AS mean_lat
+      FROM store, bounds
+      WHERE geohash >= lo AND geohash < hi
+      GROUP BY geohash3
+      ORDER BY geohash3"""))
+
   val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density, wod4Bulk,
-    wod5BasinJoin, wod6GeoLookup)
+    wod5BasinJoin, wod6GeoLookup, wod7RangeScan)
 }

@@ -65,41 +65,58 @@ object Cli {
     finally spark.stop()
   }
 
-  /** Option surface → (pipeline config, bulk flag). */
+  private val usage =
+    "usage: Cli --input <dir> --output <dir> [--datasets CSV] " +
+      "[--levels CSV] [--subset CSV] [--overwrite] [--no-geo] " +
+      "[--max-files N] [--max-attempts N] [--no-fail-fast] " +
+      "[--bulk] [--bulk-max-rows-per-cell N] [--bulk-concurrency N]"
+
+  /** Option surface → (pipeline config, bulk flag). Every value-taking
+    * option fails with the usage string on a missing or malformed
+    * value — never an out-of-bounds / number-format stack trace.
+    */
   def parse(args: Array[String]): (WodPipeline.Config, Boolean) = {
     var cfg = WodPipeline.Config(input = null, output = null)
     var bulk = false
     var i = 0
+    def value(): String = {
+      require(i + 1 < args.length, s"${args(i)} needs a value\n$usage")
+      args(i + 1)
+    }
+    def intValue(): Int =
+      try value().toInt
+      catch { case _: NumberFormatException =>
+        sys.error(s"${args(i)} needs an integer, got '${value()}'\n$usage") }
+    def longValue(): Long =
+      try value().toLong
+      catch { case _: NumberFormatException =>
+        sys.error(s"${args(i)} needs an integer, got '${value()}'\n$usage") }
     while (i < args.length) {
       args(i) match {
         case "--bulk"            => bulk = true; i += 1
         case "--bulk-max-rows-per-cell" =>
-          cfg = cfg.copy(bulkMaxRowsPerCellFile = args(i + 1).toLong); i += 2
+          cfg = cfg.copy(bulkMaxRowsPerCellFile = longValue()); i += 2
         case "--bulk-concurrency" =>
-          cfg = cfg.copy(bulkConcurrency = args(i + 1).toInt); i += 2
-        case "--input" | "-i"    => cfg = cfg.copy(input = args(i + 1)); i += 2
-        case "--output" | "-o"   => cfg = cfg.copy(output = args(i + 1)); i += 2
+          cfg = cfg.copy(bulkConcurrency = intValue()); i += 2
+        case "--input" | "-i"    => cfg = cfg.copy(input = value()); i += 2
+        case "--output" | "-o"   => cfg = cfg.copy(output = value()); i += 2
         case "--datasets" | "-d" =>
-          cfg = cfg.copy(datasets = args(i + 1).split(",").toSeq); i += 2
+          cfg = cfg.copy(datasets = value().split(",").toSeq); i += 2
         case "--levels" | "-l"   =>
-          cfg = cfg.copy(levels = args(i + 1).split(",").toSeq); i += 2
+          cfg = cfg.copy(levels = value().split(",").toSeq); i += 2
         case "--subset" | "-s"   =>
-          cfg = cfg.copy(subset = args(i + 1).split(",").toSeq); i += 2
+          cfg = cfg.copy(subset = value().split(",").toSeq); i += 2
         case "--overwrite"       => cfg = cfg.copy(overwrite = true); i += 1
         case "--no-geo"          => cfg = cfg.copy(geoMetadata = false); i += 1
         case "--max-files"       =>
-          cfg = cfg.copy(maxConcurrentFiles = args(i + 1).toInt); i += 2
+          cfg = cfg.copy(maxConcurrentFiles = intValue()); i += 2
         case "--max-attempts"    =>
-          cfg = cfg.copy(maxAttemptsPerFile = args(i + 1).toInt); i += 2
+          cfg = cfg.copy(maxAttemptsPerFile = intValue()); i += 2
         case "--no-fail-fast"    => cfg = cfg.copy(failFast = false); i += 1
-        case other => sys.error(s"unknown option: $other")
+        case other => sys.error(s"unknown option: $other\n$usage")
       }
     }
-    require(cfg.input != null && cfg.output != null,
-      "usage: Cli --input <dir> --output <dir> [--datasets CSV] " +
-        "[--levels CSV] [--subset CSV] [--overwrite] [--no-geo] " +
-        "[--max-files N] [--max-attempts N] [--no-fail-fast] " +
-        "[--bulk] [--bulk-max-rows-per-cell N] [--bulk-concurrency N]")
+    require(cfg.input != null && cfg.output != null, usage)
     (cfg, bulk)
   }
 

@@ -32,6 +32,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object WodPipeline {
 
+  /** Write-time provenance: stamp the layout invariant (`geohash3` is
+    * `geohash`'s 3-char prefix) into the `geohash` column's metadata.
+    * Spark round-trips field metadata through the parquet footer, so a
+    * re-read of an engine-written store carries the tag and
+    * [[graft.plans.InferGeohashPartitionFilter]] knows it may infer
+    * `geohash3` partition predicates; untagged external data never
+    * triggers the rule.
+    */
+  private val geohashTag = new org.apache.spark.sql.types.MetadataBuilder()
+    .putBoolean(graft.plans.InferGeohashPartitionFilter.ProvenanceKey, true)
+    .build()
+
+  private def tagGeohash(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("geohash", col("geohash").as("geohash", geohashTag))
+
   final case class Config(
       input: String,
       output: String,
@@ -159,6 +175,7 @@ object WodPipeline {
           count(col("error")).as("n_errors"))
         .filter(col("cast").isNotNull)
         .select("cast.*")
+        .transform(tagGeohash)
         .repartition(col("geohash3"))
         // (geohash3, geohash) orders identically to plain geohash
         // (geohash3 IS its 3-char prefix) but ALSO satisfies the
@@ -451,6 +468,7 @@ object WodPipeline {
         .filter(col("cast").isNotNull)
         .select(col("sourceFile").as("src_file"), col("cast.*"))
         .drop("dataset") // constant in a sub-run; the dir carries it
+        .transform(tagGeohash)
       val sharded =
         if (hot.isEmpty) casts.repartition(col("geohash3"))
         else casts

@@ -26,14 +26,31 @@ class GeohashPruneRuleSpec extends AnyFunSuite with PredicateHelper {
 
   private val cells = Seq("gfq", "gkp", "u4p", "9q8")
 
+  private def fixtureRows = for {
+    cell <- cells
+    i <- 0 until 25
+  } yield (s"$cell${"%09d".format(i)}", cell, i)
+
   private lazy val store: String = {
     val dir = Files.createTempDirectory("gh_prune_store").toString
-    val rows = for {
-      cell <- cells
-      i <- 0 until 25
-    } yield (s"$cell${"%09d".format(i)}", cell, i)
     import spark.implicits._
-    rows.toDF("geohash", "geohash3", "v")
+    // engine-written stores carry the write-time provenance tag on
+    // `geohash` (WodPipeline stamps it; the rule requires it)
+    val tag = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(InferGeohashPartitionFilter.ProvenanceKey, true).build()
+    fixtureRows.toDF("geohash", "geohash3", "v")
+      .withColumn("geohash", col("geohash").as("geohash", tag))
+      .write.partitionBy("geohash3").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Same layout, NO provenance tag — external data with
+    * coincidentally-named columns.
+    */
+  private lazy val untaggedStore: String = {
+    val dir = Files.createTempDirectory("gh_prune_untagged").toString
+    import spark.implicits._
+    fixtureRows.toDF("geohash", "geohash3", "v")
       .write.partitionBy("geohash3").mode("overwrite").parquet(dir)
     dir
   }
@@ -82,6 +99,58 @@ class GeohashPruneRuleSpec extends AnyFunSuite with PredicateHelper {
         col("geohash") === "u4p000000004")
     assert(or.count() === 2)
     assert(dirsTouched(or) === 2)
+  }
+
+  test("range [gfq, gfr) prunes to EXACTLY the gfq cell — the strict " +
+      "short upper bound drops the boundary cell") {
+    // the bbox-decomposition shape from the r7 verdict
+    val df = read().filter(
+      col("geohash") >= "gfq" && col("geohash") < "gfr")
+    assert(df.count() === 25)
+    assert(dirsTouched(df) === 1)
+    assert(scanOf(df).partitionFilters.nonEmpty)
+  }
+
+  test("range bounds prune independently; long bounds keep the " +
+      "boundary cell (sound, not tight)") {
+    // cells sorted: 9q8 < gfq < gkp < u4p
+    // gh >= 'gfq5…' can still have prefix gfq → cells gfq, gkp, u4p
+    val lower = read().filter(col("geohash") >= "gfq500000000")
+    assert(dirsTouched(lower) === 3)
+    // gh <= 'gkp' (non-strict) keeps the gkp cell → 9q8, gfq, gkp
+    val upper = read().filter(col("geohash") <= "gkp")
+    assert(dirsTouched(upper) === 3)
+    // flipped literal order infers the same bound
+    val flipped = read().filter(lit("gkp") >= col("geohash"))
+    assert(dirsTouched(flipped) === 3)
+    assert(flipped.count() === 50) // 9q8*, gfq* rows (gkp… > 'gkp')
+  }
+
+  test("mixed AND/OR: a nested range keeps BOTH bounds inside a " +
+      "disjunction") {
+    val df = read().filter(
+      (col("geohash") >= "gfq" && col("geohash") < "gfr") ||
+        col("geohash") === "u4p000000001")
+    assert(df.count() === 26)
+    assert(dirsTouched(df) === 2, "gfq + u4p, never gkp")
+  }
+
+  test("provenance: an untagged store with the same column names is " +
+      "NEVER pruned — and the conf opt-in restores pruning") {
+    val q = () => spark.read.parquet(untaggedStore)
+      .filter(col("geohash") === "gfq000000007")
+    val df = q()
+    assert(df.count() === 1)
+    assert(dirsTouched(df) === cells.size,
+      "no provenance tag → the rule must not trust the layout")
+    spark.conf.set(InferGeohashPartitionFilter.AssumeLayoutConf, "true")
+    try {
+      val opted = q()
+      assert(opted.count() === 1)
+      assert(dirsTouched(opted) === 1,
+        "conf opt-in must restore pruning for trusted external stores")
+    } finally
+      spark.conf.unset(InferGeohashPartitionFilter.AssumeLayoutConf)
   }
 
   test("pure SQL gets the same pruning") {
@@ -144,6 +213,20 @@ class GeohashPruneRuleSpec extends AnyFunSuite with PredicateHelper {
       _.references.exists(_.name == "geohash3")))
     assert(pruned.nonEmpty,
       s"wod6's geohash prefix filter must prune geohash3 partitions:\n" +
+        scans.map(_.partitionFilters).mkString("\n"))
+  }
+
+  test("wod7's range scan gets geohash3 partition filters from the " +
+      "rule on the real bulk store") {
+    val df = graft.queries.Registry.byName("wod7_geo_range_scan")
+      .fn(spark, "/root/testdata/sf0.001")
+    val scans = df.queryExecution.sparkPlan.collectWithSubqueries {
+      case s: FileSourceScanExec => s
+    }
+    val pruned = scans.filter(_.partitionFilters.exists(
+      _.references.exists(_.name == "geohash3")))
+    assert(pruned.nonEmpty,
+      s"wod7's geohash range filter must prune geohash3 partitions:\n" +
         scans.map(_.partitionFilters).mkString("\n"))
   }
 

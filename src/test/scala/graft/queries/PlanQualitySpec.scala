@@ -175,6 +175,26 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.contains("Join"), s"expected the inverted-list join:\n$s")
   }
 
+  test("sim4: IVF corpus scan + centroid scoring run ONCE — both join " +
+      "sides read the cached projection") {
+    val df = Registry.byName("sim4_ivf_ann_top1").fn(spark, dir)
+    df.count()
+    // physical InMemoryTableScans hide inside AQE query stages; the
+    // optimized LOGICAL plan shows every consumer (memory-quirk note)
+    val opt = df.queryExecution.optimizedPlan
+    val cachedConsumers = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cachedConsumers.size >= 2,
+      s"expected both IVF join sides to consume the cached (vid, e, nrm, " +
+        s"probe_cids) projection, found ${cachedConsumers.size}:\n$opt")
+    val rawScans = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(rawScans.isEmpty,
+      s"no branch may re-scan the source outside the cache:\n$opt")
+  }
+
   test("tx10/tx11: vocabulary-sized relations join as broadcasts, " +
       "never shuffling the token stream") {
     for (name <- Seq("tx10_tfidf_top_terms", "tx11_unigram_logprob")) {
