@@ -110,6 +110,82 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emitted.distinct.length === emitted.length, "duplicate emits")
   }
 
+  test("sessionizeStream state + armed timeouts survive a checkpoint " +
+      "stop/resume — same sessions as uninterrupted, timeouts fire " +
+      "after restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    import EventsStreaming.UserSession
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // deterministic witness for the timeout-across-restart property: a
+    // synthetic QUIET user whose single event is the last microsecond
+    // of slice 2 (stageTimeSlices cuts at tsMin + span*i/slices). Its
+    // timeout (last + gap) is above run 1's final watermark (maxTs(2
+    // slices) - 1h), so the state is necessarily still open at the
+    // stop, and the user never reappears — only the RECOVERED timeout
+    // can close it.
+    val (tsMin, tsMax) = raw.agg(min(col("ts")), max(col("ts")))
+      .as[(Long, Long)].head()
+    val span = tsMax - tsMin + 1
+    val quietUser = 999999999L
+    val quiet = raw.orderBy(col("ts")).limit(1)
+      .withColumn("user_id", lit(quietUser))
+      .withColumn("ts", lit(tsMin + span * 2 / 4 - 1))
+    val batch = raw.unionByName(quiet)
+    val fullStage = EventsStreaming.stageTimeSlices(batch, 4, trailer = true)
+    val sliceFiles = Files.list(Paths.get(fullStage)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (sliceFiles.hasNext) all += sliceFiles.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    // single uninterrupted run = the reference session set
+    val refBase = Files.createTempDirectory("st8_ref")
+    EventsStreaming.drainSessionsToFileSink(spark, batch.schema, fullStage,
+      refBase.resolve("out").toString, refBase.resolve("chk").toString)
+    val expected = spark.read.parquet(refBase.resolve("out").toString)
+      .as[UserSession].collect().toSet
+    assert(expected.nonEmpty)
+
+    // interrupted run: two slices, "crash", add the rest, resume from
+    // the SAME checkpoint + output
+    val stage2 = Files.createTempDirectory("st8_partial")
+    val base = Files.createTempDirectory("st8_resume")
+    val (out, chk) = (base.resolve("out").toString, base.resolve("chk").toString)
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    ordered.take(2).foreach(copyIn)
+    EventsStreaming.drainSessionsToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 1, then "crash"
+    val afterRun1 = spark.read.parquet(out).as[UserSession].collect().toSet
+    ordered.drop(2).foreach(copyIn)
+    EventsStreaming.drainSessionsToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 2: resume state + timeouts
+    val resumed = spark.read.parquet(out).as[UserSession].collect().toSet
+
+    // exactly the uninterrupted result — no lost state, no dupes
+    assert(resumed === expected)
+    // the stop landed mid-stream: run 1 emitted a strict subset, so
+    // open state genuinely crossed the restart
+    assert(afterRun1.subsetOf(resumed) && afterRun1.size < resumed.size)
+    // and at least one post-restart emission was a pure TIMEOUT fire:
+    // a session of a user with NO events in the post-restart slices
+    // can only close via the recovered EventTimeTimeout timestamp
+    val lateUsers = ordered.drop(2)
+      .map(p => spark.read.parquet(p.toString))
+      .reduce(_ union _).select("user_id").distinct()
+      .as[Long].collect().toSet
+    val timeoutFires = (resumed -- afterRun1)
+      .filterNot(s => lateUsers.contains(s.user_id))
+    assert(timeoutFires.exists(_.user_id == quietUser),
+      "expected the quiet user's session closed by a timeout armed " +
+        s"BEFORE the stop and fired AFTER the resume; got $timeoutFires")
+  }
+
   test("sessionizeStream closes a quiet user's session via event-time " +
       "timeout, not end-of-input") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
