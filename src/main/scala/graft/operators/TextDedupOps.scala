@@ -109,4 +109,51 @@ object TextDedupOps {
       .agg(max(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Incremental near-dup refresh — the pairs a snapshot DELTA adds,
+    * without re-running pair generation over the corpus. `corpus` is
+    * the current snapshot; `changedIds` (one id column named like
+    * `idCol`) marks its added/updated documents (tx23's hash-compare
+    * delta). Result = every candidate pair TOUCHING a changed doc,
+    * with exact Jaccard — identical to [[minhashLshPairs]] over the
+    * full corpus restricted to pairs involving the delta.
+    *
+    * Plan shape: the corpus is banded ONCE and serves as the standing
+    * index (one side of ONE (band, bhash)-keyed equi-join — in a
+    * production pipeline this side is the STORED index, not a
+    * recompute); only the delta probes it (a broadcast semi-join marks
+    * the probe rows — ids only, delta-sized). The unchanged partition
+    * of the corpus is never self-joined: full-refresh work is
+    * O(corpus²/buckets) per run, this is O(delta × bucket). A
+    * changed×changed pair meets twice (each side probes the other) and
+    * collapses in the canonical-order group-by; changed×unchanged
+    * meets once.
+    */
+  def incrementalLshPairs(corpus: DataFrame, changedIds: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 8, bands: Int = 2,
+      minJaccard: Double = 0.0): DataFrame = {
+    val rows = numHashes / bands
+    val banded = corpus
+      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        posexplode(bandHashes(minhashSignature(col("sh"), numHashes),
+          bands, rows)).as(Seq("band", "bhash")))
+    val probe = banded
+      .join(broadcast(changedIds.select(col(idCol).as("doc_id"))),
+        Seq("doc_id"), "left_semi")
+      .select(col("band"), col("bhash"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"))
+    val index = banded.select(col("band"), col("bhash"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    probe.join(index, Seq("band", "bhash"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .select(col("lo").as("id_a"), col("hi").as("id_b"), col("jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 }

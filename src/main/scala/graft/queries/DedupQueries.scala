@@ -544,7 +544,84 @@ object DedupQueries {
       FROM bloom b LEFT JOIN exact e USING (doc_id)
       ORDER BY b.doc_id"""))
 
+  /** Cross-snapshot INCREMENTAL dedup — the refresh shape a production
+    * pipeline actually runs when a new crawl lands: tx23's
+    * hash-compare delta (added/updated docs) probes dd2's LSH band
+    * buckets over the current corpus, instead of re-running pair
+    * generation over everything. Fixture snapshots are tx23's exactly
+    * (old = doc_id%10 < 8; new = doc_id%10 >= 2 with every third doc's
+    * text mutated), so "changed" is decided by CONTENT HASH compare,
+    * not id arithmetic. The oracle is the independent formulation:
+    * full-corpus dd2 pair generation restricted to pairs touching a
+    * changed doc. Plan gate (`PlanQualitySpec`): ONE band-keyed join,
+    * no self-joined exchange — the unchanged corpus partition appears
+    * only on the index side.
+    */
+  val dd10IncrementalDedup = Q(
+    "dd10_incremental_dedup",
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val oldSnap = base.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      val newSnap = base.filter(col("doc_id") % 10 >= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val changedIds = newSnap
+        .select(col("doc_id"), md5(col("text")).as("new_md5"))
+        .join(oldSnap, Seq("doc_id"), "left")
+        .filter(col("old_md5").isNull || col("old_md5") =!= col("new_md5"))
+        .select(col("doc_id"))
+      incrementalLshPairs(spread(newSnap), changedIds, "doc_id", "text",
+        numHashes = 8, bands = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some(s"""
+      WITH newdocs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+                 AS text
+        FROM documents WHERE doc_id % 10 >= 2),
+      old AS (
+        SELECT doc_id, md5(text) AS old_md5
+        FROM documents WHERE doc_id % 10 < 8),
+      changed AS (
+        SELECT n.doc_id
+        FROM (SELECT doc_id, md5(text) AS new_md5 FROM newdocs) n
+        LEFT JOIN old o USING (doc_id)
+        WHERE o.old_md5 IS NULL OR o.old_md5 <> n.new_md5),
+      docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM newdocs) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                   AS DOUBLE) /
+                 (len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+                 6) AS jaccard
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM changed)
+           OR b.doc_id IN (SELECT doc_id FROM changed))
+      SELECT id_a, id_b, MAX(jaccard) AS jaccard
+      FROM pairs
+      GROUP BY id_a, id_b
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
-    dd9BloomDecontaminate)
+    dd9BloomDecontaminate, dd10IncrementalDedup)
 }

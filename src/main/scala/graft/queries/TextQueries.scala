@@ -1025,10 +1025,95 @@ object TextQueries {
              MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       FROM t GROUP BY shard ORDER BY shard"""))
 
+  /** One BPE training iteration's oracle block: from `state{k}`
+    * (w, freq, syms), derive the pair counts, the top-5 merge table
+    * rows, and `state{k+1}` with the rank-1 merge applied. The merge
+    * application is the window formulation of the greedy left-to-right
+    * scan: consecutive matched positions form runs (i − row_number),
+    * greedy picks the odd positions of each run, and a row whose LEFT
+    * neighbor was picked is consumed. Provably equivalent to the
+    * engine's array fold ([[graft.operators.BpeOps.applyMerge]]) — two
+    * independent formulations of the same semantics, which is the
+    * point of the oracle.
+    */
+  private def bpeIterSql(k: Int): String = s"""
+      pairs$k AS (
+        SELECT syms[i] || ' ' || syms[i+1] AS pair,
+               CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+              FROM state$k)
+        GROUP BY 1),
+      top$k AS (
+        SELECT CAST($k AS BIGINT) AS step,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT)
+                 AS rank, pair, n
+        FROM pairs$k ORDER BY n DESC, pair LIMIT 5),
+      ab$k AS (
+        SELECT string_split(pair, ' ')[1] AS a,
+               string_split(pair, ' ')[2] AS b
+        FROM top$k WHERE rank = 1),
+      sym$k AS (
+        SELECT w, freq, i, syms[i] AS sym, syms[i+1] AS nxt
+        FROM (SELECT w, freq, syms, unnest(range(1, len(syms)+1)) AS i
+              FROM state$k)),
+      match$k AS (
+        SELECT w, freq, i, sym, nxt,
+               (sym = (SELECT a FROM ab$k) AND
+                nxt IS NOT NULL AND nxt = (SELECT b FROM ab$k)) AS m
+        FROM sym$k),
+      run$k AS (
+        SELECT *, CASE WHEN m THEN i - ROW_NUMBER()
+            OVER (PARTITION BY w, m ORDER BY i) END AS run
+        FROM match$k),
+      pick$k AS (
+        SELECT *, m AND (ROW_NUMBER()
+            OVER (PARTITION BY w, run ORDER BY i) % 2 = 1) AS picked
+        FROM run$k),
+      keep$k AS (
+        SELECT *, COALESCE(LAG(picked) OVER (PARTITION BY w ORDER BY i),
+                           FALSE) AS consumed
+        FROM pick$k),
+      state${k + 1} AS (
+        SELECT w, freq,
+               list(CASE WHEN picked THEN sym ||
+                 (SELECT b FROM ab$k) ELSE sym END ORDER BY i) AS syms
+        FROM keep$k WHERE NOT consumed
+        GROUP BY w, freq)"""
+
+  /** Multi-step BPE merge loop — tx18 iterated (the trainer a real
+    * tokenizer runs): three merge rounds, each applying the previous
+    * round's top pair to the distinct-word symbolization before
+    * recounting. Output = the merge table (top-5 candidates per round,
+    * rank 1 applied). See [[graft.operators.BpeOps]] for the scale
+    * shape (cached word table; per-iteration = one hash agg +
+    * TakeOrderedAndProject + a bounded collect).
+    */
+  val tx25BpeTrain = Q(
+    "tx25_bpe_train_loop",
+    (s, d) =>
+      graft.operators.BpeOps.trainMerges(documents(s, d), steps = 3,
+        topK = 5).orderBy(col("step"), col("rank")),
+    sql = Some(s"""
+      WITH winst AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents),
+      words AS (
+        SELECT w, COUNT(*) AS freq FROM winst
+        WHERE length(w) >= 2 GROUP BY w),
+      state1 AS (
+        SELECT w, freq,
+               list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms
+        FROM words),
+      ${bpeIterSql(1)},${bpeIterSql(2)},${bpeIterSql(3)}
+      SELECT step, rank, pair, n FROM top1
+      UNION ALL SELECT step, rank, pair, n FROM top2
+      UNION ALL SELECT step, rank, pair, n FROM top3
+      ORDER BY step, rank"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
     tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
-    tx24ShardManifest)
+    tx24ShardManifest, tx25BpeTrain)
 }

@@ -314,6 +314,77 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows.isEmpty, s"pair ranking must not use a window:\n$plan")
   }
 
+  test("dd10: incremental dedup probes the index with the DELTA only — " +
+      "one band-keyed join, the corpus never self-joins (no reused " +
+      "exchange feeding both sides)") {
+    // static plan with AQE off (dd2's technique — materialized query
+    // stages hide joins from collect otherwise)
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = Registry.byName("dd10_incremental_dedup").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+        ShuffledHashJoinExec, SortMergeJoinExec}
+      def onBhash(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.exists(_.references.exists(_.name == "bhash"))
+      val bandJoins = plan.collect {
+        case j: SortMergeJoinExec if onBhash(j.leftKeys) => (j.left, j.right)
+        case j: ShuffledHashJoinExec if onBhash(j.leftKeys) => (j.left, j.right)
+        case j: BroadcastHashJoinExec if onBhash(j.leftKeys) => (j.left, j.right)
+      }
+      assert(bandJoins.size === 1,
+        s"exactly one (band, bhash)-keyed candidate join expected:\n$plan")
+      // unlike dd2's full self-join (both sides the same banded corpus,
+      // one reused exchange), EXACTLY ONE side must carry the delta
+      // semi-join mark: probe = delta-filtered, index = whole corpus
+      def hasSemi(p: SparkPlan): Boolean = p.collect {
+        case s: BroadcastHashJoinExec if s.joinType.sql == "LEFT SEMI" => s
+        case s: ShuffledHashJoinExec if s.joinType.sql == "LEFT SEMI" => s
+        case s: SortMergeJoinExec if s.joinType.sql == "LEFT SEMI" => s
+      }.nonEmpty
+      val (l, r) = bandJoins.head
+      assert(hasSemi(l) ^ hasSemi(r),
+        s"one side must be the delta probe, the other the full index:\n$plan")
+      assert(!plan.toString.contains("CartesianProduct"))
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("tx25: a BPE training iteration is two hash aggs + " +
+      "TakeOrderedAndProject — merge application is scan-local " +
+      "(no window, no join, no global sort)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.BpeOps
+    // one iteration's composition, uncached so BOTH aggs are visible:
+    // word count + (merged re-symbolization folded into the scan) +
+    // pair count + top-k
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val st = BpeOps.words(docs)
+      .select(col("freq"), BpeOps.charSyms(col("w")).as("syms"))
+      .withColumn("syms", BpeOps.applyMerge(col("syms"), "e", "r"))
+    val df = BpeOps.pairCounts(st)
+      .orderBy(col("n").desc, col("pair")).limit(5)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$s")
+    assert(!s.contains("Join"), s"no join anywhere in an iteration:\n$s")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"merge application must be scan-local:\n$s")
+    val modes = plan.collect { case h: HashAggregateExec =>
+      h.aggregateExpressions.map(_.mode)
+    }.flatten
+    assert(modes.contains(Partial) && modes.contains(Final),
+      s"pair/word aggs must be two-phase hash aggs:\n$s")
+  }
+
   test("ev7: sessionization runs on ONE hash exchange — both windows " +
       "and the session agg reuse the user_id partitioning") {
     val plan = executedPlan("ev7_sessionize")
