@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   * symbol pairs + TakeOrderedAndProject for the top-k, never a window
   * or global sort. Driver state across iterations is exactly the O(N)
   * merge table (`steps × topK` rows).
+  *
+  * Step-count scaling (the part a real 10⁴-merge vocabulary needs):
+  * merges accumulated since the last epoch boundary are applied as a
+  * merge TABLE — one [[applyMergeTable]] expression folding over a
+  * literal `array<string>` of rank-ordered pairs — so analyzed-plan and
+  * codegen depth are CONSTANT in the step count (the merge list is
+  * data, not nested operators). Every `epochLen` steps the
+  * re-symbolized word table is persisted and becomes the new epoch
+  * base (the old one is unpersisted), bounding per-iteration recompute
+  * to ≤ `epochLen` merge applications over an in-memory table: total
+  * work is O(steps · epochLen · words), linear in steps, where the
+  * naive nested-fold formulation is quadratic in both work and plan
+  * size. Measured at sf0.01 ([[graft.tools.BpeTiming]]): steps=20
+  * nested 13.0 s vs epoch 4.6 s; steps=50 nested 23.2 s vs epoch
+  * 8.8 s — and the nested plan depth grows by one Project per step
+  * while the epoch plan is flat (gated in PlanQualitySpec "tx26").
   */
 object BpeOps {
 
@@ -38,14 +54,34 @@ object BpeOps {
     * THIS pass can never re-merge as the left side — its text is a+b,
     * which equals `a` only if `b` were empty — so the fold is exactly
     * the skip-two greedy scan without needing a consumed marker.
+    *
+    * Column-typed sides so the same kernel serves literal single
+    * merges (tx18) and the merge-table fold, where (a, b) derive from
+    * the outer lambda variable.
     */
-  def applyMerge(syms: Column, a: String, b: String): Column =
+  def applyMerge(syms: Column, a: Column, b: Column): Column =
     aggregate(syms, expr("CAST(array() AS array<string>)"),
       (acc, x) =>
         when(size(acc) > 0 &&
-            element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            element_at(acc, lit(-1)) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
           .otherwise(concat(acc, array(x))))
+
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    applyMerge(syms, lit(a), lit(b))
+
+  /** Apply an ordered merge TABLE (rank-ordered `"a b"` pair strings)
+    * in ONE expression: an outer fold over the merges array drives the
+    * inner greedy left-to-right fold, exactly the standard BPE apply
+    * order (each merge applied exhaustively before the next). Plan and
+    * codegen depth are constant in the merge count — the merge list is
+    * DATA (a literal array), not nested operators, so a 10⁴-entry
+    * vocabulary compiles the same plan as a 3-entry one.
+    */
+  def applyMergeTable(syms: Column, merges: Column): Column =
+    aggregate(merges, syms, (acc, m) =>
+      applyMerge(acc, element_at(split(m, " ", 2), 1),
+        element_at(split(m, " ", 2), 2)))
 
   /** Frequency-weighted adjacent-pair counts of the current
     * symbolization (`freq`, `syms` columns). Fully merged single-symbol
@@ -61,21 +97,42 @@ object BpeOps {
 
   /** Train `steps` BPE merges over `docs`' text column; returns the
     * merge table (step, rank, pair, n) with the top `topK` candidates
-    * of each round (rank 1 is the applied merge). The word table is
-    * cached once (lifetime: q20/sim4 pattern — long-lived sessions
-    * clearCache() between queries; Verify does); per-iteration work is
-    * the pair agg + top-k + a `topK`-row collect.
+    * of each round (rank 1 is the applied merge).
+    *
+    * Lineage discipline: within an epoch the current symbolization is
+    * `base + applyMergeTable(pending)` — one flat expression over the
+    * persisted epoch base. Every `epochLen` accepted merges the
+    * symbolization is materialized as the new base and the old one
+    * unpersisted, so plan depth is constant and recompute bounded
+    * across ANY step count. All caches are released before returning
+    * (the merge table itself is driver-local), so the trainer leaves
+    * the cache manager empty.
+    *
+    * @param probe test hook, called with (step, symbolization) before
+    *              each iteration's pair count — lets the plan-depth
+    *              gate observe per-iteration lineage without exposing
+    *              internals.
     */
-  def trainMerges(docs: DataFrame, steps: Int, topK: Int): DataFrame = {
+  def trainMerges(docs: DataFrame, steps: Int, topK: Int,
+      epochLen: Int = 16,
+      probe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    require(steps >= 1 && topK >= 1 && epochLen >= 1,
+      s"steps=$steps, topK=$topK, epochLen=$epochLen must all be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val w0 = words(docs)
+    var base = words(docs)
       .select(col("freq"), charSyms(col("w")).as("syms"))
       .persist()
-    var st = w0
+    var pending = Vector.empty[String] // merges since the epoch base
+    def symbolized: DataFrame =
+      if (pending.isEmpty) base
+      else base.withColumn("syms",
+        applyMergeTable(col("syms"), typedLit(pending)))
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
     for (k <- 1 to steps) {
+      val st = symbolized
+      probe(k, st)
       val top = pairCounts(st)
         .orderBy(col("n").desc, col("pair"))
         .limit(topK)
@@ -84,9 +141,16 @@ object BpeOps {
       top.zipWithIndex.foreach { case (r, i) =>
         merges += ((k.toLong, i + 1L, r.getString(0), r.getLong(1)))
       }
-      val Array(a, b) = top.head.getString(0).split(" ", 2)
-      st = st.withColumn("syms", applyMerge(col("syms"), a, b))
+      pending :+= top.head.getString(0)
+      if (pending.size >= epochLen && k < steps) {
+        val next = symbolized.persist()
+        next.count() // materialize BEFORE dropping the old base
+        base.unpersist()
+        base = next
+        pending = Vector.empty
+      }
     }
+    base.unpersist()
     merges.toSeq.toDF("step", "rank", "pair", "n")
   }
 }

@@ -264,20 +264,22 @@ object SimilarityOps {
     * Tie-breaks mirror the rest of the ANN surface: centroid order =
     * (cosine DESC, cid ASC); neighbor = (score DESC, id ASC).
     */
-  /** The shared IVF candidate stage: (id_a, id_b, score) scored pairs
-    * from the `nprobe` probed inverted lists (see [[ivfTop1]] for the
-    * plan-shape discussion). Each pair appears exactly once.
-    */
-  private def ivfCandidates(vecsDf: DataFrame, idCol: String,
-      vecCol: String, dims: Int, k: Int, nprobe: Int,
-      maxList: Int): DataFrame = {
-    require(nprobe <= k, s"nprobe $nprobe > k $k")
-    val v = vecsDf
+  /** The (vid, e, nrm) projection every IVF stage starts from. */
+  private def ivfProject(vecsDf: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    vecsDf
       .select(col(idCol).as("vid"),
         transform(col(vecCol), x => x.cast("double")).as("e"))
       .withColumn("nrm", array_norm(col("e")))
-    // bounded driver collect (k rows): the coarse quantizer is literal
-    // by contract — same footprint class as the broadcast plane matrix
+
+  /** The deterministic first-k seeding (the oracle-checkable "library
+    * selection rule" — sim4/sim5's quantizer, and the Lloyd trainer's
+    * starting point). Bounded driver collect (k rows): the coarse
+    * quantizer is driver/broadcast-resident by contract — same
+    * footprint class as the broadcast plane matrix.
+    */
+  private def firstKCentroids(v: DataFrame, k: Int,
+      dims: Int): Seq[(Long, Seq[Double])] = {
     val cents = v.orderBy(col("vid")).limit(k)
       .select(col("vid"), col("e")).collect()
     require(cents.length == k, s"corpus has ${cents.length} < k=$k vectors")
@@ -286,31 +288,97 @@ object SimilarityOps {
       require(len == dims,
         s"centroid vec ${r.getLong(0)} has $len dims, expected $dims")
     }
-    val centArr = array(cents.map { r =>
-      val ce = r.getSeq[Double](1)
+    cents.toSeq.map(r => r.getLong(0) -> r.getSeq[Double](1))
+  }
+
+  /** The k-centroid struct-array literal (cid, ce, cn) both the list
+    * assignment and probe selection score in-row.
+    */
+  private def centroidLiteral(cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (cid, ce) =>
       var ss = 0.0 // same left-to-right fold as array_norm
       ce.foreach(x => ss += x * x)
-      struct(lit(r.getLong(0)).as("cid"),
+      struct(lit(cid).as("cid"),
         array(ce.map(lit(_)): _*).as("ce"),
         lit(math.sqrt(ss)).as("cn"))
     }: _*)
+
+  /** Train the IVF coarse quantizer: `iters` Lloyd refinements of the
+    * first-k seeding (em7's iteration, run to a fixed small count —
+    * the classic IVF trainer uses a few Lloyd rounds over a sample).
+    * Per round the corpus never shuffles: centroids ship as a literal,
+    * assignment is the same in-row scored `array_sort` as the IVF
+    * probe selection (cosine DESC, cid ASC at 6dp — bit-identical to
+    * the oracle's window rank), and the update aggregates nano-exact
+    * per-dimension BIGINT sums, collected at k×dims rows (bounded:
+    * the quantizer is driver-resident by contract). A centroid whose
+    * list empties simply drops out (standard Lloyd degeneracy; k
+    * shrinks, determinism holds).
+    */
+  def trainCentroids(vecsDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    require(iters >= 0, s"iters $iters < 0")
+    val v = ivfProject(vecsDf, idCol, vecCol)
+    var cents = firstKCentroids(v, k, dims)
+    for (_ <- 1 to iters) {
+      val centArr = centroidLiteral(cents)
+      val assigned = v.select(
+        element_at(transform(
+          slice(array_sort(transform(centArr, c => struct(
+            (-round(array_dot(col("e"), c.getField("ce"))
+              / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+            c.getField("cid").as("cid")))), 1, 1),
+          s => s.getField("cid")), 1).as("cid"),
+        col("e"))
+      val upd = assigned
+        .select(col("cid"), posexplode(col("e")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("x") * 1e9 + 0.5).cast("long")).as("units"))
+        .collect() // bounded driver collect: ≤ k×dims rows
+      cents = upd.groupBy(_.getLong(0)).toSeq.map { case (cid, rows) =>
+        val arr = new Array[Double](dims)
+        rows.foreach { r =>
+          arr(r.getInt(1)) = r.getLong(3).toDouble / (r.getLong(2) * 1e9)
+        }
+        cid -> arr.toSeq
+      }.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** The shared IVF candidate stage: (id_a, id_b, score) scored pairs
+    * from the `nprobe` probed inverted lists (see [[ivfTop1]] for the
+    * plan-shape discussion). Each pair appears exactly once.
+    */
+  private def ivfCandidates(vecsDf: DataFrame, idCol: String,
+      vecCol: String, dims: Int, k: Int, nprobe: Int, maxList: Int,
+      trainIters: Int = 0): DataFrame = {
+    require(nprobe <= k, s"nprobe $nprobe > k $k")
+    val v = ivfProject(vecsDf, idCol, vecCol)
+    val cents =
+      if (trainIters == 0) firstKCentroids(v, k, dims)
+      else trainCentroids(vecsDf, idCol, vecCol, dims, k, trainIters)
+    // Lloyd dropout can shrink the centroid set below nprobe
+    require(cents.length >= nprobe,
+      s"quantizer has ${cents.length} live centroids < nprobe $nprobe")
+    val centArr = centroidLiteral(cents)
     // one in-row pass: score all k centroids, sort (cos DESC, cid ASC),
     // keep only the nprobe best centroid ids. Persisted: the index and
     // query branches below both consume this projection, and without
     // the cache each branch re-plans the source scan AND the k-centroid
     // scoring (a double full-scan — real money at corpus scale). The
     // persisted row is (vid, e, nrm, nprobe longs) — the embedding plus
-    // a few bytes. Lifetime: like q20's cached base, a lazily-returned
-    // DataFrame has no post-action unpersist hook — long-lived sessions
-    // must clearCache() between queries (Verify does).
-    val scored = v.select(col("vid"), col("e"), col("nrm"),
+    // a few bytes. Lifetime: scoped — released by the listener sweep
+    // once the consuming action materializes it (CacheHygieneSpec).
+    val scored = org.apache.spark.sql.graft.ScopedCaches.scoped(
+      v.select(col("vid"), col("e"), col("nrm"),
         transform(
           slice(array_sort(transform(centArr, c => struct(
             (-round(array_dot(col("e"), c.getField("ce"))
               / (col("nrm") * c.getField("cn")), 6)).as("ns"),
             c.getField("cid").as("cid")))), 1, nprobe),
-          s => s.getField("cid")).as("probe_cids"))
-      .persist()
+          s => s.getField("cid")).as("probe_cids")))
     val idxAll = scored.select(
       element_at(col("probe_cids"), 1).as("cid"),
       col("vid").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
@@ -357,4 +425,22 @@ object SimilarityOps {
       .select(col("id_a"), col("rank"), col("id_b").as("nn_id"),
         col("score"))
   }
+
+  /** [[ivfTop1]] with a TRAINED coarse quantizer: `trainIters` Lloyd
+    * refinements of the first-k seeding before indexing
+    * ([[trainCentroids]]). Identical probe/join plan to sim4 — only
+    * the centroid literal changes; better-centered lists raise recall
+    * at the same nprobe (measured in AnnRecallSpec).
+    */
+  def ivfTop1Trained(vecsDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int = 16, nprobe: Int = 2, trainIters: Int = 2,
+      maxList: Int = 0): DataFrame =
+    ivfCandidates(vecsDf, idCol, vecCol, dims, k, nprobe, maxList,
+      trainIters)
+      .select(col("id_a"),
+        struct(col("score"), (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalable text-deduplication primitives for a training-data pipeline.
@@ -86,20 +86,13 @@ object TextDedupOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, bands: Int = 2, minJaccard: Double = 0.0)
       : DataFrame = {
-    val rows = numHashes / bands
-    val base = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val banded = base
-      .select(col("doc_id"), col("sh"),
-        posexplode(bandHashes(minhashSignature(col("sh"), numHashes),
-          bands, rows)).as(Seq("band", "bhash")))
-      // pre-partition on the join key: both sides of the self-join then
-      // share one exchange (ReusedExchange) → shingling+minhash runs once
+    // pre-partition on the join key: both sides of the self-join then
+    // share one exchange (ReusedExchange) → shingling+minhash runs once
+    val bd = banded(docs, idCol, textCol, numHashes, bands)
       .repartition(col("band"), col("bhash"))
-    val a = banded.select(col("band"), col("bhash"),
+    val a = bd.select(col("band"), col("bhash"),
       col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bhash"),
+    val b = bd.select(col("band"), col("bhash"),
       col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
@@ -132,19 +125,75 @@ object TextDedupOps {
   def incrementalLshPairs(corpus: DataFrame, changedIds: DataFrame,
       idCol: String, textCol: String, numHashes: Int = 8, bands: Int = 2,
       minJaccard: Double = 0.0): DataFrame = {
-    val rows = numHashes / bands
-    val banded = corpus
-      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), col("sh"),
-        posexplode(bandHashes(minhashSignature(col("sh"), numHashes),
-          bands, rows)).as(Seq("band", "bhash")))
-    val probe = banded
+    val bd = banded(corpus, idCol, textCol, numHashes, bands)
+    val probe = bd
       .join(broadcast(changedIds.select(col(idCol).as("doc_id"))),
         Seq("doc_id"), "left_semi")
       .select(col("band"), col("bhash"), col("doc_id").as("id_a"),
         col("sh").as("sh_a"))
-    val index = banded.select(col("band"), col("bhash"),
+    val index = bd.select(col("band"), col("bhash"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    probe.join(index, Seq("band", "bhash"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .select(col("lo").as("id_a"), col("hi").as("id_b"), col("jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The banded LSH projection of a document set: (doc_id, sh, band,
+    * bhash) — the rows [[minhashLshPairs]] and [[incrementalLshPairs]]
+    * band on the fly, and the rows [[writeLshIndex]] stores.
+    */
+  private def banded(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        posexplode(bandHashes(minhashSignature(col("sh"), numHashes),
+          bands, numHashes / bands)).as(Seq("band", "bhash")))
+
+  /** Materialize the standing LSH index for `corpus` as a BUCKETED
+    * table — the storage half of the incremental-dedup story
+    * ([[incrementalLshPairs]] re-bands the corpus each run; a
+    * production refresh bands it once per snapshot and probes the
+    * stored rows). Layout: (band, bhash, doc_id, sh) bucketed AND
+    * sorted by the probe key (band, bhash), so a probe join reads the
+    * index bucket-aligned — the corpus-scale side of every subsequent
+    * delta refresh moves ZERO bytes through a shuffle (the bucketed
+    * scan's output partitioning already satisfies the join; only the
+    * delta-scale probe side exchanges). Bucket count is the knob to
+    * grow with the corpus (reducer-sized buckets, same sizing rule as
+    * shuffle partitions).
+    */
+  def writeLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, numHashes: Int = 8, bands: Int = 2,
+      buckets: Int = 8): Unit =
+    banded(corpus, idCol, textCol, numHashes, bands)
+      .write.bucketBy(buckets, "band", "bhash").sortBy("band", "bhash")
+      .mode("overwrite").saveAsTable(table)
+
+  /** Probe a STORED index ([[writeLshIndex]]) with a snapshot delta
+    * (id + text columns): the pairs a delta adds, identical to
+    * [[incrementalLshPairs]] over the same corpus — but the corpus
+    * text is never read and never re-banded. Per-refresh work: shingle
+    * + band the DELTA (delta-scale map), one (band, bhash) equi-join
+    * against the bucket-aligned index scan, candidate-only Jaccard.
+    * A changed×changed pair meets twice (both sides are in the index);
+    * the canonical-order group-by collapses it — same discipline as
+    * [[incrementalLshPairs]].
+    */
+  def probeLshIndex(spark: SparkSession, table: String,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 2,
+      minJaccard: Double = 0.0): DataFrame = {
+    val probe = banded(deltaDocs, idCol, textCol, numHashes, bands)
+      .select(col("band"), col("bhash"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"))
+    val index = spark.table(table).select(col("band"), col("bhash"),
       col("doc_id").as("id_b"), col("sh").as("sh_b"))
     probe.join(index, Seq("band", "bhash"))
       .filter(col("id_a") =!= col("id_b"))

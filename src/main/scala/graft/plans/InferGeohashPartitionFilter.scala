@@ -65,6 +65,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `spark.graft.geohash.assumePrefixLayout=true`.
   * External data with coincidentally-named columns never triggers the
   * rule (r7 ADVICE: no silent row loss on invariant-violating inputs).
+  * In BOTH modes `geohash` and `geohash3` must additionally reach the
+  * filter unrenamed from one leaf relation ([[sameOrigin]]) — a
+  * `withColumn("geohash3", …)` replacement or a joined-in foreign
+  * geohash3 disarms the rule (r8 ADVICE).
   *
   * Soundness: every added conjunct is IMPLIED by the original
   * predicate given the layout invariant, so rows are never lost; the
@@ -97,6 +101,22 @@ object InferGeohashPartitionFilter extends Rule[LogicalPlan]
         .getOrElse(false)) ||
       conf.getConfString(AssumeLayoutConf, "false").equalsIgnoreCase("true")
 
+  /** The tag on `geohash` asserts a layout invariant about its SIBLING
+    * column — which only holds for the geohash3 the store was written
+    * with. Column metadata survives arbitrary downstream transforms, so
+    * the tag alone can't rule out a `withColumn("geohash3", …)`
+    * replacement or a joined-in foreign geohash3 (r8 ADVICE). geohash3
+    * is the store's PARTITION column, so it cannot carry its own
+    * footer tag (partition values come from directory names); instead
+    * require both attributes to reach the filter from the SAME leaf
+    * relation, unrenamed — any replacement/rename mints a fresh exprId
+    * in a Project and fails the leaf-output containment.
+    */
+  private def sameOrigin(child: LogicalPlan, gh: Attribute,
+      gh3: Attribute): Boolean =
+    child.collectLeaves().exists(l =>
+      l.outputSet.contains(gh) && l.outputSet.contains(gh3))
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       def named(n: String): Option[Attribute] =
@@ -104,7 +124,8 @@ object InferGeohashPartitionFilter extends Rule[LogicalPlan]
           conf.resolver(a.name, n) && a.dataType == StringType)
       (named("geohash"), named("geohash3")) match {
         case (Some(gh), Some(gh3))
-            if trusted(gh) && !cond.references.contains(gh3) =>
+            if trusted(gh) && sameOrigin(child, gh, gh3) &&
+              !cond.references.contains(gh3) =>
           val extra = splitConjunctivePredicates(cond)
             .flatMap(infer(_, gh, gh3))
           if (extra.isEmpty) f

@@ -205,23 +205,20 @@ object Analytics2 {
     "q20_ntile_quartiles",
     (s, d) => {
       val parts = math.max(s.sparkContext.defaultParallelism, 2)
-      val base = orders(s, d)
+      val base = org.apache.spark.sql.graft.ScopedCaches.scoped(orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"))
         .repartitionByRange(parts, col("o_totalprice").desc, col("o_orderkey"))
         .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey"))
         .select(col("o_totalprice"), spark_partition_id().as("pid"),
           // low 33 bits = row index within the partition, in row order
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
-            .as("lrn"))
-        // three consumers (counts, offsets, final join) — without this
-        // the scan + range exchange re-plans per consumer (4x the
-        // dominant shuffle; AQE does NOT reuse these stages, measured).
-        // Persisting the narrow projection also pins pid/lrn to one
-        // evaluation. Gate: PlanQualitySpec asserts the cache is hit.
-        // Lifetime: a lazily-returned DataFrame has no post-action
-        // unpersist hook — long-lived sessions running many queries
-        // must clearCache() between queries (Verify does).
-        .persist()
+            .as("lrn")))
+        // three consumers (counts, offsets, final join) — without the
+        // scoped cache the scan + range exchange re-plans per consumer
+        // (4x the dominant shuffle; AQE does NOT reuse these stages,
+        // measured). Persisting the narrow projection also pins pid/lrn
+        // to one evaluation. Gate: PlanQualitySpec asserts the cache is
+        // hit; CacheHygieneSpec asserts the consuming action releases it.
       val counts = base.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
         // lrn is the LOW 33 BITS of monotonically_increasing_id: a range
         // partition holding >= 2^33 rows would silently wrap and assign

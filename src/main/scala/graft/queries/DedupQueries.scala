@@ -557,21 +557,32 @@ object DedupQueries {
     * no self-joined exchange — the unchanged corpus partition appears
     * only on the index side.
     */
+  /** tx23's fixture snapshots: the current corpus (`newSnap`) and the
+    * content-hash-compare delta ids — shared by dd10 (on-the-fly index)
+    * and dd11 (stored index).
+    */
+  private def snapshotDelta(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val oldSnap = base.filter(col("doc_id") % 10 < 8)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val newSnap = base.filter(col("doc_id") % 10 >= 2)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val changedIds = newSnap
+      .select(col("doc_id"), md5(col("text")).as("new_md5"))
+      .join(oldSnap, Seq("doc_id"), "left")
+      .filter(col("old_md5").isNull || col("old_md5") =!= col("new_md5"))
+      .select(col("doc_id"))
+    (newSnap, changedIds)
+  }
+
   val dd10IncrementalDedup = Q(
     "dd10_incremental_dedup",
     (s, d) => {
-      val base = documents(s, d).select(col("doc_id"), col("text"))
-      val oldSnap = base.filter(col("doc_id") % 10 < 8)
-        .select(col("doc_id"), md5(col("text")).as("old_md5"))
-      val newSnap = base.filter(col("doc_id") % 10 >= 2)
-        .select(col("doc_id"),
-          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")).as("text"))
-      val changedIds = newSnap
-        .select(col("doc_id"), md5(col("text")).as("new_md5"))
-        .join(oldSnap, Seq("doc_id"), "left")
-        .filter(col("old_md5").isNull || col("old_md5") =!= col("new_md5"))
-        .select(col("doc_id"))
+      val (newSnap, changedIds) = snapshotDelta(s, d)
       incrementalLshPairs(spread(newSnap), changedIds, "doc_id", "text",
         numHashes = 8, bands = 2)
         .orderBy(col("id_a"), col("id_b"))
@@ -621,7 +632,47 @@ object DedupQueries {
       GROUP BY id_a, id_b
       ORDER BY id_a, id_b"""))
 
+  /** One stored index table per (warehouse-visible) sf dir this JVM. */
+  @volatile private var lshIndexTables = Map.empty[String, String]
+
+  /** Idempotently build the STORED banded index for `d`'s current
+    * snapshot (dd11 probes it; the index-reuse spec probes it twice).
+    */
+  def ensureLshIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    lshIndexTables.getOrElse(d, {
+      val t = s"dd_lsh_index_${Integer.toHexString(d.hashCode)}"
+      val (newSnap, _) = snapshotDelta(s, d)
+      writeLshIndex(spread(newSnap), "doc_id", "text", t,
+        numHashes = 8, bands = 2)
+      lshIndexTables += d -> t
+      t
+    })
+  }
+
+  /** dd10 with the index half made real: the standing banded index is
+    * a BUCKETED (band, bhash) parquet table written once per snapshot
+    * ([[graft.operators.TextDedupOps.writeLshIndex]]), and the delta
+    * probes it FROM DISK — the corpus text is never read and never
+    * re-banded (plan-gated: the only text scan is the delta fetch; the
+    * index side is a bucket-aligned table scan with NO shuffle). Same
+    * semantics as dd10, so the oracle is dd10's SQL verbatim — two
+    * independent formulations, one result.
+    */
+  val dd11StoredIndexDedup = Q(
+    "dd11_stored_index_dedup",
+    (s, d) => {
+      val table = ensureLshIndex(s, d)
+      val (newSnap, changedIds) = snapshotDelta(s, d)
+      val deltaDocs = newSnap
+        .join(broadcast(changedIds), Seq("doc_id"), "left_semi")
+      probeLshIndex(s, table, deltaDocs, "doc_id", "text",
+        numHashes = 8, bands = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = dd10IncrementalDedup.sql)
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
-    dd9BloomDecontaminate, dd10IncrementalDedup)
+    dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup)
 }

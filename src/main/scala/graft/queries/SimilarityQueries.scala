@@ -285,6 +285,83 @@ object SimilarityQueries {
       FROM topk WHERE rank <= 5
       ORDER BY id_a, rank"""))
 
+  /** One Lloyd refinement block for the sim6 oracle: assign every
+    * vector to its nearest c{i-1} centroid (score DESC, cid — the same
+    * 6dp tie-break as the engine's in-row array_sort), then recompute
+    * each live centroid as the nano-exact per-dimension mean (em7's
+    * BIGINT-units arithmetic, bit-identical across engines).
+    */
+  private def lloydIterSql(i: Int): String = s"""
+      s$i AS (SELECT v.vec_id, c.cid, v.e,
+                     ROUND(list_cosine_similarity(v.e, c.ce), 6) AS score
+              FROM v CROSS JOIN c${i - 1} c),
+      a$i AS (SELECT cid, e FROM (
+                SELECT cid, e, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY score DESC, cid) AS rn
+                FROM s$i) WHERE rn = 1),
+      ex$i AS (SELECT cid, generate_subscripts(e, 1) - 1 AS dim,
+                      unnest(e) AS x
+               FROM a$i),
+      uval$i AS (SELECT cid, dim,
+                        CAST(SUM(CAST(floor(x * 1e9 + 0.5) AS BIGINT))
+                          AS DOUBLE) / (COUNT(*) * 1e9) AS cval
+                 FROM ex$i GROUP BY cid, dim),
+      c$i AS (SELECT cid, list(cval ORDER BY dim) AS ce
+              FROM uval$i GROUP BY cid)"""
+
+  /** sim4 with a TRAINED coarse quantizer: two Lloyd refinements of
+    * the first-16 seeding
+    * ([[graft.operators.SimilarityOps.trainCentroids]]) before
+    * indexing — the IVF trainer real systems run (train the coarse
+    * quantizer, then quantize). The probe/join plan is byte-identical
+    * to sim4's (single-scan cached projection, ONE cid-keyed join);
+    * only the centroid literal changes. The oracle re-derives both
+    * halves independently: the two Lloyd iterations (em7's nano-exact
+    * arithmetic) and then sim4's IVF assignment/probe/top-1 against
+    * the trained centroids. Recall delta vs the first-k quantizer is
+    * recorded in AnnRecallSpec: 0.550 vs 0.442 recall@1 at nprobe=3 on
+    * the sf0.01 fixture (+0.108 — better-centered lists, same probe
+    * budget, same plan).
+    */
+  val sim6IvfTrained = Q(
+    "sim6_ivf_trained_top1",
+    (s, d) =>
+      SimilarityOps.ivfTop1Trained(spread(embeddings(s, d)), "vec_id",
+        "embedding", dims = 64, k = 16, nprobe = 3, trainIters = 2)
+        .orderBy(col("id_a")),
+    sql = Some(s"""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, e AS ce FROM v
+             ORDER BY vec_id LIMIT 16),
+      ${lloydIterSql(1)},
+      ${lloydIterSql(2)},
+      cscore AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs
+        FROM v CROSS JOIN c2 c),
+      ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cid) AS rn
+        FROM cscore),
+      assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 3),
+      cand AS (
+        SELECT p.vec_id AS id_a, a.vec_id AS id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS score
+        FROM probes p
+        JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN v va ON va.vec_id = p.vec_id
+        JOIN v vb ON vb.vec_id = a.vec_id),
+      best AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM cand)
+      SELECT id_a, id_b AS ann_id, score FROM best WHERE rn = 1
+      ORDER BY id_a"""))
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
-    sim5IvfTopK)
+    sim5IvfTopK, sim6IvfTrained)
 }

@@ -1036,49 +1036,53 @@ object TextQueries {
     * independent formulations of the same semantics, which is the
     * point of the oracle.
     */
-  private def bpeIterSql(k: Int): String = s"""
-      pairs$k AS (
+  private def bpeIterSql(k: Int, topK: Int = 5,
+      materialized: Boolean = false): String = {
+    val mat = if (materialized) "MATERIALIZED " else ""
+    s"""
+      pairs$k AS $mat(
         SELECT syms[i] || ' ' || syms[i+1] AS pair,
                CAST(SUM(freq) AS BIGINT) AS n
         FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
               FROM state$k)
         GROUP BY 1),
-      top$k AS (
+      top$k AS $mat(
         SELECT CAST($k AS BIGINT) AS step,
                CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT)
                  AS rank, pair, n
-        FROM pairs$k ORDER BY n DESC, pair LIMIT 5),
-      ab$k AS (
+        FROM pairs$k ORDER BY n DESC, pair LIMIT $topK),
+      ab$k AS $mat(
         SELECT string_split(pair, ' ')[1] AS a,
                string_split(pair, ' ')[2] AS b
         FROM top$k WHERE rank = 1),
-      sym$k AS (
+      sym$k AS $mat(
         SELECT w, freq, i, syms[i] AS sym, syms[i+1] AS nxt
         FROM (SELECT w, freq, syms, unnest(range(1, len(syms)+1)) AS i
               FROM state$k)),
-      match$k AS (
+      match$k AS $mat(
         SELECT w, freq, i, sym, nxt,
                (sym = (SELECT a FROM ab$k) AND
                 nxt IS NOT NULL AND nxt = (SELECT b FROM ab$k)) AS m
         FROM sym$k),
-      run$k AS (
+      run$k AS $mat(
         SELECT *, CASE WHEN m THEN i - ROW_NUMBER()
             OVER (PARTITION BY w, m ORDER BY i) END AS run
         FROM match$k),
-      pick$k AS (
+      pick$k AS $mat(
         SELECT *, m AND (ROW_NUMBER()
             OVER (PARTITION BY w, run ORDER BY i) % 2 = 1) AS picked
         FROM run$k),
-      keep$k AS (
+      keep$k AS $mat(
         SELECT *, COALESCE(LAG(picked) OVER (PARTITION BY w ORDER BY i),
                            FALSE) AS consumed
         FROM pick$k),
-      state${k + 1} AS (
+      state${k + 1} AS $mat(
         SELECT w, freq,
                list(CASE WHEN picked THEN sym ||
                  (SELECT b FROM ab$k) ELSE sym END ORDER BY i) AS syms
         FROM keep$k WHERE NOT consumed
         GROUP BY w, freq)"""
+  }
 
   /** Multi-step BPE merge loop — tx18 iterated (the trainer a real
     * tokenizer runs): three merge rounds, each applying the previous
@@ -1110,10 +1114,45 @@ object TextQueries {
       UNION ALL SELECT step, rank, pair, n FROM top3
       ORDER BY step, rank"""))
 
+  /** BPE training at REAL step counts — tx25's loop run for 50 merges,
+    * exercising the epoch formulation of
+    * [[graft.operators.BpeOps.trainMerges]]: merges since the last
+    * epoch boundary apply as ONE data-driven merge-table fold (constant
+    * plan depth in the step count) and the symbol table re-persists
+    * every 16 accepted merges, so per-iteration recompute is bounded no
+    * matter how far the vocabulary grows. Output = the applied (rank-1)
+    * merge of each of the 50 rounds. The oracle unrolls the same 50
+    * iterations as MATERIALIZED CTEs (the window-function formulation of
+    * greedy merge application — see [[bpeIterSql]]); materialization
+    * keeps DuckDB from exponentially inlining the multiply-referenced
+    * state cascade.
+    */
+  val tx26BpeTrainEpochs = Q(
+    "tx26_bpe_train_epochs",
+    (s, d) =>
+      graft.operators.BpeOps.trainMerges(documents(s, d), steps = 50,
+        topK = 1, epochLen = 16).orderBy(col("step")),
+    sql = Some(s"""
+      WITH winst AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents),
+      words AS MATERIALIZED (
+        SELECT w, COUNT(*) AS freq FROM winst
+        WHERE length(w) >= 2 GROUP BY w),
+      state1 AS MATERIALIZED (
+        SELECT w, freq,
+               list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms
+        FROM words),
+      ${(1 to 50).map(k => bpeIterSql(k, topK = 1, materialized = true))
+        .mkString(",")}
+      ${(1 to 50).map(k => s"SELECT step, rank, pair, n FROM top$k")
+        .mkString("\n      UNION ALL ")}
+      ORDER BY step"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
     tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
-    tx24ShardManifest, tx25BpeTrain)
+    tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs)
 }

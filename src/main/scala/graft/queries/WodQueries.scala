@@ -313,9 +313,19 @@ object WodQueries {
       val store = s.read.parquet(s"$bulkOut/bulk/casts")
       // bounded driver collect: distinct cells ≤ 32^3 (the same census
       // bound as the bulk skew guard)
+      // collect is capped at the layout bound + 1: the 32^3 cell
+      // argument is only as good as the layout, so a drift to longer
+      // prefixes fails loudly instead of pulling unbounded rows to the
+      // driver (r8 ADVICE) — and the limit keeps even the failing run
+      // bounded
+      val cellBound = 32 * 32 * 32
       val cs = store.select(col("geohash3")).distinct()
-        .orderBy(col("geohash3")).collect().map(_.getString(0))
+        .orderBy(col("geohash3")).limit(cellBound + 1)
+        .collect().map(_.getString(0))
       require(cs.length >= 3, s"need >= 3 cells for a range, got ${cs.length}")
+      require(cs.length <= cellBound,
+        s"geohash3 census exceeds the 32^3 cell bound — " +
+          "store layout drifted from 3-char cells")
       val (lo, hi) = (cs(1), cs.last)
       store.filter(col("geohash") >= lo && col("geohash") < hi)
         .groupBy(col("geohash3"))
@@ -342,6 +352,66 @@ object WodQueries {
       GROUP BY geohash3
       ORDER BY geohash3"""))
 
+  /** Lat/lon BBOX retrieval — the user-facing face of the geohash
+    * layout: the caller gives a geographic box, the engine decomposes
+    * it into geohash prefix ranges
+    * ([[graft.operators.GeoOps.bboxToGeohashRanges]], depth 2 — coarse
+    * enough to stay a handful of ranges on a global store), ANDs the
+    * exact lat/lon predicate for exact semantics, and the r8 range
+    * rule prunes the store to the touched geohash3 directories. The
+    * oracle is a PLAIN lat/lon-predicate query — no geohash logic at
+    * all — so the hash match independently validates the cover
+    * property on real data: if the decomposition missed a cell, rows
+    * would vanish. The box is mean-centered (decimal-exact avg on both
+    * engines, floored) and clamped to WGS-84; both engines derive it
+    * from the data, one bounded 1-row collect on the Spark side.
+    */
+  val wod8BboxScan = Q(
+    "wod8_geo_bbox_scan",
+    (s, _) => {
+      ensureBulk(s)
+      val store = s.read.parquet(s"$bulkOut/bulk/casts")
+      // bounded driver collect: ONE row — the box anchor
+      val anchor = store
+        .agg(floor(davg(col("latitude"))).cast("double").as("clat"),
+          floor(davg(col("longitude"))).cast("double").as("clon")).head()
+      val (clat, clon) = (anchor.getDouble(0), anchor.getDouble(1))
+      val (latLo, latHi) = (math.max(clat - 7, -90.0), math.min(clat + 7, 90.0))
+      val (lonLo, lonHi) =
+        (math.max(clon - 14, -180.0), math.min(clon + 14, 180.0))
+      val ranges = graft.operators.GeoOps
+        .bboxToGeohashRanges(latLo, latHi, lonLo, lonHi, depth = 2)
+      val rangePred = ranges.map { case (lo, hi) =>
+        col("geohash") >= lo && col("geohash") < hi }.reduce(_ || _)
+      store
+        .filter(rangePred &&
+          col("latitude") >= latLo && col("latitude") <= latHi &&
+          col("longitude") >= lonLo && col("longitude") <= lonHi)
+        .groupBy(col("geohash3"))
+        .agg(cnt.as("n_casts"),
+          countDistinct(col("geohash")).as("n_locations"),
+          davg(col("latitude")).as("mean_lat"))
+        .orderBy(col("geohash3"))
+    },
+    sql = Some(s"""
+      WITH store AS (
+        SELECT * FROM read_parquet('$bulkOut/bulk/casts/*/*/*/*.parquet',
+                                   hive_partitioning=1)),
+      box AS (SELECT
+          GREATEST(FLOOR(${sqlDavg("latitude")}) - 7, -90) AS lat_lo,
+          LEAST(FLOOR(${sqlDavg("latitude")}) + 7, 90) AS lat_hi,
+          GREATEST(FLOOR(${sqlDavg("longitude")}) - 14, -180) AS lon_lo,
+          LEAST(FLOOR(${sqlDavg("longitude")}) + 14, 180) AS lon_hi
+        FROM store)
+      SELECT geohash3, COUNT(*) AS n_casts,
+             COUNT(DISTINCT geohash) AS n_locations,
+             ${sqlDavg("latitude")} AS mean_lat
+      FROM store, box
+      WHERE latitude >= lat_lo AND latitude <= lat_hi
+        AND longitude >= lon_lo AND longitude <= lon_hi
+      GROUP BY geohash3
+      ORDER BY geohash3"""))
+
   val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density, wod4Bulk,
-    wod5BasinJoin, wod6GeoLookup, wod7RangeScan)
+    wod5BasinJoin, wod6GeoLookup, wod7RangeScan, wod8BboxScan)
 }

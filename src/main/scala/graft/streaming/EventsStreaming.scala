@@ -216,12 +216,14 @@ object EventsStreaming {
     * batch join the DuckDB oracle runs. Inner joins emit on match
     * (no trailer slice needed).
     */
-  def clickPurchaseJoin(spark: SparkSession, dir: String,
-      slices: Int = 4): DataFrame = {
-    import org.apache.spark.sql.streaming.OutputMode
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    val staged = stageTimeSlices(batch, slices, trailer = false)
-    def src() = spark.readStream.schema(batch.schema)
+  /** The st4 two-sided join topology over a staged slice dir — shared
+    * by the memory-sink query (st4) and the checkpointed file-sink
+    * drain (the stop/resume spec).
+    */
+  private def clickPurchaseJoined(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String): DataFrame = {
+    def src() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
@@ -236,12 +238,20 @@ object EventsStreaming {
         col("event_time").as("purchase_time"),
         expr("ts DIV 1000").as("purchase_us"), col("value"))
       .withWatermark("purchase_time", "1 hour")
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_time") >= col("click_time") &&
         col("purchase_time") <= col("click_time") + expr("interval 30 minutes"))
       .select(col("user_id"), col("click_us"), col("purchase_us"),
         col("value"))
+  }
+
+  def clickPurchaseJoin(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = stageTimeSlices(batch, slices, trailer = false)
+    val joined = clickPurchaseJoined(spark, batch.schema, staged)
     val name = s"graft_st_join_${nameCounter.incrementAndGet()}"
     val q = joined.writeStream
       .outputMode(OutputMode.Append())
@@ -252,6 +262,29 @@ object EventsStreaming {
     finally q.stop()
     spark.table(name)
       .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
+  }
+
+  /** [[clickPurchaseJoin]]'s topology through the durable file sink
+    * (parquet + checkpoint): restartable with the same out/chk — BOTH
+    * sides' buffered join state resumes from the checkpointed state
+    * store, so a click buffered before a stop still matches a purchase
+    * that only arrives after the restart (exercised by
+    * `StreamingSpec`; two-sided join-state recovery is the other place
+    * state-store bugs hide, next to st8's timeout timestamps — r8
+    * verdict item 7).
+    */
+  private[streaming] def drainJoinToFileSink(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String, out: String, chk: String): Unit = {
+    val q = clickPurchaseJoined(spark, schema, staged)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
   }
 
   /** st6: streaming exact dedup — `dropDuplicatesWithinWatermark` on

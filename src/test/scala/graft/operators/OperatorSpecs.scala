@@ -127,6 +127,54 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("stored LSH index serves two successive deltas with NO rebuild — " +
+      "results match the on-the-fly incremental operator, index files " +
+      "untouched between probes") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " phi"), // near-dup of 1
+      (3L, "completely different words entirely unrelated content here " +
+        "nothing shared at all with anything else whatsoever okay"),
+      (4L, base + " chi psi")) // near-dup of 1 and 2
+      .toDF("doc_id", "text")
+    val table = "t_idx_reuse_spec"
+    TextDedupOps.writeLshIndex(corpus, "doc_id", "text", table,
+      numHashes = 8, bands = 4, buckets = 2)
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+    def snapshot(): Map[String, Long] =
+      loc.listFiles().filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val filesAfterWrite = snapshot()
+    assert(filesAfterWrite.nonEmpty)
+
+    def probe(ids: Long*): Set[(Long, Long, Double)] =
+      TextDedupOps.probeLshIndex(spark, table,
+        corpus.filter(col("doc_id").isin(ids: _*)), "doc_id", "text",
+        numHashes = 8, bands = 4, minJaccard = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    def reference(ids: Long*): Set[(Long, Long, Double)] =
+      TextDedupOps.incrementalLshPairs(corpus,
+        Seq(ids: _*).toDF("doc_id"), "doc_id", "text",
+        numHashes = 8, bands = 4, minJaccard = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+
+    // delta 1: doc 2 changed → pairs touching 2
+    val got1 = probe(2L)
+    assert(got1 === reference(2L) && got1.nonEmpty, s"delta1: $got1")
+    // delta 2 against the SAME stored index: doc 4 changed
+    val got2 = probe(4L)
+    assert(got2 === reference(4L) && got2.nonEmpty, s"delta2: $got2")
+    // the index was read, never rewritten: same files, same mtimes
+    assert(snapshot() === filesAfterWrite,
+      "probing must not touch the stored index files")
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("connectedComponents: transitive chains collapse to one cluster") {
     import spark.implicits._
     // chain 1-2-3 (transitive), isolated pair 10-11
@@ -274,5 +322,38 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     // invariant: a stream's sequence count covers its token total
     val aSeqs = got.filter(_._1 == "a").map(_._6).max + 1
     assert(aSeqs === math.ceil(24.0 / 10).toLong)
+  }
+
+  test("applyMergeTable: one data-driven fold equals the sequential " +
+      "per-merge folds, including merges chaining into merged symbols") {
+    import spark.implicits._
+    val words = Seq("banana", "bandana", "abba", "aaaa").toDF("w")
+    val merges = Seq("a n", "an a", "b an") // "an" feeds later merges
+    val seqApplied = merges.foldLeft(
+      words.select(BpeOps.charSyms(col("w")).as("syms"))) { (df, m) =>
+      val Array(a, b) = m.split(" ", 2)
+      df.withColumn("syms", BpeOps.applyMerge(col("syms"), a, b))
+    }
+    val tableApplied = words.select(
+      BpeOps.applyMergeTable(BpeOps.charSyms(col("w")),
+        typedLit(merges)).as("syms"))
+    assert(tableApplied.collect().map(_.getSeq[String](0)).toSeq ===
+      seqApplied.collect().map(_.getSeq[String](0)).toSeq)
+    // spot-check the greedy left-to-right semantics end-to-end
+    assert(tableApplied.collect()(3).getSeq[String](0) === Seq("a", "a", "a", "a"))
+  }
+
+  test("trainMerges: merge table is invariant to epoch length " +
+      "(epoch re-persist is an execution detail, not a semantics change)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(epochLen: Int) =
+      BpeOps.trainMerges(docs, steps = 9, topK = 2, epochLen = epochLen)
+        .orderBy(col("step"), col("rank")).collect().toSeq
+    val byThree = run(3)
+    assert(byThree === run(100), "epochLen must not change the merges")
+    assert(byThree.map(_.getLong(0)).distinct === (1L to 9L),
+      "every step must contribute merge-table rows")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "trainMerges must release every cache it creates")
   }
 }

@@ -230,6 +230,71 @@ class GeohashPruneRuleSpec extends AnyFunSuite with PredicateHelper {
         scans.map(_.partitionFilters).mkString("\n"))
   }
 
+  test("same-origin gate: a replaced or foreign geohash3 disarms the " +
+      "rule even though the geohash tag survives the transform") {
+    import spark.implicits._
+    // the r8 ADVICE attack: the tag on `geohash` rides along while a
+    // withColumn swaps geohash3 for a non-prefix value — firing here
+    // would add a conjunct over junk values and silently drop rows
+    val swapped = read()
+      .withColumn("geohash3", lit("zzz"))
+      .filter(col("geohash") === "gfq000000007")
+    assert(swapped.count() === 1,
+      "the rule must not filter on the replaced geohash3")
+    // predicate pushdown legitimately lands the geohash filter BELOW
+    // the replacement Project, where the rule may fire on the store's
+    // ORIGINAL geohash3 (sound — the layout invariant holds there).
+    // What must never happen is a conjunct on the REBUILT attribute:
+    val rebuiltId = swapped.queryExecution.analyzed.output
+      .find(_.name == "geohash3").get.exprId
+    val rebuiltRefs = swapped.queryExecution.optimizedPlan.collect {
+      case LFilter(c, _) => splitConjunctivePredicates(c).count(
+        _.references.exists(a =>
+          a.name == "geohash3" && a.exprId == rebuiltId))
+    }.sum
+    assert(rebuiltRefs === 0,
+      "no inferred geohash3 conjunct may target a rebuilt column")
+    // a joined-in foreign geohash3 (different leaf) must not arm it
+    // either: drop the store's own geohash3 first, then join one in
+    val foreign = Seq(("x", "zzz")).toDF("k", "geohash3")
+    val joined = read().drop("geohash3").withColumn("k", lit("x"))
+      .join(foreign, "k")
+      .filter(col("geohash") === "gfq000000007")
+    assert(joined.count() === 1,
+      "a foreign geohash3 from another relation must be ignored")
+  }
+
+  test("bbox decomposition end-to-end: GeoOps ranges become geohash3 " +
+      "partition filters and prune to exactly the box's cell") {
+    import graft.operators.GeoOps
+    // a box strictly inside the gfq cell → one range [gfq, gfr)
+    val b = GeoOps.cellBounds("gfq")
+    val ranges = GeoOps.bboxToGeohashRanges(
+      b.latMin + 1e-6, b.latMax - 1e-6, b.lonMin + 1e-6, b.lonMax - 1e-6, 3)
+    assert(ranges === Seq(("gfq", "gfr")))
+    val pred = ranges.map { case (lo, hi) =>
+      col("geohash") >= lo && col("geohash") < hi }.reduce(_ || _)
+    val df = read().filter(pred)
+    assert(df.count() === 25)
+    assert(dirsTouched(df) === 1, "the range cover must prune to gfq only")
+    assert(scanOf(df).partitionFilters.nonEmpty)
+    // a box spanning two cells keeps both, never the others
+    val b2 = GeoOps.cellBounds("gkp")
+    val wide = GeoOps.bboxToGeohashRanges(
+      math.min(b.latMin, b2.latMin) + 1e-6,
+      math.max(b.latMax, b2.latMax) - 1e-6,
+      math.min(b.lonMin, b2.lonMin) + 1e-6,
+      math.max(b.lonMax, b2.lonMax) - 1e-6, 3)
+    val widePred = wide.map { case (lo, hi) =>
+      col("geohash") >= lo && col("geohash") < hi }.reduce(_ || _)
+    val wdf = read().filter(widePred)
+    val dirs = dirsTouched(wdf)
+    assert(wdf.count() === 50, "both cells' rows must survive the cover")
+    assert(dirs < cells.size,
+      s"a two-cell box must prune at least the cells outside its cover " +
+        s"(touched $dirs of ${cells.size})")
+  }
+
   test("stands down without the layout column pair; short equality implies nothing") {
     import spark.implicits._
     // geohash present, geohash3 absent: no crash, plain row filter

@@ -170,6 +170,34 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"more probes must never lower recall (nprobe1=$r1 > nprobe3=$r3)")
   }
 
+  test("trained-centroid IVF (2 Lloyd iterations): recall delta vs the " +
+      "first-k quantizer recorded; coverage and the recall floor hold") {
+    val n = vectors.count().toDouble
+    val ann = SimilarityOps.ivfTop1Trained(vectors, "vec_id", "e",
+      dims = 64, k = 16, nprobe = 3, trainIters = 2)
+      .select(col("id_a"), col("ann_id"))
+    val row = ann.join(exactTop1, "id_a")
+      .agg(count(lit(1)).as("covered"),
+        sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+          .as("matched"))
+      .head()
+    val coverage = row.getLong(0).toDouble / n
+    val trained =
+      if (row.getLong(0) == 0) 0.0
+      else row.getLong(1).toDouble / row.getLong(0)
+    val (_, untrained) = ivfQuality(k = 16, nprobe = 3)
+    info(f"ivf k=16 nprobe=3: trained recall@1=$trained%.3f vs " +
+      f"first-k $untrained%.3f (delta ${trained - untrained}%+.3f)")
+    assert(coverage >= minCoverage,
+      s"trained-IVF coverage $coverage below the $minCoverage gate")
+    assert(trained >= minRecall,
+      s"trained-IVF recall $trained below the $minRecall floor")
+    // measured on this fixture: 0.550 trained vs 0.442 first-k (+0.108)
+    assert(trained >= untrained,
+      s"training the quantizer must not degrade recall " +
+        s"($trained < $untrained)")
+  }
+
   test("IVF adversarial constant-vector corpus: every vector lands in " +
       "ONE list; the cap bounds the join and coverage holds") {
     import spark.implicits._

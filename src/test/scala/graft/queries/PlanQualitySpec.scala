@@ -28,6 +28,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       session: SparkSession = spark): SparkPlan = {
     val df = Registry.byName(name).fn(session, dir)
     df.count() // materialize so AQE finalizes the plan
+    // NOTE: count() derives its own QueryExecution, so this access
+    // re-plans lazily AFTER the action — which keeps the tree fully
+    // traversable (an EXECUTED adaptive plan hides operators inside
+    // materialized query stages), but means ScopedCaches-released
+    // caches are no longer visible here. Cache-hit gates must inspect
+    // the PRE-ACTION logical optimizedPlan instead (see q20/sim4).
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
@@ -125,16 +131,24 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q20: triple-consumed base is cached — scan+range exchange run once") {
-    val plan = executedPlan("q20_ntile_quartiles")
-    val cached = plan.collect {
-      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    // PRE-ACTION logical plan: the scoped cache is registered during
+    // construction and released right after the consuming action, so
+    // the substitution is inspected before any action runs
+    val df = Registry.byName("q20_ntile_quartiles").fn(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    val cached = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
     }
-    assert(cached.nonEmpty, s"expected InMemoryTableScan consumers:\n$plan")
-    // every orders access must go through the cache; a direct FileScan
+    assert(cached.size >= 3,
+      s"expected the counts/offsets/final-join consumers to read the " +
+        s"cached base, found ${cached.size}:\n$opt")
+    // every orders access must go through the cache; a direct relation
     // outside it means the range exchange re-planned per consumer
-    val scans = plan.collect { case s: FileSourceScanExec => s }
-    assert(scans.isEmpty,
-      s"base must not recompute; direct scans found:\n$plan")
+    val rawScans = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(rawScans.isEmpty,
+      s"base must not recompute; direct scans found:\n$opt")
   }
 
   test("q7: semi/anti joins stay broadcast at dim size") {
@@ -178,9 +192,10 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("sim4: IVF corpus scan + centroid scoring run ONCE — both join " +
       "sides read the cached projection") {
     val df = Registry.byName("sim4_ivf_ann_top1").fn(spark, dir)
-    df.count()
-    // physical InMemoryTableScans hide inside AQE query stages; the
-    // optimized LOGICAL plan shows every consumer (memory-quirk note)
+    // PRE-ACTION logical plan (cache substitution already visible; an
+    // action would let the ScopedCaches sweep release the projection).
+    // Physical InMemoryTableScans hide inside AQE query stages anyway;
+    // the optimized LOGICAL plan shows every consumer (memory-quirk note)
     val opt = df.queryExecution.optimizedPlan
     val cachedConsumers = opt.collect {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
@@ -383,6 +398,97 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }.flatten
     assert(modes.contains(Partial) && modes.contains(Final),
       s"pair/word aggs must be two-phase hash aggs:\n$s")
+  }
+
+  test("dd11: the stored index is probed, never rebuilt — banding " +
+      "runs once (delta side only) and the bucketed index scan feeds " +
+      "the band join with NO shuffle") {
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
+    val (savedB, savedA) = (spark.conf.get(bcast), spark.conf.get(aqe))
+    spark.conf.set(bcast, "-1") // force the shuffle-topology decision
+    spark.conf.set(aqe, "false")
+    try {
+      val df = Registry.byName("dd11_stored_index_dedup").fn(spark, dir)
+      // ONE Generate total: the delta is banded on the fly; the corpus
+      // NEVER is (its bands come from the stored index rows)
+      import org.apache.spark.sql.catalyst.plans.logical.Generate
+      val gens = df.queryExecution.optimizedPlan.collect {
+        case g: Generate => g
+      }
+      assert(gens.size === 1,
+        s"exactly one banding explode (the delta's), got ${gens.size}")
+      val plan = df.queryExecution.sparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      // the (band, bhash) join: the index side must be exchange-free —
+      // its bucketed layout already satisfies the join's distribution
+      val bandJoins = plan.collect {
+        case j: SortMergeJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "band")) =>
+          (j.left, j.right)
+        case j: ShuffledHashJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "band")) =>
+          (j.left, j.right)
+      }
+      assert(bandJoins.size === 1, s"expected ONE band join:\n$plan")
+      def indexScans(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect {
+          case s: FileSourceScanExec
+              if s.relation.location.rootPaths
+                .exists(_.toString.contains("dd_lsh_index")) => s
+        }
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case e: ShuffleExchangeExec => e }
+      val (l, r) = bandJoins.head
+      val indexSide = if (indexScans(l).nonEmpty) l else r
+      val probeSide = if (indexScans(l).nonEmpty) r else l
+      assert(indexScans(indexSide).nonEmpty,
+        s"one side must read the stored index:\n$plan")
+      assert(indexScans(indexSide).head.bucketedScan,
+        "the index must be read AS BUCKETED (bucket-aligned, presorted)")
+      assert(shuffles(indexSide).isEmpty,
+        s"the corpus-scale index side must not shuffle:\n$indexSide")
+      assert(indexScans(probeSide).isEmpty,
+        s"the probe side must not re-read the index:\n$probeSide")
+    } finally {
+      spark.conf.set(bcast, savedB)
+      spark.conf.set(aqe, savedA)
+    }
+  }
+
+  test("tx26: trainer lineage is bounded — optimized-plan depth is " +
+      "periodic in the epoch, never grows with the step count, and " +
+      "each epoch base is an in-memory relation") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import graft.operators.BpeOps
+    def depth(p: LogicalPlan): Int =
+      1 + p.children.foldLeft(0)((m, c) => math.max(m, depth(c)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val depths = scala.collection.mutable.Map.empty[Int, Int]
+    var sawCachedBase = false
+    BpeOps.trainMerges(docs, steps = 12, topK = 1, epochLen = 4,
+      probe = (k, st) => {
+        // optimizedPlan is where cache substitution lands: each epoch
+        // base resolves to an InMemoryRelation LEAF, so bounded lineage
+        // is visible here (analyzed plans keep full pre-cache lineage)
+        depths(k) = depth(st.queryExecution.optimizedPlan)
+        if (k > 4) sawCachedBase ||= st.queryExecution.optimizedPlan.collect {
+          case r: InMemoryRelation => r
+        }.nonEmpty
+      })
+    // nested formulation: depth(k) grows by one Project per step.
+    // epoch formulation: depth depends only on the position WITHIN the
+    // epoch (pending empty vs non-empty), so it is exactly periodic —
+    // step k and step k+epochLen compile the same plan shape.
+    for (k <- 2 to 8)
+      assert(depths(k) === depths(k + 4),
+        s"plan depth must be epoch-periodic, got $depths")
+    assert(depths.values.max <= depths(2) + 2,
+      s"no step may deepen lineage beyond one merge-table projection: $depths")
+    assert(sawCachedBase,
+      "after the first epoch the symbolization must read a cached base")
   }
 
   test("ev7: sessionization runs on ONE hash exchange — both windows " +

@@ -186,6 +186,81 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"BEFORE the stop and fired AFTER the resume; got $timeoutFires")
   }
 
+  test("stream-stream join state survives a checkpoint stop/resume — " +
+      "a click buffered BEFORE the stop matches a purchase arriving " +
+      "AFTER the restart") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // deterministic witness for the buffered-state property: a
+    // synthetic user whose click is the last instant of slice 2 and
+    // whose only purchase is the first instant of slice 3 (60 s later,
+    // inside the 30 min join window). With the stop after slice 2, the
+    // click can ONLY match from join state recovered off the checkpoint.
+    val (tsMin, tsMax) = raw.agg(min(col("ts")), max(col("ts")))
+      .as[(Long, Long)].head()
+    val span = tsMax - tsMin + 1
+    val cut = tsMin + span * 2 / 4
+    val witnessUser = 888888888L
+    val template = raw.orderBy(col("ts")).limit(1)
+      .withColumn("user_id", lit(witnessUser))
+    val wClick = template
+      .withColumn("ts", lit(cut - 1))
+      .withColumn("event_type", lit("click"))
+    val wPurchase = template
+      .withColumn("ts", lit(cut + 1))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("value", lit(42.0))
+    val batch = raw.unionByName(wClick).unionByName(wPurchase)
+    val fullStage = EventsStreaming.stageTimeSlices(batch, 4, trailer = false)
+    val sliceFiles = Files.list(Paths.get(fullStage)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (sliceFiles.hasNext) all += sliceFiles.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    // single uninterrupted run = the reference match set
+    val refBase = Files.createTempDirectory("st4r_ref")
+    EventsStreaming.drainJoinToFileSink(spark, batch.schema, fullStage,
+      refBase.resolve("out").toString, refBase.resolve("chk").toString)
+    val expected = spark.read.parquet(refBase.resolve("out").toString)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(expected.exists(_._1 == witnessUser),
+      "the witness pair must join in the uninterrupted run")
+
+    // interrupted run: two slices, "crash", add the rest, resume from
+    // the SAME checkpoint + output
+    val stage2 = Files.createTempDirectory("st4r_partial")
+    val base = Files.createTempDirectory("st4r_resume")
+    val (out, chk) = (base.resolve("out").toString, base.resolve("chk").toString)
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    ordered.take(2).foreach(copyIn)
+    EventsStreaming.drainJoinToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 1, then "crash"
+    val afterRun1 = spark.read.parquet(out)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    ordered.drop(2).foreach(copyIn)
+    EventsStreaming.drainJoinToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 2: resume both sides' join state
+    val resumed = spark.read.parquet(out)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    // exactly the uninterrupted result — no lost buffers, no dupes
+    assert(resumed === expected)
+    // the stop landed mid-stream and the witness match crossed it:
+    // left side arrived before the stop, right side after
+    assert(afterRun1.subsetOf(resumed) && afterRun1.size < resumed.size)
+    assert(!afterRun1.exists(_._1 == witnessUser),
+      "the witness purchase must not exist before the stop")
+    assert((resumed -- afterRun1).exists(_._1 == witnessUser),
+      "the witness match must emit from RECOVERED pre-stop click state")
+  }
+
   test("sessionizeStream closes a quiet user's session via event-time " +
       "timeout, not end-of-input") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
