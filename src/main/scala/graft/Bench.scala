@@ -134,8 +134,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timings.values.sum
     val calib = hostCalibSec()
+    // Calibration anchor: r8's measured host_calib_sec (the first round
+    // that emitted the probe). normalized = raw × (calib_now / anchor):
+    // a slower host (higher calib) scales throughput UP to
+    // anchor-host-equivalent, so round-over-round conversion drift is
+    // adjudicated on the normalized number instead of a manual A/B
+    // (BENCH_ISOLATION.md; r8 verdict item 5).
+    val CalibAnchorSec = 0.801
+    val calibRatio = calib / CalibAnchorSec
+    val normCasts = castsPerSec * calibRatio
+    val normBulk = bulkCastsPerSec * calibRatio
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"wod_bulk_casts_per_sec":$bulkCastsPerSec,"host_calib_sec":$calib,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"wod_bulk_casts_per_sec":$bulkCastsPerSec,"host_calib_sec":$calib,"host_calib_anchor_sec":$CalibAnchorSec,"wod_casts_per_sec_normalized":$normCasts,"wod_bulk_casts_per_sec_normalized":$normBulk,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()

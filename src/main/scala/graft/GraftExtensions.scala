@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, GeohashEncode, Int8QuantStats, MinHashSignature, RollingHashWindows, ShingleArray, SimHashFingerprint}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, GeohashEncode, Int8QuantStats, MinHashSignature, PHashFingerprint, RollingHashWindows, ShingleArray, SimHashFingerprint}
 
 /** SparkSessionExtensions wiring: makes the graft kernels available to
   * pure-SQL users via
@@ -45,5 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash"),
       (es: Seq[Expression]) => RollingHashWindows(es.head,
         es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((FunctionIdentifier("phash"), info("phash"),
+      (es: Seq[Expression]) => PHashFingerprint(es.head)))
   }
 }

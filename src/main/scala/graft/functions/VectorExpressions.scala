@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, Int8QuantStats, MinHashSignature, RollingHashWindows, ShingleArray, SimHashFingerprint, GraftExpressionBridge => B}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, Int8QuantStats, MinHashSignature, PHashFingerprint, RollingHashWindows, ShingleArray, SimHashFingerprint, GraftExpressionBridge => B}
 
 /** User-facing API for Graft's native kernels (implemented in the
   * org.apache.spark.sql.graft bridge package).
@@ -17,6 +17,13 @@ object VectorFunctions {
   /** SimHash 60-bit fingerprint over an array<string> token column. */
   def simhash_fingerprint(tokens: Column, bits: Int = 60): Column =
     B.column(SimHashFingerprint(B.expression(tokens), bits))
+
+  /** Block-mean perceptual hash (60-bit) over a BINARY payload column —
+    * the media-dedup fingerprint (see
+    * [[org.apache.spark.sql.graft.PHashFingerprint]]).
+    */
+  def phash_fingerprint(content: Column, bits: Int = 60): Column =
+    B.column(PHashFingerprint(B.expression(content), bits))
 
   /** Distinct k-shingles (first-occurrence order) from a token array —
     * native single pass.

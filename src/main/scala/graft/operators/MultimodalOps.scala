@@ -92,6 +92,52 @@ object MultimodalOps {
           s"as int), $frameBytes)").as("frame"))
   }
 
+  /** Perceptual-hash near-duplicate pairs over opaque media payloads —
+    * the multimodal half of the dedup story (dd2's band-join
+    * discipline applied to binary content): one block-mean pHash per
+    * asset (native expression,
+    * [[org.apache.spark.sql.graft.PHashFingerprint]]), the 60-bit
+    * fingerprint split into `bands` contiguous bit-bands, assets
+    * sharing any band key become candidates, candidates verified by
+    * exact Hamming distance ≤ `maxHamming` over the FULL fingerprint.
+    *
+    * Plan shape: fingerprinting is scan-local (payload bytes never
+    * leave the scan — only (media_id, fp) rows flow on); banding
+    * pre-partitions on (band, bkey) so BOTH self-join sides reuse ONE
+    * exchange of fingerprint-sized rows (plan-gated like dd2); a pair
+    * meeting in multiple bands collapses in the canonical-order
+    * group-by. At 100 TB the exchange carries 16 bytes/asset/band —
+    * the payloads stay put.
+    */
+  def phashNearDupPairs(media: org.apache.spark.sql.DataFrame,
+      idCol: String, contentCol: String, maxHamming: Int,
+      bands: Int = 4, bits: Int = 60): org.apache.spark.sql.DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bits $bits must divide into bands $bands")
+    val bitsPerBand = bits / bands
+    val mask = (1L << bitsPerBand) - 1
+    val fp = media.select(col(idCol).as("media_id"),
+      graft.functions.VectorFunctions
+        .phash_fingerprint(col(contentCol), bits).as("fp"))
+    val banded = fp.select(col("media_id"), col("fp"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("fp"), b * bitsPerBand).bitwiseAND(lit(mask))
+        ): _*)).as(Seq("band", "bkey")))
+      .repartition(col("band"), col("bkey"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("media_id").as("id_a"), col("fp").as("fp_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("media_id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+          .as("hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Build a deterministic media table from `documents` (text bytes as
     * payload) — gives the multimodal path real data to flow through in
     * tests and the oracle-checked md1 query.

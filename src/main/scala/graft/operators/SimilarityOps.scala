@@ -426,6 +426,124 @@ object SimilarityOps {
         col("score"))
   }
 
+  /** Materialize the IVF index as DURABLE storage — the ANN serving
+    * shape (build once per corpus snapshot, probe forever): the
+    * inverted lists as a `cid`-BUCKETED, sorted table (list membership
+    * = nearest first-k centroid, the same oracle-checkable selection
+    * rule as [[ivfTop1]]), plus the k centroids in a `<table>_centroids`
+    * companion (k rows — the quantizer is driver/broadcast-resident by
+    * contract, the companion just makes it durable). A probe joins the
+    * bucket-aligned list scan with ZERO index-side shuffle — at corpus
+    * scale the stored side never moves, mirroring
+    * [[graft.operators.TextDedupOps.writeLshIndex]]'s discipline.
+    */
+  def writeIvfIndex(vecsDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, table: String, buckets: Int = 8,
+      location: Option[String] = None): Unit = {
+    val spark = vecsDf.sparkSession
+    import spark.implicits._
+    // stale-location hygiene: catalog registrations die with the JVM,
+    // managed locations don't — drop + explicit external path
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    val v = ivfProject(vecsDf, idCol, vecCol)
+    val cents = firstKCentroids(v, k, dims)
+    val centArr = centroidLiteral(cents)
+    val lists = v.select(
+        element_at(transform(
+          slice(array_sort(transform(centArr, c => struct(
+            (-round(array_dot(col("e"), c.getField("ce"))
+              / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+            c.getField("cid").as("cid")))), 1, 1),
+          s => s.getField("cid")), 1).as("cid"),
+        col("vid"), col("e"), col("nrm"))
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+      .mode("overwrite")
+    location.fold(lists)(l => lists.option("path", s"$l/lists"))
+      .saveAsTable(table)
+    val cw = cents.toDF("cid", "ce").write.mode("overwrite")
+    location.fold(cw)(l => cw.option("path", s"$l/cents"))
+      .saveAsTable(table + "_centroids")
+  }
+
+  /** Probe a STORED IVF index ([[writeIvfIndex]]) with query vectors:
+    * top-1 neighbor per query, identical semantics to [[ivfTop1]] over
+    * the same corpus — but the corpus-scale inverted lists come off
+    * the bucket-aligned table scan (no index-side exchange, no
+    * re-assignment); only the query side is scored (in-row, against
+    * the k-row companion collected to a literal) and shuffled at
+    * (query × nprobe) scale.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nprobe: Int): DataFrame = {
+    val cents = spark.table(table + "_centroids")
+      .orderBy(col("cid")).collect() // bounded: k rows by contract
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cents.nonEmpty && cents.length >= nprobe,
+      s"index $table has ${cents.length} centroids < nprobe $nprobe")
+    cents.foreach { case (cid, ce) =>
+      require(ce.length == dims,
+        s"stored centroid $cid has ${ce.length} dims, expected $dims")
+    }
+    val centArr = centroidLiteral(cents.toSeq)
+    val q = ivfProject(queriesDf, idCol, vecCol)
+      .select(col("vid").as("id_a"), col("e").as("ea"),
+        col("nrm").as("na"),
+        explode(transform(
+          slice(array_sort(transform(centArr, c => struct(
+            (-round(array_dot(col("e"), c.getField("ce"))
+              / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+            c.getField("cid").as("cid")))), 1, nprobe),
+          s => s.getField("cid"))).as("cid"))
+    val index = spark.table(table).select(col("cid"),
+      col("vid").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    q.join(index, Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
+  }
+
+  /** Index MAINTENANCE for the stored IVF ([[writeIvfIndex]]): assign
+    * a vector delta to its nearest STORED centroid (the quantizer is
+    * frozen at build time — the standard IVF append contract; lists
+    * drift only until the next rebuild) and append the rows through
+    * the same `cid` bucket layout, so the next [[probeIvfIndex]] batch
+    * sees them. Old files stay immutable; work is delta-scale only —
+    * the corpus lists are never read, let alone rewritten.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, deltaVecs: DataFrame, idCol: String, vecCol: String,
+      dims: Int, buckets: Int = 8): Unit = {
+    val cents = spark.table(table + "_centroids")
+      .orderBy(col("cid")).collect() // bounded: k rows by contract
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cents.nonEmpty, s"index $table has no centroids")
+    cents.foreach { case (cid, ce) =>
+      require(ce.length == dims,
+        s"stored centroid $cid has ${ce.length} dims, expected $dims")
+    }
+    val centArr = centroidLiteral(cents.toSeq)
+    ivfProject(deltaVecs, idCol, vecCol)
+      .select(
+        element_at(transform(
+          slice(array_sort(transform(centArr, c => struct(
+            (-round(array_dot(col("e"), c.getField("ce"))
+              / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+            c.getField("cid").as("cid")))), 1, 1),
+          s => s.getField("cid")), 1).as("cid"),
+        col("vid"), col("e"), col("nrm"))
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+      .mode("append").saveAsTable(table)
+  }
+
   /** [[ivfTop1]] with a TRAINED coarse quantizer: `trainIters` Lloyd
     * refinements of the first-k seeding before indexing
     * ([[trainCentroids]]). Identical probe/join plan to sim4 — only

@@ -171,10 +171,32 @@ object TextDedupOps {
     */
   def writeLshIndex(corpus: DataFrame, idCol: String, textCol: String,
       table: String, numHashes: Int = 8, bands: Int = 2,
-      buckets: Int = 8): Unit =
-    banded(corpus, idCol, textCol, numHashes, bands)
+      buckets: Int = 8, location: Option[String] = None): Unit = {
+    // in-memory catalogs don't survive the JVM but managed-table
+    // LOCATIONS do: drop any stale registration, and prefer an
+    // explicit (external) location so a fresh build can never trip
+    // over a dead JVM's warehouse directory
+    corpus.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = banded(corpus, idCol, textCol, numHashes, bands)
       .write.bucketBy(buckets, "band", "bhash").sortBy("band", "bhash")
-      .mode("overwrite").saveAsTable(table)
+      .mode("overwrite")
+    location.fold(w)(l => w.option("path", l)).saveAsTable(table)
+  }
+
+  /** Index MAINTENANCE: band a delta and append its rows to the stored
+    * index, so the NEXT delta's probe sees them — the between-snapshots
+    * refresh that keeps [[probeLshIndex]] current without ever
+    * re-banding the corpus. Appended files land in the same
+    * (band, bhash) bucket layout (Spark bucketed-append adds files per
+    * bucket; the probe join stays bucket-aligned). Delta-scale work
+    * only.
+    */
+  def appendToLshIndex(spark: SparkSession, table: String,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 2, buckets: Int = 8): Unit =
+    banded(deltaDocs, idCol, textCol, numHashes, bands)
+      .write.bucketBy(buckets, "band", "bhash").sortBy("band", "bhash")
+      .mode("append").saveAsTable(table)
 
   /** Probe a STORED index ([[writeLshIndex]]) with a snapshot delta
     * (id + text columns): the pairs a delta adds, identical to

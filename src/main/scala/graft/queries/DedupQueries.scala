@@ -632,22 +632,23 @@ object DedupQueries {
       GROUP BY id_a, id_b
       ORDER BY id_a, id_b"""))
 
-  /** One stored index table per (warehouse-visible) sf dir this JVM. */
-  @volatile private var lshIndexTables = Map.empty[String, String]
-
   /** Idempotently build the STORED banded index for `d`'s current
     * snapshot (dd11 probes it; the index-reuse spec probes it twice).
+    * Keyed on CATALOG existence, not a JVM memo — test suites stop and
+    * recreate the SparkContext, and a memo outliving its catalog would
+    * hand out dangling table names.
     */
   def ensureLshIndex(s: org.apache.spark.sql.SparkSession,
       d: String): String = synchronized {
-    lshIndexTables.getOrElse(d, {
-      val t = s"dd_lsh_index_${Integer.toHexString(d.hashCode)}"
+    val t = s"dd_lsh_index_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t)) {
       val (newSnap, _) = snapshotDelta(s, d)
       writeLshIndex(spread(newSnap), "doc_id", "text", t,
-        numHashes = 8, bands = 2)
-      lshIndexTables += d -> t
-      t
-    })
+        numHashes = 8, bands = 2,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_lsh_idx").toString))
+    }
+    t
   }
 
   /** dd10 with the index half made real: the standing banded index is

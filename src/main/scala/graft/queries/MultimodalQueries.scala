@@ -101,5 +101,64 @@ object MultimodalQueries {
       FROM f
       ORDER BY media_id, frame_id"""))
 
-  val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample)
+  /** Perceptual-hash near-dup over binary payloads — dd2's banded
+    * dedup discipline for media: block-mean pHash (native expression)
+    * per asset, 4×15-bit bands generate candidates, exact Hamming ≤ 24
+    * verifies. The oracle recomputes the FULL pipeline from the hex
+    * encoding of the same bytes — per-byte values, integer
+    * cross-multiplied segment means, bit packing, banding, Hamming —
+    * so the fingerprint kernel and the candidate topology are both
+    * hash-checked bit-exact. Plan gate (`PlanQualitySpec`): one
+    * (band, bkey) exchange, both self-join sides ReusedExchange,
+    * payloads never join.
+    */
+  val md4PhashNearDup = Q(
+    "md4_phash_near_dup",
+    (s, d) =>
+      MultimodalOps.phashNearDupPairs(
+        MultimodalOps.mediaFromDocuments(s, d).toDF(),
+        "media_id", "content", maxHamming = 24)
+        .orderBy(col("id_a"), col("id_b")),
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      bytes AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), i ->
+                 (strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1))
+                 AS bv
+        FROM m),
+      fp AS (
+        SELECT media_id,
+               CAST(COALESCE(list_sum(list_transform(range(0, 60), b ->
+                 CASE WHEN ((b+1)*n//60 - b*n//60) > 0
+                       AND COALESCE(list_sum(
+                             bv[CAST(b*n//60 + 1 AS INT)
+                                : CAST((b+1)*n//60 AS INT)]), 0) * n
+                           > COALESCE(list_sum(bv), 0)
+                             * ((b+1)*n//60 - b*n//60)
+                      THEN 1::BIGINT << CAST(b AS INT) ELSE 0::BIGINT
+                 END)), 0) AS BIGINT) AS fp
+        FROM bytes),
+      banded AS (
+        SELECT media_id, fp, band,
+               (fp >> CAST(band * 15 AS INT)) & 32767 AS bkey
+        FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+      cand AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey
+         AND a.media_id < b.media_id)
+      SELECT id_a, id_b, MIN(hamming) AS hamming
+      FROM cand
+      GROUP BY id_a, id_b
+      HAVING MIN(hamming) <= 24
+      ORDER BY id_a, id_b"""))
+
+  val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample,
+    md4PhashNearDup)
 }

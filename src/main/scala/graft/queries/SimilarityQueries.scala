@@ -362,6 +362,44 @@ object SimilarityQueries {
       SELECT id_a, id_b AS ann_id, score FROM best WHERE rn = 1
       ORDER BY id_a"""))
 
+  /** Idempotently build the stored IVF index for `d` (sim7 probes
+    * it). Keyed on CATALOG existence, not a JVM memo — suites stop and
+    * recreate the SparkContext (see ensureLshIndex).
+    */
+  def ensureIvfIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"sim_ivf_index_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t) ||
+        !s.catalog.tableExists(t + "_centroids")) {
+      SimilarityOps.writeIvfIndex(embeddings(s, d), "vec_id", "embedding",
+        dims = 64, k = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_ivf_idx").toString))
+    }
+    t
+  }
+
+  /** sim4 served from a STORED index — the ANN serving shape (build
+    * the index once per corpus snapshot, probe forever):
+    * [[graft.operators.SimilarityOps.writeIvfIndex]] materializes the
+    * inverted lists as a cid-bucketed sorted table + a k-row centroid
+    * companion; the probe scores queries in-row against the stored
+    * centroids and joins the lists BUCKET-ALIGNED — zero index-side
+    * shuffle, zero corpus re-assignment per query batch (plan-gated).
+    * Same selection rule and semantics as sim4, so sim4's oracle
+    * verbatim — storage is an execution detail, not a semantics
+    * change (dd11's discipline, applied to vectors).
+    */
+  val sim7IvfStored = Q(
+    "sim7_ivf_stored_top1",
+    (s, d) => {
+      val t = ensureIvfIndex(s, d)
+      SimilarityOps.probeIvfIndex(s, t, spread(embeddings(s, d)),
+        "vec_id", "embedding", dims = 64, nprobe = 3)
+        .orderBy(col("id_a"))
+    },
+    sql = sim4IvfAnn.sql)
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
-    sim5IvfTopK, sim6IvfTrained)
+    sim5IvfTopK, sim6IvfTrained, sim7IvfStored)
 }

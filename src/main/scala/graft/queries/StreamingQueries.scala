@@ -244,7 +244,26 @@ object StreamingQueries {
                  AND s.end_us // 1000 + 1800000 >= wm.wm_ms)
       ORDER BY s.user_id, s.start_us"""))
 
+  /** STREAM-STATIC join (st8) — the join shape st4's stream-stream
+    * case doesn't cover: a streaming event feed enriched per
+    * micro-batch against the static customer dimension (broadcast — the
+    * stream never shuffles for the dim; the join itself is stateless,
+    * only the rollup holds state), rolled up per (segment, type).
+    * Oracle = the same join/rollup as one batch SQL statement:
+    * streaming/batch equivalence for the third join topology.
+    */
+  val st8StreamStaticJoin = Q(
+    "st8_stream_static_join",
+    (s, d) => graft.streaming.EventsStreaming.streamStaticJoin(s, d),
+    sql = Some(s"""
+      SELECT c.c_mktsegment, e.event_type,
+             COUNT(*) AS n_events,
+             ${sqlDsum("e.value")} AS total_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2
+      ORDER BY c_mktsegment, event_type"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
-    st7SessionizeStream)
+    st7SessionizeStream, st8StreamStaticJoin)
 }

@@ -1149,10 +1149,66 @@ object TextQueries {
         .mkString("\n      UNION ALL ")}
       ORDER BY step"""))
 
+  /** CORPUS ENCODING with the trained vocabulary — the consumer half
+    * of tx26's trainer (train merges → tokenize the corpus): per-doc
+    * BPE token counts after applying all 50 trained merges. The scale
+    * shape real tokenizer deployment has: the merge table is DATA (a
+    * 50-element literal driving ONE [[graft.operators.BpeOps.applyMergeTable]]
+    * fold), symbolization runs ONCE per DISTINCT word (vocabulary
+    * scale), and the corpus-scale pass is a broadcast vocab join +
+    * per-doc sum (tx10's discipline — the token stream never shuffles
+    * for the vocab). Word universe = the trainer's (length ≥ 2,
+    * whitespace tokens). The oracle replays the 50 training rounds
+    * (tx26's cascade) to state51 and joins the per-doc word instances
+    * back — two independent formulations of train-then-encode.
+    */
+  val tx27BpeEncode = Q(
+    "tx27_bpe_encode",
+    (s, d) => {
+      import graft.operators.BpeOps
+      val docs = documents(s, d)
+      val mergeSeq = BpeOps.trainMerges(docs, steps = 50, topK = 1,
+        epochLen = 16).orderBy(col("step"))
+        .collect().map(_.getString(2)).toSeq // 50 driver-side rows
+      val vocab = BpeOps.words(docs).select(col("w"),
+        size(BpeOps.applyMergeTable(BpeOps.charSyms(col("w")),
+          typedLit(mergeSeq))).cast("long").as("n_syms"))
+      docs
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .join(broadcast(vocab), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some(s"""
+      WITH winst AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents),
+      words AS MATERIALIZED (
+        SELECT w, COUNT(*) AS freq FROM winst
+        WHERE length(w) >= 2 GROUP BY w),
+      state1 AS MATERIALIZED (
+        SELECT w, freq,
+               list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms
+        FROM words),
+      ${(1 to 50).map(k => bpeIterSql(k, 1, materialized = true))
+        .mkString(",")},
+      winst_doc AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+        FROM documents)
+      SELECT d.doc_id, COUNT(*) AS n_words,
+             CAST(SUM(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+      FROM winst_doc d JOIN state51 s ON d.w = s.w
+      WHERE length(d.w) >= 2
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
     tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
-    tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs)
+    tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode)
 }

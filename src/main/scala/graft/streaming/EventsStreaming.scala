@@ -69,6 +69,45 @@ object EventsStreaming {
       .orderBy(col("hour_ts"), col("event_type"))
   }
 
+  /** STREAM-STATIC join enrichment — the remaining Structured
+    * Streaming join shape (st4 covers stream-stream): a streaming
+    * event feed joined per micro-batch against a static dimension
+    * (customer), rolled up per (market segment, event type). The
+    * static side is BROADCAST — at 100 TB the stream never shuffles
+    * for the dimension; each micro-batch is a map-side hash join plus
+    * the one stateful aggregate exchange. Stream-static inner joins
+    * are stateless on the join itself (the static side is re-resolved
+    * per batch, no join state store), so only the rollup holds state.
+    * Result must equal the batch join — oracle-enforced equivalence.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(path).toAbsolutePath)
+    val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = src
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+    val name = s"graft_st_static_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Watermarked APPEND-mode hourly windows: stages the events into
     * ascending time-range files replayed one per micro-batch, so the
     * event-time watermark actually advances and closes windows — the

@@ -6,7 +6,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared md5-prefix 60-bit hash — bit-identical to the SQL
@@ -96,6 +96,53 @@ case class SimHashFingerprint(child: Expression, bits: Int = 60)
     var b = 0
     while (b < bits) {
       if (votes(b) >= 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Block-mean perceptual hash over an opaque BINARY payload (public
+  * technique: block-mean-value hashing, Yang et al. 2006 — the aHash
+  * family SimHash's binary sibling): split the byte stream into `bits`
+  * equal segments; bit i is set iff segment i's mean byte value
+  * strictly exceeds the payload's global mean. The comparison is exact
+  * integer cross-multiplication (segSum·n > totalSum·segLen — no
+  * float mean), so any engine derives the identical fingerprint from
+  * the same bytes; the DuckDB oracle recomputes it from the payload's
+  * hex encoding. 60 bits keeps the value in signed-long range on
+  * every engine (same choice as SimHash). Segments shorter than one
+  * byte (payload smaller than `bits`) contribute 0-bits; empty payload
+  * → 0. Exact-integer bound: segSum·n ≤ 255·n² stays inside a signed
+  * long for payloads < ~190 MB — far above any sane row-level blob.
+  */
+case class PHashFingerprint(child: Expression, bits: Int = 60)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash"
+
+  override def nullSafeEval(a: Any): Any = {
+    val bytes = a.asInstanceOf[Array[Byte]]
+    val n = bytes.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += (bytes(i) & 0xff); i += 1 }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      val lo = (b.toLong * n / bits).toInt
+      val hi = ((b + 1).toLong * n / bits).toInt
+      var segSum = 0L
+      var j = lo
+      while (j < hi) { segSum += (bytes(j) & 0xff); j += 1 }
+      if (hi > lo && segSum * n > total * (hi - lo)) fp |= (1L << b)
       b += 1
     }
     java.lang.Long.valueOf(fp)

@@ -127,6 +127,30 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("phash near-dup: identical payloads pair at Hamming 0; a " +
+      "perturbed payload pairs near 0; unrelated content stays distant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = Array.fill[Byte](600)((rng.nextInt(256) - 128).toByte)
+    val nearDup = base.clone(); nearDup(300) = (nearDup(300) ^ 0x7f).toByte
+    val other = Array.fill[Byte](600)((rng.nextInt(64)).toByte)
+    val media = Seq(
+      (1L, base), (2L, base.clone()), (3L, nearDup), (4L, other))
+      .toDF("media_id", "content")
+    val pairs = MultimodalOps.phashNearDupPairs(media, "media_id",
+      "content", maxHamming = 60)
+      .as[(Long, Long, Long)].collect().toSet
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)).contains(0L),
+      s"identical payloads must collide at Hamming 0: $pairs")
+    // one flipped byte moves ONE segment's mean: at most a few bits
+    assert(byPair.get((1L, 3L)).exists(_ <= 2L),
+      s"single-byte perturbation must stay within 2 bits: $pairs")
+    // unrelated content pairs only if a band collides, and then far
+    assert(pairs.filter(p => p._2 == 4L).forall(_._3 > 10L),
+      s"unrelated payload must not look like a near-dup: $pairs")
+  }
+
   test("stored LSH index serves two successive deltas with NO rebuild — " +
       "results match the on-the-fly incremental operator, index files " +
       "untouched between probes") {
@@ -142,7 +166,9 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
     val table = "t_idx_reuse_spec"
     TextDedupOps.writeLshIndex(corpus, "doc_id", "text", table,
-      numHashes = 8, bands = 4, buckets = 2)
+      numHashes = 8, bands = 4, buckets = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_idx_reuse").toString))
     val loc = new java.io.File(new java.net.URI(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
@@ -172,7 +198,67 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     // the index was read, never rewritten: same files, same mtimes
     assert(snapshot() === filesAfterWrite,
       "probing must not touch the stored index files")
+
+    // MAINTENANCE: append a brand-new doc's bands; the next probe must
+    // see it — through the SAME bucket layout (old files untouched)
+    val newDoc = Seq((5L, base + " omega")).toDF("doc_id", "text")
+    TextDedupOps.appendToLshIndex(spark, table, newDoc, "doc_id", "text",
+      numHashes = 8, bands = 4, buckets = 2)
+    val got3 = TextDedupOps.probeLshIndex(spark, table, newDoc,
+      "doc_id", "text", numHashes = 8, bands = 4, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got3.exists(p => p._1 == 1L && p._2 == 5L && p._3 > 0.8),
+      s"the appended near-dup must pair with the stored corpus: $got3")
+    val after = snapshot()
+    assert(filesAfterWrite.forall { case (f, m) => after.get(f).contains(m) },
+      "append must only ADD files — the standing index is immutable")
+    assert(after.size > filesAfterWrite.size, "append must add bucket files")
     spark.sql(s"DROP TABLE $table")
+  }
+
+  test("stored IVF index: append assigns a vector delta to the frozen " +
+      "quantizer through the same bucket layout — next probe sees it, " +
+      "old list files untouched") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.9, 0.3, 0.0, 0.0)),
+      (4L, Seq(0.1, 0.99, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val table = "t_ivf_append_spec"
+    SimilarityOps.writeIvfIndex(corpus, "vec_id", "embedding",
+      dims = 4, k = 2, table = table, buckets = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_ivf_append").toString))
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString))
+    def snapshot(): Map[String, Long] =
+      loc.listFiles().filter(f => f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val filesAfterWrite = snapshot()
+    assert(filesAfterWrite.nonEmpty)
+
+    val delta = Seq((10L, Seq(0.98, 0.05, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.appendToIvfIndex(spark, table, delta,
+      "vec_id", "embedding", dims = 4, buckets = 2)
+    // a follow-up query nearest the appended vector must retrieve IT
+    // through the stored lists (nprobe=1: only the hot list is read)
+    val probe = Seq((11L, Seq(0.97, 0.06, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.probeIvfIndex(spark, table, probe,
+      "vec_id", "embedding", dims = 4, nprobe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1 && got.head._2 == 10L,
+      s"appended vector must be retrievable: ${got.toSeq}")
+    val after = snapshot()
+    assert(filesAfterWrite.forall { case (f, m) => after.get(f).contains(m) },
+      "append must only ADD files — the stored lists are immutable")
+    assert(after.size > filesAfterWrite.size, "append must add bucket files")
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
   }
 
   test("connectedComponents: transitive chains collapse to one cluster") {

@@ -93,6 +93,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(key, saved)
   }
 
+  test("md4: phash banding reuses ONE exchange for the self-join (AQE " +
+      "off) — fingerprints shuffle, payloads never do") {
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = Registry.byName("md4_phash_near_dup").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      val reused = plan.collect { case r: ReusedExchangeExec => r }
+      assert(reused.nonEmpty,
+        s"expected the dd2 band-join discipline (ReusedExchange):\n$plan")
+      assert(!plan.toString.contains("CartesianProduct"),
+        "candidate generation must never be all-pairs")
+      // the exchanged rows are (media_id, fp, band, bkey) — the binary
+      // payload is projected away BELOW the exchange
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exchanged = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanged.forall(_.child.output.forall(a =>
+        !a.dataType.isInstanceOf[org.apache.spark.sql.types.BinaryType.type]
+          || a.name == "bkey")),
+        s"payload bytes must not cross an exchange:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("em1: top-1 is two-phase aggregation, not a window over all pairs") {
     val plan = executedPlan("em1_knn_top1")
     assert(!plan.toString.contains("Window"),
@@ -436,7 +460,7 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         p.collect {
           case s: FileSourceScanExec
               if s.relation.location.rootPaths
-                .exists(_.toString.contains("dd_lsh_index")) => s
+                .exists(_.toString.contains("graft_lsh_idx")) => s
         }
       def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
         p.collect { case e: ShuffleExchangeExec => e }
@@ -451,6 +475,55 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"the corpus-scale index side must not shuffle:\n$indexSide")
       assert(indexScans(probeSide).isEmpty,
         s"the probe side must not re-read the index:\n$probeSide")
+    } finally {
+      spark.conf.set(bcast, savedB)
+      spark.conf.set(aqe, savedA)
+    }
+  }
+
+  test("sim7: the stored IVF index feeds the probe join bucket-aligned " +
+      "— zero index-side shuffle, queries scored in-row off the " +
+      "stored centroids") {
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
+    val (savedB, savedA) = (spark.conf.get(bcast), spark.conf.get(aqe))
+    spark.conf.set(bcast, "-1")
+    spark.conf.set(aqe, "false")
+    try {
+      val df = Registry.byName("sim7_ivf_stored_top1").fn(spark, dir)
+      val plan = df.queryExecution.sparkPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val cidJoins = plan.collect {
+        case j: SortMergeJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "cid")) =>
+          (j.left, j.right)
+        case j: ShuffledHashJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "cid")) =>
+          (j.left, j.right)
+      }
+      assert(cidJoins.size === 1, s"expected ONE cid join:\n$plan")
+      def indexScans(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect {
+          case s: FileSourceScanExec
+              if s.relation.location.rootPaths
+                .exists(_.toString.contains("graft_ivf_idx")) => s
+        }
+      val (l, r) = cidJoins.head
+      val indexSide = if (indexScans(l).nonEmpty) l else r
+      val probeSide = if (indexScans(l).nonEmpty) r else l
+      assert(indexScans(indexSide).nonEmpty,
+        s"one side must read the stored inverted lists:\n$plan")
+      assert(indexScans(indexSide).head.bucketedScan,
+        "the inverted lists must be read AS BUCKETED")
+      assert(indexSide.collect {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        s"the corpus-scale index side must not shuffle:\n$indexSide")
+      assert(indexScans(probeSide).isEmpty,
+        s"the probe side must not re-read the index:\n$probeSide")
+      assert(!plan.toString.contains("CartesianProduct") &&
+        !plan.toString.contains("Window"),
+        s"probe selection stays in-row:\n$plan")
     } finally {
       spark.conf.set(bcast, savedB)
       spark.conf.set(aqe, savedA)
