@@ -123,4 +123,31 @@ object GeoOps {
       case (acc, r) => acc :+ r
     }
   }
+
+  /** EXACT point-in-convex-polygon predicate as a Column, computed in
+    * integer MICRODEGREES so every engine derives the identical
+    * boolean from the same row: coordinates and vertices round to
+    * BIGINT µ° (half-away-from-zero — Spark `round` and DuckDB `ROUND`
+    * agree), and each edge test is an exact integer cross product
+    * `(x2-x1)(py-y1) - (y2-y1)(px-x1) >= 0` (CCW edges; boundary
+    * counts as inside). Magnitudes stay < 2⁶³: |coord µ°| ≤ 1.8×10⁸,
+    * so each product ≤ ~1.3×10¹⁷. Scan-local arithmetic — pair it
+    * with [[bboxToGeohashRanges]] over the polygon's bbox for
+    * partition pruning and keep this as the exact refine.
+    *
+    * `polyMicro`: CCW (latµ, lonµ) vertices of a CONVEX polygon.
+    */
+  def convexPolygonContains(lat: org.apache.spark.sql.Column,
+      lon: org.apache.spark.sql.Column,
+      polyMicro: Seq[(Long, Long)]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, round}
+    require(polyMicro.length >= 3, "polygon needs >= 3 vertices")
+    val py = round(lat * 1000000L).cast("long")
+    val px = round(lon * 1000000L).cast("long")
+    (polyMicro :+ polyMicro.head).sliding(2).map {
+      case Seq((y1, x1), (y2, x2)) =>
+        (lit(x2 - x1) * (py - lit(y1)) -
+          lit(y2 - y1) * (px - lit(x1))) >= 0L
+    }.reduce(_ && _)
+  }
 }

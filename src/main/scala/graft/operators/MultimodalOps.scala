@@ -138,6 +138,48 @@ object MultimodalOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** FRAME-level near-duplicate asset pairs — the video half of the
+    * media-dedup story (md4 matches whole payloads; this catches
+    * re-cuts/containers sharing content): sample frames
+    * ([[frameSample]]), fingerprint each frame, and pair assets by
+    * shared-frame overlap. Frames match on their EXACT fingerprint
+    * (md5 — a real deployment swaps in the per-frame pHash for
+    * tolerance; the topology is identical), and a pair's overlap is
+    * `n_shared / min(n_frames_a, n_frames_b)` over DISTINCT frame
+    * fingerprints.
+    *
+    * Plan shape: frame slicing and hashing are scan-local — the only
+    * thing that ever shuffles is (media_id, 32-char fingerprint);
+    * the frame-key self-join reads ONE exchange from both sides
+    * (dd2's discipline), and the per-asset frame counts join back
+    * broadcast (asset-scale ≪ frame-scale). Duplicate frames within
+    * an asset collapse BEFORE the join, so a still/padding frame
+    * repeated 10⁴× in two assets meets once, not 10⁸× — the classic
+    * frame-join blowup, handled at the source.
+    */
+  def frameNearDupPairs(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int, minShared: Long): org.apache.spark.sql.DataFrame = {
+    val frames = frameSample(media, frameBytes, stride)
+      .select(col("media_id"), md5(hex(col("frame"))).as("fh"))
+      .distinct()
+    val cnts = frames.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames_distinct"))
+    val a = frames.select(col("media_id").as("id_a"), col("fh"))
+    val b = frames.select(col("media_id").as("id_b"), col("fh"))
+    a.join(b, Seq("fh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(broadcast(cnts.select(col("media_id").as("id_a"),
+        col("n_frames_distinct").as("na"))), Seq("id_a"))
+      .join(broadcast(cnts.select(col("media_id").as("id_b"),
+        col("n_frames_distinct").as("nb"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("overlap"))
+  }
+
   /** Build a deterministic media table from `documents` (text bytes as
     * payload) — gives the multimodal path real data to flow through in
     * tests and the oracle-checked md1 query.

@@ -511,6 +511,86 @@ object SimilarityOps {
         col("best.score").as("score"))
   }
 
+  /** IVF-SQ8 — the bandwidth-optimized IVF the big ANN libraries
+    * actually run in production: the inverted lists carry INT8
+    * symmetric-absmax quantized vectors (4–8× fewer bytes than the
+    * float vectors — at 100 TB that is the difference between a
+    * memory-resident and a disk-bound scan), candidates are scored
+    * with an exact INTEGER dot product rescaled by the two absmax
+    * scales, the quantized top-`rerank` per query survive, and only
+    * those few fetch their float vectors back (two candidate-scale id
+    * joins) for the exact-cosine re-rank that picks the winner.
+    *
+    * Same coarse quantizer, list assignment, and probe rule as
+    * [[ivfTop1]] (first-k centroids, (cosine DESC, cid) rank) — the
+    * only difference is WHAT flows through the big cid-keyed join:
+    * (id, int8[dims], amax, nrm) instead of (id, double[dims], nrm).
+    * Quantization q_i = sign(x_i)·min(127, ⌊|x_i|·127/amax + ½⌋) is
+    * exact-integer-reproducible from the doubles, so the oracle
+    * re-derives every stage.
+    */
+  def ivfSq8Top1(vecsDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = ivfProject(vecsDf, idCol, vecCol)
+    val cents = firstKCentroids(v, k, dims)
+    val centArr = centroidLiteral(cents)
+    val quant = v
+      .withColumn("amax", aggregate(col("e"), lit(0.0),
+        (a, x) => greatest(a, abs(x))))
+      .withColumn("q", transform(col("e"), x =>
+        (signum(x) * least(lit(127.0),
+          floor(abs(x) * (lit(127.0) / col("amax")) + lit(0.5))))
+          .cast("long")))
+    // one scan: quantization + centroid ranking persisted scoped —
+    // the index branch, the probe branch, AND both rerank fetches all
+    // read this cache (sim4's single-scan discipline)
+    val ranked = org.apache.spark.sql.graft.ScopedCaches.scoped(
+      quant.withColumn("cs_ranked",
+        slice(array_sort(transform(centArr, c => struct(
+          (-round(array_dot(col("e"), c.getField("ce"))
+            / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+          c.getField("cid").as("cid")))), 1, nprobe)))
+    val index = ranked.select(
+      element_at(col("cs_ranked"), 1).getField("cid").as("cid"),
+      col("vid").as("id_b"), col("q").as("qb"),
+      col("amax").as("amax_b"), col("nrm").as("nb"))
+    val queries = ranked.select(col("vid").as("id_a"), col("q").as("qa"),
+      col("amax").as("amax_a"), col("nrm").as("na"),
+      explode(transform(col("cs_ranked"), s => s.getField("cid")))
+        .as("cid"))
+    val qscored = queries.join(index, Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("qscore", round(
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, p) => acc + p).cast("double")
+          / ((lit(127.0) / col("amax_a")) * (lit(127.0) / col("amax_b")))
+          / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("qscore").desc, col("id_b"))
+    val survivors = qscored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= rerank)
+      .select(col("id_a"), col("id_b"))
+    // only the quantized top-`rerank` fetch float vectors — two
+    // candidate-scale joins off the SAME cached projection; the
+    // corpus-scale join above moved int8s
+    val va = ranked.select(col("vid").as("id_a"), col("e").as("ea"),
+      col("nrm").as("na"))
+    val vb = ranked.select(col("vid").as("id_b"), col("e").as("eb"),
+      col("nrm").as("nb"))
+    survivors.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
+  }
+
   /** Index MAINTENANCE for the stored IVF ([[writeIvfIndex]]): assign
     * a vector delta to its nearest STORED centroid (the quantizer is
     * frozen at build time — the standard IVF append contract; lists

@@ -32,4 +32,27 @@ object SkewOps {
       .groupBy(col("k"))
       .agg(sum(col("partial_n")).as("n"),
         sum(col("partial_sum")).cast("double").as("total"))
+
+  /** Salted shuffle JOIN — the manual skew-join rewrite for when AQE
+    * can't help (AQE splits skewed partitions only for sort-merge
+    * after a stage materializes; a pre-planned salt bounds EVERY
+    * reducer up front, the shape streaming/bucketed pipelines need).
+    * The fact (skewed) side gets a deterministic salt in [0, salt)
+    * from its `entropy` columns; the dim side replicates each row
+    * `salt` ways; the join key becomes (key, salt) — a hot key's rows
+    * spread over `salt` reducers instead of one. Exact: every fact
+    * row meets each matching dim row exactly once (at its own salt
+    * copy). The shuffle_hash hint pins the shuffled-join shape the
+    * salt exists for (a broadcast would make it pointless — and at
+    * skew scale the dim is too big to broadcast). Dim-side cost:
+    * `salt`× replication — keep `salt` at the reducer-imbalance
+    * scale (8-32), far below dim row count.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltBuckets: Int, entropy: Column*): DataFrame = {
+    val f = fact.withColumn("__salt", salt(saltBuckets, entropy: _*))
+    val d = dim.select(col("*"),
+      explode(array((0 until saltBuckets).map(lit(_)): _*)).as("__salt"))
+    f.join(d.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -283,6 +283,36 @@ object Analytics2 {
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
                g_status, g_priority"""))
 
+  /** Explicit GROUPING SETS (q24) — the asymmetric subtotal layout
+    * CUBE/ROLLUP can't express: per-status, per-priority, and grand
+    * total, but NO (status, priority) cross cells. One pass, one
+    * Expand + one aggregate exchange (the same physical shape as cube
+    * with fewer projections — Expand emits 3 rows per input, not 4).
+    */
+  val q24GroupingSets = Q(
+    "q24_grouping_sets",
+    (s, d) =>
+      orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(cnt.as("n_orders"), dsum(col("o_totalprice")).as("total_price"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first,
+          col("g_status"), col("g_priority")),
+    sql = Some(s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+             ${sqlDsum("o_totalprice")} AS total_price,
+             CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+             CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+               g_status, g_priority"""))
+
   /** INTERSECT (distinct set semantics): nations present on both the
     * customer and supplier side.
     */
@@ -331,5 +361,5 @@ object Analytics2 {
 
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
-    q20Ntile, q21Cube, q22Intersect, q23Percentiles)
+    q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets)
 }

@@ -673,7 +673,74 @@ object DedupQueries {
     },
     sql = dd10IncrementalDedup.sql)
 
+  /** The ACTIONABLE dedup output (dd12): a full-corpus keep/drop list —
+    * what the downstream pipeline actually consumes. dd5's clusters
+    * assign every near-dup doc its min-id canonical; singletons (the
+    * overwhelming majority at corpus scale) are their own canonical via
+    * a LEFT join + coalesce, never entering the cluster computation.
+    * `keep` is emitted as 1/0 BIGINT (cross-engine boolean hashing is
+    * not worth the risk). Scale: the cluster relation is dup-scale ≪
+    * corpus-scale, so the left join broadcasts it; the corpus is
+    * touched once, scan-local.
+    */
+  val dd12KeepList = Q(
+    "dd12_dedup_keep_list",
+    (s, d) => {
+      val clusters = graft.operators.ClusterOps.connectedComponents(
+        minhashLshPairs(spread(documents(s, d)), "doc_id", "text",
+          numHashes = 8, bands = 2, minJaccard = 0.2))
+      documents(s, d).select(col("doc_id"))
+        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+        .withColumn("keep",
+          when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some(s"""
+      WITH RECURSIVE
+      docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                AS DOUBLE) /
+              (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+              6) >= 0.2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY id)
+      SELECT d.doc_id,
+             COALESCE(cl.cluster_id, d.doc_id) AS canonical_id,
+             CAST(CASE WHEN d.doc_id = COALESCE(cl.cluster_id, d.doc_id)
+                  THEN 1 ELSE 0 END AS BIGINT) AS keep
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
-    dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup)
+    dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup,
+    dd12KeepList)
 }

@@ -393,6 +393,38 @@ object EventsQueries {
       FROM s GROUP BY user_id, sess
       ORDER BY user_id, start_us"""))
 
+  /** Salted skew JOIN (ev11) — ev5's hot-key mitigation applied to the
+    * join itself ([[graft.operators.SkewOps.saltedJoin]]): the fact
+    * side salts 8 ways on event_id, the dim replicates 8×, the join
+    * key becomes (user_id, salt) so one hot user's rows spread over 8
+    * reducers — pre-planned (unlike AQE's after-the-fact split),
+    * shuffle_hash-pinned so the salt is actually load-bearing.
+    * Exactness proof: the oracle is the PLAIN unsalted join — results
+    * must be bit-identical (money in exact cents). PlanQualitySpec
+    * gates the salted exchange + no-broadcast shape.
+    */
+  val q11SaltedJoin = Q(
+    "ev11_salted_join",
+    (s, d) => {
+      val dim = customer(s, d).select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"))
+      graft.operators.SkewOps.saltedJoin(
+        events(s, d).select(col("user_id"), col("event_id"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents")),
+        dim, "user_id", saltBuckets = 8, col("event_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(cnt.as("n_events"), sum(col("cents")).as("total_cents"))
+        .orderBy(col("c_mktsegment"))
+    },
+    sql = Some("""
+      SELECT c.c_mktsegment, COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1
+      ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
-    q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort, q10SessionWindow)
+    q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort, q10SessionWindow,
+    q11SaltedJoin)
 }

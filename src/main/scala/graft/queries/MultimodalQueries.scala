@@ -159,6 +159,51 @@ object MultimodalQueries {
       HAVING MIN(hamming) <= 24
       ORDER BY id_a, id_b"""))
 
+  /** Frame-level near-dup pairs (md3's frames × dd2's join
+    * discipline): assets sharing ≥ 2 distinct sampled-frame
+    * fingerprints, with overlap = shared / min(distinct frames). The
+    * oracle re-derives frames, fingerprints, the within-asset
+    * collapse, the pair join, and the ratio — so frame boundaries AND
+    * the dedup topology are hash-checked end to end. Overlap is a
+    * small-integer ratio: IEEE division + 6dp round, identical on
+    * both engines.
+    */
+  val md5FrameNearDup = Q(
+    "md5_frame_near_dup",
+    (s, d) =>
+      MultimodalOps.frameNearDupPairs(
+        MultimodalOps.mediaFromDocuments(s, d),
+        frameBytes = 32, stride = 4, minShared = 2L)
+        .orderBy(col("id_a"), col("id_b")),
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+               CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)
+                 AS n_frames
+        FROM documents),
+      fr AS (
+        SELECT DISTINCT media_id,
+               md5(substring(hx, CAST(frame_id * 64 + 1 AS BIGINT), 64))
+                 AS fh
+        FROM (SELECT media_id, hx,
+                     unnest(range(0, n_frames, 4)) AS frame_id
+              FROM m WHERE n_frames > 0)),
+      cnts AS (
+        SELECT media_id, COUNT(*) AS nf FROM fr GROUP BY media_id),
+      pairs AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               COUNT(*) AS n_shared
+        FROM fr a JOIN fr b ON a.fh = b.fh AND a.media_id < b.media_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2)
+      SELECT p.id_a, p.id_b, p.n_shared,
+             ROUND(CAST(p.n_shared AS DOUBLE) /
+                   CAST(LEAST(ca.nf, cb.nf) AS DOUBLE), 6) AS overlap
+      FROM pairs p
+      JOIN cnts ca ON p.id_a = ca.media_id
+      JOIN cnts cb ON p.id_b = cb.media_id
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample,
-    md4PhashNearDup)
+    md4PhashNearDup, md5FrameNearDup)
 }

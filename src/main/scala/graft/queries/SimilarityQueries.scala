@@ -400,6 +400,79 @@ object SimilarityQueries {
     },
     sql = sim4IvfAnn.sql)
 
+  /** IVF-SQ8 top-1 (sim8): sim4's quantizer/probes, but the inverted
+    * lists carry INT8 absmax-quantized vectors — candidates score by
+    * exact INTEGER dot rescaled by the two absmax scales, the
+    * quantized top-10 per query survive, and only those fetch float
+    * vectors for the exact re-rank (the faiss production shape: 4-8×
+    * less scan bandwidth where it matters, floats only at candidate
+    * scale). Every stage exact-reproducible: quantization is
+    * sign·min(127, ⌊|x|·127/amax + ½⌋) (integral before the cast, so
+    * DuckDB's rounding CAST and Spark's truncating cast agree), the
+    * int dot is exact, and rescale/rank mirror the sim-family 6dp
+    * discipline.
+    */
+  val sim8IvfSq8 = Q(
+    "sim8_ivf_sq8_top1",
+    (s, d) =>
+      SimilarityOps.ivfSq8Top1(spread(embeddings(s, d)), "vec_id",
+        "embedding", dims = 64, k = 16, nprobe = 3, rerank = 10)
+        .orderBy(col("id_a")),
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v
+           ORDER BY vec_id LIMIT 16),
+      q AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+               list_max(list_transform(e, x -> abs(x))) AS amax,
+               list_transform(e, x -> CAST(sign(x) *
+                 least(127.0, floor(abs(x) *
+                   (127.0 / list_max(list_transform(e, y -> abs(y))))
+                   + 0.5)) AS BIGINT)) AS qv
+        FROM v),
+      cscore AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs
+        FROM v CROSS JOIN c),
+      ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cid) AS rn
+        FROM cscore),
+      assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 3),
+      qcand AS (
+        SELECT p.vec_id AS id_a, a.vec_id AS id_b,
+               ROUND(CAST(list_sum(list_transform(range(1, 65),
+                     i -> qa.qv[i] * qb.qv[i])) AS DOUBLE)
+                 / ((127.0 / qa.amax) * (127.0 / qb.amax))
+                 / (qa.nrm * qb.nrm), 6) AS qscore
+        FROM probes p
+        JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN q qa ON qa.vec_id = p.vec_id
+        JOIN q qb ON qb.vec_id = a.vec_id),
+      surv AS (
+        SELECT id_a, id_b FROM (
+          SELECT id_a, id_b,
+                 ROW_NUMBER() OVER (PARTITION BY id_a
+                   ORDER BY qscore DESC, id_b) AS rn
+          FROM qcand) WHERE rn <= 10),
+      rr AS (
+        SELECT s.id_a, s.id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS score
+        FROM surv s
+        JOIN v va ON va.vec_id = s.id_a
+        JOIN v vb ON vb.vec_id = s.id_b),
+      best AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM rr)
+      SELECT id_a, id_b AS ann_id, score FROM best WHERE rn = 1
+      ORDER BY id_a"""))
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
-    sim5IvfTopK, sim6IvfTrained, sim7IvfStored)
+    sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8)
 }

@@ -263,7 +263,53 @@ object StreamingQueries {
       GROUP BY 1, 2
       ORDER BY c_mktsegment, event_type"""))
 
+  /** LEFT OUTER stream-stream join (st9) — the semantics inner joins
+    * don't exercise: unmatched clicks are emitted null-extended only
+    * when the watermark proves no purchase can still arrive (left
+    * state EVICTION, not match buffering — where outer-join state
+    * bugs live). Deterministic via the empty-trailer replay; the
+    * oracle is the batch left join plus the eviction predicate in ms
+    * (the engine's watermark domain): a matchless click emits iff
+    * `click_ms + 30min < wm_ms`, where wm = LEAST(max click ts, max
+    * purchase ts) - 1h — the global watermark is the MIN across the
+    * two sides' per-filter feeds. Tie-free on the fixtures (st7's
+    * discipline); purchase_us NULLS FIRST pins cross-engine row order.
+    */
+  val st9StreamLeftJoin = Q(
+    "st9_stream_left_join",
+    (s, d) => graft.streaming.EventsStreaming.clickPurchaseLeftJoin(s, d),
+    sql = Some("""
+      WITH c AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS click_us, ts
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS purchase_us,
+               ts, value
+        FROM events WHERE event_type = 'purchase'),
+      wm AS (
+        SELECT LEAST((SELECT MAX(click_us) FROM c),
+                     (SELECT MAX(purchase_us) FROM p)) // 1000
+               - 3600000 AS wm_ms),
+      matched AS (
+        SELECT c.user_id, c.click_us, p.purchase_us, p.value
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+      unmatched AS (
+        SELECT c.user_id, c.click_us,
+               CAST(NULL AS BIGINT) AS purchase_us,
+               CAST(NULL AS DOUBLE) AS value
+        FROM c, wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+          AND (c.click_us + 1800000000) // 1000 < wm_ms)
+      SELECT * FROM (SELECT * FROM matched
+                     UNION ALL SELECT * FROM unmatched)
+      ORDER BY user_id, click_us, purchase_us NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
-    st7SessionizeStream, st8StreamStaticJoin)
+    st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin)
 }

@@ -1205,10 +1205,89 @@ object TextQueries {
       GROUP BY d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** BIGRAM language-model scoring with unigram interpolation
+    * (tx11's perplexity filter upgraded to the ccnet-style shape):
+    * per-doc mean log of `0.75·P(w2|w1) + 0.25·P(w2)`, where
+    * P(w2|w1) = c(w1w2)/c1(w1) with c1 = bigram-start count and
+    * P(w2) = unigram MLE. Bigrams are built IN-ROW from the token
+    * array (no position join), so corpus-scale work is one explode +
+    * three vocabulary-keyed joins Catalyst sizes freely (bigram/
+    * unigram tables broadcast at fixture scale, shuffle at corpus
+    * scale — the plan is hint-free by design); the 1-row total
+    * broadcasts. Determinism: all counts exact, per-instance logs
+    * rounded 6dp then DECIMAL-routed (tx11's discipline). Docs under
+    * 2 tokens have no bigrams and drop out on both engines.
+    */
+  val tx28BigramLm = Q(
+    "tx28_bigram_logprob",
+    (s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val bg = documents(s, d)
+        .select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            element_at(col("t"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val tok = documents(s, d).select(col("doc_id"),
+        explode(toks).as("term"))
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(cnt.as("cb"))
+      val c1 = bg.groupBy(col("w1")).agg(cnt.as("c1"))
+      val cu = tok.groupBy(col("term")).agg(cnt.as("cu"))
+      val total = cu.agg(sum(col("cu")).as("n_total"))
+      bg.join(cb, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .join(cu.withColumnRenamed("term", "w2"), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .withColumn("lp", round(log(
+          lit(0.75) * (col("cb").cast("double") / col("c1").cast("double"))
+            + lit(0.25) * (col("cu").cast("double")
+              / col("n_total").cast("double"))), 6))
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_bigrams"), dsum(col("lp")).as("sum_logprob"))
+        .withColumn("mean_logprob", col("sum_logprob") / col("n_bigrams"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some(s"""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, b[1] AS w1, b[2] AS w2
+        FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                i -> [t[i], t[i+1]])) AS b
+              FROM arr WHERE len(t) >= 2)),
+      tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM documents),
+      cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      cu AS (SELECT term, COUNT(*) AS cu FROM tok GROUP BY 1),
+      n AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n_total FROM cu),
+      lp AS (
+        SELECT bg.doc_id,
+               ROUND(ln(0.75 * (CAST(cb.cb AS DOUBLE)
+                                / CAST(c1.c1 AS DOUBLE))
+                 + 0.25 * (CAST(cu.cu AS DOUBLE) / n.n_total)), 6) AS lp
+        FROM bg
+        JOIN cb USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN cu ON cu.term = bg.w2
+        CROSS JOIN n)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ${sqlDsum("lp")} AS sum_logprob,
+             ${sqlDsum("lp")} / COUNT(*) AS mean_logprob
+      FROM lp
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
     tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
-    tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode)
+    tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode,
+    tx28BigramLm)
 }

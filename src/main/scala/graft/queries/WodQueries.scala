@@ -412,6 +412,82 @@ object WodQueries {
       GROUP BY geohash3
       ORDER BY geohash3"""))
 
+  /** Convex-POLYGON retrieval — the general geo shape bbox can't
+    * express (survey tracks, basins, coastal wedges): the polygon's
+    * bbox drives the same geohash range pruning as wod8, and the exact
+    * refine is [[graft.operators.GeoOps.convexPolygonContains]] —
+    * integer-microdegree cross products, so both engines derive the
+    * identical inside/outside boolean (no float cross-engine ulp risk
+    * on the boundary). The polygon is the box's inscribed diamond
+    * (midpoint vertices — µ°-exact on both sides by construction), so
+    * the oracle re-derives it from the same box arithmetic and tests
+    * the same four half-planes; rows near the corners are provably
+    * outside, making the refine observable (diamond ⊂ box strictly).
+    */
+  val wod9PolygonScan = Q(
+    "wod9_geo_polygon_scan",
+    (s, _) => {
+      ensureBulk(s)
+      val store = s.read.parquet(s"$bulkOut/bulk/casts")
+      val anchor = store
+        .agg(floor(davg(col("latitude"))).cast("double").as("clat"),
+          floor(davg(col("longitude"))).cast("double").as("clon")).head()
+      val (clat, clon) = (anchor.getDouble(0), anchor.getDouble(1))
+      val (latLo, latHi) = (math.max(clat - 7, -90.0), math.min(clat + 7, 90.0))
+      val (lonLo, lonHi) =
+        (math.max(clon - 14, -180.0), math.min(clon + 14, 180.0))
+      val (cy, cx) = ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
+      def u(v: Double): Long = math.round(v * 1e6)
+      // CCW in (x=lon, y=lat): E → N → W → S
+      val diamond = Seq(
+        (u(cy), u(lonHi)), (u(latHi), u(cx)),
+        (u(cy), u(lonLo)), (u(latLo), u(cx)))
+      val ranges = graft.operators.GeoOps
+        .bboxToGeohashRanges(latLo, latHi, lonLo, lonHi, depth = 2)
+      val rangePred = ranges.map { case (lo, hi) =>
+        col("geohash") >= lo && col("geohash") < hi }.reduce(_ || _)
+      store
+        .filter(rangePred && graft.operators.GeoOps
+          .convexPolygonContains(col("latitude"), col("longitude"), diamond))
+        .groupBy(col("geohash3"))
+        .agg(cnt.as("n_casts"),
+          countDistinct(col("geohash")).as("n_locations"),
+          davg(col("latitude")).as("mean_lat"))
+        .orderBy(col("geohash3"))
+    },
+    sql = Some(s"""
+      WITH store AS (
+        SELECT * FROM read_parquet('$bulkOut/bulk/casts/*/*/*/*.parquet',
+                                   hive_partitioning=1)),
+      box AS (SELECT
+          CAST(GREATEST(FLOOR(${sqlDavg("latitude")}) - 7, -90)
+               * 1000000 AS BIGINT) AS y_lo,
+          CAST(LEAST(FLOOR(${sqlDavg("latitude")}) + 7, 90)
+               * 1000000 AS BIGINT) AS y_hi,
+          CAST(GREATEST(FLOOR(${sqlDavg("longitude")}) - 14, -180)
+               * 1000000 AS BIGINT) AS x_lo,
+          CAST(LEAST(FLOOR(${sqlDavg("longitude")}) + 14, 180)
+               * 1000000 AS BIGINT) AS x_hi
+        FROM store),
+      poly AS (SELECT y_lo, y_hi, x_lo, x_hi,
+          (y_lo + y_hi) // 2 AS cy, (x_lo + x_hi) // 2 AS cx FROM box),
+      pts AS (
+        SELECT geohash3, geohash, latitude,
+               CAST(ROUND(latitude * 1000000) AS BIGINT) AS py,
+               CAST(ROUND(longitude * 1000000) AS BIGINT) AS px
+        FROM store)
+      SELECT geohash3, COUNT(*) AS n_casts,
+             COUNT(DISTINCT geohash) AS n_locations,
+             ${sqlDavg("latitude")} AS mean_lat
+      FROM pts, poly
+      WHERE (cx - x_hi) * (py - cy)  - (y_hi - cy) * (px - x_hi) >= 0
+        AND (x_lo - cx) * (py - y_hi) - (cy - y_hi) * (px - cx)  >= 0
+        AND (cx - x_lo) * (py - cy)  - (y_lo - cy) * (px - x_lo) >= 0
+        AND (x_hi - cx) * (py - y_lo) - (cy - y_lo) * (px - cx)  >= 0
+      GROUP BY geohash3
+      ORDER BY geohash3"""))
+
   val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density, wod4Bulk,
-    wod5BasinJoin, wod6GeoLookup, wod7RangeScan, wod8BboxScan)
+    wod5BasinJoin, wod6GeoLookup, wod7RangeScan, wod8BboxScan,
+    wod9PolygonScan)
 }

@@ -303,6 +303,61 @@ object EventsStreaming {
       .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
   }
 
+  /** st4's topology as a LEFT OUTER stream-stream join — the hard
+    * streaming-join semantics: a click with no purchase in its 30-min
+    * window must STILL be emitted (null-extended), which the engine
+    * can only do once the watermark proves no matching purchase can
+    * arrive (left state eviction). Inner joins emit on match; outer
+    * joins emit on WATERMARK PROGRESS — so this is the path that
+    * exercises state eviction timing, not just match buffering.
+    *
+    * Determinism: the staged replay ends with an EMPTY trailer slice
+    * (same device as st3/st7), so the final watermark advance — and
+    * with it every evictable click's null row — happens in a data
+    * batch. Clicks whose window is not yet below the final watermark
+    * are withheld forever (the stream never ends); the oracle applies
+    * the same predicate in ms (the engine's watermark domain),
+    * checked tie-free on the fixtures like st7.
+    */
+  def clickPurchaseLeftJoin(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = stageTimeSlices(batch, slices, trailer = true)
+    def src() = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = src()
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_time").as("click_time"),
+        expr("ts DIV 1000").as("click_us"))
+      .withWatermark("click_time", "1 hour")
+    val purchases = src()
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_time").as("purchase_time"),
+        expr("ts DIV 1000").as("purchase_us"), col("value"))
+      .withWatermark("purchase_time", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <= col("click_time") + expr("interval 30 minutes"),
+      "left_outer")
+      .select(col("user_id"), col("click_us"), col("purchase_us"),
+        col("value"))
+    val name = s"graft_st_ljoin_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
+  }
+
   /** [[clickPurchaseJoin]]'s topology through the durable file sink
     * (parquet + checkpoint): restartable with the same out/chk — BOTH
     * sides' buffered join state resumes from the checkpointed state

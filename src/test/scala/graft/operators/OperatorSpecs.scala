@@ -216,6 +216,60 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("index compaction: repeated appends grow the file count; compact " +
+      "collapses it to <= buckets, preserves probe results AND the " +
+      "bucket-aligned (shuffle-free) scan") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, base), (2L, base + " phi"),
+      (3L, "entirely different unrelated content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val table = "t_idx_compact_spec"
+    TextDedupOps.writeLshIndex(corpus, "doc_id", "text", table,
+      numHashes = 8, bands = 4, buckets = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_idx_compact").toString))
+    (10L to 12L).foreach { id =>
+      TextDedupOps.appendToLshIndex(spark, table,
+        Seq((id, base + s" suffix$id")).toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 8, bands = 4, buckets = 2)
+    }
+    def files(): Int = {
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location.toString))
+      loc.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    def probe(): Set[(Long, Long, Double)] = {
+      val q = Seq((20L, base + " omega")).toDF("doc_id", "text")
+      TextDedupOps.probeLshIndex(spark, table, q, "doc_id", "text",
+        numHashes = 8, bands = 4, minJaccard = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val grown = files()
+    assert(grown > 2, s"3 appends over 2 buckets must grow files: $grown")
+    val before = probe()
+    assert(before.nonEmpty)
+    BucketedStores.compactLshIndex(spark, table, buckets = 2)
+    assert(files() <= 2, s"compaction must collapse to <= buckets files")
+    assert(probe() === before, "compaction must not change probe results")
+    // the swapped-in table still carries the bucket spec: the probe's
+    // index side scans bucketed (zero-shuffle), exchange-free to check
+    val q = Seq((20L, base + " omega")).toDF("doc_id", "text")
+    val plan = TextDedupOps.probeLshIndex(spark, table, q, "doc_id",
+      "text", numHashes = 8, bands = 4, minJaccard = 0.5)
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_compact_")) => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+      s"compacted index must still scan bucket-aligned:\n$plan")
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("stored IVF index: append assigns a vector delta to the frozen " +
       "quantizer through the same bucket layout — next probe sees it, " +
       "old list files untouched") {
@@ -259,6 +313,42 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(after.size > filesAfterWrite.size, "append must add bucket files")
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+  }
+
+  test("convexPolygonContains: exact µ° half-plane test — inside, " +
+      "outside, and ON-edge points classify correctly and match a " +
+      "reference implementation on random points") {
+    import spark.implicits._
+    // diamond around (10, 20): N=(17,20) E=(10,34) S=(3,20) W=(10,6)
+    val poly = Seq((10000000L, 34000000L), (17000000L, 20000000L),
+      (10000000L, 6000000L), (3000000L, 20000000L))
+    def reference(lat: Double, lon: Double): Boolean = {
+      val py = math.round(lat * 1e6); val px = math.round(lon * 1e6)
+      (poly :+ poly.head).sliding(2).forall {
+        case Seq((y1, x1), (y2, x2)) =>
+          (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+      }
+    }
+    val rng = new scala.util.Random(11)
+    val pts = Seq(
+      (10.0, 20.0, true),   // center
+      (17.0, 20.0, true),   // vertex (boundary counts as inside)
+      (13.5, 27.0, true),   // ON the E→N edge midpoint
+      (16.9, 27.0, false),  // in the box corner, outside the diamond
+      (3.1, 6.2, false),
+      (10.0, 33.99, true)) ++
+      Seq.fill(200) {
+        val la = 10.0 + (rng.nextDouble() - 0.5) * 16
+        val lo = 20.0 + (rng.nextDouble() - 0.5) * 30
+        (la, lo, reference(la, lo))
+      }
+    val got = pts.toDF("lat", "lon", "want")
+      .withColumn("got", GeoOps.convexPolygonContains(
+        col("lat"), col("lon"), poly))
+      .as[(Double, Double, Boolean, Boolean)].collect()
+    got.foreach { case (la, lo, want, g) =>
+      assert(g == want, s"($la, $lo): expected $want")
+    }
   }
 
   test("connectedComponents: transitive chains collapse to one cluster") {

@@ -198,6 +198,35 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"($trained < $untrained)")
   }
 
+  test("IVF-SQ8 with exact rerank: quantized scan + top-10 rerank must " +
+      "match plain IVF-Flat recall within noise — quantization error " +
+      "that the rerank can't recover is a regression") {
+    val n = vectors.count().toDouble
+    val ann = SimilarityOps.ivfSq8Top1(vectors, "vec_id", "e",
+      dims = 64, k = 16, nprobe = 3, rerank = 10)
+      .select(col("id_a"), col("ann_id"))
+    val row = ann.join(exactTop1, "id_a")
+      .agg(count(lit(1)).as("covered"),
+        sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+          .as("matched"))
+      .head()
+    val coverage = row.getLong(0).toDouble / n
+    val sq8 =
+      if (row.getLong(0) == 0) 0.0
+      else row.getLong(1).toDouble / row.getLong(0)
+    val (_, flat) = ivfQuality(k = 16, nprobe = 3)
+    info(f"ivf-sq8 k=16 nprobe=3 rerank=10: recall@1=$sq8%.3f vs " +
+      f"flat $flat%.3f (delta ${sq8 - flat}%+.3f)")
+    assert(coverage >= minCoverage,
+      s"IVF-SQ8 coverage $coverage below the $minCoverage gate")
+    assert(sq8 >= minRecall,
+      s"IVF-SQ8 recall $sq8 below the $minRecall floor")
+    // int8 absmax on 64 dims is near-lossless for ranking; with a
+    // 10-deep exact rerank the winner should almost always survive
+    assert(sq8 >= flat - 0.02,
+      s"SQ8+rerank lost more than 0.02 recall vs flat ($sq8 < $flat)")
+  }
+
   test("IVF adversarial constant-vector corpus: every vector lands in " +
       "ONE list; the cap bounds the join and coverage holds") {
     import spark.implicits._

@@ -117,6 +117,49 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(key, saved)
   }
 
+  test("md5: frame near-dup joins on the frame-key exchange, payloads " +
+      "and frame slices never shuffle, asset counts join broadcast") {
+    val key = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = Registry.byName("md5_frame_near_dup").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"expected the frame-key self-join to reuse one exchange:\n$plan")
+      assert(!plan.toString.contains("CartesianProduct"),
+        "pair generation must never be all-pairs")
+      // nothing binary (payload OR frame slice) may cross an exchange —
+      // only (media_id, 32-char md5) rows flow
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exchanged = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanged.nonEmpty && exchanged.forall(_.child.output.forall(
+        a => !a.dataType.isInstanceOf[
+          org.apache.spark.sql.types.BinaryType.type])),
+        s"frame bytes must not cross an exchange:\n$plan")
+      // per-asset counts come back as broadcast joins
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      assert(plan.collect { case b: BroadcastHashJoinExec => b }.length >= 2,
+        s"asset-count joins must broadcast:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("ev11: the salted join shuffles on (key, salt) — shuffle-hash " +
+      "pinned, never broadcast, so the salt is load-bearing") {
+    val df = Registry.byName("ev11_salted_join").fn(spark, dir)
+    // pre-adaptive plan: AQE materialization hides the join inside
+    // query stages (memory-note discipline)
+    val plan = df.queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val shj = plan.collect { case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, s"expected a ShuffledHashJoin:\n$plan")
+    assert(shj.exists(j => j.leftKeys.exists(_.toString.contains("__salt"))
+        && j.leftKeys.size == 2),
+      s"join keys must be (key, __salt):\n${shj.map(_.leftKeys)}")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.isEmpty,
+      s"salted join must not broadcast:\n$plan")
+  }
+
   test("em1: top-1 is two-phase aggregation, not a window over all pairs") {
     val plan = executedPlan("em1_knn_top1")
     assert(!plan.toString.contains("Window"),
@@ -442,7 +485,10 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(gens.size === 1,
         s"exactly one banding explode (the delta's), got ${gens.size}")
-      val plan = df.queryExecution.sparkPlan
+      // executedPlan: join exchanges exist only post-EnsureRequirements
+      // (sparkPlan would make the no-shuffle assertion vacuous); AQE
+      // is off so this is the real final plan
+      val plan = df.queryExecution.executedPlan
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
       // the (band, bhash) join: the index side must be exchange-free —
@@ -481,6 +527,56 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim8: the SQ8 corpus-scale cid join moves ONLY int8 rows — no " +
+      "double-array column crosses a cid exchange; floats flow at " +
+      "candidate scale; one cached projection feeds every branch") {
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
+    val (savedB, savedA) = (spark.conf.get(bcast), spark.conf.get(aqe))
+    spark.conf.set(bcast, "-1")
+    spark.conf.set(aqe, "false")
+    try {
+      val df = Registry.byName("sim8_ivf_sq8_top1").fn(spark, dir)
+      // cache reuse: the quantized projection is persisted once and
+      // read by index, probe, and both rerank branches
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val imrs = df.queryExecution.optimizedPlan.collect {
+        case r: InMemoryRelation => r
+      }
+      assert(imrs.size >= 4,
+        s"all four branches must read the cached projection, " +
+          s"got ${imrs.size}")
+      // executedPlan, not sparkPlan: EnsureRequirements inserts the
+      // join exchanges only at this level (AQE is off, so it is the
+      // real final plan)
+      val plan = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      // the bandwidth claim, checked: every exchange whose key is cid
+      // (the corpus-scale join) carries NO array<double> column — the
+      // quantized array<long> + scalars only
+      val allExchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      val cidExchanges = allExchanges.filter(
+        _.outputPartitioning.toString.contains("cid"))
+      assert(cidExchanges.nonEmpty,
+        s"expected the cid-keyed exchange; partitionings were " +
+          s"${allExchanges.map(_.outputPartitioning)}:\n$plan")
+      cidExchanges.foreach { e =>
+        val doubleArrays = e.child.output.filter(a => a.dataType ==
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)
+          || a.dataType == org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true))
+        assert(doubleArrays.isEmpty,
+          s"float vectors must not cross the corpus-scale cid " +
+            s"exchange, found ${doubleArrays.map(_.name)}:\n$e")
+      }
+    } finally {
+      spark.conf.set(bcast, savedB)
+      spark.conf.set(aqe, savedA)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("sim7: the stored IVF index feeds the probe join bucket-aligned " +
       "— zero index-side shuffle, queries scored in-row off the " +
       "stored centroids") {
@@ -491,7 +587,9 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.conf.set(aqe, "false")
     try {
       val df = Registry.byName("sim7_ivf_stored_top1").fn(spark, dir)
-      val plan = df.queryExecution.sparkPlan
+      // executedPlan: see the dd11 gate — exchange assertions are
+      // vacuous at the sparkPlan level
+      val plan = df.queryExecution.executedPlan
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
       val cidJoins = plan.collect {
