@@ -124,6 +124,34 @@ object GeoOps {
     }
   }
 
+  /** FULL-DEPTH cell cover of a box: every depth-`depth` geohash cell
+    * the box touches, as plain cell KEYS (no range collapsing) — the
+    * join-key form a spatial EQUI-join needs: polygons explode to
+    * their cover cells, points carry their cell, and the pair space
+    * shrinks from |points|×|polygons| to cell-collocated candidates.
+    * Bounded by 32^depth; callers use depth = the store's partition
+    * cell length (3).
+    */
+  def bboxToCells(minLat: Double, maxLat: Double,
+      minLon: Double, maxLon: Double, depth: Int = 3): Seq[String] = {
+    require(depth >= 1 && depth <= 6, s"depth $depth out of [1,6]")
+    require(minLat <= maxLat && minLon <= maxLon,
+      s"degenerate box [$minLat,$maxLat]×[$minLon,$maxLon]")
+    def touches(c: CellBounds): Boolean =
+      c.latMin <= maxLat && minLat <= c.latMax &&
+        c.lonMin <= maxLon && minLon <= c.lonMax
+    val cells = Seq.newBuilder[String]
+    def visit(prefix: String): Unit = {
+      val c = cellBounds(prefix)
+      if (touches(c)) {
+        if (prefix.length >= depth) cells += prefix
+        else Base32.foreach(ch => visit(prefix + ch))
+      }
+    }
+    Base32.foreach(ch => visit(ch.toString))
+    cells.result()
+  }
+
   /** EXACT point-in-convex-polygon predicate as a Column, computed in
     * integer MICRODEGREES so every engine derives the identical
     * boolean from the same row: coordinates and vertices round to

@@ -424,7 +424,62 @@ object EventsQueries {
       GROUP BY 1
       ORDER BY 1"""))
 
+  /** DYNAMIC-gap session windows (ev12) — the `session_window`
+    * capability ev10's fixed gap doesn't exercise: each event extends
+    * its session by a PER-EVENT gap (clicks 30 min, everything else 2
+    * h — the "purchases keep a visit alive longer" modeling). Merge
+    * semantics: an event joins a session iff its time is inside the
+    * running max of (t + gap) over the session so far; session end =
+    * that max. The oracle reconstructs exactly that with a running
+    * `MAX(t+gap) OVER (… 1 PRECEDING)` break test — a genuinely
+    * different algorithm from the engine's window-merge. Exact µs
+    * integer arithmetic end to end.
+    */
+  val q12DynamicSession = Q(
+    "ev12_dynamic_session",
+    (s, d) =>
+      events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(col("user_id"),
+          session_window(col("t"), when(col("event_type") === "click",
+            "30 minutes").otherwise("2 hours")).as("sw"))
+        .agg(cnt.as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us")),
+    sql = Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t_us,
+               CASE WHEN event_type = 'click' THEN 1800000000
+                    ELSE 7200000000 END AS gap_us
+        FROM events),
+      m AS (
+        SELECT user_id, t_us, gap_us,
+               MAX(t_us + gap_us) OVER (PARTITION BY user_id
+                 ORDER BY t_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_end
+        FROM e),
+      b AS (
+        SELECT user_id, t_us, gap_us,
+               CASE WHEN prev_end IS NULL OR t_us >= prev_end
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      s AS (
+        SELECT user_id, t_us, gap_us,
+               SUM(brk) OVER (PARTITION BY user_id
+                 ORDER BY t_us, brk DESC ROWS UNBOUNDED PRECEDING) AS sess
+        FROM b)
+      SELECT user_id, MIN(t_us) AS start_us,
+             MAX(t_us + gap_us) AS end_us,
+             COUNT(*) AS n_events
+      FROM s
+      GROUP BY user_id, sess
+      ORDER BY user_id, start_us"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
     q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort, q10SessionWindow,
-    q11SaltedJoin)
+    q11SaltedJoin, q12DynamicSession)
 }

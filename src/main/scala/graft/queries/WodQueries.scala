@@ -487,7 +487,101 @@ object WodQueries {
       GROUP BY geohash3
       ORDER BY geohash3"""))
 
+  /** SPATIAL JOIN (wod10) — many polygons × many points as an
+    * EQUI-join: one diamond per dataset (around its floored mean
+    * position), each exploded to its depth-3 cell cover
+    * ([[graft.operators.GeoOps.bboxToCells]]); points carry geohash3,
+    * so candidates are CELL-COLLOCATED pairs (broadcast cell table,
+    * map-side) instead of |points|×|polygons| — the classic scalable
+    * point-in-polygon join (ev6's bucketed-range-join discipline in
+    * 2-D). The exact refine dispatches per polygon through a chained
+    * `when` of integer-µ° half-plane literals (wod9's arithmetic —
+    * ≤ datasets branches, codegen-friendly, no vertex arrays in
+    * rows). Oracle: plain CROSS JOIN with the same four half-planes
+    * per polygon — no geohash logic, so the hash match validates the
+    * cover (a missed cell would lose rows).
+    */
+  val wod10PolygonJoin = Q(
+    "wod10_geo_polygon_join",
+    (s, _) => {
+      ensureBulk(s)
+      val store = s.read.parquet(s"$bulkOut/bulk/casts")
+      // bounded driver collect: one anchor row per dataset
+      val anchors = store.groupBy(col("dataset"))
+        .agg(floor(davg(col("latitude"))).cast("double").as("clat"),
+          floor(davg(col("longitude"))).cast("double").as("clon"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      def u(v: Double): Long = math.round(v * 1e6)
+      val polys = anchors.map { case (ds, clat, clon) =>
+        val (latLo, latHi) =
+          (math.max(clat - 4, -90.0), math.min(clat + 4, 90.0))
+        val (lonLo, lonHi) =
+          (math.max(clon - 8, -180.0), math.min(clon + 8, 180.0))
+        val (cy, cx) = ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
+        val diamond = Seq(
+          (u(cy), u(lonHi)), (u(latHi), u(cx)),
+          (u(cy), u(lonLo)), (u(latLo), u(cx)))
+        (ds, latLo, latHi, lonLo, lonHi, diamond)
+      }
+      import s.implicits._
+      val cells = polys.flatMap { case (ds, la, lb, lo, hi, _) =>
+        graft.operators.GeoOps.bboxToCells(la, lb, lo, hi, depth = 3)
+          .map(c => (ds, c))
+      }.toSeq.toDF("polygon_id", "cell")
+      val refine = polys.foldLeft(lit(false)) {
+        case (acc, (ds, _, _, _, _, diamond)) =>
+          when(col("polygon_id") === ds, graft.operators.GeoOps
+            .convexPolygonContains(col("latitude"), col("longitude"),
+              diamond)).otherwise(acc)
+      }
+      store.join(broadcast(cells), store("geohash3") === cells("cell"))
+        .filter(refine)
+        .groupBy(col("polygon_id"))
+        .agg(cnt.as("n_casts"),
+          countDistinct(col("dataset")).as("n_datasets"),
+          davg(col("latitude")).as("mean_lat"))
+        .orderBy(col("polygon_id"))
+    },
+    sql = Some(s"""
+      WITH store AS (
+        SELECT * FROM read_parquet('$bulkOut/bulk/casts/*/*/*/*.parquet',
+                                   hive_partitioning=1)),
+      poly AS (
+        SELECT dataset AS polygon_id,
+          CAST(GREATEST(FLOOR(${sqlDavg("latitude")}) - 4, -90)
+               * 1000000 AS BIGINT) AS y_lo,
+          CAST(LEAST(FLOOR(${sqlDavg("latitude")}) + 4, 90)
+               * 1000000 AS BIGINT) AS y_hi,
+          CAST(GREATEST(FLOOR(${sqlDavg("longitude")}) - 8, -180)
+               * 1000000 AS BIGINT) AS x_lo,
+          CAST(LEAST(FLOOR(${sqlDavg("longitude")}) + 8, 180)
+               * 1000000 AS BIGINT) AS x_hi
+        FROM store GROUP BY dataset),
+      p2 AS (SELECT polygon_id, y_lo, y_hi, x_lo, x_hi,
+          (y_lo + y_hi) // 2 AS cy, (x_lo + x_hi) // 2 AS cx FROM poly),
+      pts AS (
+        SELECT dataset, latitude,
+               CAST(ROUND(latitude * 1000000) AS BIGINT) AS py,
+               CAST(ROUND(longitude * 1000000) AS BIGINT) AS px
+        FROM store)
+      SELECT p.polygon_id, COUNT(*) AS n_casts,
+             COUNT(DISTINCT s.dataset) AS n_datasets,
+             ${sqlDavg("latitude")} AS mean_lat
+      FROM pts s CROSS JOIN p2 p
+      WHERE (p.cx - p.x_hi) * (s.py - p.cy)
+              - (p.y_hi - p.cy) * (s.px - p.x_hi) >= 0
+        AND (p.x_lo - p.cx) * (s.py - p.y_hi)
+              - (p.cy - p.y_hi) * (s.px - p.cx)  >= 0
+        AND (p.cx - p.x_lo) * (s.py - p.cy)
+              - (p.y_lo - p.cy) * (s.px - p.x_lo) >= 0
+        AND (p.x_hi - p.cx) * (s.py - p.y_lo)
+              - (p.cy - p.y_lo) * (s.px - p.cx)  >= 0
+      GROUP BY p.polygon_id
+      ORDER BY p.polygon_id"""))
+
   val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density, wod4Bulk,
     wod5BasinJoin, wod6GeoLookup, wod7RangeScan, wod8BboxScan,
-    wod9PolygonScan)
+    wod9PolygonScan, wod10PolygonJoin)
 }

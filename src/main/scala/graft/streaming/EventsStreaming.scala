@@ -319,12 +319,14 @@ object EventsStreaming {
     * the same predicate in ms (the engine's watermark domain),
     * checked tie-free on the fixtures like st7.
     */
-  def clickPurchaseLeftJoin(spark: SparkSession, dir: String,
-      slices: Int = 4): DataFrame = {
-    import org.apache.spark.sql.streaming.OutputMode
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-    val staged = stageTimeSlices(batch, slices, trailer = true)
-    def src() = spark.readStream.schema(batch.schema)
+  /** The st9 LEFT OUTER join topology over a staged slice dir — shared
+    * by the memory-sink query (st9) and the checkpointed file-sink
+    * drain (the eviction-across-restart spec).
+    */
+  private def clickPurchaseLeftJoined(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String): DataFrame = {
+    def src() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
@@ -339,13 +341,21 @@ object EventsStreaming {
         col("event_time").as("purchase_time"),
         expr("ts DIV 1000").as("purchase_us"), col("value"))
       .withWatermark("purchase_time", "1 hour")
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_time") >= col("click_time") &&
         col("purchase_time") <= col("click_time") + expr("interval 30 minutes"),
       "left_outer")
       .select(col("user_id"), col("click_us"), col("purchase_us"),
         col("value"))
+  }
+
+  def clickPurchaseLeftJoin(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = stageTimeSlices(batch, slices, trailer = true)
+    val joined = clickPurchaseLeftJoined(spark, batch.schema, staged)
     val name = s"graft_st_ljoin_${nameCounter.incrementAndGet()}"
     val q = joined.writeStream
       .outputMode(OutputMode.Append())
@@ -356,6 +366,29 @@ object EventsStreaming {
     finally q.stop()
     spark.table(name)
       .orderBy(col("user_id"), col("click_us"), col("purchase_us"))
+  }
+
+  /** [[clickPurchaseLeftJoin]]'s topology through the durable file
+    * sink — restartable with the same out/chk: buffered left rows AND
+    * the eviction clock resume from the checkpoint, so a matchless
+    * click buffered before a stop still emits its null-extended row
+    * when the post-restart watermark passes its window (exercised by
+    * `StreamingSpec`; outer-join eviction is state the inner-join
+    * resume test never touches).
+    */
+  private[streaming] def drainLeftJoinToFileSink(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String, out: String, chk: String): Unit = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val q = clickPurchaseLeftJoined(spark, schema, staged)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
   }
 
   /** [[clickPurchaseJoin]]'s topology through the durable file sink

@@ -65,6 +65,23 @@ class GeoOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bboxToCells: every point in the box lands in exactly one " +
+      "emitted cell, and every cell is distinct at the asked depth") {
+    forAllSeeded(genBoxWithPoints, 200) {
+      case ((lat0, lat1, lon0, lon1, depth), pts) =>
+        val cells = GeoOps.bboxToCells(lat0, lat1, lon0, lon1, depth)
+        assert(cells.nonEmpty)
+        assert(cells.forall(_.length == depth))
+        assert(cells.distinct.size === cells.size)
+        pts.foreach { case (lat, lon) =>
+          val cell = Geohash.encode(lat, lon).take(depth)
+          assert(cells.contains(cell),
+            s"point ($lat,$lon) cell=$cell missing from cover of " +
+              s"[$lat0,$lat1]x[$lon0,$lon1]@$depth")
+        }
+    }
+  }
+
   test("disjoint + sorted: ranges never overlap and are maximal-merged") {
     forAllSeeded(genBox, 300) { case (lat0, lat1, lon0, lon1, depth) =>
       val ranges = GeoOps.bboxToGeohashRanges(lat0, lat1, lon0, lon1, depth)

@@ -662,6 +662,32 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "after the first epoch the symbolization must read a cached base")
   }
 
+  test("wod10: the polygon join is a broadcast CELL equi-join — the " +
+      "point table never shuffles for the polygons and nothing plans " +
+      "as |points|×|polygons|") {
+    val plan = executedPlan("wod10_geo_polygon_join")
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"cell candidates must come from a broadcast equi-join:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("SortMergeJoin"),
+      s"the point-polygon pair space must stay cell-collocated:\n$s")
+  }
+
+  test("ev12: dynamic-gap session_window keeps the single-shuffle " +
+      "topology — per-event gaps don't cost a second exchange") {
+    val plan = executedPlan("ev12_dynamic_session")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashExchanges.length === 1,
+      s"dynamic session_window must shuffle once on user_id:\n$plan")
+  }
+
   test("ev7: sessionization runs on ONE hash exchange — both windows " +
       "and the session agg reuse the user_id partitioning") {
     val plan = executedPlan("ev7_sessionize")

@@ -261,6 +261,99 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the witness match must emit from RECOVERED pre-stop click state")
   }
 
+  test("LEFT OUTER join eviction survives a checkpoint stop/resume — " +
+      "a matchless click buffered BEFORE the stop emits its " +
+      "null-extended row only AFTER the restart's watermark passes " +
+      "its window; a matched click never null-emits") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val (tsMin, tsMax) = raw.agg(min(col("ts")), max(col("ts")))
+      .as[(Long, Long)].head()
+    val span = tsMax - tsMin + 1
+    val cut = tsMin + span * 2 / 4
+    // witness 1: a click at the last instant of slice 2 with NO
+    // purchase ever. At the stop, the watermark (≈ cut − 1h) has not
+    // passed click + 30 min, so no null row may exist yet; after the
+    // resume the watermark sails past it — the null row can only come
+    // from click state + eviction clock recovered off the checkpoint.
+    val evictUser = 777777777L
+    // witness 2: st4's crossing pair — click before the stop, purchase
+    // after, inside the window. Must emit EXACTLY the matched row:
+    // a wrong eviction at restart would ALSO emit a null row for it.
+    val matchUser = 888888888L
+    val template = raw.orderBy(col("ts")).limit(1)
+    val wEvict = template
+      .withColumn("user_id", lit(evictUser))
+      .withColumn("ts", lit(cut - 1))
+      .withColumn("event_type", lit("click"))
+    val wClick = template
+      .withColumn("user_id", lit(matchUser))
+      .withColumn("ts", lit(cut - 1))
+      .withColumn("event_type", lit("click"))
+    val wPurchase = template
+      .withColumn("user_id", lit(matchUser))
+      .withColumn("ts", lit(cut + 1))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("value", lit(42.0))
+    val batch = raw.unionByName(wEvict).unionByName(wClick)
+      .unionByName(wPurchase)
+    // the eviction witness needs the final watermark to pass
+    // click + 30 min: the fixture spans months, 1.5 h of margin exists
+    require(cut - 1 + 1_800_000_000_000L + 3_600_000_000_000L < tsMax,
+      "fixture must span > 1.5h past the cut for the eviction witness")
+    val fullStage = EventsStreaming.stageTimeSlices(batch, 4, trailer = true)
+    val sliceFiles = Files.list(Paths.get(fullStage)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (sliceFiles.hasNext) all += sliceFiles.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    // single uninterrupted run = the reference emission set
+    val refBase = Files.createTempDirectory("st9r_ref")
+    EventsStreaming.drainLeftJoinToFileSink(spark, batch.schema, fullStage,
+      refBase.resolve("out").toString, refBase.resolve("chk").toString)
+    val expected = spark.read.parquet(refBase.resolve("out").toString)
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(expected.exists(r => r._1 == evictUser && r._3.isEmpty),
+      "the eviction witness must null-emit in the uninterrupted run")
+
+    // interrupted run: two slices, "crash", add the rest, resume
+    val stage2 = Files.createTempDirectory("st9r_partial")
+    val base = Files.createTempDirectory("st9r_resume")
+    val (out, chk) = (base.resolve("out").toString, base.resolve("chk").toString)
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    ordered.take(2).foreach(copyIn)
+    EventsStreaming.drainLeftJoinToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 1, then "crash"
+    val afterRun1 = spark.read.parquet(out).as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    ordered.drop(2).foreach(copyIn)
+    EventsStreaming.drainLeftJoinToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 2: resume state + eviction clock
+    val resumed = spark.read.parquet(out).as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+
+    // exactly the uninterrupted result — no lost state, no dupes
+    assert(resumed === expected)
+    assert(afterRun1.subsetOf(resumed) && afterRun1.size < resumed.size)
+    // the null row did NOT exist at the stop (watermark hadn't passed
+    // its window) and emitted only from recovered state afterwards
+    assert(!afterRun1.exists(_._1 == evictUser),
+      "the eviction witness must still be buffered at the stop")
+    assert((resumed -- afterRun1)
+        .exists(r => r._1 == evictUser && r._3.isEmpty),
+      "the null-extended row must emit from RECOVERED click state")
+    // the crossing match emitted exactly once, as a match — a restart
+    // that mis-recovered the eviction clock would also null-emit it
+    val matchRows = resumed.filter(_._1 == matchUser)
+    assert(matchRows.size == 1 && matchRows.head._3.nonEmpty,
+      s"the crossing pair must emit exactly its matched row: $matchRows")
+  }
+
   test("sessionizeStream closes a quiet user's session via event-time " +
       "timeout, not end-of-input") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
