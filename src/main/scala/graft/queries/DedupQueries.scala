@@ -561,7 +561,7 @@ object DedupQueries {
     * content-hash-compare delta ids — shared by dd10 (on-the-fly index)
     * and dd11 (stored index).
     */
-  private def snapshotDelta(s: org.apache.spark.sql.SparkSession,
+  private[queries] def snapshotDelta(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
     val base = documents(s, d).select(col("doc_id"), col("text"))
@@ -739,8 +739,175 @@ object DedupQueries {
       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
       ORDER BY d.doc_id"""))
 
+  /** PageRank over the near-dup graph (dd13) — graph ANALYTICS on the
+    * dedup output: which documents sit at the center of duplication
+    * mass (template pages, boilerplate hubs — the docs whose removal
+    * collapses whole clusters). Three damped iterations (d = 0.85) in
+    * EXACT fixed-point integer arithmetic (ranks in parts-per-billion;
+    * em7's nano-exact discipline): every contribution is `rank DIV
+    * degree`, every update `(15·r0) DIV 100 + (85·Σ) DIV 100` — all
+    * BIGINT, so both engines carry bit-identical state through all
+    * three iterations and the hash match is exact, not
+    * rounding-coincident. Scale shape: edges are cached once
+    * (scoped), each iteration is one (src)-keyed join + one (dst)
+    * hash agg — bounded lineage, no driver-side graph; the node count
+    * enters as a broadcast 1-row scalar, not a driver action (which
+    * would materialize-and-release the scoped edge cache early).
+    */
+  val dd13PageRank = Q(
+    "dd13_dup_graph_pagerank",
+    (s, d) => {
+      val pairs = minhashLshPairs(spread(documents(s, d)), "doc_id", "text",
+        numHashes = 8, bands = 2, minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"))
+      val edges = org.apache.spark.sql.graft.ScopedCaches.scoped(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(
+            pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nDf = deg.agg(count(lit(1)).as("n"))
+      var ranks = deg.crossJoin(broadcast(nDf))
+        .select(col("src").as("node"), col("deg"),
+          expr("1000000000 DIV n").as("rank"))
+      for (_ <- 1 to 3) {
+        val acc = edges.join(ranks, edges("src") === ranks("node"))
+          .select(col("dst"), expr("rank DIV deg").as("contrib"))
+          .groupBy(col("dst")).agg(sum(col("contrib")).as("acc"))
+        ranks = deg.join(acc, deg("src") === acc("dst"))
+          .crossJoin(broadcast(nDf))
+          .select(deg("src").as("node"), col("deg"),
+            expr("(15 * (1000000000 DIV n)) DIV 100 + (85 * acc) DIV 100")
+              .as("rank"))
+      }
+      ranks.select(col("node").as("doc_id"), col("deg").as("degree"),
+        col("rank").as("rank_ppb"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                AS DOUBLE) /
+              (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+              6) >= 0.2),
+      edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      deg AS MATERIALIZED (
+        SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      nn AS (SELECT COUNT(*) AS n FROM deg),
+      r0 AS MATERIALIZED (
+        SELECT d.src AS node, d.deg, 1000000000 // nn.n AS rank
+        FROM deg d, nn),
+      r1 AS MATERIALIZED (
+        SELECT d.src AS node, d.deg,
+               (15 * (1000000000 // nn.n)) // 100 + (85 * s.acc) // 100
+                 AS rank
+        FROM deg d, nn,
+             (SELECT e.dst, SUM(r.rank // r.deg) AS acc
+              FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst) s
+        WHERE s.dst = d.src),
+      r2 AS MATERIALIZED (
+        SELECT d.src AS node, d.deg,
+               (15 * (1000000000 // nn.n)) // 100 + (85 * s.acc) // 100
+                 AS rank
+        FROM deg d, nn,
+             (SELECT e.dst, SUM(r.rank // r.deg) AS acc
+              FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst) s
+        WHERE s.dst = d.src),
+      r3 AS MATERIALIZED (
+        SELECT d.src AS node, d.deg,
+               (15 * (1000000000 // nn.n)) // 100 + (85 * s.acc) // 100
+                 AS rank
+        FROM deg d, nn,
+             (SELECT e.dst, SUM(r.rank // r.deg) AS acc
+              FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst) s
+        WHERE s.dst = d.src)
+      SELECT node AS doc_id, CAST(deg AS BIGINT) AS degree,
+             CAST(rank AS BIGINT) AS rank_ppb
+      FROM r3
+      ORDER BY doc_id"""))
+
+  /** Blocked EDIT-DISTANCE near-dup (dd14) — the entity-resolution
+    * discipline for the string-metric family jaccard/minhash can't
+    * express (character-level edits): candidates come from a
+    * (prefix-8, length-band) BLOCKING key, the standard ER move that
+    * turns O(n²) verify into block-local work — the fixture's 16,095
+    * length-compatible pairs collapse to ~90 candidates — then exact
+    * Levenshtein verifies, keeping pairs whose distance is ≤ 10% of
+    * the longer text. Length bands are 32 wide and each doc posts to
+    * (band, band+1), so any pair with |len_a − len_b| ≤ 32 meets; the
+    * `(pos_a, pos_b) ≠ (1,1)` guard makes each pair meet EXACTLY once
+    * (no distinct over text payloads). One keyed shuffle; the DP
+    * verify runs only on block-collocated candidates.
+    */
+  val dd14EditDistance = Q(
+    "dd14_editdist_near_dup",
+    (s, d) => {
+      val docs = spread(documents(s, d))
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+          substring(col("text"), 1, 8).as("pfx"))
+      val bd = docs.select(col("doc_id"), col("text"), col("len"),
+        col("pfx"),
+        posexplode(array(expr("len DIV 32"), expr("len DIV 32 + 1")))
+          .as(Seq("pos", "lband")))
+      val a = bd.select(col("pfx"), col("lband"), col("pos").as("pos_a"),
+        col("doc_id").as("id_a"), col("text").as("t_a"),
+        col("len").as("l_a"))
+      val b = bd.select(col("pfx"), col("lband"), col("pos").as("pos_b"),
+        col("doc_id").as("id_b"), col("text").as("t_b"),
+        col("len").as("l_b"))
+      a.join(b, Seq("pfx", "lband"))
+        .filter(col("id_a") < col("id_b") &&
+          !(col("pos_a") === 1 && col("pos_b") === 1) &&
+          abs(col("l_a") - col("l_b")) <= 32)
+        .withColumn("lev", levenshtein(col("t_a"), col("t_b")))
+        .filter(col("lev") * 10 <= greatest(col("l_a"), col("l_b")))
+        .select(col("id_a"), col("id_b"),
+          col("lev").cast("long").as("edit_distance"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some("""
+      WITH docs AS (
+        SELECT doc_id, text, length(text) AS len,
+               substr(text, 1, 8) AS pfx
+        FROM documents),
+      banded AS (
+        SELECT doc_id, text, len, pfx, p.pos, len // 32 + p.pos AS lband
+        FROM docs, (SELECT unnest(range(0, 2)) AS pos) p),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text AS t_a, b.text AS t_b, a.len AS l_a, b.len AS l_b
+        FROM banded a JOIN banded b
+          ON a.pfx = b.pfx AND a.lband = b.lband AND a.doc_id < b.doc_id
+         AND NOT (a.pos = 1 AND b.pos = 1)
+        WHERE abs(a.len - b.len) <= 32)
+      SELECT id_a, id_b,
+             CAST(levenshtein(t_a, t_b) AS BIGINT) AS edit_distance
+      FROM cand
+      WHERE levenshtein(t_a, t_b) * 10 <= GREATEST(l_a, l_b)
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
     dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup,
-    dd12KeepList)
+    dd12KeepList, dd13PageRank, dd14EditDistance)
 }

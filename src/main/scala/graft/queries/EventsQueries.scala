@@ -479,7 +479,80 @@ object EventsQueries {
       GROUP BY user_id, sess
       ORDER BY user_id, start_us"""))
 
+  /** SCD2 interval build (ev13) — the CDC shape every warehouse
+    * dimension load runs: collapse each user's consecutive runs of an
+    * attribute (event_type here) into validity intervals
+    * `[valid_from, valid_to)` with an open current row — gaps-and-
+    * islands + LEAD, the standard slowly-changing-dimension type-2
+    * derivation from an event log. One user_id exchange carries the
+    * change-flag window, the run collapse, AND the interval LEAD (all
+    * three share the partitioning). Exact µs integers; run ids are
+    * change-flag prefix sums over the deterministic (t_us, event_id)
+    * order, so both engines number runs identically even through
+    * microsecond ties.
+    */
+  val q13Scd2 = Q(
+    "ev13_scd2_intervals",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      val marked = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts DIV 1000").as("t_us"))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val runs = marked
+        .groupBy(col("user_id"), col("run"), col("event_type"))
+        .agg(min(col("t_us")).as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from_us"), col("run"))
+      runs
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w2))
+        .withColumn("is_current",
+          when(col("valid_to_us").isNull, 1L).otherwise(0L))
+        .select(col("user_id"), col("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("n_events"), col("is_current"), col("run"))
+        .orderBy(col("user_id"), col("valid_from_us"), col("run"))
+        .drop("run")
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS t_us
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, t_us, event_type,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+      r AS (
+        SELECT user_id, t_us, event_type,
+               SUM(chg) OVER (PARTITION BY user_id
+                 ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS run
+        FROM m),
+      runs AS (
+        SELECT user_id, run, event_type,
+               MIN(t_us) AS valid_from_us,
+               COUNT(*) AS n_events
+        FROM r GROUP BY user_id, run, event_type)
+      SELECT user_id, event_type, valid_from_us,
+             LEAD(valid_from_us) OVER w2 AS valid_to_us,
+             CAST(n_events AS BIGINT) AS n_events,
+             CAST(CASE WHEN LEAD(valid_from_us) OVER w2 IS NULL
+                  THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM runs
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us, run)
+      ORDER BY user_id, valid_from_us, run"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
     q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort, q10SessionWindow,
-    q11SaltedJoin, q12DynamicSession)
+    q11SaltedJoin, q12DynamicSession, q13Scd2)
 }

@@ -309,7 +309,28 @@ object StreamingQueries {
                      UNION ALL SELECT * FROM unmatched)
       ORDER BY user_id, click_us, purchase_us NULLS FIRST"""))
 
+  /** ONLINE ingestion dedup (st10) — documents arrive as a stream and
+    * dedup at ingestion: each micro-batch probes the stored LSH index
+    * (dd11's bucket-aligned join), self-pairs within the batch, then
+    * appends itself to the index so later batches see it
+    * ([[graft.streaming.DocumentsStreaming.ingestDedupStream]]).
+    * Probe-before-append finds each cross-batch pair exactly once; the
+    * sink-side MAX-collapse makes the at-least-once `foreachBatch`
+    * contract idempotent in the result. The oracle is dd10's SQL
+    * VERBATIM — the third independent formulation (on-the-fly index,
+    * stored index, streamed ingestion) that must agree row-for-row.
+    */
+  val st10IngestDedup = Q(
+    "st10_stream_ingest_dedup",
+    (s, d) => {
+      val (newSnap, changedIds) = DedupQueries.snapshotDelta(s, d)
+      graft.streaming.DocumentsStreaming.ingestDedupStream(
+        s, Q.spread(newSnap), changedIds)
+    },
+    sql = DedupQueries.dd10IncrementalDedup.sql)
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
-    st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin)
+    st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
+    st10IngestDedup)
 }

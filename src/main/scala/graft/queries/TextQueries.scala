@@ -1283,11 +1283,108 @@ object TextQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** Data-VALIDATION suite (dq1) — the pre-training gate every corpus
+    * refresh runs before anything downstream consumes it: a fixed set
+    * of declared constraints (completeness, uniqueness, domain,
+    * consistency) evaluated in ONE corpus scan. All constraint
+    * aggregates fold into a single global aggregation (scan-local
+    * conditional sums — at 100 TB this is one pass + a 1-row shuffle,
+    * NOT one job per constraint, the naive per-check loop), then the
+    * 1-row result unpivots to the (constraint, observed, passed)
+    * report. `observed` is the VIOLATION COUNT (0 = clean) except
+    * row_count_min, where it's the row count itself; everything
+    * integer-exact.
+    */
+  val dq1ConstraintReport = Q(
+    "dq1_constraint_report",
+    (s, d) => {
+      val a = documents(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("null_id"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("empty_text"),
+        sum(when(col("lang").isNull || length(col("lang")) =!= 2, 1L)
+          .otherwise(0L)).as("bad_lang"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("null_source"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("bad_nchars"),
+        sum(when(col("n_chars") < 0, 1L).otherwise(0L)).as("neg_nchars"))
+      def c(name: String, observed: org.apache.spark.sql.Column,
+          passed: org.apache.spark.sql.Column) =
+        struct(lit(name).as("check_name"), observed.as("observed"),
+          when(passed, 1L).otherwise(0L).as("passed"))
+      a.select(explode(array(
+          c("row_count_min_100", col("n_rows"), col("n_rows") >= 100),
+          c("doc_id_unique", col("n_rows") - col("n_ids"),
+            col("n_rows") === col("n_ids")),
+          c("doc_id_complete", col("null_id"), col("null_id") === 0),
+          c("text_nonempty", col("empty_text"), col("empty_text") === 0),
+          c("lang_iso2", col("bad_lang"), col("bad_lang") === 0),
+          c("source_complete", col("null_source"), col("null_source") === 0),
+          c("n_chars_consistent", col("bad_nchars"), col("bad_nchars") === 0),
+          c("n_chars_nonnegative", col("neg_nchars"), col("neg_nchars") === 0)
+        )).as("r"))
+        .select(col("r.check_name").as("check_name"),
+          col("r.observed").as("observed"), col("r.passed").as("passed"))
+        .orderBy(col("check_name"))
+    },
+    sql = Some("""
+      WITH a AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT doc_id) AS n_ids,
+               CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_id,
+               CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+               CAST(SUM(CASE WHEN lang IS NULL OR length(lang) <> 2
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+               CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS null_source,
+               CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_nchars,
+               CAST(SUM(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS neg_nchars
+        FROM documents)
+      SELECT check_name, observed, passed FROM (
+        SELECT 'row_count_min_100' AS check_name, n_rows AS observed,
+               CAST(CASE WHEN n_rows >= 100 THEN 1 ELSE 0 END AS BIGINT)
+                 AS passed FROM a
+        UNION ALL
+        SELECT 'doc_id_unique', n_rows - n_ids,
+               CAST(CASE WHEN n_rows = n_ids THEN 1 ELSE 0 END AS BIGINT)
+          FROM a
+        UNION ALL
+        SELECT 'doc_id_complete', null_id,
+               CAST(CASE WHEN null_id = 0 THEN 1 ELSE 0 END AS BIGINT)
+          FROM a
+        UNION ALL
+        SELECT 'text_nonempty', empty_text,
+               CAST(CASE WHEN empty_text = 0 THEN 1 ELSE 0 END AS BIGINT)
+          FROM a
+        UNION ALL
+        SELECT 'lang_iso2', bad_lang,
+               CAST(CASE WHEN bad_lang = 0 THEN 1 ELSE 0 END AS BIGINT)
+          FROM a
+        UNION ALL
+        SELECT 'source_complete', null_source,
+               CAST(CASE WHEN null_source = 0 THEN 1 ELSE 0 END AS BIGINT)
+          FROM a
+        UNION ALL
+        SELECT 'n_chars_consistent', bad_nchars,
+               CAST(CASE WHEN bad_nchars = 0 THEN 1 ELSE 0 END AS BIGINT)
+          FROM a
+        UNION ALL
+        SELECT 'n_chars_nonnegative', neg_nchars,
+               CAST(CASE WHEN neg_nchars = 0 THEN 1 ELSE 0 END AS BIGINT)
+          FROM a)
+      ORDER BY check_name"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
     tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
     tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode,
-    tx28BigramLm)
+    tx28BigramLm, dq1ConstraintReport)
 }

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextDedupOps
+
+/** Streaming over the DOCUMENTS table: online ingestion dedup.
+  *
+  * The batch dedup story has three tiers — full refresh (dd2),
+  * incremental refresh over a delta (dd10), and the delta probing a
+  * STORED index (dd11). This is the fourth: documents ARRIVE as a
+  * stream and are deduplicated at ingestion time, the shape a crawl
+  * pipeline actually runs between snapshot refreshes.
+  *
+  * Per micro-batch (`foreachBatch`):
+  *   1. PROBE — the batch's docs are shingled + banded (batch-scale
+  *      map work) and joined against the stored LSH index
+  *      ([[graft.operators.TextDedupOps.probeLshIndex]]): pairs
+  *      against everything ingested so far plus the base corpus.
+  *   2. WITHIN — the batch self-pairs through the same band discipline
+  *      ([[graft.operators.TextDedupOps.minhashLshPairs]]), because
+  *      step 1's index does not contain the in-flight batch yet.
+  *   3. APPEND — the batch's banded rows append to the index
+  *      ([[graft.operators.TextDedupOps.appendToLshIndex]]), so every
+  *      LATER batch sees this one. Probe-before-append means each
+  *      cross-batch pair is found exactly once (by the later side).
+  *
+  * The result provably equals the BATCH incremental refresh over the
+  * same corpus+delta — st10's oracle is dd10's SQL verbatim, making
+  * three independent formulations (on-the-fly index, stored index,
+  * streamed ingestion) that must agree row-for-row.
+  *
+  * Scale: per-batch work is batch-scale banding + one (band, bhash)
+  * equi-join against the bucket-aligned index scan (zero index-side
+  * shuffle — dd11's plan) + a batch²/buckets self-join; the corpus is
+  * never re-read and never re-banded. The final group-by collapse also
+  * makes the at-least-once `foreachBatch` contract safe: a replayed
+  * batch re-appends the same pairs with the same jaccard, and the
+  * sink-side MAX-collapse dedups them — idempotence by construction,
+  * not by sink transactions.
+  */
+object DocumentsStreaming {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Stage `docs` as `slices` doc_id-ordered parquet files (one file
+    * per micro-batch under `maxFilesPerTrigger=1`; file mtimes pin the
+    * processing order). Deterministic: slice i = ids in
+    * [min + span·i/slices, min + span·(i+1)/slices).
+    */
+  private def stageIdSlices(docs: DataFrame, slices: Int): String = {
+    val Row(idMin: Long, idMax: Long) =
+      docs.select(min(col("doc_id")), max(col("doc_id"))).head()
+    val staged = java.nio.file.Files.createTempDirectory("graft_docstage")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val span = idMax - idMin + 1
+    for (i <- 0 until slices) {
+      val lo = idMin + span * i / slices
+      val hi = idMin + span * (i + 1) / slices
+      val slice = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val tmp = staged.resolve(s"tmp_$i")
+      slice.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      val dest = new org.apache.hadoop.fs.Path(
+        staged.resolve(f"slice-$i%04d.parquet").toString)
+      fs.rename(part, dest)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      fs.setTimes(dest, (i + 1) * 60000L, -1) // strict batch order
+    }
+    staged.toString
+  }
+
+  /** Ingest `delta` (id + text) as a `slices`-batch stream against a
+    * fresh stored index seeded with `corpus` MINUS the delta ids;
+    * returns all near-dup pairs touching the delta — dd10's result,
+    * produced online. The index table is private to this run (the
+    * stream MUTATES it batch by batch).
+    */
+  def ingestDedupStream(spark: SparkSession, corpus: DataFrame,
+      deltaIds: DataFrame, slices: Int = 4, numHashes: Int = 8,
+      bands: Int = 2): DataFrame = {
+    val run = nameCounter.incrementAndGet()
+    val table = s"graft_st10_idx_$run"
+    val ids = deltaIds.select(col("doc_id"))
+    val baseDocs = corpus.join(broadcast(ids), Seq("doc_id"), "left_anti")
+    val deltaDocs = corpus.join(broadcast(ids), Seq("doc_id"), "left_semi")
+    TextDedupOps.writeLshIndex(baseDocs, "doc_id", "text", table,
+      numHashes, bands, location = Some(java.nio.file.Files
+        .createTempDirectory(s"graft_st10_loc_$run").toString))
+    val staged = stageIdSlices(deltaDocs, slices)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st10_out_$run").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st10_chk_$run").toString
+    val q = spark.readStream.schema(deltaDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          // `batch` is bound to the streaming engine's CLONED session,
+          // so the append below refreshes the CLONE's relation cache —
+          // `spark`'s own tableRelationCache would keep serving the
+          // PREVIOUS batch's file listing to this batch's probe.
+          // Refresh in the probing session before reading the index.
+          spark.catalog.refreshTable(table)
+          val cross = TextDedupOps.probeLshIndex(spark, table, b,
+            "doc_id", "text", numHashes, bands)
+          val within = TextDedupOps.minhashLshPairs(b,
+            "doc_id", "text", numHashes, bands)
+          cross.unionByName(within)
+            .groupBy(col("id_a"), col("id_b"))
+            .agg(max(col("jaccard")).as("jaccard"))
+            .write.mode("append").parquet(outDir)
+          TextDedupOps.appendToLshIndex(spark, table, b, "doc_id", "text",
+            numHashes, bands)
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outDir)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

@@ -688,6 +688,34 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"dynamic session_window must shuffle once on user_id:\n$plan")
   }
 
+  test("dd13: PageRank iterations never shuffle the graph for scalars " +
+      "— the node count enters as broadcast 1-row joins, and nothing " +
+      "plans as a cartesian over the edge relation") {
+    val plan = executedPlan("dd13_dup_graph_pagerank")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"no true cartesian anywhere in the 3-iteration plan:\n$s")
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    // r0 + three iterations: exactly the four 1-row scalar attaches
+    assert(bnlj.length === 4,
+      s"expected 4 broadcast scalar joins (r0 + 3 iterations), got " +
+        s"${bnlj.length}:\n$s")
+  }
+
+  test("ev13: the SCD2 build runs on ONE user_id exchange — change " +
+      "flags, run collapse, and the interval LEAD all reuse it") {
+    val plan = executedPlan("ev13_scd2_intervals")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashExchanges.length === 1,
+      s"SCD2 must shuffle once on user_id:\n$plan")
+  }
+
   test("ev7: sessionization runs on ONE hash exchange — both windows " +
       "and the session agg reuse the user_id partitioning") {
     val plan = executedPlan("ev7_sessionize")
