@@ -552,7 +552,35 @@ object EventsQueries {
       WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us, run)
       ORDER BY user_id, valid_from_us, run"""))
 
+  /** SLIDING windows (ev14) — the overlapping-window capability ev1's
+    * tumbling hour can't express: 2-hour windows sliding by 1 hour,
+    * so every event lands in exactly TWO windows (the moving-average
+    * readout shape). Spark's native `window(…, "2 hours", "1 hour")`
+    * expands in-row before one keyed exchange; the oracle derives the
+    * same two covering window starts arithmetically (`t DIV 1h − k`
+    * for k ∈ {0,1}) — different mechanism, same buckets. Value sums
+    * DECIMAL-routed; window starts as epoch seconds.
+    */
+  val q14SlidingWindow = Q(
+    "ev14_sliding_window",
+    (s, d) =>
+      events(s, d)
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("t"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(cnt.as("n_events"), dsum(col("value")).as("total_value"))
+        .select(expr("unix_micros(w.start) DIV 1000000").as("win_start_s"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy(col("win_start_s"), col("event_type")),
+    sql = Some(s"""
+      SELECT (epoch_us(ts) // 3600000000 - k.k) * 3600 AS win_start_s,
+             event_type, COUNT(*) AS n_events,
+             ${sqlDsum("value")} AS total_value
+      FROM events, (SELECT unnest(range(0, 2)) AS k) k
+      GROUP BY 1, 2
+      ORDER BY win_start_s, event_type"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
     q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort, q10SessionWindow,
-    q11SaltedJoin, q12DynamicSession, q13Scd2)
+    q11SaltedJoin, q12DynamicSession, q13Scd2, q14SlidingWindow)
 }

@@ -1283,6 +1283,61 @@ object TextQueries {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  /** CDC changelog DERIVE + APPLY (tx29) — the other half of tx23's
+    * snapshot delta: express the old→new difference as an explicit
+    * changelog of (doc_id, op ∈ {I,U,D}, payload) rows, then APPLY it
+    * to the old snapshot — the MERGE-INTO shape every incremental
+    * table maintenance job runs. The oracle doesn't replicate the
+    * machinery at all: it simply produces the NEW snapshot, because
+    * the operator's contract is the round-trip LAW
+    * `apply(diff(old, new), old) == new` — any slip in either half
+    * (a missed delete, a double-applied update, an unchanged row
+    * misclassified) breaks the hash. Scale shape: the diff is one
+    * full-outer join keyed on doc_id (corpus-scale, single shuffle);
+    * the changelog is DELTA-scale, so the apply side broadcasts it
+    * into one scan of the old snapshot — the base table never
+    * shuffles to absorb a delta.
+    */
+  val tx29ChangelogApply = Q(
+    "tx29_changelog_apply",
+    (s, d) => {
+      val base = documents(s, d).filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("text"))
+      val next = documents(s, d).filter(col("doc_id") % 10 >= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      // DIFF → changelog: I/U/D rows only (hash-equal rows drop out).
+      // Scoped-cached: BOTH apply consumers (anti keys + payloads)
+      // read it, and without the cache each would re-run the
+      // corpus-keyed full-outer diff (plan-gated to exactly one).
+      val log = org.apache.spark.sql.graft.ScopedCaches.scoped(
+        base.select(col("doc_id"), col("text").as("old_text"))
+          .join(next.select(col("doc_id"), col("text").as("new_text")),
+            Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("old_text").isNull, "I")
+              .when(col("new_text").isNull, "D")
+              .when(md5(col("old_text")) =!= md5(col("new_text")), "U")
+              .as("op"),
+            col("new_text"))
+          .filter(col("op").isNotNull))
+      // APPLY: delete+update keys leave the base, I+U payloads come in
+      val touched = broadcast(log.select(col("doc_id")))
+      val applied = base.join(touched, Seq("doc_id"), "left_anti")
+        .unionByName(log.filter(col("op") =!= "D")
+          .select(col("doc_id"), col("new_text").as("text")))
+      applied.select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some("""
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                 ELSE text END) AS content_md5
+      FROM documents
+      WHERE doc_id % 10 >= 2
+      ORDER BY doc_id"""))
+
   /** Data-VALIDATION suite (dq1) — the pre-training gate every corpus
     * refresh runs before anything downstream consumes it: a fixed set
     * of declared constraints (completeness, uniqueness, domain,
@@ -1386,5 +1441,5 @@ object TextQueries {
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
     tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
     tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode,
-    tx28BigramLm, dq1ConstraintReport)
+    tx28BigramLm, tx29ChangelogApply, dq1ConstraintReport)
 }

@@ -126,6 +126,10 @@ object DocumentsStreaming {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // the result below reads only the sink dir — the per-run index
+    // table has served its purpose; don't leak it into the catalog
+    // (table hygiene, same discipline as cache hygiene)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.read.parquet(outDir)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))

@@ -30,7 +30,8 @@ class CacheHygieneSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   for (name <- Seq("sim4_ivf_ann_top1", "sim5_ivf_ann_topk",
-      "q20_ntile_quartiles", "tx25_bpe_train_loop")) {
+      "q20_ntile_quartiles", "tx25_bpe_train_loop",
+      "dd13_dup_graph_pagerank", "tx29_changelog_apply")) {
     test(s"$name: cache manager is empty after the consuming action") {
       spark.sharedState.cacheManager.clearCache()
       Registry.byName(name).fn(spark, dir).count()

@@ -716,6 +716,34 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SCD2 must shuffle once on user_id:\n$plan")
   }
 
+  test("tx29: the changelog APPLY broadcasts the delta and the DIFF " +
+      "runs ONCE — both apply consumers read the scoped changelog " +
+      "cache, so the corpus-keyed full-outer never re-plans") {
+    val plan = executedPlan("tx29_changelog_apply")
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val anti = plan.collect { case j: BroadcastHashJoinExec
+        if j.joinType.toString == "LeftAnti" => j }
+    assert(anti.nonEmpty,
+      s"the apply-side anti join must broadcast the delta keys:\n$plan")
+    // cache-hit half on the PRE-ACTION logical plan (the scoped cache
+    // releases right after the consuming action — see the q20 note)
+    val opt = Registry.byName("tx29_changelog_apply").fn(spark, dir)
+      .queryExecution.optimizedPlan
+    val cached = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.size == 2,
+      s"both apply consumers (anti keys + payloads) must read the " +
+        s"cached changelog, found ${cached.size}:\n$opt")
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.toString == "FullOuter" => j
+    }
+    assert(joins.isEmpty,
+      s"the full-outer DIFF must live inside the cache, not re-plan " +
+        s"per consumer:\n$opt")
+  }
+
   test("ev7: sessionization runs on ONE hash exchange — both windows " +
       "and the session agg reuse the user_id partitioning") {
     val plan = executedPlan("ev7_sessionize")
