@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, GeohashEncode, Int8QuantStats, MinHashSignature, PHashFingerprint, RollingHashWindows, ShingleArray, SimHashFingerprint}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, GeohashEncode, Int8QuantStats, MinHashSignature, PHashFingerprint, RollingHashWindows, ShingleArray, SimHashFingerprint, TopKValues}
 
 /** SparkSessionExtensions wiring: makes the graft kernels available to
   * pure-SQL users via
@@ -47,5 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((FunctionIdentifier("phash"), info("phash"),
       (es: Seq[Expression]) => PHashFingerprint(es.head)))
+    // aggregate kernel: the analyzer wraps a raw AggregateFunction in
+    // an AggregateExpression itself (same path as built-in percentile)
+    e.injectFunction((FunctionIdentifier("topk_values"),
+      info("topk_values"),
+      (es: Seq[Expression]) => TopKValues(es.head, es(1))))
   }
 }

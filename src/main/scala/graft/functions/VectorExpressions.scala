@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, Int8QuantStats, MinHashSignature, PHashFingerprint, RollingHashWindows, ShingleArray, SimHashFingerprint, GraftExpressionBridge => B}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, Int8QuantStats, MinHashSignature, PHashFingerprint, RollingHashWindows, ShingleArray, SimHashFingerprint, TopKValues, GraftExpressionBridge => B}
 
 /** User-facing API for Graft's native kernels (implemented in the
   * org.apache.spark.sql.graft bridge package).
@@ -56,6 +56,16 @@ object VectorFunctions {
   /** Cosine similarity via the codegen'd kernels. */
   def cosine_sim(a: Column, b: Column): Column =
     array_dot(a, b) / (array_norm(a) * array_norm(b))
+
+  /** Exact top-k values per group, descending array<double> — a native
+    * [[org.apache.spark.sql.graft.TopKValues]] TypedImperativeAggregate
+    * with O(k) state per group (collect_list+slice ships every value
+    * across the exchange; this ships at most k per group per map task).
+    */
+  def topk_values(value: Column, k: Int): Column =
+    B.column(TopKValues(B.expression(value),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
 
   /** Register SQL names (per-session) so `expr("array_dot(a,b)")` and
     * spark.sql can use the kernels too.

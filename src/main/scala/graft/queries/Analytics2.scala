@@ -313,6 +313,154 @@ object Analytics2 {
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
                g_status, g_priority"""))
 
+  /** PIVOT (q25) — long-to-wide reshaping: order counts and exact
+    * totals per priority, one column pair per order status. The pivot
+    * values are DECLARED (`Seq("F","O","P")`), which matters at scale:
+    * without them Spark runs a separate distinct-collect job over the
+    * pivot column before it can even plan; with them the whole reshape
+    * is ONE pass — per-status conditional aggregates inside a single
+    * (o_orderpriority)-keyed exchange, exactly the CASE-WHEN plan the
+    * oracle spells out by hand. Counts coalesced to 0 so an absent
+    * (priority, status) cell reads the same in both engines.
+    */
+  val q25Pivot = Q(
+    "q25_pivot_status",
+    (s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(cnt.as("n"), dsum(col("o_totalprice")).as("amt"))
+        .select(col("o_orderpriority"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_amt").as("f_amt"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_amt").as("o_amt"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_amt").as("p_amt"))
+        .orderBy(col("o_orderpriority")),
+    sql = Some(s"""
+      SELECT o_orderpriority,
+             COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+             ${sqlDsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
+               AS f_amt,
+             COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+             ${sqlDsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
+               AS o_amt,
+             COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+             ${sqlDsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
+               AS p_amt
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  /** Native top-k AGGREGATE (q26) — the first graft aggregate kernel:
+    * `topk_values` ([[org.apache.spark.sql.graft.TopKValues]], a
+    * TypedImperativeAggregate like Spark's own percentile) keeps an
+    * O(k) bounded min-heap per group through partial aggregation, so
+    * each map task ships at most k doubles per group across the
+    * exchange. The composable alternative — collect_list + slice — has
+    * O(group) buffers and ships EVERY value; a window rank (q5's shape)
+    * shuffles every row to sort it. At 100 TB with heavy groups this
+    * is the difference between a map-side-combined agg and a spill.
+    * Oracle re-derives the same values via a rank window (ties are
+    * equal values, so rank arbitration is unobservable).
+    */
+  val q26TopkAgg = Q(
+    "q26_topk_agg",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.VectorFunctions
+            .topk_values(col("l_extendedprice"), 5).as("tk"),
+          cnt.as("n_rows"))
+        .select(col("l_returnflag") +: (0 until 5).map(i =>
+          element_at(col("tk"), i + 1).as(s"top${i + 1}")) :+
+          col("n_rows"): _*)
+        .orderBy(col("l_returnflag")),
+    sql = Some("""
+      WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice DESC) AS r
+        FROM lineitem)
+      SELECT l_returnflag,
+             MAX(CASE WHEN r = 1 THEN l_extendedprice END) AS top1,
+             MAX(CASE WHEN r = 2 THEN l_extendedprice END) AS top2,
+             MAX(CASE WHEN r = 3 THEN l_extendedprice END) AS top3,
+             MAX(CASE WHEN r = 4 THEN l_extendedprice END) AS top4,
+             MAX(CASE WHEN r = 5 THEN l_extendedprice END) AS top5,
+             COUNT(*) AS n_rows
+      FROM ranked
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  /** KMV distinct-count sketch (q27) — the k-minimum-values estimator
+    * (Bar-Yossef et al.): hash every value uniformly, keep the k
+    * smallest hashes per group; if fewer than k survive the count is
+    * exact, else `est = (k−1)·M / h_k` (h_k = k-th minimum, M = hash
+    * range). The min-k selection REUSES the `topk_values` kernel on
+    * negated hashes — O(k) state per group, mergeable, the property
+    * that lets 1000 executors sketch independently and combine.
+    * Hashes are 52-bit md5 prefixes so they are EXACT as doubles
+    * (2^52 < 2^53) — the kernel's double heap and the oracle's BIGINT
+    * rank window select the identical multiset, and the estimate is
+    * one exact product and one correctly-rounded division in both
+    * engines. The oracle re-derives minima via a rank window and
+    * checks the same arithmetic — plus the EXACT distinct count and
+    * the estimator's ppm error, so accuracy is visible in the result,
+    * not just asserted.
+    */
+  val q27KmvDistinct = Q(
+    "q27_kmv_distinct",
+    (s, d) => {
+      val k = 64
+      val m = 4503599627370496.0 // 2^52
+      val dv = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .select(col("l_returnflag"),
+          conv(substring(md5(col("l_partkey").cast("string")), 1, 13),
+            16, 10).cast("long").as("h"))
+      dv.groupBy(col("l_returnflag"))
+        .agg(graft.functions.VectorFunctions
+            .topk_values(-col("h").cast("double"), k).as("tk"),
+          cnt.as("n_exact"))
+        .select(col("l_returnflag"), col("n_exact"),
+          when(col("n_exact") < k, col("n_exact"))
+            .otherwise(floor(lit((k - 1).toDouble * m) /
+              -element_at(col("tk"), k)).cast("long")).as("est"))
+        .withColumn("err_ppm",
+          floor(abs(col("est") - col("n_exact")).cast("double") *
+            1000000.0 / col("n_exact")).cast("long"))
+        .orderBy(col("l_returnflag"))
+    },
+    sql = Some("""
+      WITH dv AS (
+        SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+      h AS (
+        SELECT l_returnflag,
+               CAST(('0x' || substr(md5(l_partkey::VARCHAR), 1, 13))
+                 AS BIGINT) AS h
+        FROM dv),
+      r AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY h)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+        FROM h),
+      est AS (
+        SELECT l_returnflag, MAX(nd) AS n_exact,
+               CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+                    -- DOUBLE casts: bare x.0 literals are DECIMAL in
+                    -- DuckDB and the decimal product overflows (and
+                    -- wouldn't match Spark's double arithmetic anyway)
+                    ELSE CAST(FLOOR(CAST(63 AS DOUBLE) *
+                      CAST(4503599627370496 AS DOUBLE) /
+                      MAX(CASE WHEN rn = 64 THEN h END)) AS BIGINT)
+               END AS est
+        FROM r GROUP BY l_returnflag)
+      SELECT l_returnflag, n_exact, est,
+             CAST(FLOOR(ABS(est - n_exact) * 1000000.0 / n_exact)
+               AS BIGINT) AS err_ppm
+      FROM est
+      ORDER BY l_returnflag"""))
+
   /** INTERSECT (distinct set semantics): nations present on both the
     * customer and supplier side.
     */
@@ -361,5 +509,6 @@ object Analytics2 {
 
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
-    q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets)
+    q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
+    q25Pivot, q26TopkAgg, q27KmvDistinct)
 }

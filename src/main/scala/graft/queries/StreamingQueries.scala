@@ -329,8 +329,33 @@ object StreamingQueries {
     },
     sql = DedupQueries.dd10IncrementalDedup.sql)
 
+  /** SLIDING windows in append-mode streaming (st11) — the streaming
+    * counterpart of ev14, the pairing st3 gives ev1: overlapping
+    * 2h/1h windows finalize as the watermark passes each window END,
+    * one slide apart. Oracle = ev14's arithmetic bucket covers
+    * restricted by st3's finalization predicate.
+    */
+  val st11SlidingWindows = Q(
+    "st11_sliding_window_agg",
+    (s, d) => graft.streaming.EventsStreaming.slidingAppendStream(s, d),
+    sql = Some(s"""
+      WITH e AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) AS us, event_type, value
+        FROM events),
+      agg AS (
+        SELECT (us // 3600000000 - k.k) * 3600 AS win_start_s,
+               event_type, COUNT(*) AS n_events,
+               ${sqlDsum("value")} AS total_value
+        FROM e, (SELECT unnest(range(0, 2)) AS k) k
+        GROUP BY 1, 2),
+      wm AS (SELECT MAX(us) // 1000 - 3600000 AS wm_ms FROM e)
+      SELECT win_start_s, event_type, n_events, total_value
+      FROM agg, wm
+      WHERE (win_start_s + 7200) * 1000 <= wm_ms
+      ORDER BY win_start_s, event_type"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
-    st10IngestDedup)
+    st10IngestDedup, st11SlidingWindows)
 }

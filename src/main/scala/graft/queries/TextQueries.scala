@@ -1338,6 +1338,172 @@ object TextQueries {
       WHERE doc_id % 10 >= 2
       ORDER BY doc_id"""))
 
+  /** Incremental aggregate-VIEW maintenance (tx30) — the materialized-
+    * view refresh every warehouse runs on top of tx29's changelog: a
+    * per-language (n_docs, n_tokens) view of the OLD snapshot is
+    * brought to the NEW snapshot by merging delta CONTRIBUTIONS
+    * (+1/−1 docs, ±token deltas per I/U/D row) — the base corpus is
+    * never re-aggregated. In production `view` is the stored MV and
+    * the changelog arrives from CDC; both are materialized inline here
+    * so the oracle can check the refresh LAW:
+    * `merge(view(old), Δ(old→new)) == agg(new)` — the oracle just
+    * aggregates the new snapshot directly, so a wrong sign on a delete,
+    * a U row double-counted, or a missed insert breaks the hash.
+    * Scale shape: the changelog is delta-scale, its contribution
+    * aggregate is group-scale, and the final merge joins two
+    * GROUP-scale relations — refresh cost is O(Δ + groups), not
+    * O(corpus) (plan-gated: two aggregates, two full-outer joins, and
+    * the refresh join's inputs are both aggregates). U rows can't move
+    * a doc between languages here (the update touches only `text`), so
+    * the Δ needs no per-group re-keying — a lang-changing update would
+    * split into a (D, old-lang) + (I, new-lang) pair upstream.
+    */
+  val tx30IncrementalAgg = Q(
+    "tx30_incremental_agg",
+    (s, d) => {
+      def tok(c: org.apache.spark.sql.Column) =
+        size(split(trim(c), "\\s+")).cast("long")
+      val old = documents(s, d).filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val next = documents(s, d).filter(col("doc_id") % 10 >= 2)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      // the maintained view (group-scale): per-lang doc/token totals
+      val view = old.groupBy(col("lang"))
+        .agg(cnt.as("n_docs"), sum(tok(col("text"))).as("n_tokens"))
+      // changelog with MEASURE contributions (delta-scale): one
+      // corpus-keyed full-outer diff, unchanged rows drop out
+      val log = old.select(col("doc_id"), col("lang").as("old_lang"),
+          tok(col("text")).as("old_tok"), md5(col("text")).as("old_md5"))
+        .join(next.select(col("doc_id"), col("lang").as("new_lang"),
+            tok(col("text")).as("new_tok"), md5(col("text")).as("new_md5")),
+          Seq("doc_id"), "full_outer")
+        .select(coalesce(col("new_lang"), col("old_lang")).as("lang"),
+          when(col("old_md5").isNull, "I")
+            .when(col("new_md5").isNull, "D")
+            .when(col("old_md5") =!= col("new_md5"), "U").as("op"),
+          col("old_tok"), col("new_tok"))
+        .filter(col("op").isNotNull)
+      // delta contributions, then the group-scale merge
+      val delta = log.groupBy(col("lang"))
+        .agg(sum(when(col("op") === "I", 1L)
+            .when(col("op") === "D", -1L).otherwise(0L)).as("dn"),
+          sum(coalesce(col("new_tok"), lit(0L)) -
+            coalesce(col("old_tok"), lit(0L))).as("dtok"))
+      view.join(delta, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          (coalesce(col("n_docs"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("n_docs"),
+          (coalesce(col("n_tokens"), lit(0L)) +
+            coalesce(col("dtok"), lit(0L))).as("n_tokens"))
+        .filter(col("n_docs") > 0)
+        .orderBy(col("lang"))
+    },
+    sql = Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(regexp_split_to_array(trim(
+               CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END),
+               '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE doc_id % 10 >= 2
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  /** WEIGHTED priority sampling (tx31) — Duffield-Lund-Thorup priority
+    * sampling, the importance-weighted cousin of tx9's stratified
+    * sample: each doc draws priority `q = w·M/(h+1)` (w = n_chars, h a
+    * 52-bit md5 hash, M = 2^52), and the k=50 highest-priority docs
+    * per source are the sample — longer docs proportionally likelier,
+    * yet fully deterministic and replayable (the hash IS the
+    * randomness). Numerics: w·M is exact (integer × power of two) and
+    * the division is one correctly-rounded IEEE op, so both engines
+    * compute bit-identical priorities — no transcendentals (the
+    * u^(1/w) exponential-race formulation would hinge on pow's last
+    * ulp). Scale shape: the per-source threshold (k-th priority) comes
+    * from the `topk_values` kernel — O(k) agg state, NO corpus-wide
+    * window sort — then broadcasts back and the sample is a scan-local
+    * filter: two scans, zero corpus shuffles (plan-gated: no Window,
+    * threshold join broadcasts). Sub-k sources keep everything
+    * (threshold coalesced to 0). The oracle takes the same
+    * threshold-then-filter path via a rank window, so boundary ties
+    * admit the same rows on both sides.
+    */
+  val tx31WeightedSample = Q(
+    "tx31_weighted_sample",
+    (s, d) => {
+      val m = 4503599627370496.0 // 2^52
+      val pri = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars").cast("double") * m /
+            (conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit("|ws"))), 1, 13), 16, 10).cast("double") + 1.0))
+            .as("q"))
+      val thr = pri.groupBy(col("source"))
+        .agg(coalesce(
+          try_element_at(graft.functions.VectorFunctions
+            .topk_values(col("q"), 50), lit(50)), lit(0.0)).as("thr"))
+      pri.join(broadcast(thr), Seq("source"))
+        .filter(col("q") >= col("thr"))
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+    sql = Some("""
+      WITH p AS (
+        SELECT doc_id, source,
+               -- explicit DOUBLE: a bare x.0 literal is DECIMAL in
+               -- DuckDB, which would route the priority through
+               -- decimal arithmetic instead of Spark's IEEE doubles
+               n_chars * CAST(4503599627370496 AS DOUBLE) /
+                 (CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ws'),
+                    1, 13)) AS BIGINT) + 1) AS q
+        FROM documents),
+      t AS (
+        SELECT source, q,
+               row_number() OVER (PARTITION BY source ORDER BY q DESC)
+                 AS rn
+        FROM p),
+      thr AS (
+        SELECT source,
+               COALESCE(MAX(CASE WHEN rn = 50 THEN q END), 0.0) AS thr
+        FROM t GROUP BY source)
+      SELECT p.source, p.doc_id
+      FROM p JOIN thr ON p.source = thr.source
+      WHERE p.q >= thr.thr
+      ORDER BY p.source, p.doc_id"""))
+
+  /** k-ANONYMITY / l-DIVERSITY audit (dq2) — the privacy gate a corpus
+    * release runs over its quasi-identifiers: every (lang, source)
+    * cell reports its population, whether it meets k=5 anonymity
+    * (fewer than k records in a QI cell means those records are
+    * re-identifiable by the cell alone), and the diversity of a
+    * sensitive attribute (distinct 256-char size bands; a cell whose
+    * members all share one band leaks the attribute even at k≥5).
+    * One pass: a two-key hash aggregate with a count-distinct — flags
+    * as 0/1 longs so both engines hash identically.
+    */
+  val dq2KAnonymity = Q(
+    "dq2_k_anonymity",
+    (s, d) =>
+      documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(cnt.as("n_docs"),
+          countDistinct(expr("n_chars DIV 256")).as("l_div"))
+        .select(col("lang"), col("source"), col("n_docs"),
+          (col("n_docs") >= 5).cast("long").as("k_anon"),
+          col("l_div"),
+          (col("l_div") >= 3).cast("long").as("l_diverse"))
+        .orderBy(col("lang"), col("source")),
+    sql = Some("""
+      SELECT lang, source, COUNT(*) AS n_docs,
+             CAST(COUNT(*) >= 5 AS BIGINT) AS k_anon,
+             COUNT(DISTINCT n_chars // 256) AS l_div,
+             CAST(COUNT(DISTINCT n_chars // 256) >= 3 AS BIGINT)
+               AS l_diverse
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source"""))
+
   /** Data-VALIDATION suite (dq1) — the pre-training gate every corpus
     * refresh runs before anything downstream consumes it: a fixed set
     * of declared constraints (completeness, uniqueness, domain,
@@ -1441,5 +1607,6 @@ object TextQueries {
     tx15RollingFp, tx16BpeTokens, tx17Freeze, tx18BpeMerge, tx19MixWeights,
     tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
     tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode,
-    tx28BigramLm, tx29ChangelogApply, dq1ConstraintReport)
+    tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
+    tx31WeightedSample, dq1ConstraintReport, dq2KAnonymity)
 }

@@ -198,6 +198,43 @@ object EventsStreaming {
     spark.table(name).orderBy(col("hour_ts"), col("event_type"))
   }
 
+  /** st11: ev14's SLIDING windows as a stream — watermarked
+    * append-mode 2-hour/1-hour overlapping windows. Each event updates
+    * TWO window states (the in-row expand happens before the keyed
+    * state lookup, same as batch), and a window finalizes when the
+    * watermark passes its END — so overlapping windows finalize one
+    * slide apart, never together. The emitted subset is exactly the
+    * windows whose end ≤ final watermark (max event time − 1h), which
+    * the oracle mirrors with the same bucket arithmetic as ev14 plus
+    * st3's watermark predicate.
+    */
+  def slidingAppendStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = stageTimeSlices(batch, slices, trailer = true)
+    val agg = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "2 hours", "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
+          .as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n_events"), col("total_value"))
+    val name = s"graft_st_slide_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("win_start_s"), col("event_type"))
+  }
+
   /** Drain whatever slices currently exist in `staged` into the
     * parquet FILE sink at `out` with checkpoint `chk`. Restartable:
     * calling again (same out/chk) after more slices appear resumes

@@ -31,6 +31,40 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(row.getSeq[String](3) === Seq("a b c", "b c d"))
       assert(row.getSeq[Long](4).length === 2)
       assert(row.getString(5) === graft.wod.Geohash.encode(67.3981, -6.3056))
+      // the aggregate kernel resolves through the same registry (the
+      // analyzer wraps the raw AggregateFunction itself)
+      val tk = spark.sql(
+        """SELECT g, topk_values(v, 2) AS tk FROM VALUES
+             (1, 5.0d), (1, 1.0d), (1, 9.0d), (1, 7.0d), (2, 3.0d)
+           AS t(g, v) GROUP BY g ORDER BY g""").collect()
+      assert(tk(0).getSeq[Double](1) === Seq(9.0, 7.0))
+      assert(tk(1).getSeq[Double](1) === Seq(3.0))
     } finally spark.stop()
+  }
+
+  test("TopKBuffer: top-k multiset is merge-order independent and " +
+      "bounded at k slots") {
+    import org.apache.spark.sql.graft.TopKBuffer
+    val vals = Array.tabulate(500)(i => ((i * 7919) % 251).toDouble)
+    // one buffer fed sequentially vs many partial buffers merged in
+    // two different orders — all three must agree exactly
+    val whole = new TopKBuffer(10)
+    vals.foreach(whole.add)
+    def partial(slices: Seq[Range]): Array[Double] = {
+      val bufs = slices.map { r =>
+        val b = new TopKBuffer(10); r.foreach(i => b.add(vals(i))); b
+      }
+      val acc = new TopKBuffer(10)
+      bufs.foreach(acc.merge)
+      acc.result()
+    }
+    val fwd = partial(Seq(0 until 100, 100 until 350, 350 until 500))
+    val rev = partial(Seq(350 until 500, 0 until 100, 100 until 350))
+    assert(fwd.toSeq === whole.result().toSeq)
+    assert(rev.toSeq === whole.result().toSeq)
+    assert(fwd.toSeq === vals.sorted.reverse.take(10).toSeq)
+    // serialize round-trip preserves the heap content
+    val rt = TopKBuffer.deserialize(10, whole.serialize())
+    assert(rt.result().toSeq === whole.result().toSeq)
   }
 }

@@ -744,6 +744,55 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"per consumer:\n$opt")
   }
 
+  test("tx30: the view refresh is incremental — the merge joins two " +
+      "GROUP-scale aggregates and the new snapshot is never " +
+      "re-aggregated wholesale") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val opt = Registry.byName("tx30_incremental_agg").fn(spark, dir)
+      .queryExecution.optimizedPlan
+    val aggs = opt.collect { case a: Aggregate => a }
+    assert(aggs.size == 2,
+      s"exactly two aggregates (view + delta contributions), got " +
+        s"${aggs.size}:\n$opt")
+    val fo = opt.collect {
+      case j: Join if j.joinType.toString == "FullOuter" => j }
+    assert(fo.size == 2,
+      s"exactly two full-outer joins (diff + merge), got ${fo.size}:\n$opt")
+    // the TOP join is the refresh merge: both inputs must already be
+    // aggregated (group-scale) — an engine that re-aggregated the new
+    // snapshot would put a corpus-scale scan directly under it
+    val top = fo.head
+    Seq(top.left, top.right).foreach { side =>
+      assert(side.collectFirst { case a: Aggregate => a }.isDefined,
+        s"refresh-merge input must be an aggregate:\n$side")
+    }
+    // and the delta aggregate reads the diff join, not a raw scan
+    val deltaAgg = aggs.find(_.collectFirst {
+      case j: Join if j.joinType.toString == "FullOuter" => j }.isDefined)
+    assert(deltaAgg.isDefined,
+      s"one aggregate must sit above the changelog diff join:\n$opt")
+  }
+
+  test("tx31: the weighted sample never window-sorts the corpus — " +
+      "the per-source threshold is an O(k) aggregate that broadcasts " +
+      "back into a scan-local filter") {
+    val plan = executedPlan("tx31_weighted_sample")
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"no corpus-wide window sort — the threshold comes from the " +
+        s"topk_values kernel:\n$plan")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"the source-scale threshold relation must broadcast:\n$plan")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // one partial/final agg exchange for the thresholds + the final
+    // orderBy range exchange — the corpus itself never hash-shuffles
+    assert(shuffles.size <= 2,
+      s"corpus must not shuffle for the sample, found " +
+        s"${shuffles.size} exchanges:\n$plan")
+  }
+
   test("ev7: sessionization runs on ONE hash exchange — both windows " +
       "and the session agg reuse the user_id partitioning") {
     val plan = executedPlan("ev7_sessionize")
