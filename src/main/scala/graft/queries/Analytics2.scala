@@ -461,6 +461,40 @@ object Analytics2 {
       FROM est
       ORDER BY l_returnflag"""))
 
+  /** UNPIVOT (q28) — the inverse reshape of q25: four measure columns
+    * melt to (measure, value) long format, then aggregate per measure.
+    * `Dataset.unpivot` plans as ONE Expand (4 rows per input, exactly
+    * like cube's shape) feeding a single measure-keyed exchange — no
+    * union of four scans, which is what the hand-written alternative
+    * (and the oracle, which DuckDB runs over a single scan anyway)
+    * would cost at 100 TB: one pass instead of four.
+    */
+  val q28Unpivot = Q(
+    "q28_unpivot_measures",
+    (s, d) =>
+      lineitem(s, d)
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(cnt.as("n_rows"), dsum(col("value")).as("total"))
+        .orderBy(col("measure")),
+    sql = Some(s"""
+      SELECT 'l_quantity' AS measure, COUNT(*) AS n_rows,
+             ${sqlDsum("l_quantity")} AS total FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(*), ${sqlDsum("l_extendedprice")}
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', COUNT(*), ${sqlDsum("l_discount")}
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', COUNT(*), ${sqlDsum("l_tax")} FROM lineitem
+      ORDER BY measure"""))
+
   /** INTERSECT (distinct set semantics): nations present on both the
     * customer and supplier side.
     */
@@ -510,5 +544,5 @@ object Analytics2 {
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
-    q25Pivot, q26TopkAgg, q27KmvDistinct)
+    q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot)
 }

@@ -906,8 +906,68 @@ object DedupQueries {
       WHERE levenshtein(t_a, t_b) * 10 <= GREATEST(l_a, l_b)
       ORDER BY id_a, id_b"""))
 
+  /** N-gram contamination SCORING (dd15) — the graded refinement of
+    * dd8/dd9's binary decontamination: a train doc is flagged not on
+    * exact match or single-gram hit but on the FRACTION of its 3-gram
+    * shingles that appear anywhere in the eval set (the containment
+    * standard eval-decontamination actually uses — partial quote
+    * contamination that exact hashing misses). Per-doc gram sets are
+    * scan-local (the shingle expression already dedups in-row), the
+    * eval gram universe is eval-scale so it BROADCASTS into a map-side
+    * left join — the corpus never shuffles for the probe; the only
+    * exchange is the per-doc count's partial-combined doc_id agg.
+    * Fraction as integer ppm (exact DIV arithmetic both engines);
+    * threshold ≥ 20% keeps the report contaminated-only.
+    */
+  val dd15Contamination = Q(
+    "dd15_ngram_contamination",
+    (s, d) => {
+      val docs = spread(documents(s, d))
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val evalGrams = docs.filter(col("doc_id") % 10 >= 8)
+        .select(explode(col("sh")).as("g"))
+        .select(hash60(col("g")).as("gh")).distinct()
+        .withColumn("m", lit(1))
+      docs.filter(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), hash60(col("g")).as("gh"))
+        .join(broadcast(evalGrams), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_grams"), count(col("m")).as("n_matched"))
+        .withColumn("frac_ppm",
+          expr("n_matched * 1000000 DIV n_grams"))
+        .filter(col("frac_ppm") >= 200000)
+        .select(col("doc_id"), col("n_grams"), col("n_matched"),
+          col("frac_ppm"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+')
+                AS toks FROM documents) t),
+      ne AS (SELECT doc_id, sh FROM docs WHERE len(sh) > 0),
+      eg AS (
+        SELECT DISTINCT ${hash60Sql.format("g")} AS gh
+        FROM (SELECT unnest(sh) AS g FROM ne WHERE doc_id % 10 >= 8)),
+      tg AS (
+        SELECT doc_id, ${hash60Sql.format("g")} AS gh
+        FROM (SELECT doc_id, unnest(sh) AS g FROM ne
+              WHERE doc_id % 10 < 8)),
+      scored AS (
+        SELECT t.doc_id, COUNT(*) AS n_grams,
+               COUNT(e.gh) AS n_matched
+        FROM tg t LEFT JOIN eg e ON t.gh = e.gh
+        GROUP BY t.doc_id)
+      SELECT doc_id, n_grams, n_matched,
+             n_matched * 1000000 // n_grams AS frac_ppm
+      FROM scored
+      WHERE n_matched * 1000000 // n_grams >= 200000
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
     dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup,
-    dd12KeepList, dd13PageRank, dd14EditDistance)
+    dd12KeepList, dd13PageRank, dd14EditDistance, dd15Contamination)
 }

@@ -354,8 +354,31 @@ object StreamingQueries {
       WHERE (win_start_s + 7200) * 1000 <= wm_ms
       ORDER BY win_start_s, event_type"""))
 
+  /** Custom aggregate kernel in STREAMING state (st12) — q26's
+    * `topk_values` under complete-mode streaming: the kernel's opaque
+    * heap buffer must survive state-store serialize/deserialize
+    * between micro-batches. Oracle = the batch rank-window derivation.
+    */
+  val st12StreamTopk = Q(
+    "st12_stream_topk",
+    (s, d) => graft.streaming.EventsStreaming.topkCompleteStream(s, d),
+    sql = Some("""
+      WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC) AS r
+        FROM events)
+      SELECT event_type,
+             MAX(CASE WHEN r = 1 THEN value END) AS top1,
+             MAX(CASE WHEN r = 2 THEN value END) AS top2,
+             MAX(CASE WHEN r = 3 THEN value END) AS top3,
+             COUNT(*) AS n_events
+      FROM ranked
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
-    st10IngestDedup, st11SlidingWindows)
+    st10IngestDedup, st11SlidingWindows, st12StreamTopk)
 }

@@ -235,6 +235,42 @@ object EventsStreaming {
     spark.table(name).orderBy(col("win_start_s"), col("event_type"))
   }
 
+  /** st12: the `topk_values` kernel inside a STREAMING aggregation —
+    * complete-mode per-type top-3 values. What this proves beyond q26:
+    * a custom TypedImperativeAggregate's opaque buffer must round-trip
+    * the streaming STATE STORE between micro-batches (serialize after
+    * each batch, deserialize into the next), the same contract
+    * collect_list relies on — a kernel whose serialize/deserialize
+    * loses heap content would pass every batch test and silently
+    * corrupt here. Top-k of a multiset is also replay-order
+    * independent, so the slice order can't perturb the result.
+    */
+  def topkCompleteStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val staged = stageTimeSlices(batch, slices, trailer = false)
+    val agg = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.VectorFunctions
+          .topk_values(col("value"), 3).as("tk"),
+        count(lit(1)).as("n_events"))
+    val name = s"graft_st_topk_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("event_type") +: (0 until 3).map(i =>
+        element_at(col("tk"), i + 1).as(s"top${i + 1}")) :+
+        col("n_events"): _*)
+      .orderBy(col("event_type"))
+  }
+
   /** Drain whatever slices currently exist in `staged` into the
     * parquet FILE sink at `out` with checkpoint `chk`. Restartable:
     * calling again (same out/chk) after more slices appear resumes

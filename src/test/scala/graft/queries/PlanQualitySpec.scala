@@ -793,6 +793,45 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"${shuffles.size} exchanges:\n$plan")
   }
 
+  test("q28: unpivot is ONE pass — a single Expand over a single " +
+      "scan, not four unioned scans of the fact table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand, Union}
+    val opt = Registry.byName("q28_unpivot_measures").fn(spark, dir)
+      .queryExecution.optimizedPlan
+    assert(opt.collect { case e: Expand => e }.size == 1,
+      s"melt must plan as one Expand:\n$opt")
+    assert(opt.collect { case u: Union => u }.isEmpty,
+      s"no union-of-scans:\n$opt")
+    val scans = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.size == 1,
+      s"the fact table must be scanned once, found ${scans.size}:\n$opt")
+  }
+
+  test("dd15: the contamination probe broadcasts the eval grams — " +
+      "the corpus shuffles only for the per-doc count") {
+    val plan = executedPlan("dd15_ngram_contamination")
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"eval gram universe must broadcast:\n$plan")
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"no sort-merge join anywhere in the probe:\n$plan")
+    // hash exchanges only: eval-side distinct (eval-scale) + the
+    // doc_id count agg — spread()'s round-robin scan-spreads and the
+    // final orderBy range exchange are not data shuffles of the probe
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size <= 2,
+      s"at most the eval distinct + doc_id agg hash exchanges, found " +
+        s"${hashEx.size}:\n$plan")
+  }
+
   test("ev7: sessionization runs on ONE hash exchange — both windows " +
       "and the session agg reuse the user_id partitioning") {
     val plan = executedPlan("ev7_sessionize")
