@@ -144,8 +144,13 @@ object Bench {
     val calibRatio = calib / CalibAnchorSec
     val normCasts = castsPerSec * calibRatio
     val normBulk = bulkCastsPerSec * calibRatio
+    val calibPar = hostCalibParSec()
+    // normalized-by-contention: scales throughput by how much slower
+    // 32-wide CPU work runs than 1-wide × ideal (par/single ≥ 1; no
+    // historical anchor yet — r11 is the first round emitting it).
+    val normCastsPar = castsPerSec * (calibPar / calib)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"wod_bulk_casts_per_sec":$bulkCastsPerSec,"host_calib_sec":$calib,"host_calib_anchor_sec":$CalibAnchorSec,"wod_casts_per_sec_normalized":$normCasts,"wod_bulk_casts_per_sec_normalized":$normBulk,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"wod_bulk_casts_per_sec":$bulkCastsPerSec,"host_calib_sec":$calib,"host_calib_anchor_sec":$CalibAnchorSec,"host_calib_par_sec":$calibPar,"wod_casts_per_sec_normalized":$normCasts,"wod_bulk_casts_per_sec_normalized":$normBulk,"wod_casts_per_sec_normalized_par":$normCastsPar,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), line + "\n")
     println(line)
     spark.stop()
@@ -212,6 +217,34 @@ object Bench {
       var i = 0
       while (i < 512) { md.update(buf); i += 1 }
       md.digest()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  /** Contended-host probe (r10 verdict): the single-thread probe above
+    * cannot see MULTICORE contention, which is what would slow the
+    * 32-way per-file conversion loop while leaving a 1-thread MD5
+    * unchanged. Run the same MD5 loop on 32 threads at once and report
+    * the wall-clock for ALL to finish: on an idle 32-core host this is
+    * ≈ the single-thread time; under co-tenant CPU pressure it
+    * inflates proportionally. `host_calib_par_sec / host_calib_sec`
+    * is the host's effective contention factor for 32-wide work.
+    */
+  private def hostCalibParSec(threads: Int = 32): Double = {
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5a.toByte)
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { _ =>
+        val t = new Thread(() => {
+          val md = MessageDigest.getInstance("MD5")
+          var i = 0
+          while (i < 512) { md.update(buf); i += 1 }
+          md.digest(): Unit
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }.min
   }

@@ -12,11 +12,21 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must be VISIBLE, not vanish from the oracle
+    // compare (r9/r10 lesson: a 22-query regression hid for two rounds
+    // because the swallowed exception left no output to mismatch).
+    // Collect failures → errors.json + _ERROR marker dir per query.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        val errDir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(errDir)
+        Files.writeString(errDir.resolve("_ERROR"), msg)
       } finally
         // Queries that persist an intermediate (q20's triple-consumed
         // base) have no post-action hook to unpersist it; drop the
@@ -39,6 +49,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    // loud but zero-exit: a nonzero code could make the driver discard
+    // the 100+ GREEN results; the _ERROR marker dirs already force the
+    // broken queries to surface as `err` rows in the compare.
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} of ${SparkEntry.queries.size} queries FAILED: "
+          + errors.keys.mkString(", "))
   }
 }

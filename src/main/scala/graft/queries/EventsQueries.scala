@@ -6,13 +6,13 @@ import Tables._
 
 /** Queries over the `events` table.
   *
-  * The driver's parquet carries `ts` as INT64 TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects; all Graft sessions set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see
-  * [[graft.GraftSession]]) so `ts` arrives as LongType epoch-nanos. For
-  * oracle parity we therefore bucket with integer arithmetic on epoch
-  * seconds, mirrored in DuckDB as `epoch(date_trunc(...))` — identical
-  * for the post-1970 timestamps in this dataset.
+  * `Tables.events` canonicalizes `ts` to LongType epoch-NANOS
+  * regardless of the parquet vintage (INT64 TIMESTAMP(NANOS) read via
+  * `nanosAsLong`, or `timestamp[us]`/TIMESTAMP_NTZ — see
+  * [[graft.queries.Tables.normalizeEventTs]]). Queries here therefore
+  * bucket with integer arithmetic on epoch nanos, mirrored in DuckDB
+  * as `epoch(date_trunc(...))` — identical for the post-1970
+  * timestamps in this dataset.
   */
 object EventsQueries {
 

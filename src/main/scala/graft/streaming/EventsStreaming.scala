@@ -50,7 +50,9 @@ object EventsStreaming {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
-    val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+    // raw file schema for the source; ts normalized to epoch-ns right after
+    val src = graft.queries.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
     val agg = src
       .withColumn("hour_ts", expr("ts DIV 3600000000000") * 3600L)
       .groupBy(col("hour_ts"), col("event_type"))
@@ -87,7 +89,8 @@ object EventsStreaming {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(path).toAbsolutePath)
-    val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val src = graft.queries.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = src
@@ -183,8 +186,7 @@ object EventsStreaming {
   def hourlyAppendStream(spark: SparkSession, dir: String,
       slices: Int = 4): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
-    val path = s"$dir/events.parquet"
-    val batch = spark.read.parquet(path)
+    val batch = graft.queries.Tables.events(spark, dir)
     val staged = stageTimeSlices(batch, slices, trailer = true)
     val agg = hourlyWindowAgg(spark, batch.schema, staged)
     val name = s"graft_st_append_${nameCounter.incrementAndGet()}"
@@ -210,7 +212,7 @@ object EventsStreaming {
     */
   def slidingAppendStream(spark: SparkSession, dir: String,
       slices: Int = 4): DataFrame = {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables.events(spark, dir)
     val staged = stageTimeSlices(batch, slices, trailer = true)
     val agg = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -247,7 +249,7 @@ object EventsStreaming {
     */
   def topkCompleteStream(spark: SparkSession, dir: String,
       slices: Int = 4): DataFrame = {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables.events(spark, dir)
     val staged = stageTimeSlices(batch, slices, trailer = false)
     val agg = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -303,7 +305,7 @@ object EventsStreaming {
     */
   def hourlyAppendFileSink(spark: SparkSession, dir: String,
       slices: Int = 4): DataFrame = {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables.events(spark, dir)
     val staged = stageTimeSlices(batch, slices, trailer = true)
     val base = java.nio.file.Files.createTempDirectory("graft_filesink")
     val out = base.resolve("out").toString
@@ -361,7 +363,7 @@ object EventsStreaming {
   def clickPurchaseJoin(spark: SparkSession, dir: String,
       slices: Int = 4): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables.events(spark, dir)
     val staged = stageTimeSlices(batch, slices, trailer = false)
     val joined = clickPurchaseJoined(spark, batch.schema, staged)
     val name = s"graft_st_join_${nameCounter.incrementAndGet()}"
@@ -426,7 +428,7 @@ object EventsStreaming {
   def clickPurchaseLeftJoin(spark: SparkSession, dir: String,
       slices: Int = 4): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables.events(spark, dir)
     val staged = stageTimeSlices(batch, slices, trailer = true)
     val joined = clickPurchaseLeftJoined(spark, batch.schema, staged)
     val name = s"graft_st_ljoin_${nameCounter.incrementAndGet()}"
@@ -504,7 +506,7 @@ object EventsStreaming {
     */
   def streamingDedup(spark: SparkSession, dir: String,
       slices: Int = 4): DataFrame = {
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables.events(spark, dir)
     val staged = stageTimeSlices(batch.union(batch), slices,
       trailer = false)
     val deduped = spark.readStream.schema(batch.schema)
@@ -654,7 +656,7 @@ object EventsStreaming {
   def sessionizeAppendStream(spark: SparkSession, dir: String,
       slices: Int = 4): DataFrame = {
     import spark.implicits._
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables.events(spark, dir)
     val staged = stageTimeSlices(batch, slices, trailer = true)
     val src = spark.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")

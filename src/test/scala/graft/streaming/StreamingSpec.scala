@@ -32,7 +32,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("file sink resumes from checkpoint exactly-once after a stop") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables.events(spark, dir)
     val fullStage = EventsStreaming.stageTimeSlices(batch, 4, trailer = true)
     val sliceFiles = Files.list(Paths.get(fullStage)).iterator()
     val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
@@ -72,7 +72,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-restart redelivery") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Tables.events(spark, dir)
     val nIds = batch.select("event_id").distinct().count()
     // every event delivered twice (at-least-once redelivery)
     val fullStage = EventsStreaming.stageTimeSlices(
@@ -117,7 +117,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions.{col, lit, max, min}
     import EventsStreaming.UserSession
     import spark.implicits._
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.queries.Tables.events(spark, dir)
     // deterministic witness for the timeout-across-restart property: a
     // synthetic QUIET user whose single event is the last microsecond
     // of slice 2 (stageTimeSlices cuts at tsMin + span*i/slices). Its
@@ -192,7 +192,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.functions.{col, lit, max, min}
     import spark.implicits._
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.queries.Tables.events(spark, dir)
     // deterministic witness for the buffered-state property: a
     // synthetic user whose click is the last instant of slice 2 and
     // whose only purchase is the first instant of slice 3 (60 s later,
@@ -268,7 +268,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.functions.{col, lit, max, min}
     import spark.implicits._
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.queries.Tables.events(spark, dir)
     val (tsMin, tsMax) = raw.agg(min(col("ts")), max(col("ts")))
       .as[(Long, Long)].head()
     val span = tsMax - tsMin + 1
