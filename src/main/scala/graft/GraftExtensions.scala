@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // storage-aware optimizer rule: geohash predicates imply geohash3
     // partition predicates on converted stores (directory pruning)
     e.injectOptimizerRule(_ => graft.plans.InferGeohashPartitionFilter)
+    // epoch-arithmetic time predicates imply bare ts scan bounds
+    // (parquet row-group stats pruning on time-range queries)
+    e.injectOptimizerRule(_ => graft.plans.InferTimeScanBound)
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
     e.injectFunction((FunctionIdentifier("array_dot"), info("array_dot"),

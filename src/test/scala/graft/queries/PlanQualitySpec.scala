@@ -385,6 +385,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"funnel must not reshuffle the event stream:\n$plan")
   }
 
+  test("ev8: the 48-hour window predicate reaches the parquet scan as " +
+      "a bare ts bound (InferTimeScanBound — row-group pruning at scale)") {
+    // ev8 filters `ts DIV 1000 < cut` over the NORMALIZED ts (an
+    // epoch-arithmetic chain over the raw timestamp[us] column);
+    // without the rule the scan reads every row group of a 100 TB
+    // corpus for a 2-day window.
+    val scans = executedPlan("ev8_funnel").collect {
+      case s: FileSourceScanExec => s
+    }
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", ""))
+      .mkString(";")
+    assert(pushed.contains("LessThanOrEqual(ts,"),
+      s"ts bound must reach the scan, pushed: $pushed")
+  }
+
   test("tx18: BPE pair counts are two hash aggs + TakeOrderedAndProject " +
       "(no window, no global sort)") {
     val plan = executedPlan("tx18_bpe_merge_step")
