@@ -55,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("topk_values"),
       info("topk_values"),
       (es: Seq[Expression]) => TopKValues(es.head, es(1))))
+    // z-order key from 2-4 int bucket ids (layout rewrites in SQL)
+    e.injectFunction((FunctionIdentifier("zorder_key"),
+      info("zorder_key"),
+      (es: Seq[Expression]) => org.apache.spark.sql.graft.ZOrderKey(es)))
   }
 }

@@ -580,7 +580,46 @@ object EventsQueries {
       GROUP BY 1, 2
       ORDER BY win_start_s, event_type"""))
 
+  /** Z-ordered layout + file-level skipping (ev15): rewrite events
+    * clustered on (user_id, ts) via interleaved-bit quantile buckets
+    * ([[graft.operators.ZOrderLayouts]]), then answer a user × time
+    * box query by reading ONLY the files whose manifest min/max box
+    * intersects it, with the exact predicate refining file-granular
+    * over-selection — the OPTIMIZE ZORDER discipline a 100 TB corpus
+    * queried on more than one dimension needs (a linear sort prunes
+    * one dimension; z-order prunes all clustered ones). The oracle
+    * answers the same box over the raw table — layout must never
+    * change results.
+    */
+  val q15ZorderScan = Q(
+    "ev15_zorder_scan",
+    (s, d) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder")
+        .resolve("events_z").toString
+      graft.operators.ZOrderLayouts.zorderWrite(
+        events(s, d), Seq("user_id", "ts"), path, buckets = 64, files = 8)
+      val tsLo = 1704240000000000000L // 2024-01-03 UTC, epoch ns
+      val tsHi = 1705449600000000000L // 2024-01-17 UTC
+      graft.operators.ZOrderLayouts.skippingRead(s, path, Seq(
+          ("user_id", 0L, 6L), ("ts", tsLo, tsHi)))
+        .filter(col("user_id").between(0L, 6L) &&
+          col("ts") >= tsLo && col("ts") < tsHi)
+        .groupBy(col("event_type"))
+        .agg(cnt.as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    sql = Some(s"""
+      SELECT event_type, COUNT(*) AS n_events,
+             ${sqlDsum("value")} AS total_value
+      FROM events
+      WHERE user_id BETWEEN 0 AND 6
+        AND epoch_us(ts) >= 1704240000000000
+        AND epoch_us(ts) < 1705449600000000
+      GROUP BY 1
+      ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
     q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort, q10SessionWindow,
-    q11SaltedJoin, q12DynamicSession, q13Scd2, q14SlidingWindow)
+    q11SaltedJoin, q12DynamicSession, q13Scd2, q14SlidingWindow,
+    q15ZorderScan)
 }
