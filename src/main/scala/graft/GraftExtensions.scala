@@ -59,5 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("zorder_key"),
       info("zorder_key"),
       (es: Seq[Expression]) => org.apache.spark.sql.graft.ZOrderKey(es)))
+    // Misra-Gries frequent-items summary (aggregate; candidate pass
+    // of sketch → exact-recount)
+    e.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.HeavyHittersSketch(es.head, es(1))))
   }
 }

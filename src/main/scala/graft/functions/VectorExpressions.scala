@@ -67,6 +67,19 @@ object VectorFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())
 
+  /** Misra-Gries frequent-items summary per group —
+    * array<struct<item,count_lo>> with the n/k containment guarantee
+    * (every item with true count > n/k is present; counts are lower
+    * bounds). O(k) state per group, mergeable across partitions; the
+    * candidate pass of sketch → exact-recount (see
+    * [[org.apache.spark.sql.graft.HeavyHittersSketch]]).
+    */
+  def heavy_hitters(item: Column, k: Int): Column =
+    B.column(org.apache.spark.sql.graft.HeavyHittersSketch(
+      B.expression(item),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
   /** Register SQL names (per-session) so `expr("array_dot(a,b)")` and
     * spark.sql can use the kernels too.
     */

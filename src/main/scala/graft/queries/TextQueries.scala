@@ -1601,6 +1601,50 @@ object TextQueries {
           FROM a)
       ORDER BY check_name"""))
 
+  /** Heavy-hitter tokens via sketch → exact recount (tx32): pass 1 is
+    * the native Misra-Gries aggregate
+    * ([[org.apache.spark.sql.graft.HeavyHittersSketch]]) — k-1
+    * counters per map task, only (item, count_lo) pairs cross the
+    * exchange, NEVER the token stream (the groupBy-count alternative
+    * shuffles every distinct token; at 100 TB with billions of
+    * distincts that exchange is the job). Pass 2 exactly recounts the
+    * ≤ k-1 candidates (broadcast semi-join filters map-side) and
+    * thresholds on true counts, so the result is deterministic — the
+    * MG guarantee (any item with count > n/k is in the sketch) makes
+    * the candidate set a superset, and the recount makes it exact.
+    * DuckDB oracles the direct computation.
+    */
+  val q32HeavyHitters = Q(
+    "tx32_heavy_hitters",
+    (s, d) => {
+      val K = 30 // threshold n/30 ≈ 3.33% of the token stream
+      val tok = spread(documents(s, d)).select(
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val cands = tok
+        .agg(graft.functions.VectorFunctions
+          .heavy_hitters(col("term"), K).as("hh"))
+        .select(explode(col("hh")).as("c"))
+        .select(col("c.item").as("term"))
+      val total = tok.agg(cnt.as("n_total"))
+      tok.join(broadcast(cands), "term")
+        .groupBy(col("term"))
+        .agg(cnt.as("n_term"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_term") * K > col("n_total"))
+        .select(col("term"), col("n_term"), col("n_total"))
+        .orderBy(col("n_term").desc, col("term"))
+    },
+    sql = Some("""
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents),
+      n AS (SELECT COUNT(*) AS n_total FROM tok),
+      c AS (SELECT term, COUNT(*) AS n_term FROM tok GROUP BY 1)
+      SELECT c.term, c.n_term, n.n_total
+      FROM c CROSS JOIN n
+      WHERE c.n_term * 30 > n.n_total
+      ORDER BY c.n_term DESC, c.term"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -1608,5 +1652,6 @@ object TextQueries {
     tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
     tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode,
     tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
-    tx31WeightedSample, dq1ConstraintReport, dq2KAnonymity)
+    tx31WeightedSample, q32HeavyHitters, dq1ConstraintReport,
+    dq2KAnonymity)
 }

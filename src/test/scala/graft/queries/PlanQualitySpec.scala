@@ -400,6 +400,27 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ts bound must reach the scan, pushed: $pushed")
   }
 
+  test("tx32: the token stream never shuffles at distinct-width — the " +
+      "sketch pass ships k-1 summaries, candidates broadcast back, and " +
+      "only candidate-filtered rows reach the recount exchange") {
+    val plan = executedPlan("tx32_heavy_hitters")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"candidates must broadcast:\n$plan")
+    val hashExchanges = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+            e.outputPartitioning
+              .asInstanceOf[HashPartitioning].numPartitions > 1 => e
+    }
+    // the ONE data-bearing hash exchange is the exact recount of
+    // candidate-filtered tokens; the sketch pass exchanges a single
+    // summary row (SinglePartition), not the token stream
+    assert(hashExchanges.size <= 1,
+      s"token stream must not shuffle at distinct-width:\n$plan")
+  }
+
   test("tx18: BPE pair counts are two hash aggs + TakeOrderedAndProject " +
       "(no window, no global sort)") {
     val plan = executedPlan("tx18_bpe_merge_step")
