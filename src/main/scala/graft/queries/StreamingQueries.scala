@@ -377,8 +377,31 @@ object StreamingQueries {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  /** MG sketch kernel in STREAMING state (st13) — tx32's
+    * `heavy_hitters` under complete-mode streaming: the counter-map
+    * buffer must survive state-store serialize/deserialize between
+    * micro-batches. The streamed sketch only generates candidates;
+    * the exact batch recount makes the result slice-order-independent
+    * (see [[graft.streaming.DocumentsStreaming.heavyHittersStream]]),
+    * so the oracle is the same direct computation as tx32's.
+    */
+  val st13StreamHeavyHitters = Q(
+    "st13_stream_heavy_hitters",
+    (s, d) => graft.streaming.DocumentsStreaming.heavyHittersStream(s, d),
+    sql = Some("""
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents),
+      n AS (SELECT COUNT(*) AS n_total FROM tok),
+      c AS (SELECT term, COUNT(*) AS n_term FROM tok GROUP BY 1)
+      SELECT c.term, c.n_term, n.n_total
+      FROM c CROSS JOIN n
+      WHERE c.n_term * 30 > n.n_total
+      ORDER BY c.n_term DESC, c.term"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
-    st10IngestDedup, st11SlidingWindows, st12StreamTopk)
+    st10IngestDedup, st11SlidingWindows, st12StreamTopk,
+    st13StreamHeavyHitters)
 }

@@ -135,4 +135,52 @@ object DocumentsStreaming {
       .agg(max(col("jaccard")).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** st13: the `heavy_hitters` Misra-Gries kernel inside a STREAMING
+    * aggregation — complete-mode global token summary over the staged
+    * document replay. What this proves beyond tx32: the MG buffer's
+    * opaque counter map must round-trip the streaming STATE STORE
+    * between micro-batches (serialize after each batch, deserialize
+    * into the next) — a kernel whose serialize loses counters would
+    * pass every batch test and silently corrupt here. The sketch
+    * STATE is replay-order dependent, so determinism comes from the
+    * tx32 discipline applied at readout: the streamed sketch only
+    * GENERATES candidates (a superset of the > n/k heavy set, by the
+    * MG guarantee, which merging preserves); the exact BATCH recount
+    * + threshold makes the emitted rows independent of slice order —
+    * the same rows the DuckDB direct computation produces.
+    */
+  def heavyHittersStream(spark: SparkSession, dir: String,
+      slices: Int = 4, k: Int = 30): DataFrame = {
+    import graft.queries.Q.cnt
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val staged = stageIdSlices(docs, slices)
+    val agg = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .agg(graft.functions.VectorFunctions
+        .heavy_hitters(col("term"), k).as("hh"))
+    val name = s"graft_st_hh_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val cands = spark.table(name)
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.item").as("term"))
+    val tok = docs.select(
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    tok.join(broadcast(cands), "term")
+      .groupBy(col("term"))
+      .agg(cnt.as("n_term"))
+      .crossJoin(broadcast(tok.agg(cnt.as("n_total"))))
+      .filter(col("n_term") * k > col("n_total"))
+      .select(col("term"), col("n_term"), col("n_total"))
+      .orderBy(col("n_term").desc, col("term"))
+  }
 }
