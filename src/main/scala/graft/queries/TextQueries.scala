@@ -1643,7 +1643,8 @@ object TextQueries {
       SELECT c.term, c.n_term, n.n_total
       FROM c CROSS JOIN n
       WHERE c.n_term * 30 > n.n_total
-      ORDER BY c.n_term DESC, c.term"""))
+      ORDER BY c.n_term DESC, c.term"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
