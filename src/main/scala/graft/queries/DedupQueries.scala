@@ -966,8 +966,107 @@ object DedupQueries {
       WHERE n_matched * 1000000 // n_grams >= 200000
       ORDER BY doc_id"""))
 
+  /** Leakage-safe train/val split (dd16): a hash split on doc_id
+    * leaks — a near-duplicate of a validation document lands in train
+    * and the eval is contaminated. The split unit must be the
+    * NEAR-DUP CLUSTER: assign every doc its dd5 cluster representative
+    * (its own id when unclustered), hash-split the REPRESENTATIVE
+    * (tx9's portable md5 family, 90/10), and audit that zero candidate
+    * pairs cross the boundary — the report a training pipeline gates
+    * on before freezing a corpus. Scale shape: clusters come from the
+    * LSH candidate graph (candidate scale, never all-pairs), the split
+    * itself is a scan-local md5 over a broadcast-joined representative
+    * map, and the audit joins the tiny pair relation against the
+    * assignment twice (broadcast). The DuckDB oracle recomputes
+    * clusters independently (recursive CC) and the same md5 split, so
+    * a cross-engine match proves both the clustering and the
+    * atomicity of the split.
+    */
+  val dd16LeakageSafeSplit = Q(
+    "dd16_leakage_safe_split",
+    (s, d) => {
+      val docs = spread(documents(s, d))
+      val pairs = minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 8, bands = 2, minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"))
+      val clusters = graft.operators.ClusterOps.connectedComponents(pairs)
+      val assigned = docs.select(col("doc_id"))
+        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          when(pmod(conv(substring(md5(concat(col("rep").cast("string"),
+            lit("|split"))), 1, 15), 16, 10).cast("long"), lit(10L)) < 9,
+            "train").otherwise("val"))
+      val sizes = assigned.groupBy(col("split"))
+        .agg(cnt.as("n")).select(
+          concat(col("split"), lit("_docs")).as("metric"), col("n"))
+      val crossPairs = pairs
+        .join(broadcast(assigned.select(col("doc_id").as("id_a"),
+          col("split").as("split_a"))), "id_a")
+        .join(broadcast(assigned.select(col("doc_id").as("id_b"),
+          col("split").as("split_b"))), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .agg(cnt.as("n"))
+        .select(lit("cross_split_dup_pairs").as("metric"), col("n"))
+      sizes.unionByName(crossPairs).orderBy(col("metric"))
+    },
+    sql = Some(s"""
+      WITH RECURSIVE
+      docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                AS DOUBLE) /
+              (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+              6) >= 0.2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      clusters AS (
+        SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      assigned AS (
+        SELECT d.doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(
+                      COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)
+                      || '|split'), 1, 15)) AS BIGINT) % 10 < 9
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents d LEFT JOIN clusters c USING (doc_id))
+      SELECT metric, n FROM (
+        SELECT split || '_docs' AS metric, COUNT(*) AS n
+        FROM assigned GROUP BY split
+        UNION ALL
+        SELECT 'cross_split_dup_pairs',
+               COUNT(*)
+        FROM pairs p
+        JOIN assigned a ON p.id_a = a.doc_id
+        JOIN assigned b ON p.id_b = b.doc_id
+        WHERE a.split <> b.split)
+      ORDER BY metric"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
     dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup,
-    dd12KeepList, dd13PageRank, dd14EditDistance, dd15Contamination)
+    dd12KeepList, dd13PageRank, dd14EditDistance, dd15Contamination,
+    dd16LeakageSafeSplit)
 }
