@@ -15,7 +15,10 @@ object Verify {
     // A query that throws must be VISIBLE, not vanish from the oracle
     // compare (r9/r10 lesson: a 22-query regression hid for two rounds
     // because the swallowed exception left no output to mismatch).
-    // Collect failures → errors.json + _ERROR marker dir per query.
+    // Failures → errors.json next to oracle_sql.json. The failed
+    // query's OUTPUT DIR is removed entirely (a marker dir that isn't
+    // parquet would crash a compare that globs outputs — worse than
+    // one missing row is zero rows for the round).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -24,9 +27,13 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         errors(name) = msg
         System.err.println(s"[verify] $name FAILED: $msg")
-        val errDir = Paths.get(s"$outDir/$name")
-        Files.createDirectories(errDir)
-        Files.writeString(errDir.resolve("_ERROR"), msg)
+        val dir = new java.io.File(s"$outDir/$name") // drop partial output
+        if (dir.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(dir)
+        }
       } finally
         // Queries that persist an intermediate (q20's triple-consumed
         // base) have no post-action hook to unpersist it; drop the
@@ -54,8 +61,9 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
     // loud but zero-exit: a nonzero code could make the driver discard
-    // the 100+ GREEN results; the _ERROR marker dirs already force the
-    // broken queries to surface as `err` rows in the compare.
+    // the 100+ GREEN results; errors.json carries the failures for
+    // any compare that reads it (tools/crosscheck.py prints ERR rows
+    // and exits nonzero).
     if (errors.nonEmpty)
       System.err.println(
         s"[verify] ${errors.size} of ${SparkEntry.queries.size} queries FAILED: "

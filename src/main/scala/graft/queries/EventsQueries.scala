@@ -285,18 +285,38 @@ object EventsQueries {
         .orderBy(col("stage")),
     sql = Some("""
       WITH coded AS (
-        SELECT user_id, ts, event_id,
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS pos,
                CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
                  WHEN 'purchase' THEN 3 ELSE 0 END AS code
         FROM events
         WHERE epoch_us(ts) < 1704240000000000),
+      -- the greedy stage fold equals the longest prefix 1..s present
+      -- as an ORDERED SUBSEQUENCE; match each stage at its earliest
+      -- position after the previous one. (list_reduce formulated this
+      -- directly, but DuckDB 1.0.0 mis-evaluates list_reduce inside a
+      -- multi-group aggregation — verified wrong vs its own
+      -- single-group and literal-list answers — so the oracle uses
+      -- the subsequence form.)
+      s1 AS (SELECT user_id, MIN(pos) AS p FROM coded
+             WHERE code = 1 GROUP BY user_id),
+      s2 AS (SELECT c.user_id, MIN(c.pos) AS p
+             FROM coded c JOIN s1 USING (user_id)
+             WHERE c.code = 2 AND c.pos > s1.p GROUP BY c.user_id),
+      s3 AS (SELECT c.user_id, MIN(c.pos) AS p
+             FROM coded c JOIN s2 USING (user_id)
+             WHERE c.code = 3 AND c.pos > s2.p GROUP BY c.user_id),
       folded AS (
-        SELECT user_id,
-               list_reduce([0] || list(code ORDER BY ts, event_id),
-                 (a, b) -> CASE WHEN b = a + 1 THEN a + 1 ELSE a END)
-                 AS stage
-        FROM coded
-        GROUP BY user_id)
+        SELECT u.user_id,
+               CASE WHEN s3.user_id IS NOT NULL THEN 3
+                    WHEN s2.user_id IS NOT NULL THEN 2
+                    WHEN s1.user_id IS NOT NULL THEN 1
+                    ELSE 0 END AS stage
+        FROM (SELECT DISTINCT user_id FROM coded) u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id)
       SELECT CAST(stage AS INT) AS stage, COUNT(*) AS n_users
       FROM folded
       GROUP BY stage

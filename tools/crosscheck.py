@@ -58,8 +58,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS  {name:28s} rows={len(a)}")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
-    return 1 if n_fail else 0
+    # queries that THREW in Verify leave no output dir; errors.json is
+    # the visibility channel (r10 lesson: silent absence hid a
+    # 22-query regression for two rounds)
+    n_err = 0
+    err_path = f"{out_dir}/errors.json"
+    if os.path.exists(err_path):
+        for name, msg in json.load(open(err_path)).items():
+            print(f"ERR   {name:28s} {msg[:100]}")
+            n_err += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_err} err, {n_skip} rows-only")
+    return 1 if (n_fail or n_err) else 0
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
