@@ -14,11 +14,12 @@ import org.apache.spark.sql.SparkSession
   * the external location discipline (fresh temp dir; the old location
   * is dropped with the old table).
   *
-  * Not crash-atomic across the drop/rename pair (the in-memory
-  * catalog has no atomic swap); production on a real metastore would
-  * use a transactional RENAME or view flip. The data itself is never
-  * at risk: the compacted copy is fully written before the old table
-  * is dropped.
+  * `compact` is not crash-atomic across its drop/rename pair; the
+  * VERSIONED discipline below ([[adoptVersioned]] / [[compactAtomic]])
+  * closes that: the served name becomes a view over generation tables
+  * and each compaction swap is a single CREATE OR REPLACE VIEW. The
+  * data itself is never at risk in either form: the compacted copy is
+  * fully written before anything old is dropped.
   */
 object BucketedStores {
 
@@ -55,6 +56,82 @@ object BucketedStores {
       buckets: Int = 8): Unit =
     compact(spark, table, Seq("band", "bhash"), Seq("band", "bhash"),
       buckets)
+
+  // ---- Versioned serving: ATOMIC compaction swap -------------------
+  //
+  // The plain `compact` above has a documented hole: the DROP+RENAME
+  // pair is two catalog ops, so a reader resolving the name between
+  // them sees a missing table. The versioned discipline closes it:
+  // the SERVED name is a VIEW, each physical generation is a table
+  // `name__v<k>`, and the swap is ONE catalog op (CREATE OR REPLACE
+  // VIEW) — readers resolve either the old generation or the new one,
+  // never nothing. A view is plan-level alias only: the probe join
+  // still sees the backing table's bucket spec, so the zero-shuffle
+  // bucket-aligned scan survives the indirection (CI-gated in
+  // OperatorSpecs). Same shape as a metastore view-flip or an
+  // Iceberg/Delta pointer swap, built from public Spark catalog ops.
+
+  private def versionOf(backing: String, name: String): Int = {
+    val p = name + "__v"
+    require(backing.startsWith(p), s"$backing is not a $name generation")
+    backing.stripPrefix(p).toInt
+  }
+
+  /** The physical table currently served by versioned view `name`. */
+  def currentGeneration(spark: SparkSession, name: String): String = {
+    val vs = spark.catalog.listTables()
+      .collect().map(_.name)
+      .filter(_.startsWith(name + "__v"))
+    require(vs.nonEmpty, s"$name has no generations — not a versioned store")
+    vs.maxBy(versionOf(_, name))
+  }
+
+  /** Adopt an existing physical table (e.g. a [[graft.operators
+    * .TextDedupOps.writeLshIndex]] output) into versioned serving:
+    * rename it to generation 1 and create the serving view. The
+    * one-time adoption is the only non-atomic moment (rename + view
+    * create); every subsequent [[compactAtomic]] swap is a single
+    * catalog op.
+    */
+  def adoptVersioned(spark: SparkSession, table: String): Unit = {
+    val gen1 = table + "__v1"
+    spark.sql(s"ALTER TABLE $table RENAME TO $gen1")
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $gen1")
+  }
+
+  /** Compact a VERSIONED store with an atomic swap: rewrite the
+    * current generation into `name__v<k+1>` (one file per bucket, same
+    * bucket/sort spec — [[compact]]'s rewrite discipline), flip the
+    * serving view in ONE catalog op, then drop the old generation.
+    * A concurrent reader that already resolved the old generation
+    * keeps reading its files until the drop; one that resolves during
+    * the swap sees exactly one of the two generations.
+    */
+  def compactAtomic(spark: SparkSession, name: String,
+      bucketCols: Seq[String], sortCols: Seq[String], buckets: Int,
+      location: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val old = currentGeneration(spark, name)
+    val next = name + "__v" + (versionOf(old, name) + 1)
+    val loc = location.getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft_compact_$name")
+        .toString)
+    spark.table(old)
+      .repartition(buckets, pmod(hash(bucketCols.map(col): _*),
+        lit(buckets)))
+      .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", loc)
+      .saveAsTable(next)
+    spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $next")
+    spark.sql(s"DROP TABLE $old")
+  }
+
+  /** [[compactAtomic]] with the LSH-index bucket spec. */
+  def compactLshIndexAtomic(spark: SparkSession, name: String,
+      buckets: Int = 8): Unit =
+    compactAtomic(spark, name, Seq("band", "bhash"),
+      Seq("band", "bhash"), buckets)
 
   /** [[SimilarityOps.writeIvfIndex]] list compaction (the centroid
     * companion is k rows — nothing to compact).

@@ -178,4 +178,63 @@ object GeoOps {
           lit(y2 - y1) * (px - lit(x1))) >= 0L
     }.reduce(_ && _)
   }
+
+  /** The geohash PRUNING predicate for a bbox: OR of the cover's
+    * `[lo, hi)` range conjuncts over `geohash`. Shape matters — each
+    * disjunct is the two-sided comparison
+    * [[graft.plans.InferGeohashPartitionFilter]] recognizes, so on a
+    * geohash3-partitioned store the predicate turns into partition
+    * pruning, and on any store it is a plain sargable parquet filter
+    * (min/max row-group skipping).
+    */
+  def bboxRangePredicate(geohash: org.apache.spark.sql.Column,
+      minLat: Double, maxLat: Double, minLon: Double, maxLon: Double,
+      depth: Int = 2): org.apache.spark.sql.Column =
+    bboxToGeohashRanges(minLat, maxLat, minLon, maxLon, depth)
+      .map { case (lo, hi) => geohash >= lo && geohash < hi }
+      .reduce(_ || _)
+
+  /** USER-FACING bbox retrieval over a geohash-carrying store: rows of
+    * `store` inside the closed box, computed as (geohash range cover →
+    * partition/row-group pruning) AND (exact lat/lon refine). One call
+    * replaces the plan-the-cover / AND-the-refine dance wod8 does by
+    * hand; semantics are exactly the plain lat/lon predicate, the
+    * ranges only PRUNE. At 100 TB the cover is what keeps this from
+    * being a full scan: only the touched geohash directories /
+    * row-groups are read.
+    */
+  def queryBbox(store: org.apache.spark.sql.DataFrame,
+      minLat: Double, maxLat: Double, minLon: Double, maxLon: Double,
+      geohashCol: String = "geohash", latCol: String = "latitude",
+      lonCol: String = "longitude", depth: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    store.filter(
+      bboxRangePredicate(col(geohashCol), minLat, maxLat, minLon,
+        maxLon, depth) &&
+        col(latCol) >= minLat && col(latCol) <= maxLat &&
+        col(lonCol) >= minLon && col(lonCol) <= maxLon)
+  }
+
+  /** USER-FACING convex-polygon retrieval: the polygon's bbox drives
+    * the same range pruning as [[queryBbox]], and
+    * [[convexPolygonContains]] is the exact refine. `polyMicro`: CCW
+    * (latµ, lonµ) vertices of a convex polygon.
+    */
+  def queryPolygon(store: org.apache.spark.sql.DataFrame,
+      polyMicro: Seq[(Long, Long)],
+      geohashCol: String = "geohash", latCol: String = "latitude",
+      lonCol: String = "longitude", depth: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(polyMicro.length >= 3, "polygon needs >= 3 vertices")
+    val minLat = polyMicro.map(_._1).min / 1e6
+    val maxLat = polyMicro.map(_._1).max / 1e6
+    val minLon = polyMicro.map(_._2).min / 1e6
+    val maxLon = polyMicro.map(_._2).max / 1e6
+    store.filter(
+      bboxRangePredicate(col(geohashCol), minLat, maxLat, minLon,
+        maxLon, depth) &&
+        convexPolygonContains(col(latCol), col(lonCol), polyMicro))
+  }
 }

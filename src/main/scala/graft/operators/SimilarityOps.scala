@@ -303,6 +303,28 @@ object SimilarityOps {
         lit(math.sqrt(ss)).as("cn"))
     }: _*)
 
+  /** Scan-local coarse assignment to the deterministic first-k
+    * centroids: (vid, e, nrm, cid) with cid chosen in-row off the
+    * centroid LITERAL (cosine DESC, cid ASC at 6dp — the sim4 probe
+    * selection rule), so assigning a 100 TB corpus moves zero bytes
+    * through a shuffle. The bounded k-row collect is the same
+    * driver-resident-quantizer contract as [[trainCentroids]].
+    * SemDeDup-style pipelines (dd17) consume this as their cluster
+    * key.
+    */
+  def assignFirstK(vecsDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int): DataFrame = {
+    val v = ivfProject(vecsDf, idCol, vecCol)
+    val centArr = centroidLiteral(firstKCentroids(v, k, dims))
+    v.select(col("vid"), col("e"), col("nrm"),
+      element_at(transform(
+        slice(array_sort(transform(centArr, c => struct(
+          (-round(array_dot(col("e"), c.getField("ce"))
+            / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+          c.getField("cid").as("cid")))), 1, 1),
+        s => s.getField("cid")), 1).as("cid"))
+  }
+
   /** Train the IVF coarse quantizer: `iters` Lloyd refinements of the
     * first-k seeding (em7's iteration, run to a fixed small count —
     * the classic IVF trainer uses a few Lloyd rounds over a sample).

@@ -1064,9 +1064,101 @@ object DedupQueries {
         WHERE a.split <> b.split)
       ORDER BY metric"""))
 
+  /** SEMANTIC dedup (SemDeDup-style, Abbas et al. 2023, public): the
+    * embedding-space analogue of the text LSH pipeline — cluster the
+    * corpus with a coarse quantizer, then look for near-duplicates
+    * only WITHIN each cluster, so the pair space shrinks from n² to
+    * Σ|cluster|² and every stage is an equi-join. Here: em6's
+    * deterministic k=8 assignment (broadcast centroid relation,
+    * max(struct) top-1 — the corpus never shuffles for assignment),
+    * cid-keyed self-join for candidate pairs at cosine ≥ 0.35
+    * (rounded to 6 before the compare, both engines), transitive
+    * closure via [[graft.operators.ClusterOps.connectedComponents]],
+    * keep = lowest vec_id per component. Report: per-cell members /
+    * removed / kept — the shrink readout a curation run needs. The
+    * oracle recomputes assignment, pairs, AND the recursive closure
+    * independently, so the hash match proves the whole chain.
+    *
+    * Cross-cluster near-dup pairs are invisible by design — that is
+    * SemDeDup's documented approximation; the quantizer's job is to
+    * make misses rare, the win is that no stage is quadratic in the
+    * corpus.
+    */
+  val dd17SemanticDedup = Q(
+    "dd17_semantic_dedup",
+    (s, d) => {
+      import graft.functions.VectorFunctions.array_dot
+      // in-row assignment off the centroid LITERAL (sim4's rule):
+      // no shuffle, no array-keyed aggregate — the corpus only ever
+      // exchanges on the cid cluster key below
+      val assigned = graft.operators.SimilarityOps
+        .assignFirstK(spread(embeddings(s, d)), "vec_id", "embedding",
+          dims = 64, k = 8)
+        .select(col("vid").as("vec_id"), col("e"), col("nrm"), col("cid"))
+      val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+        col("e").as("ea"), col("nrm").as("na"))
+      val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+        col("e").as("eb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("cid"))
+        .filter(col("id_a") < col("id_b") &&
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")),
+            6) >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      val cc = graft.operators.ClusterOps.connectedComponents(pairs)
+      assigned
+        .join(cc.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+        .groupBy(col("cid"))
+        .agg(cnt.as("n_members"),
+          sum(when(col("cluster_id").isNotNull &&
+            col("cluster_id") =!= col("vec_id"), 1L).otherwise(0L))
+            .as("n_removed"))
+        .select(col("cid"), col("n_members"), col("n_removed"),
+          (col("n_members") - col("n_removed")).as("n_kept"))
+        .orderBy(col("cid"))
+    },
+    sql = Some("""
+      WITH RECURSIVE
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+      scored AS (
+        SELECT v.vec_id, v.e, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS score
+        FROM v CROSS JOIN c),
+      assigned AS (
+        SELECT vec_id, e, cid FROM (
+          SELECT vec_id, e, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY score DESC, cid) AS rn
+          FROM scored) WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.35),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT a.cid, COUNT(*) AS n_members,
+             CAST(SUM(CASE WHEN cc.cluster_id IS NOT NULL
+                            AND cc.cluster_id <> a.vec_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(COUNT(*) - SUM(CASE WHEN cc.cluster_id IS NOT NULL
+                                       AND cc.cluster_id <> a.vec_id
+                                      THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+      FROM assigned a LEFT JOIN cc ON a.vec_id = cc.id
+      GROUP BY a.cid
+      ORDER BY a.cid"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
     dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup,
     dd12KeepList, dd13PageRank, dd14EditDistance, dd15Contamination,
-    dd16LeakageSafeSplit)
+    dd16LeakageSafeSplit, dd17SemanticDedup)
 }

@@ -473,6 +473,148 @@ object SimilarityQueries {
       SELECT id_a, id_b AS ann_id, score FROM best WHERE rn = 1
       ORDER BY id_a"""))
 
+  /** PRODUCT QUANTIZATION with ADC scan (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011, public) —
+    * the remaining production-ANN compression shape next to IVF (sim4–
+    * sim7) and SQ8 (sim8): the 64-dim space splits into M=4 subspaces
+    * of 16 dims; each subspace has a K=16-entry codebook (the first 16
+    * vectors' subvectors — em6's deterministic-codebook discipline);
+    * every corpus vector compresses to 4 code bytes. A query never
+    * touches corpus floats: it precomputes a 4×16 distance table
+    * (dist² from its subvectors to every code, 6dp), and the corpus
+    * scan is FOUR TABLE LOOKUPS + a DECIMAL-exact add per vector
+    * (asymmetric distance computation), then the same map-side
+    * min(struct) top-1 as em1. Exact cosine of the reported pair is
+    * appended as the quality readout.
+    *
+    * Scale shape: the codebook (64 rows) broadcasts into a scan-local
+    * encode; the query tables (queries × 4 rows) broadcast into the
+    * ADC scan; the corpus shuffles only the per-(vec, subspace) argmin
+    * — O(4·corpus) narrow rows — and the final top-1 agg moves one
+    * struct per query per partition. The oracle re-derives codebooks,
+    * encodings, tables, and the ADC argmin independently.
+    */
+  val sim9PqAdc = Q(
+    "sim9_pq_adc_top1",
+    (s, d) => {
+      val M = 4; val K = 16; val sub = 16
+      val v = EmbeddingQueries.vecs(s, d)
+        .select(col("vec_id"), col("e"), col("nrm"))
+      def dist2(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      def subvecs(e: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), lit(M - 1)),
+          j => slice(e, j * sub + 1, lit(sub)))
+      val cb = v.filter(col("vec_id") < K)
+        .select(col("vec_id").cast("int").as("c"),
+          posexplode(subvecs(col("e"))))
+        .select(col("pos").as("j"), col("c"), col("col").as("ce"))
+      // encode: per (vector, subspace) argmin over the 16 codes —
+      // broadcast join, map-side struct-min, then a 4-row-per-vec pivot
+      val enc = v
+        .select(col("vec_id"), posexplode(subvecs(col("e"))))
+        .select(col("vec_id"), col("pos").as("j"), col("col").as("sv"))
+        .join(broadcast(cb), Seq("j"))
+        .select(col("vec_id"), col("j"),
+          struct(round(dist2(col("sv"), col("ce")), 6).as("d"),
+            col("c")).as("cand"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min(col("cand")).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max(when(col("j") === 0, col("best.c"))).as("c0"),
+          max(when(col("j") === 1, col("best.c"))).as("c1"),
+          max(when(col("j") === 2, col("best.c"))).as("c2"),
+          max(when(col("j") === 3, col("best.c"))).as("c3"))
+      // query distance tables: t_j[c] = dist²(query subvec j, code c)
+      val qtab = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), posexplode(subvecs(col("e"))))
+        .select(col("query_id"), col("pos").as("j"), col("col").as("qv"))
+        .join(broadcast(cb), Seq("j"))
+        .select(col("query_id"), col("j"), col("c"),
+          round(dist2(col("qv"), col("ce")), 6).as("dd"))
+        .groupBy(col("query_id"), col("j"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("c").as("c"),
+            col("dd").as("dd")))),
+          x => x.getField("dd")).as("t"))
+        .groupBy(col("query_id"))
+        .agg(
+          max(when(col("j") === 0, col("t"))).as("t0"),
+          max(when(col("j") === 1, col("t"))).as("t1"),
+          max(when(col("j") === 2, col("t"))).as("t2"),
+          max(when(col("j") === 3, col("t"))).as("t3"))
+      def lu(t: String, c: String) =
+        element_at(col(t), col(c) + 1).cast("decimal(18,6)")
+      val best = enc.crossJoin(broadcast(qtab))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), struct(
+          (lu("t0", "c0") + lu("t1", "c1") + lu("t2", "c2")
+            + lu("t3", "c3")).cast("double").as("adc"),
+          col("vec_id")).as("cand"))
+        .groupBy(col("query_id"))
+        .agg(min(col("cand")).as("best"))
+        .select(col("query_id"), col("best.vec_id").as("best_id"),
+          col("best.adc").as("adc_dist"))
+      // exact-cosine readout of the reported pair: the result stays
+      // queries-sized, so IT broadcasts into each corpus-side vector
+      // fetch (never the corpus into it)
+      val withQ = v
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("nrm").as("qn"))
+        .join(broadcast(best), Seq("query_id"))
+      v.select(col("vec_id").as("best_id"), col("e").as("be"),
+          col("nrm").as("bn"))
+        .join(broadcast(withQ), Seq("best_id"))
+        .select(col("query_id"), col("best_id"), col("adc_dist"),
+          round(graft.functions.VectorFunctions
+            .array_dot(col("qe"), col("be")) / (col("qn") * col("bn")),
+            6).as("cos_exact"))
+        .orderBy(col("query_id"))
+    },
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      sub AS (SELECT unnest(range(0, 4)) AS j),
+      cb AS (
+        SELECT j, vec_id AS c, list_slice(e, j*16 + 1, j*16 + 16) AS ce
+        FROM v, sub WHERE vec_id < 16),
+      encd AS (
+        SELECT v.vec_id, cb.j, cb.c,
+               ROUND(list_sum(list_transform(range(0, 16),
+                 i -> (e[cb.j*16 + i + 1] - ce[i+1])
+                      * (e[cb.j*16 + i + 1] - ce[i+1]))), 6) AS d2
+        FROM v JOIN cb ON TRUE),
+      enc AS (
+        SELECT vec_id, j, c FROM (
+          SELECT vec_id, j, c,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY d2, c) AS rn
+          FROM encd) WHERE rn = 1),
+      qtab AS (
+        SELECT vec_id AS query_id, j, c, d2 AS dd
+        FROM encd WHERE vec_id < 8),
+      adcs AS (
+        SELECT t.query_id, e.vec_id,
+               CAST(SUM(CAST(t.dd AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM enc e JOIN qtab t ON t.j = e.j AND t.c = e.c
+        WHERE e.vec_id <> t.query_id
+        GROUP BY t.query_id, e.vec_id),
+      best AS (
+        SELECT query_id, vec_id AS best_id, adc,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc, vec_id) AS rn
+        FROM adcs)
+      SELECT b.query_id, b.best_id, b.adc AS adc_dist,
+             ROUND(list_cosine_similarity(qv.e, bv.e), 6) AS cos_exact
+      FROM best b
+      JOIN v qv ON qv.vec_id = b.query_id
+      JOIN v bv ON bv.vec_id = b.best_id
+      WHERE b.rn = 1
+      ORDER BY b.query_id"""))
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
-    sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8)
+    sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc)
 }

@@ -1205,6 +1205,40 @@ object TextQueries {
       GROUP BY d.doc_id
       ORDER BY d.doc_id"""))
 
+  /** Per-doc interpolated bigram logprob — the plan behind tx28, and
+    * the scoring stage of tx33's filter: (doc_id, n_bigrams,
+    * sum_logprob, mean_logprob), docs with < 2 tokens absent.
+    */
+  private def bigramDocLp(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val bg = documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tok = documents(s, d).select(col("doc_id"),
+      explode(toks).as("term"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(cnt.as("cb"))
+    val c1 = bg.groupBy(col("w1")).agg(cnt.as("c1"))
+    val cu = tok.groupBy(col("term")).agg(cnt.as("cu"))
+    val total = cu.agg(sum(col("cu")).as("n_total"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(cu.withColumnRenamed("term", "w2"), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", round(log(
+        lit(0.75) * (col("cb").cast("double") / col("c1").cast("double"))
+          + lit(0.25) * (col("cu").cast("double")
+            / col("n_total").cast("double"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(cnt.as("n_bigrams"), dsum(col("lp")).as("sum_logprob"))
+      .withColumn("mean_logprob", col("sum_logprob") / col("n_bigrams"))
+  }
+
   /** BIGRAM language-model scoring with unigram interpolation
     * (tx11's perplexity filter upgraded to the ccnet-style shape):
     * per-doc mean log of `0.75·P(w2|w1) + 0.25·P(w2)`, where
@@ -1220,35 +1254,7 @@ object TextQueries {
     */
   val tx28BigramLm = Q(
     "tx28_bigram_logprob",
-    (s, d) => {
-      val toks = split(trim(col("text")), "\\s+")
-      val bg = documents(s, d)
-        .select(col("doc_id"), toks.as("t"))
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => struct(element_at(col("t"), i).as("w1"),
-            element_at(col("t"), i + 1).as("w2")))).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val tok = documents(s, d).select(col("doc_id"),
-        explode(toks).as("term"))
-      val cb = bg.groupBy(col("w1"), col("w2")).agg(cnt.as("cb"))
-      val c1 = bg.groupBy(col("w1")).agg(cnt.as("c1"))
-      val cu = tok.groupBy(col("term")).agg(cnt.as("cu"))
-      val total = cu.agg(sum(col("cu")).as("n_total"))
-      bg.join(cb, Seq("w1", "w2"))
-        .join(c1, Seq("w1"))
-        .join(cu.withColumnRenamed("term", "w2"), Seq("w2"))
-        .crossJoin(broadcast(total))
-        .withColumn("lp", round(log(
-          lit(0.75) * (col("cb").cast("double") / col("c1").cast("double"))
-            + lit(0.25) * (col("cu").cast("double")
-              / col("n_total").cast("double"))), 6))
-        .groupBy(col("doc_id"))
-        .agg(cnt.as("n_bigrams"), dsum(col("lp")).as("sum_logprob"))
-        .withColumn("mean_logprob", col("sum_logprob") / col("n_bigrams"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => bigramDocLp(s, d).orderBy(col("doc_id")),
     sql = Some(s"""
       WITH arr AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1646,6 +1652,84 @@ object TextQueries {
       ORDER BY c.n_term DESC, c.term"""),
     bench = true)
 
+  /** CCNet-style PERPLEXITY FILTER as an order statistic: score every
+    * doc with the tx28 bigram LM, rank the corpus by mean logprob
+    * (ascending, doc_id tie-break — a total order), and drop the worst
+    * fifth (grank ≤ n DIV 5 — lowest logprob = highest perplexity).
+    * The global rank is [[graft.operators.RankOps.withGlobalRank]] —
+    * q20's window-free machinery, so no single-task global sort at any
+    * scale. Report: bucket × (count, decimal-routed mean, min/max of
+    * the per-doc score) — the before/after readout a filtering run
+    * ships. The oracle computes the same rank with a plain
+    * ROW_NUMBER(), proving the distributed rank assembly bit-equal.
+    */
+  val tx33PerplexityFilter = Q(
+    "tx33_perplexity_filter",
+    (s, d) => {
+      // 6dp-round the score BEFORE ranking and averaging: the davg
+      // DECIMAL(18,6) route is exact only on values already at 6dp
+      // (a raw double's decimal rounding can differ across engines)
+      val ranked = graft.operators.RankOps.withGlobalRank(
+        bigramDocLp(s, d).select(col("doc_id"),
+          round(col("mean_logprob"), 6).as("mean_logprob")),
+        Seq(col("mean_logprob"), col("doc_id")),
+        s.sparkContext.defaultParallelism)
+      ranked
+        .select(when(col("grank") <= expr("n_total DIV 5"), "dropped")
+          .otherwise("kept").as("bucket"), col("mean_logprob"))
+        .groupBy(col("bucket"))
+        .agg(cnt.as("n_docs"),
+          davg(col("mean_logprob")).as("avg_lp"),
+          min(col("mean_logprob")).as("min_lp"),
+          max(col("mean_logprob")).as("max_lp"))
+        .orderBy(col("bucket"))
+    },
+    sql = Some(s"""
+      WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents),
+      bg AS (
+        SELECT doc_id, b[1] AS w1, b[2] AS w2
+        FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                i -> [t[i], t[i+1]])) AS b
+              FROM arr WHERE len(t) >= 2)),
+      tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM documents),
+      cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      cu AS (SELECT term, COUNT(*) AS cu FROM tok GROUP BY 1),
+      n AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n_total FROM cu),
+      lp AS (
+        SELECT bg.doc_id,
+               ROUND(ln(0.75 * (CAST(cb.cb AS DOUBLE)
+                                / CAST(c1.c1 AS DOUBLE))
+                 + 0.25 * (CAST(cu.cu AS DOUBLE) / n.n_total)), 6) AS lp
+        FROM bg
+        JOIN cb USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN cu ON cu.term = bg.w2
+        CROSS JOIN n),
+      doclp AS (
+        SELECT doc_id,
+               ROUND(${sqlDsum("lp")} / COUNT(*), 6) AS mean_logprob
+        FROM lp GROUP BY doc_id),
+      ranked AS (
+        SELECT mean_logprob,
+               ROW_NUMBER() OVER (ORDER BY mean_logprob, doc_id) AS grank,
+               COUNT(*) OVER () AS n
+        FROM doclp)
+      SELECT CASE WHEN grank <= n // 5 THEN 'dropped' ELSE 'kept' END
+               AS bucket,
+             COUNT(*) AS n_docs,
+             ${sqlDavg("mean_logprob")} AS avg_lp,
+             MIN(mean_logprob) AS min_lp,
+             MAX(mean_logprob) AS max_lp
+      FROM ranked
+      GROUP BY 1
+      ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -1653,6 +1737,6 @@ object TextQueries {
     tx20Boilerplate, tx21SourceCap, tx22Packing, tx23SnapshotDelta,
     tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode,
     tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
-    tx31WeightedSample, q32HeavyHitters, dq1ConstraintReport,
-    dq2KAnonymity)
+    tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
+    dq1ConstraintReport, dq2KAnonymity)
 }

@@ -379,14 +379,8 @@ object WodQueries {
       val (latLo, latHi) = (math.max(clat - 7, -90.0), math.min(clat + 7, 90.0))
       val (lonLo, lonHi) =
         (math.max(clon - 14, -180.0), math.min(clon + 14, 180.0))
-      val ranges = graft.operators.GeoOps
-        .bboxToGeohashRanges(latLo, latHi, lonLo, lonHi, depth = 2)
-      val rangePred = ranges.map { case (lo, hi) =>
-        col("geohash") >= lo && col("geohash") < hi }.reduce(_ || _)
-      store
-        .filter(rangePred &&
-          col("latitude") >= latLo && col("latitude") <= latHi &&
-          col("longitude") >= lonLo && col("longitude") <= lonHi)
+      graft.operators.GeoOps
+        .queryBbox(store, latLo, latHi, lonLo, lonHi, depth = 2)
         .groupBy(col("geohash3"))
         .agg(cnt.as("n_casts"),
           countDistinct(col("geohash")).as("n_locations"),
@@ -442,13 +436,8 @@ object WodQueries {
       val diamond = Seq(
         (u(cy), u(lonHi)), (u(latHi), u(cx)),
         (u(cy), u(lonLo)), (u(latLo), u(cx)))
-      val ranges = graft.operators.GeoOps
-        .bboxToGeohashRanges(latLo, latHi, lonLo, lonHi, depth = 2)
-      val rangePred = ranges.map { case (lo, hi) =>
-        col("geohash") >= lo && col("geohash") < hi }.reduce(_ || _)
-      store
-        .filter(rangePred && graft.operators.GeoOps
-          .convexPolygonContains(col("latitude"), col("longitude"), diamond))
+      graft.operators.GeoOps
+        .queryPolygon(store, diamond, depth = 2)
         .groupBy(col("geohash3"))
         .agg(cnt.as("n_casts"),
           countDistinct(col("geohash")).as("n_locations"),

@@ -270,6 +270,103 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("versioned store: adopt flips serving to a view; compactAtomic " +
+      "swaps generations in one catalog op, preserves probe results " +
+      "and the bucket-aligned scan; old generation is dropped") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, base), (2L, base + " phi"),
+      (3L, "entirely different unrelated content nothing shared at all"))
+      .toDF("doc_id", "text")
+    val name = "t_idx_versioned_spec"
+    TextDedupOps.writeLshIndex(corpus, "doc_id", "text", name,
+      numHashes = 8, bands = 4, buckets = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_idx_versioned").toString))
+    def probe(): Set[(Long, Long, Double)] = {
+      val q = Seq((20L, base + " omega")).toDF("doc_id", "text")
+      TextDedupOps.probeLshIndex(spark, name, q, "doc_id", "text",
+        numHashes = 8, bands = 4, minJaccard = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val before = probe()
+    assert(before.nonEmpty)
+
+    // one-time adoption: served name becomes a view over __v1
+    BucketedStores.adoptVersioned(spark, name)
+    assert(spark.catalog.getTable(name).tableType === "VIEW",
+      "served name must be a view after adoption")
+    assert(BucketedStores.currentGeneration(spark, name) === name + "__v1")
+    assert(probe() === before, "adoption must not change probe results")
+
+    // grow the current generation, then compact with the atomic swap
+    (10L to 12L).foreach { id =>
+      TextDedupOps.appendToLshIndex(spark,
+        BucketedStores.currentGeneration(spark, name),
+        Seq((id, base + s" suffix$id")).toDF("doc_id", "text"),
+        "doc_id", "text", numHashes = 8, bands = 4, buckets = 2)
+    }
+    val grownProbe = probe()
+    BucketedStores.compactLshIndexAtomic(spark, name, buckets = 2)
+    assert(BucketedStores.currentGeneration(spark, name) === name + "__v2")
+    assert(!spark.catalog.tableExists(name + "__v1"),
+      "old generation must be dropped after the swap")
+    assert(probe() === grownProbe,
+      "atomic compaction must not change probe results")
+    // file count collapsed back to <= buckets in the new generation
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name + "__v2"))
+        .location.toString))
+    assert(loc.listFiles().count(_.getName.endsWith(".parquet")) <= 2,
+      "compaction must collapse to <= buckets files")
+    // the VIEW indirection must not cost the bucket-aligned scan
+    val q = Seq((20L, base + " omega")).toDF("doc_id", "text")
+    val plan = TextDedupOps.probeLshIndex(spark, name, q, "doc_id",
+      "text", numHashes = 8, bands = 4, minJaccard = 0.5)
+      .queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("graft_compact_")) => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+      s"probe through the serving view must scan bucket-aligned:\n$plan")
+    spark.sql(s"DROP VIEW $name")
+    spark.sql(s"DROP TABLE ${name}__v2")
+  }
+
+  test("queryBbox / queryPolygon: the user API returns exactly the " +
+      "plain-predicate rows — the range cover only prunes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 500).map { i =>
+      val lat = rnd.nextDouble() * 180 - 90
+      val lon = rnd.nextDouble() * 360 - 180
+      (i.toLong, lat, lon, graft.wod.Geohash.encode(lat, lon, 12))
+    }.toDF("id", "latitude", "longitude", "geohash")
+    val (latLo, latHi, lonLo, lonHi) = (-35.0, 20.0, -60.0, 45.0)
+    val viaApi = GeoOps.queryBbox(pts, latLo, latHi, lonLo, lonHi)
+      .select("id").as[Long].collect().toSet
+    val plain = pts.filter(col("latitude") >= latLo &&
+        col("latitude") <= latHi && col("longitude") >= lonLo &&
+        col("longitude") <= lonHi)
+      .select("id").as[Long].collect().toSet
+    assert(viaApi === plain && plain.nonEmpty)
+
+    def u(v: Double): Long = math.round(v * 1e6)
+    val diamond = Seq( // CCW inscribed diamond of the box
+      (u((latLo + latHi) / 2), u(lonHi)), (u(latHi), u((lonLo + lonHi) / 2)),
+      (u((latLo + latHi) / 2), u(lonLo)), (u(latLo), u((lonLo + lonHi) / 2)))
+    val viaPoly = GeoOps.queryPolygon(pts, diamond)
+      .select("id").as[Long].collect().toSet
+    val plainPoly = pts.filter(GeoOps.convexPolygonContains(
+        col("latitude"), col("longitude"), diamond))
+      .select("id").as[Long].collect().toSet
+    assert(viaPoly === plainPoly && plainPoly.nonEmpty)
+    assert(viaPoly.subsetOf(plain), "diamond ⊂ box")
+  }
+
   test("stored IVF index: append assigns a vector delta to the frozen " +
       "quantizer through the same bucket layout — next probe sees it, " +
       "old list files untouched") {
@@ -359,6 +456,28 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toMap
     assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
     assert(cc(10L) === 10L && cc(11L) === 10L)
+  }
+
+  test("connectedComponentsStar == min-label propagation on random " +
+      "graphs, and collapses a long chain in logarithmic rounds") {
+    import spark.implicits._
+    // deep chain (diameter 63 — propagation needs 60+ iterations,
+    // star contraction a handful), plus random clutter components
+    val rnd = new scala.util.Random(13)
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val clutter = (1 to 120).map { _ =>
+      val a = 100L + rnd.nextInt(80); val b = 100L + rnd.nextInt(80)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2)
+    val pairs = (chain ++ clutter).toDF("id_a", "id_b")
+    val want = ClusterOps.connectedComponents(pairs, maxIter = 100)
+      .as[(Long, Long)].collect().toMap
+    val got = ClusterOps.connectedComponentsStar(pairs, maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want,
+      "star contraction must produce identical (doc_id, cluster_id) " +
+        "labels — same min-id canonical roots")
+    assert(want(64L) === 1L, "chain must collapse to its minimum")
   }
 
   test("salted aggregation is bit-identical to direct groupBy") {

@@ -891,4 +891,48 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // sort; a third would mean the windows stopped sharing their order
     assert(sorts.size <= 2, s"windows must share one sort:\n$plan")
   }
+
+  test("tx33: the perplexity filter ranks window-free — no Window node, " +
+      "rank assembled on a range repartition") {
+    val plan = executedPlan("tx33_perplexity_filter")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"tx33 must not contain a Window node (global ROW_NUMBER would " +
+        s"single-task):\n$plan")
+    assert(plan.toString.contains("rangepartitioning"),
+      "expected a range repartition feeding the rank assembly")
+  }
+
+  test("dd17: semantic dedup assigns IN-ROW off literal centroids — " +
+      "no nested-loop, no cartesian, no array-keyed aggregate") {
+    // the cid-keyed candidate pair join runs inside the connected-
+    // components checkpoint (its lineage is truncated to an RDD scan
+    // in the final plan), so the visible gate is the assignment +
+    // report path: in-row scoring means NO BroadcastNestedLoopJoin
+    // (the old crossJoin shape), NO cartesian, and no SortAggregate
+    // forced by array-typed grouping keys
+    val plan = executedPlan("dd17_semantic_dedup")
+    val cartesians = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cartesians.isEmpty,
+      s"dd17 must never cartesian-join the corpus:\n$plan")
+    val loops = plan.collect {
+      case j: org.apache.spark.sql.execution.joins
+          .BroadcastNestedLoopJoinExec => j
+    }
+    assert(loops.isEmpty,
+      s"assignment must be in-row off the centroid literal, not a " +
+        s"nested-loop centroid join:\n$plan")
+    val arrayKeyedAggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if a.groupingExpressions.exists(
+            _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        => a
+    }
+    assert(arrayKeyedAggs.isEmpty,
+      s"no aggregate may group on the embedding array:\n$plan")
+  }
 }
