@@ -1666,12 +1666,17 @@ object TextQueries {
   val tx33PerplexityFilter = Q(
     "tx33_perplexity_filter",
     (s, d) => {
-      // 6dp-round the score BEFORE ranking and averaging: the davg
-      // DECIMAL(18,6) route is exact only on values already at 6dp
-      // (a raw double's decimal rounding can differ across engines)
+      // 6dp-quantize the score BEFORE ranking and averaging: the davg
+      // DECIMAL(18,6) route is exact only on values already at 6dp,
+      // and the quantization must be em3's floor(x·1e6 + 0.5)/1e6 —
+      // identical IEEE arithmetic on both engines — because a decimal
+      // ROUND's half-boundary behavior differs across engines (seen
+      // live: two sf0.1 docs flipped 1µ between Spark round and
+      // DuckDB ROUND)
       val ranked = graft.operators.RankOps.withGlobalRank(
         bigramDocLp(s, d).select(col("doc_id"),
-          round(col("mean_logprob"), 6).as("mean_logprob")),
+          (floor(col("mean_logprob") * 1e6 + 0.5) / 1e6)
+            .as("mean_logprob")),
         Seq(col("mean_logprob"), col("doc_id")),
         s.sparkContext.defaultParallelism)
       ranked
@@ -1713,7 +1718,8 @@ object TextQueries {
         CROSS JOIN n),
       doclp AS (
         SELECT doc_id,
-               ROUND(${sqlDsum("lp")} / COUNT(*), 6) AS mean_logprob
+               floor(${sqlDsum("lp")} / COUNT(*) * 1e6 + 0.5) / 1e6
+                 AS mean_logprob
         FROM lp GROUP BY doc_id),
       ranked AS (
         SELECT mean_logprob,
