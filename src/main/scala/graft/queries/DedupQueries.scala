@@ -193,6 +193,10 @@ object DedupQueries {
   /** Duplicate clusters from LSH candidate pairs: distributed min-label
     * propagation on Spark vs a recursive-CTE transitive closure in
     * DuckDB — two different algorithms, hash-identical output.
+    * dd18 runs a THIRD algorithm (alternating star contraction —
+    * [[graft.operators.ClusterOps.connectedComponentsStar]], the
+    * O(log n)-round shape for high-diameter components) against the
+    * SAME oracle, so all three must agree cell-for-cell.
     */
   val dd5Clusters = Q(
     "dd5_dup_clusters",
@@ -1064,6 +1068,24 @@ object DedupQueries {
         WHERE a.split <> b.split)
       ORDER BY metric"""))
 
+  /** dd5's clustering re-run through STAR CONTRACTION
+    * ([[graft.operators.ClusterOps.connectedComponentsStar]] —
+    * alternating large-star/small-star, O(log n) rounds instead of
+    * O(component diameter)): identical contract, identical oracle.
+    * Registering it separately keeps BOTH distributed algorithms
+    * under continuous cross-engine verification; star contraction is
+    * the one to reach for when components may be deep chains (long
+    * boilerplate families), propagation when they are shallow.
+    */
+  val dd18ClustersStar = Q(
+    "dd18_dup_clusters_star",
+    (s, d) =>
+      graft.operators.ClusterOps.connectedComponentsStar(
+        minhashLshPairs(spread(documents(s, d)), "doc_id", "text",
+          numHashes = 8, bands = 2, minJaccard = 0.2))
+        .orderBy(col("doc_id")),
+    sql = dd5Clusters.sql)
+
   /** SEMANTIC dedup (SemDeDup-style, Abbas et al. 2023, public): the
     * embedding-space analogue of the text LSH pipeline — cluster the
     * corpus with a coarse quantizer, then look for near-duplicates
@@ -1160,5 +1182,5 @@ object DedupQueries {
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
     dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup,
     dd12KeepList, dd13PageRank, dd14EditDistance, dd15Contamination,
-    dd16LeakageSafeSplit, dd17SemanticDedup)
+    dd16LeakageSafeSplit, dd17SemanticDedup, dd18ClustersStar)
 }

@@ -1736,6 +1736,78 @@ object TextQueries {
       GROUP BY 1
       ORDER BY bucket"""))
 
+  /** Referential-integrity audit across the warehouse FK chain
+    * (lineitem→orders→customer→nation, supplier→nation): per FK, row
+    * count, NULL-key count, and ORPHAN count (non-null keys with no
+    * parent). Orphan detection is a left-anti equi-join — Catalyst
+    * broadcasts the dim-sized parents (nation, customer) and
+    * shuffle-joins the fact-sized ones, both linear; the audit row
+    * per FK is three scalar aggregates, so the report costs one pass
+    * per relation regardless of scale. The integrity contract a
+    * pipeline run asserts before training-data joins trust the keys.
+    */
+  val dq3FkOrphans = Q(
+    "dq3_fk_orphans",
+    (s, d) => {
+      def audit(fkName: String, child: org.apache.spark.sql.DataFrame,
+          fk: String, parent: org.apache.spark.sql.DataFrame,
+          pk: String) = {
+        val stats = child.agg(cnt.as("n_rows"),
+          sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+        val orphans = child.filter(col(fk).isNotNull)
+          .select(col(fk).as("k"))
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+          .agg(cnt.as("n_orphans"))
+        stats.crossJoin(orphans) // two 1-row scalars
+          .select(lit(fkName).as("fk"), col("n_rows"), col("n_null_fk"),
+            col("n_orphans"))
+      }
+      audit("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+          nation(s, d), "n_nationkey")
+        .unionByName(audit("lineitem.l_orderkey->orders", lineitem(s, d),
+          "l_orderkey", orders(s, d), "o_orderkey"))
+        .unionByName(audit("orders.o_custkey->customer", orders(s, d),
+          "o_custkey", customer(s, d), "c_custkey"))
+        .unionByName(audit("supplier.s_nationkey->nation", supplier(s, d),
+          "s_nationkey", nation(s, d), "n_nationkey"))
+        .orderBy(col("fk"))
+    },
+    sql = Some("""
+      SELECT * FROM (
+        SELECT 'customer.c_nationkey->nation' AS fk,
+               (SELECT COUNT(*) FROM customer) AS n_rows,
+               (SELECT COUNT(*) FROM customer
+                WHERE c_nationkey IS NULL) AS n_null_fk,
+               (SELECT COUNT(*) FROM customer c
+                WHERE c_nationkey IS NOT NULL AND NOT EXISTS
+                  (SELECT 1 FROM nation n
+                   WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+                  (SELECT 1 FROM orders o
+                   WHERE o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+               (SELECT COUNT(*) FROM orders o
+                WHERE o_custkey IS NOT NULL AND NOT EXISTS
+                  (SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation',
+               (SELECT COUNT(*) FROM supplier),
+               (SELECT COUNT(*) FROM supplier WHERE s_nationkey IS NULL),
+               (SELECT COUNT(*) FROM supplier s
+                WHERE s_nationkey IS NOT NULL AND NOT EXISTS
+                  (SELECT 1 FROM nation n
+                   WHERE n.n_nationkey = s.s_nationkey)))
+      ORDER BY fk"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -1744,5 +1816,5 @@ object TextQueries {
     tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode,
     tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
-    dq1ConstraintReport, dq2KAnonymity)
+    dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans)
 }
