@@ -399,9 +399,61 @@ object StreamingQueries {
       WHERE c.n_term * 30 > n.n_total
       ORDER BY c.n_term DESC, c.term"""))
 
+  /** Online repeated-span census (st14) — tx34's cross-document
+    * window detection at ingestion time
+    * ([[graft.streaming.DocumentsStreaming.spanCensusStream]]). The
+    * oracle re-derives the slice staging arithmetic (the same
+    * integer-division bounds `stageIdSlices` writes) and counts, per
+    * doc, the windows whose hash occurs in any STRICTLY-EARLIER
+    * slice — probe-before-append means within-batch repeats are
+    * invisible by contract, and the oracle encodes exactly that.
+    */
+  val st14SpanCensus = Q(
+    "st14_stream_span_census",
+    (s, d) => graft.streaming.DocumentsStreaming.spanCensusStream(s, d),
+    sql = Some("""
+      WITH d AS (SELECT doc_id, text FROM documents),
+      b AS (SELECT MIN(doc_id) AS idmin,
+                   MAX(doc_id) - MIN(doc_id) + 1 AS span FROM d),
+      sl AS (SELECT unnest(range(0, 4)) AS i),
+      sliced AS (
+        SELECT d.doc_id, d.text, sl.i AS slice
+        FROM d, b, sl
+        WHERE d.doc_id >= b.idmin + (b.span * sl.i) // 4
+          AND d.doc_id <  b.idmin + (b.span * (sl.i + 1)) // 4),
+      t AS (
+        SELECT doc_id, slice,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                 s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                   % 2147483647) AS th
+        FROM sliced),
+      r AS (
+        SELECT doc_id, slice,
+               CASE WHEN len(th) >= 8 THEN
+                 list_transform(range(1, len(th) - 8 + 2),
+                   i -> list_reduce(th[i : i + 7],
+                     (a, b) -> (a * 1000003 + b) % 2147483647))
+               ELSE [] END AS rh
+        FROM t),
+      w AS (SELECT doc_id, slice, unnest(rh) AS h FROM r),
+      seen AS (SELECT DISTINCT h, slice FROM w),
+      pr AS (
+        SELECT w.doc_id, COUNT(*) AS n_prior_repeated
+        FROM w
+        WHERE EXISTS (SELECT 1 FROM seen s
+                      WHERE s.h = w.h AND s.slice < w.slice)
+        GROUP BY w.doc_id),
+      res AS (
+        SELECT r.doc_id, CAST(len(rh) AS INT) AS n_windows,
+               COALESCE(pr.n_prior_repeated, 0) AS n_prior_repeated
+        FROM r LEFT JOIN pr USING (doc_id))
+      SELECT doc_id, n_windows, n_prior_repeated
+      FROM res
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
-    st13StreamHeavyHitters)
+    st13StreamHeavyHitters, st14SpanCensus)
 }

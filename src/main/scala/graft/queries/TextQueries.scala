@@ -1808,6 +1808,79 @@ object TextQueries {
                    WHERE n.n_nationkey = s.s_nationkey)))
       ORDER BY fk"""))
 
+  /** CROSS-DOCUMENT repeated-span report (the exact-substring dedup
+    * shape of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", 2022, public): every 8-token window's rolling
+    * hash (tx15's native O(n) kernel), a window is REPEATED when it
+    * occurs in ≥ 2 distinct documents, and each doc reports its
+    * window count, repeated-window count, and distinct repeated
+    * spans — the per-doc readout that drives span-cut curation
+    * (tx3/dd2 kill whole near-dup docs; this finds the shared
+    * boilerplate *inside* otherwise-unique docs). Scale shape: one
+    * token-scale explode, one narrow (h, doc_id) exchange for the
+    * cross-doc census, one semi-join back on h; at 100 TB the census
+    * side can feed a Bloom broadcast (dd9's discipline) instead of
+    * the semi-join shuffle. Hash collisions fold identically on both
+    * engines (same polynomial, same 60-bit md5 token hashes).
+    */
+  val tx34SubstringDedup = Q(
+    "tx34_substring_dedup",
+    (s, d) => {
+      val wins = spread(documents(s, d))
+        .withColumn("th", expr(
+          "transform(split(trim(text), '\\\\s+'), " +
+            "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"))
+        .withColumn("rh",
+          graft.functions.VectorFunctions.rolling_hash(col("th"), 8))
+      val w = wins.select(col("doc_id"), explode(col("rh")).as("h"))
+      val rep = w.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"))
+      val perDoc = w.join(rep, Seq("h"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(cnt.as("n_repeated_windows"),
+          countDistinct(col("h")).as("n_repeated_distinct"))
+      wins.select(col("doc_id"), size(col("rh")).as("n_windows"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_repeated_windows"), lit(0L))
+            .as("n_repeated_windows"),
+          coalesce(col("n_repeated_distinct"), lit(0L))
+            .as("n_repeated_distinct"))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                 s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                   % 2147483647) AS th
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= 8 THEN
+                 list_transform(range(1, len(th) - 8 + 2),
+                   i -> list_reduce(th[i : i + 7],
+                     (a, b) -> (a * 1000003 + b) % 2147483647))
+               ELSE [] END AS rh
+        FROM t),
+      w AS (SELECT doc_id, unnest(rh) AS h FROM r),
+      rep AS (
+        SELECT h FROM (
+          SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+        WHERE nd >= 2),
+      pr AS (
+        SELECT w.doc_id, COUNT(*) AS n_repeated_windows,
+               COUNT(DISTINCT w.h) AS n_repeated_distinct
+        FROM w JOIN rep USING (h)
+        GROUP BY w.doc_id)
+      SELECT r.doc_id, CAST(len(rh) AS INT) AS n_windows,
+             COALESCE(pr.n_repeated_windows, 0) AS n_repeated_windows,
+             COALESCE(pr.n_repeated_distinct, 0) AS n_repeated_distinct
+      FROM r LEFT JOIN pr USING (doc_id)
+      ORDER BY r.doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -1816,5 +1889,5 @@ object TextQueries {
     tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode,
     tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
-    dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans)
+    dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup)
 }

@@ -150,6 +150,79 @@ object DocumentsStreaming {
     * + threshold makes the emitted rows independent of slice order —
     * the same rows the DuckDB direct computation produces.
     */
+  /** ONLINE repeated-span detection (st14) — tx34's cross-document
+    * window census run at ingestion time: per micro-batch, every
+    * 8-token rolling-hash window of the arriving docs probes the
+    * standing census of all PRIOR batches' windows, each doc reports
+    * how many of its windows were already seen, and the batch's
+    * distinct hashes append to the census so later batches see them.
+    * Probe-before-append (st10's discipline): a doc's count reflects
+    * exactly the corpus ingested before its batch — deterministic
+    * under the staged slice order, and the final per-doc collapse
+    * makes at-least-once replay idempotent. Per-batch work is
+    * batch-scale hashing + one narrow (h) semi-join against the
+    * census; the census store is append-only distinct hashes (at
+    * 100 TB: a bucketed store or Bloom tier, dd9/dd11's discipline).
+    */
+  def spanCensusStream(spark: SparkSession, dir: String,
+      slices: Int = 4, window: Int = 8): DataFrame = {
+    import graft.queries.Q.cnt
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val staged = stageIdSlices(docs, slices)
+    val run = nameCounter.incrementAndGet()
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st14_out_$run").toString
+    val censusDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st14_census_$run").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st14_chk_$run").toString
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val w = batch
+          .withColumn("th", expr(
+            "transform(split(trim(text), '\\\\s+'), " +
+              "t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"))
+          .withColumn("rh", graft.functions.VectorFunctions
+            .rolling_hash(col("th"), window))
+          .select(col("doc_id"), col("rh"))
+          .persist()
+        try {
+          val wx = w.select(col("doc_id"), explode(col("rh")).as("h"))
+          // prior-batch census; explicit schema so batch 0's empty
+          // directory reads as an empty relation
+          val census = spark.read
+            .schema("h BIGINT").parquet(censusDir)
+          val prior = wx.join(census, Seq("h"), "left_semi")
+            .groupBy(col("doc_id"))
+            .agg(cnt.as("n_prior_repeated"))
+          w.select(col("doc_id"), size(col("rh")).as("n_windows"))
+            .join(prior, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_windows"),
+              coalesce(col("n_prior_repeated"), lit(0L))
+                .as("n_prior_repeated"))
+            .write.mode("append").parquet(outDir)
+          // append AFTER probing — later batches see this one
+          wx.select(col("h")).distinct()
+            .write.mode("append").parquet(censusDir)
+        } finally w.unpersist()
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // replayed batches rewrite identical rows; collapse keeps the
+    // result idempotent (st10's sink discipline)
+    spark.read.parquet(outDir)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_windows")).as("n_windows"),
+        max(col("n_prior_repeated")).as("n_prior_repeated"))
+      .orderBy(col("doc_id"))
+  }
+
   def heavyHittersStream(spark: SparkSession, dir: String,
       slices: Int = 4, k: Int = 30): DataFrame = {
     import graft.queries.Q.cnt
