@@ -570,7 +570,56 @@ object WodQueries {
       GROUP BY p.polygon_id
       ORDER BY p.polygon_id"""))
 
+  /** DYNAMIC partition pruning over the bulk store: a basin dim (tiny,
+    * selective filter) broadcast-joins the (dataset, level, geohash3)-
+    * partitioned store on its leading partition column, and Catalyst
+    * inserts a runtime `dynamicpruning` subquery on the scan — only
+    * the datasets surviving the dim filter are ever LISTED, let alone
+    * read. This is the partition-pruning shape static predicates can't
+    * give (the qualifying datasets are known only after the dim
+    * filter runs), and at a 100 TB store it is the difference between
+    * scanning 2/5 of the data and all of it. PlanQualitySpec gates the
+    * `dynamicpruningexpression` on the scan's partition filters.
+    */
+  val wod11DppScan = Q(
+    "wod11_dpp_scan",
+    (s, _) => {
+      ensureBulk(s)
+      import s.implicits._
+      val store = s.read.parquet(s"$bulkOut/bulk/casts")
+      // the dim must be a REAL relation: a literal Seq collapses to a
+      // LocalRelation and its filter constant-folds away before the
+      // PartitionPruning rule looks for a selective predicate — no
+      // DPP. Staged once per run (5 rows).
+      val dimPath = s"$bulkOut/basin_dim"
+      Seq(("APB", "pacific"), ("CTD", "atlantic"),
+        ("DRB", "arctic"), ("SUR", "atlantic"), ("XBT", "indian"))
+        .toDF("dataset", "basin")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+        .filter(col("basin") === "atlantic")
+      store.join(broadcast(dim), Seq("dataset"))
+        .groupBy(col("dataset"), col("basin"))
+        .agg(cnt.as("n_casts"),
+          countDistinct(col("geohash3")).as("n_cells"))
+        .orderBy(col("dataset"))
+    },
+    sql = Some(s"""
+      WITH store AS (
+        SELECT * FROM read_parquet('$bulkOut/bulk/casts/*/*/*/*.parquet',
+                                   hive_partitioning=1)),
+      dim AS (
+        SELECT * FROM (VALUES ('APB', 'pacific'), ('CTD', 'atlantic'),
+          ('DRB', 'arctic'), ('SUR', 'atlantic'), ('XBT', 'indian'))
+          AS t(dataset, basin)
+        WHERE basin = 'atlantic')
+      SELECT s.dataset, d.basin, COUNT(*) AS n_casts,
+             COUNT(DISTINCT s.geohash3) AS n_cells
+      FROM store s JOIN dim d ON s.dataset = d.dataset
+      GROUP BY 1, 2
+      ORDER BY s.dataset"""))
+
   val all: Seq[Q] = Seq(wod1Convert, wod2Profiles, wod3Density, wod4Bulk,
     wod5BasinJoin, wod6GeoLookup, wod7RangeScan, wod8BboxScan,
-    wod9PolygonScan, wod10PolygonJoin)
+    wod9PolygonScan, wod10PolygonJoin, wod11DppScan)
 }

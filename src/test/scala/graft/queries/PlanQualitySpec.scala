@@ -892,6 +892,22 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sorts.size <= 2, s"windows must share one sort:\n$plan")
   }
 
+  test("wod11: the basin dim prunes store partitions at RUNTIME — " +
+      "dynamicpruning expression on the partitioned scan") {
+    val plan = executedPlan("wod11_dpp_scan")
+    val storeScans = plan.collect {
+      case sc: FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("bulkrun")) => sc
+    }
+    assert(storeScans.nonEmpty, s"expected the bulk-store scan:\n$plan")
+    assert(storeScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      s"store scan must carry a dynamicpruning partition filter:\n" +
+        storeScans.map(s => s.partitionFilters.mkString(", "))
+          .mkString("\n"))
+  }
+
   test("tx33: the perplexity filter ranks window-free — no Window node, " +
       "rank assembled on a range repartition") {
     val plan = executedPlan("tx33_perplexity_filter")
