@@ -7,7 +7,13 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // builder-side iteration: an optional 3rd arg restricts the run to
+    // a comma-separated subset of query names (driver passes 2 args)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, q) => (s, o, Some(q.split(',').toSet))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [q1,q2,...]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,7 +26,9 @@ object Verify {
     // parquet would crash a compare that globs outputs — worse than
     // one missing row is zero rows for the round).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

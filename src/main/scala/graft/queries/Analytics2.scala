@@ -541,8 +541,85 @@ object Analytics2 {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  /** Histogram quantile SKETCH (q29) — the quantile path that actually
+    * scales, next to q23's exact `percentile` (which sorts every group
+    * value into aggregation state): pass 1 = min/max scan-agg; pass 2 =
+    * 1024-bin equi-width histogram (one map-side-combined hash agg —
+    * ≤1024 rows of state on ANY input size, trivially mergeable across
+    * partitions, the property that makes it a sketch); quantile p =
+    * lower bound of the first bucket whose cumulative mass reaches p%
+    * (integer compare — no interpolation float drift). The cumulative
+    * window runs over ≤1024 bucket rows, not the data. Both engines
+    * compute bin ids with the identical IEEE expression, so the report
+    * hash-matches bit-for-bit.
+    */
+  val q29Histogram = Q(
+    "q29_histogram_quantiles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = lineitem(s, d)
+      // both sketch stages are tiny (1 row / ≤1024 rows) but consumed
+      // more than once downstream — scope-cached so the DATA is
+      // scanned exactly twice (min/max pass + histogram pass), never
+      // once per consumer
+      val mm = org.apache.spark.sql.graft.ScopedCaches.scoped(
+        li.agg(min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi")))
+      val hist = org.apache.spark.sql.graft.ScopedCaches.scoped(
+        li.crossJoin(broadcast(mm))
+          .select(least(floor((col("l_extendedprice") - col("lo")) *
+              lit(1024.0d) / (col("hi") - col("lo"))), lit(1023.0d))
+            .cast("long").as("bucket"))
+          .groupBy(col("bucket")).agg(cnt.as("n")))
+      val cum = hist
+        .withColumn("cum", sum(col("n")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val qb = cum
+        .select(col("bucket"), col("cum"), col("total"),
+          explode(array(lit(50), lit(90), lit(99))).as("pct"))
+        .filter(col("cum") * 100 >= col("pct").cast("long") * col("total"))
+        .groupBy(col("pct").cast("long").as("pct"))
+        .agg(min(col("bucket")).as("bucket"))
+      qb.join(cum.select(col("bucket"), col("cum")), Seq("bucket"))
+        .crossJoin(broadcast(mm))
+        .select(col("pct"), col("bucket"),
+          round(col("lo") + col("bucket").cast("double") *
+            (col("hi") - col("lo")) / lit(1024.0d), 6).as("est_value"),
+          col("cum").as("cum_rows"))
+        .orderBy(col("pct"))
+    },
+    sql = Some("""
+      WITH mm AS (SELECT MIN(l_extendedprice) AS lo,
+                         MAX(l_extendedprice) AS hi FROM lineitem),
+      b AS (
+        SELECT CAST(least(floor((l_extendedprice - lo) *
+                 CAST(1024 AS DOUBLE) / (hi - lo)),
+                 CAST(1023 AS DOUBLE)) AS BIGINT) AS bucket
+        FROM lineitem, mm),
+      h AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+      c AS (
+        SELECT bucket, CAST(SUM(n) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM h),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h),
+      q AS (
+        SELECT pct, MIN(bucket) AS bucket
+        FROM c, t, (SELECT unnest([50, 90, 99]) AS pct)
+        WHERE cum * 100 >= pct * total
+        GROUP BY pct)
+      SELECT CAST(q.pct AS BIGINT) AS pct, q.bucket,
+             ROUND(lo + CAST(q.bucket AS DOUBLE) * (hi - lo) /
+               CAST(1024 AS DOUBLE), 6) AS est_value,
+             c.cum AS cum_rows
+      FROM q JOIN c USING (bucket), mm
+      ORDER BY pct"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
-    q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot)
+    q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot, q29Histogram)
 }

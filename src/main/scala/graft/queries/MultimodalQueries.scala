@@ -204,6 +204,90 @@ object MultimodalQueries {
       JOIN cnts cb ON p.id_b = cb.media_id
       ORDER BY id_a, id_b"""))
 
+  /** Audio frame energy (md6) — a REAL multimodal decode, not a stub:
+    * the binary payload is interpreted as PCM signed-16-bit
+    * little-endian samples (the raw audio wire format), framed at 64
+    * samples, and each frame's energy = Σ sample² computed in exact
+    * 64-bit integers. Per asset: sample/frame counts, total and peak
+    * frame energy, and the count of "loud" frames — the
+    * silence/clipping triage a 100 TB audio corpus runs before any
+    * model sees a byte. All scan-local builtin expressions (hex →
+    * nested transform/aggregate) — zero shuffle before the final
+    * 1-row-per-asset projection; the payload is never duplicated
+    * per-frame (`slice` over one samples array). DuckDB re-derives
+    * the s16le decode from the hex of the same bytes, so byte order,
+    * sign handling, the dropped trailing odd byte, and the short tail
+    * frame are all checked bit-exact.
+    */
+  val md6AudioEnergy = Q(
+    "md6_audio_energy",
+    (s, d) =>
+      MultimodalOps.mediaFromDocuments(s, d).toDF()
+        .select(col("media_id"), lower(hex(col("content"))).as("hx"),
+          expr("length(content) DIV 2").as("n_samples"))
+        .withColumn("n_frames", expr("(n_samples + 63) DIV 64"))
+        .withColumn("samples", expr("""
+          CASE WHEN n_samples = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+          ELSE transform(sequence(0, n_samples - 1), i ->
+            CAST(conv(substring(hx, CAST(4 * i + 3 AS INT), 2) ||
+                      substring(hx, CAST(4 * i + 1 AS INT), 2), 16, 10)
+              AS BIGINT) -
+            CASE WHEN CAST(conv(substring(hx, CAST(4 * i + 3 AS INT), 2) ||
+                      substring(hx, CAST(4 * i + 1 AS INT), 2), 16, 10)
+              AS BIGINT) >= 32768 THEN 65536 ELSE 0 END)
+          END"""))
+        .withColumn("energies", expr("""
+          CASE WHEN n_frames = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+          ELSE transform(sequence(0, n_frames - 1), f ->
+            aggregate(slice(samples, CAST(f * 64 + 1 AS INT), 64), 0L,
+              (acc, v) -> acc + v * v))
+          END"""))
+        .select(col("media_id"), col("n_samples"), col("n_frames"),
+          coalesce(expr("aggregate(energies, 0L, (a, e) -> a + e)"), lit(0L))
+            .as("total_energy"),
+          coalesce(array_max(col("energies")), lit(0L))
+            .as("max_frame_energy"),
+          expr("CAST(size(filter(energies, e -> e > 25000000000)) AS BIGINT)")
+            .as("loud_frames"))
+        .orderBy(col("media_id")),
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) // 2 AS n_samples
+        FROM documents),
+      sm AS (
+        SELECT media_id, n_samples, (n_samples + 63) // 64 AS n_frames,
+          CASE WHEN n_samples = 0 THEN [] ELSE
+            list_transform(range(0, n_samples), i ->
+              CAST(('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2)
+                         || substr(hx, CAST(4 * i + 1 AS INT), 2))
+                AS BIGINT) -
+              CASE WHEN CAST(('0x' || substr(hx, CAST(4 * i + 3 AS INT), 2)
+                         || substr(hx, CAST(4 * i + 1 AS INT), 2))
+                AS BIGINT) >= 32768 THEN 65536 ELSE 0 END)
+          END AS samples
+        FROM m),
+      en AS (
+        SELECT media_id, n_samples, n_frames,
+          CASE WHEN n_frames = 0 THEN [] ELSE
+            list_transform(range(0, n_frames), f ->
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(list_slice(samples, f * 64 + 1,
+                  f * 64 + 64), v -> v * v)),
+                (a, e) -> a + e))
+          END AS energies
+        FROM sm)
+      SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples,
+             CAST(n_frames AS BIGINT) AS n_frames,
+             CAST(COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               energies), (a, e) -> a + e), 0) AS BIGINT) AS total_energy,
+             CAST(COALESCE(list_max(energies), 0) AS BIGINT)
+               AS max_frame_energy,
+             CAST(len(list_filter(energies, e -> e > 25000000000))
+               AS BIGINT) AS loud_frames
+      FROM en
+      ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample,
-    md4PhashNearDup, md5FrameNearDup)
+    md4PhashNearDup, md5FrameNearDup, md6AudioEnergy)
 }

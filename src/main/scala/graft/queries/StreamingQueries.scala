@@ -451,9 +451,34 @@ object StreamingQueries {
       FROM res
       ORDER BY doc_id"""))
 
+  /** ONLINE ANN index ingestion (st15) — vectors arrive as a stream
+    * and fold into the STORED IVF index micro-batch by micro-batch
+    * against the frozen quantizer; after the stream drains, the
+    * full-corpus probe of the incrementally-built index must equal
+    * the one-shot sim4/sim7 answer — so the oracle is sim4's SQL
+    * verbatim (three independent index constructions, one answer).
+    */
+  val st15IvfIngest = Q(
+    "st15_stream_ivf_ingest",
+    (s, d) => graft.streaming.VectorStreaming.ivfIngestStream(s,
+      embeddings(s, d), dims = 64, k = 16, nprobe = 3, slices = 4),
+    sql = SimilarityQueries.sim4IvfAnn.sql)
+
+  /** Streamed ANN serving (st16) — the retrieval half of st15's
+    * online-ANN story: query vectors arrive as a stream and probe the
+    * STORED index per micro-batch (sim7's bucket-aligned probe plan
+    * at batch scale); union over batches = sim7's one-shot answer, so
+    * the oracle is again sim4's SQL.
+    */
+  val st16AnnServe = Q(
+    "st16_stream_ann_serve",
+    (s, d) => graft.streaming.VectorStreaming.annServeStream(s,
+      embeddings(s, d), dims = 64, k = 16, nprobe = 3, slices = 4),
+    sql = SimilarityQueries.sim4IvfAnn.sql)
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
-    st13StreamHeavyHitters, st14SpanCensus)
+    st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe)
 }

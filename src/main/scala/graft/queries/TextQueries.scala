@@ -1881,6 +1881,209 @@ object TextQueries {
       FROM r LEFT JOIN pr USING (doc_id)
       ORDER BY r.doc_id"""))
 
+  /** Key-skew diagnostic (dq4) — the report a pipeline runs over a
+    * join/aggregation key BEFORE shuffling 100 TB on it: per-key
+    * cardinalities folded into a log2 group-size histogram (bucket =
+    * ⌊log2(rows-per-key)⌋ via the integer-exact `length(bin(c)) - 1`,
+    * no float log), each bucket carrying its key count, row mass,
+    * parts-per-million share of the table, and heaviest key size.
+    * A fat top bucket is the "salt this key" signal ev11 acts on.
+    * ONE scan, two hash aggregations (rows→keys, keys→buckets) — the
+    * first is the only full shuffle, partial-aggregated map-side; the
+    * table total folds out of the ≤64-row bucket aggregate with a
+    * whole-frame window, so nothing re-scans the data for it (the
+    * naive scalar-subquery formulation plans a second full scan+agg —
+    * plan-gated against).
+    */
+  val dq4SkewReport = Q(
+    "dq4_skew_report",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      events(s, d).groupBy(col("user_id")).agg(cnt.as("c"))
+        .groupBy((length(bin(col("c"))) - 1).cast("long").as("log2_bucket"))
+        .agg(cnt.as("n_keys"), sum(col("c")).as("bucket_rows"),
+          max(col("c")).as("max_key_rows"))
+        .withColumn("n_rows", sum(col("bucket_rows")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("log2_bucket"), col("n_keys"), col("bucket_rows"),
+          expr("bucket_rows * 1000000 DIV n_rows").as("share_ppm"),
+          col("max_key_rows"))
+        .orderBy(col("log2_bucket"))
+    },
+    sql = Some("""
+      WITH k AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+      h AS (
+        SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_bucket,
+               COUNT(*) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS bucket_rows,
+               MAX(c) AS max_key_rows
+        FROM k GROUP BY 1)
+      SELECT log2_bucket, n_keys, bucket_rows,
+             CAST(bucket_rows * 1000000 //
+               CAST(SUM(bucket_rows) OVER () AS BIGINT) AS BIGINT)
+               AS share_ppm,
+             max_key_rows
+      FROM h
+      ORDER BY log2_bucket"""))
+
+  /** ONE-PASS column profiler (dq5) — the table-level twin of dq1's
+    * constraint suite: every column's null count, exact distinct
+    * count, and min/max (numeric columns as doubles — timestamps via
+    * epoch micros; string columns lexicographic) computed in a SINGLE
+    * aggregation over one scan (30 scan-local aggregate expressions,
+    * NOT one job per column — at 100 TB the per-column-loop profiler
+    * is 6 scans for no reason), then the 1-row result unpivots to the
+    * per-column report.
+    */
+  val dq5ColumnProfile = Q(
+    "dq5_column_profile",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val dnull = lit(null).cast("double")
+      val snull = lit(null).cast("string")
+      val odMicros = unix_micros(col("o_orderdate").cast("timestamp"))
+      val a = o.agg(
+        cnt.as("n_rows"),
+        nn("o_orderkey").as("nn_ok"),
+        countDistinct(col("o_orderkey")).as("nd_ok"),
+        min(col("o_orderkey")).cast("double").as("mn_ok"),
+        max(col("o_orderkey")).cast("double").as("mx_ok"),
+        nn("o_custkey").as("nn_ck"),
+        countDistinct(col("o_custkey")).as("nd_ck"),
+        min(col("o_custkey")).cast("double").as("mn_ck"),
+        max(col("o_custkey")).cast("double").as("mx_ck"),
+        nn("o_orderstatus").as("nn_os"),
+        countDistinct(col("o_orderstatus")).as("nd_os"),
+        min(col("o_orderstatus")).as("mn_os"),
+        max(col("o_orderstatus")).as("mx_os"),
+        nn("o_totalprice").as("nn_tp"),
+        countDistinct(col("o_totalprice")).as("nd_tp"),
+        min(col("o_totalprice")).as("mn_tp"),
+        max(col("o_totalprice")).as("mx_tp"),
+        nn("o_orderdate").as("nn_od"),
+        countDistinct(col("o_orderdate")).as("nd_od"),
+        min(odMicros).cast("double").as("mn_od"),
+        max(odMicros).cast("double").as("mx_od"),
+        nn("o_orderpriority").as("nn_op"),
+        countDistinct(col("o_orderpriority")).as("nd_op"),
+        min(col("o_orderpriority")).as("mn_op"),
+        max(col("o_orderpriority")).as("mx_op"))
+      def num(name: String, k: String) =
+        struct(lit(name).as("column_name"), col(s"nn_$k").as("n_nulls"),
+          col(s"nd_$k").as("n_distinct"),
+          col(s"mn_$k").as("min_num"), col(s"mx_$k").as("max_num"),
+          snull.as("min_str"), snull.as("max_str"))
+      def str(name: String, k: String) =
+        struct(lit(name).as("column_name"), col(s"nn_$k").as("n_nulls"),
+          col(s"nd_$k").as("n_distinct"),
+          dnull.as("min_num"), dnull.as("max_num"),
+          col(s"mn_$k").as("min_str"), col(s"mx_$k").as("max_str"))
+      a.select(col("n_rows"), explode(array(
+          num("o_orderkey", "ok"), num("o_custkey", "ck"),
+          str("o_orderstatus", "os"), num("o_totalprice", "tp"),
+          num("o_orderdate", "od"), str("o_orderpriority", "op"))).as("r"))
+        .select(col("r.column_name").as("column_name"), col("n_rows"),
+          col("r.n_nulls").as("n_nulls"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.min_num").as("min_num"), col("r.max_num").as("max_num"),
+          col("r.min_str").as("min_str"), col("r.max_str").as("max_str"))
+        .orderBy(col("column_name"))
+    },
+    sql = Some("""
+      WITH p AS (
+        SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               COUNT(DISTINCT o_totalprice),
+               MIN(o_totalprice), MAX(o_totalprice),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               COUNT(DISTINCT o_orderdate),
+               CAST(MIN(epoch_us(o_orderdate)) AS DOUBLE),
+               CAST(MAX(epoch_us(o_orderdate)) AS DOUBLE),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders)
+      SELECT column_name, n_rows, n_nulls, n_distinct,
+             min_num, max_num, min_str, max_str
+      FROM p
+      ORDER BY column_name"""))
+
+  /** Seed-deterministic global shuffle (tx35) — how 100 TB of training
+    * data gets "randomly" shuffled reproducibly: every doc hashes to a
+    * 60-bit priority from md5(doc_id | seed), shard =
+    * priority mod 8, position = dense order of priority within the
+    * shard. One hash exchange on `shard` + a partition-local sort —
+    * NO global sort, and re-running with the same seed bit-reproduces
+    * every (shard, pos) assignment on any cluster size.
+    */
+  val tx35Shuffle = Q(
+    "tx35_deterministic_shuffle",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("|s42"))), 1, 15), 16, 10).cast("long")
+      documents(s, d).select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+        .withColumn("pos",
+          (row_number().over(Window.partitionBy(col("shard"))
+            .orderBy(col("h"), col("doc_id"))) - 1).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|s42'),
+                 1, 15)) AS BIGINT) AS h
+        FROM documents)
+      SELECT h % 8 AS shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY h % 8
+               ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+             doc_id
+      FROM p
+      ORDER BY shard, pos"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -1889,5 +2092,6 @@ object TextQueries {
     tx24ShardManifest, tx25BpeTrain, tx26BpeTrainEpochs, tx27BpeEncode,
     tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
-    dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup)
+    dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup,
+    dq4SkewReport, dq5ColumnProfile, tx35Shuffle)
 }

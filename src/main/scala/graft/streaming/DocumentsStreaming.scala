@@ -46,14 +46,15 @@ object DocumentsStreaming {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** Stage `docs` as `slices` doc_id-ordered parquet files (one file
+  /** Stage `docs` as `slices` id-ordered parquet files (one file
     * per micro-batch under `maxFilesPerTrigger=1`; file mtimes pin the
     * processing order). Deterministic: slice i = ids in
     * [min + span·i/slices, min + span·(i+1)/slices).
     */
-  private def stageIdSlices(docs: DataFrame, slices: Int): String = {
+  private[streaming] def stageIdSlices(docs: DataFrame, slices: Int,
+      idCol: String = "doc_id"): String = {
     val Row(idMin: Long, idMax: Long) =
-      docs.select(min(col("doc_id")), max(col("doc_id"))).head()
+      docs.select(min(col(idCol)), max(col(idCol))).head()
     val staged = java.nio.file.Files.createTempDirectory("graft_docstage")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       docs.sparkSession.sparkContext.hadoopConfiguration)
@@ -61,7 +62,7 @@ object DocumentsStreaming {
     for (i <- 0 until slices) {
       val lo = idMin + span * i / slices
       val hi = idMin + span * (i + 1) / slices
-      val slice = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      val slice = docs.filter(col(idCol) >= lo && col(idCol) < hi)
       val tmp = staged.resolve(s"tmp_$i")
       slice.coalesce(1).write.parquet(tmp.toString)
       val part = fs.globStatus(

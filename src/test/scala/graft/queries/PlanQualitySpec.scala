@@ -951,4 +951,100 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(arrayKeyedAggs.isEmpty,
       s"no aggregate may group on the embedding array:\n$plan")
   }
+
+  test("dq4: skew report scans ONCE — two hash aggregations, the table " +
+      "total folded from the bucket agg, no second scan, no join") {
+    val plan = executedPlan("dq4_skew_report")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.size <= 2,
+      s"per-key agg + bucket agg are the only data shuffles, got " +
+        s"${hashEx.size}:\n$plan")
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size == 1,
+      s"the total must come off the bucket agg, not a second scan " +
+        s"(found ${scans.size} scans):\n$plan")
+  }
+
+  test("tx35: deterministic shuffle windows PER SHARD — no empty " +
+      "partition spec (global row_number would single-task 100 TB)") {
+    val plan = executedPlan("tx35_deterministic_shuffle")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"expected the position window:\n$plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"the position window must partition by shard:\n$plan")
+  }
+
+  test("q29: the sketch stages are cached — every downstream consumer " +
+      "reads the ≤1024-row histogram, never a re-scan of the data") {
+    // PRE-ACTION logical plan (q20's discipline): the scoped caches
+    // substitute during construction
+    val df = Registry.byName("q29_histogram_quantiles").fn(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    val cached = opt.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cached.size >= 3,
+      s"expected cum/pick/readout consumers on the cached min-max + " +
+        s"histogram, found ${cached.size}:\n$opt")
+    val rawScans = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(rawScans.isEmpty,
+      s"no consumer may re-scan lineitem; direct scans found:\n$opt")
+    // and the cumulative/total windows exist over the tiny cached input
+    val windows = executedPlan("q29_histogram_quantiles").collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the cumulative window")
+  }
+
+  test("md6: the PCM decode is scan-local — zero hash exchanges before " +
+      "the presentation sort") {
+    val plan = executedPlan("md6_audio_energy")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val hashEx = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty,
+      s"per-asset energies are row-local; no data shuffle belongs " +
+        s"here:\n$plan")
+  }
+
+  test("runtime bloom filter: a selective dim on a shuffle join injects " +
+      "a bloom probe into the fact side (the engine's runtime-filter " +
+      "path for joins too big to broadcast)") {
+    import org.apache.spark.sql.functions.col
+    // session-isolated confs: force the shuffle join (no broadcast) and
+    // drop the size thresholds to toy scale — on a real cluster the
+    // defaults (10 MB build / 10 GB probe) make this fire exactly when
+    // it pays
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "100MB")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+    val o = s2.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val l = s2.read.parquet(s"$dir/lineitem.parquet")
+    val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(org.apache.spark.sql.functions.count(col("l_quantity")).as("n"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("might_contain") ||
+        optimized.contains("bloom_filter"),
+      s"expected a runtime bloom filter on the fact side:\n$optimized")
+  }
 }

@@ -400,4 +400,65 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"open session must not emit early; got $got")
     } finally q.stop()
   }
+
+  test("st15 IVF ingest: streamed index build survives stop/resume, and " +
+      "a post-restart REDELIVERED slice appends duplicate rows the probe " +
+      "provably absorbs — final answer equals the uninterrupted run") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions.{col, max, min}
+    import graft.operators.SimilarityOps
+    val vecs = graft.queries.Tables.embeddings(spark, dir)
+    // uninterrupted streamed build (the registered st15 path)
+    val expected = VectorStreaming.ivfIngestStream(spark, vecs,
+      dims = 64, k = 16, nprobe = 3, slices = 4)
+      .collect().toSeq
+
+    // interrupted build against the SAME frozen quantizer contract
+    val r = vecs.select(min(col("vec_id")), max(col("vec_id"))).head()
+    val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0) + 1) * 3 / 4
+    val base = vecs.filter(col("vec_id") < cut)
+    val delta = vecs.filter(col("vec_id") >= cut)
+    val table = "graft_spec_st15_resume"
+    SimilarityOps.writeIvfIndex(base, "vec_id", "embedding", dims = 64,
+      k = 16, table = table,
+      location = Some(Files.createTempDirectory("st15_loc").toString))
+    val fullStage = DocumentsStreaming.stageIdSlices(delta, 4, "vec_id")
+    val files = Files.list(Paths.get(fullStage)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) all += files.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    val stage2 = Files.createTempDirectory("st15_partial")
+    val chk = Files.createTempDirectory("st15_chk").toString
+    def copyIn(p: java.nio.file.Path, name: String = null): Unit =
+      Files.copy(p, stage2.resolve(
+        if (name == null) p.getFileName.toString else name),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    ordered.take(2).foreach(p => copyIn(p))
+    VectorStreaming.drainIvfAppend(spark, delta.schema, stage2.toString,
+      table, dims = 64, buckets = 8, chk) // run 1, then "crash"
+    ordered.drop(2).foreach(p => copyIn(p))
+    // a whole slice REDELIVERED after the restart (at-least-once):
+    // its vectors re-append to the index as duplicate list rows
+    copyIn(ordered.head, "slice-9998.parquet")
+    VectorStreaming.drainIvfAppend(spark, delta.schema, stage2.toString,
+      table, dims = 64, buckets = 8, chk) // run 2: resume + redelivery
+    spark.catalog.refreshTable(table)
+
+    // the duplication really happened (the claim isn't vacuous) ...
+    val nIndexed = spark.table(table).count()
+    val nVecs = vecs.count()
+    assert(nIndexed > nVecs,
+      s"redelivered slice must duplicate index rows: $nIndexed <= $nVecs")
+    // ... and the probe's per-query MAX-collapse absorbs it exactly
+    val got = SimilarityOps.probeIvfIndex(spark, table, vecs,
+      "vec_id", "embedding", dims = 64, nprobe = 3)
+      .orderBy(col("id_a")).collect().toSeq
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    assert(got === expected)
+  }
 }
