@@ -616,7 +616,8 @@ object Analytics2 {
                CAST(1024 AS DOUBLE), 6) AS est_value,
              c.cum AS cum_rows
       FROM q JOIN c USING (bucket), mm
-      ORDER BY pct"""))
+      ORDER BY pct"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,

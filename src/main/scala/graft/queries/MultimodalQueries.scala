@@ -286,7 +286,8 @@ object MultimodalQueries {
              CAST(len(list_filter(energies, e -> e > 25000000000))
                AS BIGINT) AS loud_frames
       FROM en
-      ORDER BY media_id"""))
+      ORDER BY media_id"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample,
     md4PhashNearDup, md5FrameNearDup, md6AudioEnergy)

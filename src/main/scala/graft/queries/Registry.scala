@@ -8,7 +8,8 @@ object Registry {
   def all: Seq[Q] =
     Analytics.all ++ Analytics2.all ++ EventsQueries.all ++ TextQueries.all ++
       EmbeddingQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ StreamingQueries.all ++ WodQueries.all
+      MultimodalQueries.all ++ StreamingQueries.all ++ WodQueries.all ++
+      SourceQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1047,4 +1047,46 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         optimized.contains("bloom_filter"),
       s"expected a runtime bloom filter on the fact side:\n$optimized")
   }
+
+  test("AQE skew join: a pathologically hot key is SPLIT at runtime — " +
+      "the straggler-task killer for skewed 100 TB joins (ev11's manual " +
+      "salting is the pre-planned variant; this is the adaptive one)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // session-isolated confs: thresholds dropped to toy scale — the
+    // defaults (256 MB advisory, median×5 factor) fire at real scale
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    // one key owns ~94% of the left side; the right side is uniform
+    val left = s2.range(0, 48000).select(
+      when(col("id") < 45000L, lit(0L)).otherwise(col("id") % 16).as("k"),
+      col("id").as("payload"))
+    val right = s2.range(0, 16).select(col("id").as("k"),
+      (col("id") * 100).as("dim"))
+    val joined = left.join(right, "k")
+      .groupBy(col("k")).agg(org.apache.spark.sql.functions.sum("payload"))
+    // collect() executes THIS df's QueryExecution (count() would plan
+    // its own), so the adaptive plan below is the finalized one with
+    // runtime skew decisions in it
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the skew-marked join sits INSIDE a materialized query stage,
+    // which collect() does not descend into — the rendered plan is
+    // the reliable witness ("SortMergeJoin(skew=true)" + an
+    // AQEShuffleRead marked skewed)
+    val rendered = plan.toString
+    assert(rendered.contains("skew=true"),
+      s"expected OptimizeSkewedJoin to mark the join skew-split:\n$rendered")
+    assert(rendered.contains("skewed"),
+      s"expected the AQEShuffleRead to be skew-split:\n$rendered")
+  }
 }
