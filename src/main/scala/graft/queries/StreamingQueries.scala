@@ -476,9 +476,58 @@ object StreamingQueries {
       embeddings(s, d), dims = 64, k = 16, nprobe = 3, slices = 4),
     sql = SimilarityQueries.sim4IvfAnn.sql)
 
+  /** ONLINE CORPUS INTAKE (st17) — the complete ingestion pipeline as
+    * one streaming query: PERMISSIVE JSONL parse with corrupt-record
+    * channel, quality gate, within-batch keep-first + census
+    * probe-before-append exact dedup, per-source channel audit. The
+    * staging injects deterministic content-duplicates and severed
+    * lines, so every channel is exercised and the oracle states the
+    * exact per-source census (winner of each text = smallest
+    * qualifying staged id; a duplicate of a CORRUPT original is
+    * itself intact and rightfully becomes the keeper).
+    */
+  val st17CorpusIntake = Q(
+    "st17_stream_corpus_intake",
+    (s, d) => graft.streaming.CorpusStreaming.intakeStream(s, d),
+    sql = Some("""
+      WITH staged AS (
+        SELECT doc_id, text, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 10000019, text, source, n_chars
+        FROM documents WHERE doc_id % 40 = 1),
+      b AS (
+        SELECT doc_id, source, n_chars, md5(text) AS h,
+               doc_id % 50 = 0 AS corrupt
+        FROM staged),
+      w AS (
+        SELECT h, MIN(doc_id) AS keep_id
+        FROM b WHERE NOT corrupt AND n_chars >= 100
+        GROUP BY h),
+      g AS (
+        SELECT CASE WHEN b.corrupt THEN NULL ELSE b.source END AS source,
+               CASE WHEN b.corrupt THEN 1 ELSE 0 END AS c_cor,
+               CASE WHEN NOT b.corrupt AND b.n_chars < 100
+                    THEN 1 ELSE 0 END AS c_low,
+               CASE WHEN NOT b.corrupt AND b.n_chars >= 100
+                         AND b.doc_id <> w.keep_id
+                    THEN 1 ELSE 0 END AS c_dup,
+               CASE WHEN NOT b.corrupt AND b.n_chars >= 100
+                         AND b.doc_id = w.keep_id
+                    THEN 1 ELSE 0 END AS c_ing
+        FROM b LEFT JOIN w USING (h))
+      SELECT source, COUNT(*) AS n_seen,
+             CAST(SUM(c_cor) AS BIGINT) AS n_corrupt,
+             CAST(SUM(c_low) AS BIGINT) AS n_lowq,
+             CAST(SUM(c_dup) AS BIGINT) AS n_dup,
+             CAST(SUM(c_ing) AS BIGINT) AS n_ingested
+      FROM g
+      GROUP BY source
+      ORDER BY source NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
-    st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe)
+    st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
+    st17CorpusIntake)
 }

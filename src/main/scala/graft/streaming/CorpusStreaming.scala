@@ -1,0 +1,192 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** ONLINE CORPUS INTAKE (st17) — the complete ingestion pipeline a
+  * crawl drop actually goes through, as ONE streaming query over
+  * JSONL arriving in micro-batches:
+  *
+  *   1. PARSE with a corrupt-record channel (src4's PERMISSIVE read —
+  *      a broken line routes to the side channel as raw text, the
+  *      reference's S7 per-record isolation run online);
+  *   2. QUALITY gate (minimum length — tx4's family, the cheapest
+  *      member standing in for the full scorer);
+  *   3. EXACT DEDUP at ingestion: within-batch keep-first, then
+  *      probe-before-append against the standing content census
+  *      (st10/st14's discipline — each text admitted exactly once,
+  *      the cross-batch winner is the earliest qualifying arrival);
+  *   4. AUDIT: every record lands in exactly one channel
+  *      (ingested / duplicate / low-quality / corrupt), and the final
+  *      report is the per-source channel census.
+  *
+  * Replay safety (at-least-once `foreachBatch`): a replayed batch
+  * re-emits audit rows, and a doc ingested before the crash looks
+  * like a DUPLICATE on replay (its hash is already in the census) —
+  * the audit collapse keeps the MINIMUM channel rank per record
+  * (ingested < duplicate), restoring the original claim. Corrupt
+  * rows collapse under the md5 of their raw line.
+  *
+  * Scale: per-batch work is batch-scale parsing + one (h)-keyed
+  * census probe (at 100 TB the census is a bucketed store or Bloom
+  * tier — dd9/dd11's shapes); the corpus is never re-read.
+  */
+object CorpusStreaming {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  private[streaming] val DupOffset = 10000019L // ≢ 0 (mod 50): a copy
+  // of a corrupt original is itself intact, so the copy becomes the
+  // rightful keeper — the oracle's winner formula covers the case
+
+  /** Stage the documents (plus injected content-duplicates: every
+    * doc_id ≡ 1 mod 40 is redelivered as a NEW doc at id+offset with
+    * the same text) as `slices` id-rank-ordered JSONL text files,
+    * every doc_id ≡ 0 mod 50 severed (src4's corruption); mtimes pin
+    * ascending-id batch order, so the earliest qualifying arrival of
+    * a text is the globally smallest staged id.
+    */
+  private[streaming] def stageJsonlSlices(docs: DataFrame,
+      slices: Int): String = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val copies = base.filter(col("doc_id") % 40 === 1)
+      .withColumn("doc_id", col("doc_id") + DupOffset)
+    val lines = base.unionByName(copies)
+      .select(col("doc_id"), to_json(struct(col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))).as("line"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0,
+          expr("substring(line, 1, length(line) - 5)"))
+          .otherwise(col("line")).as("value"))
+    val n = lines.count()
+    // global rank is staging scaffolding (driver-side slice cuts over
+    // a toy corpus), not an engine path
+    val ranked = lines.withColumn("rn",
+      row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1L)
+    val staged = java.nio.file.Files.createTempDirectory("graft_corpstage")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    for (i <- 0 until slices) {
+      val lo = n * i / slices
+      val hi = n * (i + 1) / slices
+      val tmp = staged.resolve(s"tmp_$i")
+      ranked.filter(col("rn") >= lo && col("rn") < hi)
+        .orderBy(col("rn")).select(col("value"))
+        .coalesce(1).write.text(tmp.toString)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.txt")).head.getPath
+      val dest = new org.apache.hadoop.fs.Path(
+        staged.resolve(f"slice-$i%04d.json").toString)
+      fs.rename(part, dest)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      fs.setTimes(dest, (i + 1) * 60000L, -1)
+    }
+    staged.toString
+  }
+
+  /** Run the intake stream over the staged corpus; returns the
+    * per-source channel report (source NULL = the corrupt channel,
+    * whose rows never parse a source).
+    */
+  def intakeStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    val run = nameCounter.incrementAndGet()
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val staged = stageJsonlSlices(docs, slices)
+    val censusDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st17_census_$run").toString
+    val auditDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st17_audit_$run").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st17_chk_$run").toString
+    val censusSchema = StructType(Seq(StructField("h", StringType)))
+    spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), censusSchema)
+      .write.mode("overwrite").parquet(censusDir) // seed: empty census
+    val readSchema = StructType(
+      docs.schema.fields :+ StructField("_corrupt_record", StringType))
+    drainIntake(spark, readSchema, staged, censusDir, auditDir, chk)
+    report(spark, auditDir)
+  }
+
+  /** Drain every staged file through the intake `foreachBatch`, then
+    * stop — resumable: with the same checkpoint a later call picks up
+    * at the first unprocessed file (StreamingSpec drives a real
+    * stop/resume + post-restart redelivery through this).
+    */
+  def drainIntake(spark: SparkSession, readSchema: StructType,
+      staged: String, censusDir: String, auditDir: String,
+      chk: String): Unit = {
+    val q = spark.readStream.schema(readSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", "1")
+      .json(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          val corrupt = b.filter(col("_corrupt_record").isNotNull)
+            .select(md5(col("_corrupt_record")).as("k"),
+              lit(null).cast("string").as("source"), lit(3).as("ch"))
+          val clean = b.filter(col("_corrupt_record").isNull)
+          val lowq = clean.filter(col("n_chars") < 100)
+            .select(col("doc_id").cast("string").as("k"), col("source"),
+              lit(2).as("ch"))
+          val qual = clean.filter(col("n_chars") >= 100)
+            .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+          // within-batch keep-first (min id per text)
+          val keep = qual.groupBy(col("h"))
+            .agg(min(struct(col("doc_id"), col("source"))).as("m"))
+            .select(col("h"), col("m.doc_id").as("doc_id"),
+              col("m.source").as("source"))
+          val batchDups = qual
+            .join(keep.select(col("h"), col("doc_id").as("kid")), Seq("h"))
+            .filter(col("doc_id") =!= col("kid"))
+            .select(col("doc_id").cast("string").as("k"), col("source"),
+              lit(1).as("ch"))
+          // probe-before-append against the standing census
+          val census = spark.read.parquet(censusDir)
+          val fresh = keep.join(census, Seq("h"), "left_anti").persist()
+          try {
+            val censusDups = keep.join(census, Seq("h"), "left_semi")
+              .select(col("doc_id").cast("string").as("k"), col("source"),
+                lit(1).as("ch"))
+            val ingested = fresh
+              .select(col("doc_id").cast("string").as("k"), col("source"),
+                lit(0).as("ch"))
+            corrupt.unionByName(lowq).unionByName(batchDups)
+              .unionByName(censusDups).unionByName(ingested)
+              .write.mode("append").parquet(auditDir)
+            fresh.select(col("h")).write.mode("append").parquet(censusDir)
+          } finally fresh.unpersist()
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** The per-source channel report off the audit store. Audit
+    * collapse: min channel rank per record key (replay turns ingested
+    * into duplicate; min restores the original claim).
+    */
+  def report(spark: SparkSession, auditDir: String): DataFrame =
+    spark.read.parquet(auditDir)
+      .groupBy(col("k"))
+      .agg(min(struct(col("ch"), col("source"))).as("m"))
+      .select(col("m.ch").as("ch"), col("m.source").as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_seen"),
+        sum(when(col("ch") === 3, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("ch") === 2, 1L).otherwise(0L)).as("n_lowq"),
+        sum(when(col("ch") === 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("ch") === 0, 1L).otherwise(0L)).as("n_ingested"))
+      .orderBy(col("source").asc_nulls_first)
+}

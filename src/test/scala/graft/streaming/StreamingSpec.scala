@@ -461,4 +461,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
     assert(got === expected)
   }
+
+  test("st17 corpus intake survives stop/resume; a REDELIVERED slice " +
+      "re-audits its docs as duplicates and the min-channel collapse " +
+      "restores every original claim — report equals uninterrupted run") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val docs = graft.queries.Tables.documents(spark, dir)
+    val expected = CorpusStreaming.intakeStream(spark, dir).collect().toSeq
+
+    val staged = CorpusStreaming.stageJsonlSlices(docs, 4)
+    val files = Files.list(Paths.get(staged)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) all += files.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".json") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    val censusDir = Files.createTempDirectory("st17_census").toString
+    val auditDir = Files.createTempDirectory("st17_audit").toString
+    val chk = Files.createTempDirectory("st17_chk").toString
+    val stage2 = Files.createTempDirectory("st17_partial")
+    spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(Seq(StructField("h", StringType))))
+      .write.mode("overwrite").parquet(censusDir)
+    val readSchema = StructType(
+      docs.schema.fields :+ StructField("_corrupt_record", StringType))
+    def copyIn(p: java.nio.file.Path, name: String = null): Unit =
+      Files.copy(p, stage2.resolve(
+        if (name == null) p.getFileName.toString else name),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    ordered.take(2).foreach(p => copyIn(p))
+    CorpusStreaming.drainIntake(spark, readSchema, stage2.toString,
+      censusDir, auditDir, chk) // run 1, then "crash"
+    ordered.drop(2).foreach(p => copyIn(p))
+    // a whole slice REDELIVERED after the restart: its already-ingested
+    // docs re-audit as duplicates (census hit)
+    copyIn(ordered.head, "slice-9998.json")
+    CorpusStreaming.drainIntake(spark, readSchema, stage2.toString,
+      censusDir, auditDir, chk) // run 2: resume + redelivery
+
+    // the redelivery really happened: more audit rows than record keys
+    val audit = spark.read.parquet(auditDir)
+    val nRows = audit.count()
+    val nKeys = audit.select("k").distinct().count()
+    assert(nRows > nKeys,
+      s"redelivered slice must append duplicate audit rows: $nRows <= $nKeys")
+    val got = CorpusStreaming.report(spark, auditDir).collect().toSeq
+    assert(got === expected)
+  }
 }
