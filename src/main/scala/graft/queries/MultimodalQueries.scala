@@ -289,6 +289,80 @@ object MultimodalQueries {
       ORDER BY media_id"""),
     bench = true)
 
+  /** Image resize (md7) — the remaining member of the multimodal
+    * quartet (decode md6 / features md2 / frame-sample md3 / RESIZE):
+    * the payload as a 16-wide row-major grayscale raster, downscaled
+    * 2×2 by box filter in EXACT integer math (4-pixel sum DIV 4 —
+    * no float resampling, so the oracle re-derives every output
+    * pixel from the hex of the same bytes). Per asset: input/output
+    * heights, integer mean luminance (per-mille), and an md5 over
+    * the joined resized pixels — one wrong pixel anywhere flips the
+    * checksum. Scan-local nested transforms, zero shuffle before the
+    * presentation sort (md6's plan discipline).
+    */
+  val md7ImageResize = Q(
+    "md7_image_resize",
+    (s, d) =>
+      MultimodalOps.mediaFromDocuments(s, d).toDF()
+        .select(col("media_id"), lower(hex(col("content"))).as("hx"),
+          expr("length(content) DIV 16").as("in_h"))
+        .withColumn("out_h", expr("in_h DIV 2"))
+        .withColumn("px", expr("""
+          CASE WHEN out_h = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+          ELSE transform(sequence(0, out_h * 8 - 1), j ->
+            (CAST(conv(substring(hx,
+               CAST(((j DIV 8) * 64 + (j % 8) * 4) + 1 AS INT), 2),
+               16, 10) AS BIGINT) +
+             CAST(conv(substring(hx,
+               CAST(((j DIV 8) * 64 + (j % 8) * 4) + 3 AS INT), 2),
+               16, 10) AS BIGINT) +
+             CAST(conv(substring(hx,
+               CAST(((j DIV 8) * 64 + 32 + (j % 8) * 4) + 1 AS INT), 2),
+               16, 10) AS BIGINT) +
+             CAST(conv(substring(hx,
+               CAST(((j DIV 8) * 64 + 32 + (j % 8) * 4) + 3 AS INT), 2),
+               16, 10) AS BIGINT)) DIV 4)
+          END"""))
+        .select(col("media_id"), col("in_h"), col("out_h"),
+          coalesce(expr(
+              "aggregate(px, 0L, (a, v) -> a + v) * 1000 DIV (out_h * 8)"),
+            lit(0L)).as("mean_milli"),
+          md5(array_join(expr("transform(px, v -> CAST(v AS STRING))"),
+            ",")).as("pixels_md5"))
+        .orderBy(col("media_id")),
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) // 16 AS in_h
+        FROM documents),
+      r AS (
+        SELECT media_id, in_h, in_h // 2 AS out_h,
+          CASE WHEN in_h // 2 = 0 THEN [] ELSE
+            list_transform(range(0, (in_h // 2) * 8), j ->
+              (CAST(('0x' || substr(hx,
+                 CAST((j // 8) * 64 + (j % 8) * 4 + 1 AS INT), 2))
+                 AS BIGINT) +
+               CAST(('0x' || substr(hx,
+                 CAST((j // 8) * 64 + (j % 8) * 4 + 3 AS INT), 2))
+                 AS BIGINT) +
+               CAST(('0x' || substr(hx,
+                 CAST((j // 8) * 64 + 32 + (j % 8) * 4 + 1 AS INT), 2))
+                 AS BIGINT) +
+               CAST(('0x' || substr(hx,
+                 CAST((j // 8) * 64 + 32 + (j % 8) * 4 + 3 AS INT), 2))
+                 AS BIGINT)) // 4)
+          END AS px
+        FROM m)
+      SELECT media_id, CAST(in_h AS BIGINT) AS in_h,
+             CAST(out_h AS BIGINT) AS out_h,
+             CAST(COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               px), (a, v) -> a + v) * 1000 // (out_h * 8), 0)
+               AS BIGINT) AS mean_milli,
+             md5(array_to_string(list_transform(px, v -> v::VARCHAR),
+               ',')) AS pixels_md5
+      FROM r
+      ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample,
-    md4PhashNearDup, md5FrameNearDup, md6AudioEnergy)
+    md4PhashNearDup, md5FrameNearDup, md6AudioEnergy, md7ImageResize)
 }

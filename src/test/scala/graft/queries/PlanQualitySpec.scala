@@ -1005,18 +1005,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(windows.nonEmpty, "expected the cumulative window")
   }
 
-  test("md6: the PCM decode is scan-local — zero hash exchanges before " +
-      "the presentation sort") {
-    val plan = executedPlan("md6_audio_energy")
+  test("md6/md7: the PCM decode and image resize are scan-local — zero " +
+      "hash exchanges before the presentation sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
-    val hashEx = plan.collect {
-      case e: ShuffleExchangeExec
-          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    for (name <- Seq("md6_audio_energy", "md7_image_resize")) {
+      val plan = executedPlan(name)
+      val hashEx = plan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+      }
+      assert(hashEx.isEmpty,
+        s"$name is row-local; no data shuffle belongs here:\n$plan")
     }
-    assert(hashEx.isEmpty,
-      s"per-asset energies are row-local; no data shuffle belongs " +
-        s"here:\n$plan")
   }
 
   test("runtime bloom filter: a selective dim on a shuffle join injects " +
