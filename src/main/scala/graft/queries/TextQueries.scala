@@ -2084,6 +2084,75 @@ object TextQueries {
       FROM p
       ORDER BY shard, pos"""))
 
+  /** END-TO-END training-set build (tx36) — the composed pipeline a
+    * user actually runs, as ONE query: quality gate (st17's length
+    * floor) → exact-dedup keep-list (min id per content hash, tx3's
+    * rule) → seeded deterministic shard assignment (tx35's md5
+    * priority) → per-shard greedy sequence packing at capacity 512
+    * (tx22's offset model, token order = the shard's priority order).
+    * Every per-doc row carries its shard, rank, token span, and
+    * first/last packed sequence — so the oracle hash-checks the whole
+    * composition, not just each stage in isolation. Plan shape: one
+    * keyed agg + semi join (dedup), then ONE hash exchange on shard
+    * whose partition-local sort feeds both windows — the same
+    * exchange discipline ev7's gate locks.
+    */
+  val tx36TrainingSet = Q(
+    "tx36_training_set_build",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = documents(s, d).filter(col("n_chars") >= 100)
+        .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      val keep = q.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      val kept = q.join(keep.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      val pri = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("|ts42"))), 1, 15), 16, 10).cast("long")
+      val s1 = kept.select(col("doc_id"), pri.as("p"),
+          size(split(trim(col("text")), "\\s+")).cast("long")
+            .as("n_tokens"))
+        .withColumn("shard", pmod(col("p"), lit(4L)))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("p"), col("doc_id"))
+      s1.withColumn("end_off", sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("n_tokens"),
+          (col("end_off") - col("n_tokens")).as("start_off"),
+          expr("(end_off - n_tokens) DIV 512").as("seq_first"),
+          expr("(end_off - 1) DIV 512").as("seq_last"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some("""
+      WITH q AS (
+        SELECT doc_id, text, md5(text) AS h
+        FROM documents WHERE n_chars >= 100),
+      k AS (SELECT h, MIN(doc_id) AS doc_id FROM q GROUP BY h),
+      kept AS (
+        SELECT q.doc_id, q.text FROM q
+        WHERE EXISTS (SELECT 1 FROM k WHERE k.doc_id = q.doc_id)),
+      s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ts42'),
+                 1, 15)) AS BIGINT) AS p,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, p, p % 4 AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS end_off,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+        FROM s)
+      SELECT shard, pos, doc_id, n_tokens,
+             end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 512 AS seq_first,
+             (end_off - 1) // 512 AS seq_last
+      FROM o
+      ORDER BY shard, pos"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -2093,5 +2162,5 @@ object TextQueries {
     tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
     dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup,
-    dq4SkewReport, dq5ColumnProfile, tx35Shuffle)
+    dq4SkewReport, dq5ColumnProfile, tx35Shuffle, tx36TrainingSet)
 }

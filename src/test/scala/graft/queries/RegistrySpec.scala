@@ -21,6 +21,14 @@ class RegistrySpec extends AnyFunSuite with BeforeAndAfterAll {
       .subsetOf(graft.SparkEntry.queries.keySet))
   }
 
+  test("every bench-headline query has an oracle (a benched query " +
+      "without a correctness row would be an unverified number)") {
+    val benched = Registry.all.filter(_.bench)
+    assert(benched.nonEmpty)
+    val missing = benched.filter(_.sql.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"bench queries without oracle: $missing")
+  }
+
   test("every registered query runs at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val failures = Registry.all.flatMap { q =>
