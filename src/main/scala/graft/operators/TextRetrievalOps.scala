@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a STORED posting-list index — the
+  * text-side counterpart of the dense-ANN serving stack (sim7): build
+  * the inverted index once per corpus snapshot, serve ranked queries
+  * forever. Completes the retrieval family: dense (IVF/LSH), geo
+  * (range-covered cells), and now lexical (BM25 posting lists).
+  *
+  * Store layout (dd11/sim7's bucketed-table discipline):
+  *   - `<table>`       — postings (term, doc_id, tf), bucketed+sorted
+  *     by term: a query's candidate fetch is a bucket-aligned scan
+  *     joined to the broadcast term set — ZERO index-side shuffle.
+  *   - `<table>_docs`  — (doc_id, dl) document lengths, bucketed by
+  *     doc_id: the score join shuffles only candidates, never the
+  *     lengths table.
+  *   - `<table>_meta`  — 1 row (n_docs, total_tokens); avgdl is
+  *     derived at probe time as the same two-double division the
+  *     oracle computes.
+  *
+  * Scoring is textbook BM25 (k1=1.2, b=0.75), with the engine's
+  * float discipline: every per-term partial is computed in one pinned
+  * IEEE expression order, rounded to 6 dp, and DECIMAL-routed through
+  * the per-doc sum — partition count never shows in the ranking.
+  */
+object TextRetrievalOps {
+
+  private def tokens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+
+  /** Materialize the inverted index (postings + doc lengths + meta). */
+  def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 8,
+      location: Option[String] = None): Unit = {
+    val spark = docs.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_docs")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    val tok = tokens(docs, idCol, textCol)
+    val postings = tok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .write.bucketBy(buckets, "term").sortBy("term").mode("overwrite")
+    location.fold(postings)(l => postings.option("path", s"$l/postings"))
+      .saveAsTable(table)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dlw = dl.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite")
+    location.fold(dlw)(l => dlw.option("path", s"$l/docs"))
+      .saveAsTable(table + "_docs")
+    val meta = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens")).write.mode("overwrite")
+    location.fold(meta)(l => meta.option("path", s"$l/meta"))
+      .saveAsTable(table + "_meta")
+  }
+
+  /** BM25 top-k against the stored index: candidates come off the
+    * bucket-aligned postings scan joined to the BROADCAST query term
+    * set (work scales with the query's posting mass, not the corpus);
+    * document frequencies fold out of the candidates themselves (the
+    * broadcast join keeps every posting of each query term, so the
+    * per-term count IS the global df); the length join is
+    * bucket-co-located. Top-k plans as TakeOrderedAndProject — no
+    * global sort.
+    */
+  def bm25TopK(spark: SparkSession, table: String,
+      queryTerms: Seq[String], topK: Int): DataFrame = {
+    import spark.implicits._
+    val meta = spark.table(table + "_meta").head() // 1 row by contract
+    val nDocs = meta.getLong(0).toDouble
+    val avgdl = meta.getLong(1).toDouble / meta.getLong(0).toDouble
+    val qdf = queryTerms.toDF("term")
+    val cand = spark.table(table).join(broadcast(qdf), Seq("term"))
+    val dft = cand.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = spark.table(table + "_docs")
+    val idf = log((lit(nDocs) - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val num = col("tf").cast("double") * lit(2.2)
+    val den = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl)))
+    cand.join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), round(idf * num / den, 6).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(graft.queries.Q.dsum(col("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

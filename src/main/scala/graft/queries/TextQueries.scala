@@ -2153,6 +2153,71 @@ object TextQueries {
       FROM o
       ORDER BY shard, pos"""))
 
+  /** Idempotently build the stored text index for `d` (tx37 probes
+    * it). Keyed on catalog existence, not a JVM memo (suites recreate
+    * the SparkContext — ensureIvfIndex's discipline).
+    */
+  def ensureTextIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"graft_text_index_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t) || !s.catalog.tableExists(t + "_docs") ||
+        !s.catalog.tableExists(t + "_meta")) {
+      graft.operators.TextRetrievalOps.writeTextIndex(documents(s, d),
+        "doc_id", "text", t, location = Some(java.nio.file.Files
+          .createTempDirectory("graft_text_idx").toString))
+    }
+    t
+  }
+
+  /** BM25 ranked retrieval off the STORED posting-list index (tx37) —
+    * the sparse-lexical member of the retrieval family (dense ANN =
+    * sim7, geo = wod7/wod8): textbook BM25 (k1=1.2, b=0.75) over a
+    * term-bucketed inverted index; candidates are the bucket-aligned
+    * postings of the broadcast query terms, document frequencies fold
+    * out of the candidates, the length join is bucket-co-located, and
+    * top-10 plans as TakeOrderedAndProject. The oracle recomputes the
+    * entire pipeline — tokenization, df/dl/avgdl, the pinned-order
+    * IEEE score, 6 dp rounding, decimal-routed sum, rank — from the
+    * raw table.
+    */
+  val tx37Bm25 = Q(
+    "tx37_bm25_topk",
+    (s, d) =>
+      graft.operators.TextRetrievalOps.bm25TopK(s, ensureTextIndex(s, d),
+        Seq("spark", "vector", "hash", "window"), topK = 10),
+    sql = Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM documents),
+      meta AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS tot
+        FROM tok),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      p AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok
+        WHERE term IN ('spark', 'vector', 'hash', 'window')
+        GROUP BY term, doc_id),
+      dft AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+      sc AS (
+        SELECT p.doc_id,
+               ROUND(ln((meta.n - CAST(dft.df AS DOUBLE) + 0.5) /
+                        (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+                     (CAST(p.tf AS DOUBLE) * 2.2) /
+                     (CAST(p.tf AS DOUBLE) + 1.2 *
+                       (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                         (meta.tot / meta.n)))), 6) AS s
+        FROM p
+        JOIN dft USING (term)
+        JOIN dl USING (doc_id), meta)
+      SELECT doc_id, ${sqlDsum("s")} AS score
+      FROM sc
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id
+      LIMIT 10"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -2162,5 +2227,6 @@ object TextQueries {
     tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
     dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup,
-    dq4SkewReport, dq5ColumnProfile, tx35Shuffle, tx36TrainingSet)
+    dq4SkewReport, dq5ColumnProfile, tx35Shuffle, tx36TrainingSet,
+    tx37Bm25)
 }

@@ -1090,4 +1090,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rendered.contains("skewed"),
       s"expected the AQEShuffleRead to be skew-split:\n$rendered")
   }
+
+  test("tx37: BM25 serves off the STORED index — query terms broadcast " +
+      "into the postings scan, and top-k plans as TakeOrderedAndProject " +
+      "(no global sort of the scored candidates)") {
+    val plan = executedPlan("tx37_bm25_topk")
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bcasts = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bcasts.nonEmpty,
+      s"the query term set (and per-term df) must broadcast:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort the candidates:\n$plan")
+    // the postings relation is read from the bucketed store, never
+    // re-derived from documents: no Generate (tokenizing explode) in
+    // the probe plan
+    import org.apache.spark.sql.execution.GenerateExec
+    val gens = plan.collect { case g: GenerateExec => g }
+    assert(gens.isEmpty,
+      s"probe must not re-tokenize the corpus:\n$plan")
+  }
 }
