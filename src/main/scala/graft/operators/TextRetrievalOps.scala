@@ -57,6 +57,37 @@ object TextRetrievalOps {
       .saveAsTable(table + "_meta")
   }
 
+  /** Incrementally fold a delta corpus into the stored index: new
+    * postings and lengths append bucket-aligned (no existing data is
+    * rewritten — the property that makes a 100 TB index maintainable);
+    * only the 1-row meta table is replaced (n_docs / total_tokens
+    * grow by the delta's exact integer counts, so the probe's avgdl
+    * is the same two-double division a full rebuild would compute).
+    * Contract: delta doc ids are disjoint from the indexed corpus —
+    * per-doc tf/dl computed delta-side equal the full-corpus values,
+    * making append ≡ rebuild (tx38's oracle-checked claim).
+    */
+  def appendToTextIndex(spark: SparkSession, table: String,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 8): Unit = {
+    val meta = spark.table(table + "_meta").head() // 1 row by contract
+    val tok = tokens(deltaDocs, idCol, textCol)
+    tok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .write.bucketBy(buckets, "term").sortBy("term")
+      .mode("append").saveAsTable(table)
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    dl.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("append").saveAsTable(table + "_docs")
+    val Array(dn, dt) = dl.agg(count(lit(1)), sum(col("dl"))).head()
+      .toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+    spark.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(meta.getLong(0) + dn,
+          meta.getLong(1) + dt)),
+      spark.table(table + "_meta").schema)
+      .write.mode("overwrite").insertInto(table + "_meta")
+  }
+
   /** BM25 top-k against the stored index: candidates come off the
     * bucket-aligned postings scan joined to the BROADCAST query term
     * set (work scales with the query's posting mass, not the corpus);

@@ -2218,6 +2218,35 @@ object TextQueries {
       ORDER BY score DESC, doc_id
       LIMIT 10"""))
 
+  /** Incremental index maintenance ≡ rebuild (tx38): the index is
+    * built from the low-id three quarters of the corpus, the high-id
+    * quarter is folded in via [[graft.operators.TextRetrievalOps
+    * .appendToTextIndex]] (bucket-aligned appends + exact meta
+    * update, nothing rewritten), and the same BM25 probe must return
+    * tx37's answer — so the oracle is tx37's SQL verbatim (dd10/st15's
+    * construction-equivalence discipline, applied to the lexical
+    * index). The per-run table is rebuilt each invocation: the append
+    * MUTATES it, so tx37's catalog-keyed ensure-cache would be wrong
+    * here.
+    */
+  val tx38IncrementalIndex = Q(
+    "tx38_incremental_text_index",
+    (s, d) => {
+      import graft.operators.TextRetrievalOps
+      val docs = documents(s, d)
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val cut = r.getLong(0) + (r.getLong(1) - r.getLong(0) + 1) * 3 / 4
+      val t = s"graft_text_incr_${Integer.toHexString(d.hashCode)}"
+      TextRetrievalOps.writeTextIndex(docs.filter(col("doc_id") < cut),
+        "doc_id", "text", t, location = Some(java.nio.file.Files
+          .createTempDirectory("graft_text_incr").toString))
+      TextRetrievalOps.appendToTextIndex(s, t,
+        docs.filter(col("doc_id") >= cut), "doc_id", "text")
+      TextRetrievalOps.bm25TopK(s, t,
+        Seq("spark", "vector", "hash", "window"), topK = 10)
+    },
+    sql = tx37Bm25.sql)
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -2228,5 +2257,5 @@ object TextQueries {
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
     dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup,
     dq4SkewReport, dq5ColumnProfile, tx35Shuffle, tx36TrainingSet,
-    tx37Bm25)
+    tx37Bm25, tx38IncrementalIndex)
 }
