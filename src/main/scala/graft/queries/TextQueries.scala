@@ -2247,6 +2247,48 @@ object TextQueries {
     },
     sql = tx37Bm25.sql)
 
+  /** Phrase search (tx39) — exact adjacent-bigram matching ("hash
+    * join"), the retrieval primitive BM25's bag-of-words can't
+    * express. Computed SCAN-LOCAL as a pure list expression (token
+    * positions never explode into rows, no self-join on position —
+    * the naive positional-join formulation shuffles the whole token
+    * stream); per matching doc: occurrence count. At 100 TB this
+    * composes with tx37's index as a candidate-then-verify (postings
+    * intersect candidates, this expression verifies adjacency on the
+    * fetched docs).
+    */
+  val tx39PhraseSearch = Q(
+    "tx39_phrase_search",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("toks"))
+        .select(col("doc_id"), expr("""
+          CASE WHEN size(toks) < 2 THEN 0L ELSE
+            CAST(size(filter(sequence(1, size(toks) - 1),
+              i -> element_at(toks, CAST(i AS INT)) = 'hash' AND
+                   element_at(toks, CAST(i + 1 AS INT)) = 'join'))
+              AS BIGINT)
+          END""").as("n_occ"))
+        .filter(col("n_occ") > 0)
+        .orderBy(col("doc_id")),
+    sql = Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN len(toks) < 2 THEN 0 ELSE
+               CAST(len(list_filter(range(1, len(toks)),
+                 i -> toks[i] = 'hash' AND toks[i+1] = 'join'))
+                 AS BIGINT)
+             END AS n_occ
+      FROM t
+      WHERE CASE WHEN len(toks) < 2 THEN 0 ELSE
+              len(list_filter(range(1, len(toks)),
+                i -> toks[i] = 'hash' AND toks[i+1] = 'join'))
+            END > 0
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -2257,5 +2299,5 @@ object TextQueries {
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
     dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup,
     dq4SkewReport, dq5ColumnProfile, tx35Shuffle, tx36TrainingSet,
-    tx37Bm25, tx38IncrementalIndex)
+    tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch)
 }
