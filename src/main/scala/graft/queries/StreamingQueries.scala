@@ -524,10 +524,49 @@ object StreamingQueries {
       GROUP BY source
       ORDER BY source NULLS FIRST"""))
 
+  /** Built-in `session_window` sessionization (st18) — the state-store
+    * merged-window mechanism next to st7's custom
+    * flatMapGroupsWithState state: every merged session emits when the
+    * watermark passes its end (last event + gap). Oracle = st2's batch
+    * reconstruction with exactly that per-session watermark predicate.
+    */
+  val st18SessionWindow = Q(
+    "st18_session_window_stream",
+    (s, d) => graft.streaming.EventsStreaming.sessionWindowAppendStream(s, d),
+    sql = Some("""
+      WITH e AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+      wm AS (SELECT MAX(t) // 1000 - 3600000 AS wm_ms FROM e),
+      marked AS (
+        SELECT user_id, t, cents,
+               CASE WHEN LAG(t) OVER w IS NULL
+                      OR t - LAG(t) OVER w >= 1800000000 THEN 1
+                    ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, cents)),
+      numbered AS (
+        SELECT user_id, t, cents,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY t, cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM marked),
+      sess AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               MIN(t) AS start_us, MAX(t) + 1800000000 AS wend_us,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM numbered
+        GROUP BY user_id, session_id)
+      SELECT user_id, start_us, wend_us, n_events, total_cents
+      FROM sess, wm
+      WHERE wend_us // 1000 <= wm.wm_ms
+      ORDER BY user_id, start_us"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
-    st17CorpusIntake)
+    st17CorpusIntake, st18SessionWindow)
 }

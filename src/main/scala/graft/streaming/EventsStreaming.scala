@@ -237,6 +237,48 @@ object EventsStreaming {
     spark.table(name).orderBy(col("win_start_s"), col("event_type"))
   }
 
+  /** st18: sessionization via the BUILT-IN `session_window` — the
+    * second of the engine's two streaming-sessionization mechanisms
+    * (st7 holds custom state in `flatMapGroupsWithState`; this one
+    * lets the state store merge overlapping [t, t+gap) windows).
+    * Append mode: a merged session emits when the watermark passes
+    * its window end (= last event + gap) — unlike st7, EVERY session
+    * is watermark-gated, not just each user's last, and the oracle
+    * mirrors exactly that predicate over st2's batch reconstruction.
+    * Merge rule equivalence: windows overlap iff t₂ − t₁ < gap,
+    * which is st2's `diff >= gap ⇒ break` — the two mechanisms must
+    * agree session-for-session.
+    */
+  def sessionWindowAppendStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = graft.queries.Tables.events(spark, dir)
+    val staged = stageTimeSlices(batch, slices, trailer = true)
+    val agg = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("event_time"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("total_cents"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("wend_us"),
+        col("n_events"), col("total_cents"))
+    val name = s"graft_st_sesswin_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("user_id"), col("start_us"))
+  }
+
   /** st12: the `topk_values` kernel inside a STREAMING aggregation —
     * complete-mode per-type top-3 values. What this proves beyond q26:
     * a custom TypedImperativeAggregate's opaque buffer must round-trip
