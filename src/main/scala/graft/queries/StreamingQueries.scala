@@ -563,10 +563,67 @@ object StreamingQueries {
       WHERE wend_us // 1000 <= wm.wm_ms
       ORDER BY user_id, start_us"""))
 
+  private val st19Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "vector", "hash", "window"),
+    2L -> Seq("table", "scan", "merge"),
+    3L -> Seq("slow", "filter", "customer"))
+
+  private def bm25QueryCtes(qid: Long, terms: Seq[String]): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""
+      p$qid AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM tok
+        WHERE term IN ($in) GROUP BY term, doc_id),
+      dft$qid AS (SELECT term, COUNT(*) AS df FROM p$qid GROUP BY term),
+      sc$qid AS (
+        SELECT p$qid.doc_id,
+               ROUND(ln((meta.n - CAST(dft$qid.df AS DOUBLE) + 0.5) /
+                        (CAST(dft$qid.df AS DOUBLE) + 0.5) + 1.0) *
+                     (CAST(p$qid.tf AS DOUBLE) * 2.2) /
+                     (CAST(p$qid.tf AS DOUBLE) + 1.2 *
+                       (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                         (meta.tot / meta.n)))), 6) AS s
+        FROM p$qid
+        JOIN dft$qid USING (term)
+        JOIN dl USING (doc_id), meta),
+      r$qid AS (
+        SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+               CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score
+        FROM sc$qid GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10)"""
+  }
+
+  /** Streamed BM25 serving (st19) — online LEXICAL retrieval against
+    * the stored posting-list index (st16's serving discipline applied
+    * to text): each micro-batch is one ranked query answered off the
+    * immutable index; the oracle recomputes every query's full BM25
+    * pipeline from the raw table and unions the ranked answers.
+    */
+  val st19Bm25Serve = Q(
+    "st19_stream_bm25_serve",
+    (s, d) => graft.streaming.CorpusStreaming.bm25ServeStream(s,
+      TextQueries.ensureTextIndex(s, d), st19Queries, topK = 10),
+    sql = Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM documents),
+      meta AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS tot
+        FROM tok),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      ${st19Queries.map { case (q, t) => bm25QueryCtes(q, t) }
+        .mkString(",")}
+      SELECT query_id, doc_id, score FROM (
+        ${st19Queries.map { case (q, _) => s"SELECT * FROM r$q" }
+          .mkString(" UNION ALL ")})
+      ORDER BY query_id, doc_id"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
-    st17CorpusIntake, st18SessionWindow)
+    st17CorpusIntake, st18SessionWindow, st19Bm25Serve)
 }

@@ -89,6 +89,69 @@ object CorpusStreaming {
     staged.toString
   }
 
+  /** Streamed BM25 SERVING (st19) — online lexical retrieval against
+    * the stored posting-list index (the lexical analog of st16's ANN
+    * serving): ranked queries arrive as a stream, each micro-batch is
+    * one query (its term set), and each is answered off the immutable
+    * index with [[graft.operators.TextRetrievalOps.bm25TopK]] — the
+    * bucket-aligned candidate fetch + broadcast terms + fold-out df,
+    * at query scale. Probing never mutates the index, so batches are
+    * independent and replay re-appends identical rows (final
+    * distinct). The per-query term collect is bounded by contract
+    * (a ranked query is a handful of terms — the same k-row
+    * driver-residency contract as the ANN centroids).
+    */
+  def bm25ServeStream(spark: SparkSession, table: String,
+      queries: Seq[(Long, Seq[String])], topK: Int): DataFrame = {
+    val run = nameCounter.incrementAndGet()
+    val staged = java.nio.file.Files
+      .createTempDirectory(s"graft_st19_q_$run")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    queries.zipWithIndex.foreach { case ((qid, terms), i) =>
+      val tmp = staged.resolve(s"tmp_$i")
+      terms.map(t => (qid, t)).toDF("query_id", "term")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      val dest = new org.apache.hadoop.fs.Path(
+        staged.resolve(f"query-$i%04d.parquet").toString)
+      fs.rename(part, dest)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      fs.setTimes(dest, (i + 1) * 60000L, -1)
+    }
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st19_out_$run").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st19_chk_$run").toString
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("term", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch.collect() // bounded: one query's term set
+        if (rows.nonEmpty) {
+          val qid = rows.head.getLong(0)
+          val terms = rows.map(_.getString(1)).toSeq
+          graft.operators.TextRetrievalOps.bm25TopK(spark, table,
+              terms, topK)
+            .select(lit(qid).as("query_id"), col("doc_id"), col("score"))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outDir).distinct()
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   /** Run the intake stream over the staged corpus; returns the
     * per-source channel report (source NULL = the corrupt channel,
     * whose rows never parse a source).
