@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quality CI for the SKETCH family (AnnRecallSpec's discipline,
+  * applied to estimators): the oracle proves each sketch computes its
+  * DEFINITION bit-exactly, but a sketch can be definition-correct and
+  * useless — these gates pin the estimates to the truth they
+  * approximate, so a silent quality regression (bad hash mixing, an
+  * off-by-one in the k-th order statistic, a bin boundary bug that
+  * still round-trips the oracle) fails CI.
+  */
+class SketchQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  // sf0.01: enough mass per group for the estimators' nominal accuracy
+  private val dir = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("KMV distinct estimate within 20% of exact on EVERY group " +
+      "(k=64 → expected RSE ≈ 1/√62 ≈ 13%)") {
+    val rows = Registry.byName("q27_kmv_distinct").fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (flag, nExact, errPpm) = (r.getString(0), r.getLong(1),
+        r.getAs[Long]("err_ppm"))
+      // groups under k are counted exactly (err 0); estimated groups
+      // must land inside the 20% band
+      assert(errPpm <= 200000L,
+        s"KMV group $flag: exact=$nExact err=${errPpm}ppm exceeds 20%")
+    }
+  }
+
+  test("histogram quantile estimates within two bin widths of the " +
+      "exact interpolated percentile — the sketch's construction bound") {
+    val est = Registry.byName("q29_histogram_quantiles").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ex = Tables.lineitem(spark, dir).agg(
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile(l_extendedprice, 0.9)"),
+      expr("percentile(l_extendedprice, 0.99)"),
+      min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
+    val width = (ex.getDouble(4) - ex.getDouble(3)) / 1024.0
+    for ((pct, idx) <- Seq(50L -> 0, 90L -> 1, 99L -> 2)) {
+      val (e, x) = (est(pct), ex.getDouble(idx))
+      // est = lower bound of the first bucket reaching p% cumulative
+      // mass; the interpolated exact value sits in that bucket or at
+      // the edge of its neighbor → within 2 bins by construction
+      assert(math.abs(e - x) <= 2.0 * width,
+        s"p$pct: est=$e exact=$x width=$width")
+    }
+  }
+
+  test("sharpness: a 4-bin histogram misses the 2-bin-of-1024 bound " +
+      "— the gate measures resolution, not a tautology") {
+    val li = Tables.lineitem(spark, dir)
+    val mm = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val n = li.count()
+    // 4-bin equi-width p50 estimate, same construction as q29
+    val bucketed = li.select(least(floor((col("l_extendedprice") - lo) *
+        lit(4.0d) / lit(hi - lo)), lit(3.0d)).cast("long").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .orderBy(col("b")).collect()
+    def est4(pct: Long): Double = {
+      var cum = 0L
+      var res = Double.NaN
+      bucketed.foreach { r =>
+        if (res.isNaN) {
+          cum += r.getLong(1)
+          if (cum * 100 >= pct * n)
+            res = lo + r.getLong(0) * (hi - lo) / 4.0
+        }
+      }
+      res
+    }
+    val exact = li.agg(expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile(l_extendedprice, 0.9)"),
+      expr("percentile(l_extendedprice, 0.99)")).head()
+    val width1024 = (hi - lo) / 1024.0
+    // a percentile can land arbitrarily close to a coarse bin floor
+    // (p50 does here), so the sharpness claim is over the WORST of the
+    // three gated percentiles — at 4-bin resolution at least one must
+    // miss the fine bound badly
+    val worst = Seq(50L -> 0, 90L -> 1, 99L -> 2).map { case (p, i) =>
+      math.abs(est4(p) - exact.getDouble(i))
+    }.max
+    assert(worst > 2.0 * width1024,
+      s"worst 4-bin error $worst vs fine bound ${2.0 * width1024} — a " +
+        "resolution this coarse passing would mean the gate tests nothing")
+  }
+}
