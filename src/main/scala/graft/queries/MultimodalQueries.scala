@@ -363,6 +363,71 @@ object MultimodalQueries {
       FROM r
       ORDER BY media_id"""))
 
+  /** Scene-change detection (md8) — the temporal member of the
+    * multimodal family: consecutive COMPLETE 32-byte frames of each
+    * payload are compared by exact integer L1 distance (Σ |bᵢ−bᵢ₋₁|
+    * over the 32 byte positions), and a frame pair whose distance
+    * exceeds the cut threshold is a scene change. The short tail
+    * frame is excluded by construction (no partial-frame compare —
+    * the honest rule, mirrored in the oracle). Per asset: full-frame
+    * count, cut count, total and peak distance. Scan-local nested
+    * transforms (md6/md7's plan discipline).
+    */
+  val md8SceneChange = Q(
+    "md8_scene_change",
+    (s, d) =>
+      MultimodalOps.mediaFromDocuments(s, d).toDF()
+        .select(col("media_id"), lower(hex(col("content"))).as("hx"),
+          expr("length(content) DIV 32").as("n_full"))
+        .withColumn("diffs", expr("""
+          CASE WHEN n_full < 2 THEN CAST(array() AS ARRAY<BIGINT>)
+          ELSE transform(sequence(1, n_full - 1), f ->
+            aggregate(sequence(0, 31), 0L, (acc, j) ->
+              acc + abs(
+                CAST(conv(substring(hx,
+                  CAST((f * 32 + j) * 2 + 1 AS INT), 2), 16, 10)
+                  AS BIGINT) -
+                CAST(conv(substring(hx,
+                  CAST(((f - 1) * 32 + j) * 2 + 1 AS INT), 2), 16, 10)
+                  AS BIGINT))))
+          END"""))
+        .select(col("media_id"), col("n_full"),
+          expr("CAST(size(filter(diffs, x -> x > 1200)) AS BIGINT)")
+            .as("n_cuts"),
+          coalesce(expr("aggregate(diffs, 0L, (a, x) -> a + x)"), lit(0L))
+            .as("total_diff"),
+          coalesce(array_max(col("diffs")), lit(0L)).as("max_diff"))
+        .orderBy(col("media_id")),
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) // 32 AS n_full
+        FROM documents),
+      dd AS (
+        SELECT media_id, n_full,
+          CASE WHEN n_full < 2 THEN [] ELSE
+            list_transform(range(1, n_full), f ->
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(0, 32), j ->
+                  abs(CAST(('0x' || substr(hx,
+                        CAST((f * 32 + j) * 2 + 1 AS INT), 2))
+                        AS BIGINT) -
+                      CAST(('0x' || substr(hx,
+                        CAST(((f - 1) * 32 + j) * 2 + 1 AS INT), 2))
+                        AS BIGINT)))),
+                (a, x) -> a + x))
+          END AS diffs
+        FROM m)
+      SELECT media_id, CAST(n_full AS BIGINT) AS n_full,
+             CAST(len(list_filter(diffs, x -> x > 1200)) AS BIGINT)
+               AS n_cuts,
+             CAST(COALESCE(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               diffs), (a, x) -> a + x), 0) AS BIGINT) AS total_diff,
+             CAST(COALESCE(list_max(diffs), 0) AS BIGINT) AS max_diff
+      FROM dd
+      ORDER BY media_id"""))
+
   val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample,
-    md4PhashNearDup, md5FrameNearDup, md6AudioEnergy, md7ImageResize)
+    md4PhashNearDup, md5FrameNearDup, md6AudioEnergy, md7ImageResize,
+    md8SceneChange)
 }

@@ -2049,6 +2049,67 @@ object TextQueries {
       FROM p
       ORDER BY column_name"""))
 
+  /** Snapshot DRIFT report (dq6) — the check a pipeline runs when a
+    * new crawl snapshot lands: has the length distribution moved
+    * enough to re-tune downstream filters? Old/new snapshots are
+    * tx23's deterministic splits; each side's n_chars histogram
+    * (64-char buckets) is computed in one map-side-combined agg, the
+    * two ≤16-row histograms full-outer join on bucket, and the drift
+    * is each bucket's parts-per-million share delta — all integer
+    * arithmetic, no chi-square float. Scale: two scans (or one with a
+    * conditional agg — kept as two for snapshot stores that live in
+    * different locations), then tiny-side work only.
+    */
+  val dq6DriftReport = Q(
+    "dq6_drift_report",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = documents(s, d).select(col("doc_id"), col("n_chars"))
+      def hist(df: org.apache.spark.sql.DataFrame, n: String) =
+        df.groupBy(expr("n_chars DIV 64").as("bucket"))
+          .agg(cnt.as(n))
+      val old = hist(base.filter(col("doc_id") % 10 < 8), "n_old")
+      val neu = hist(base.filter(col("doc_id") % 10 >= 2), "n_new")
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      old.join(neu, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("t_old", sum(col("n_old")).over(wAll))
+        .withColumn("t_new", sum(col("n_new")).over(wAll))
+        .select(col("bucket"), col("n_old"), col("n_new"),
+          expr("n_old * 1000000 DIV t_old").as("share_old_ppm"),
+          expr("n_new * 1000000 DIV t_new").as("share_new_ppm"),
+          expr("abs(n_new * 1000000 DIV t_new - " +
+            "n_old * 1000000 DIV t_old)").as("drift_ppm"))
+        .orderBy(col("bucket"))
+    },
+    sql = Some("""
+      WITH o AS (
+        SELECT n_chars // 64 AS bucket, COUNT(*) AS n_old
+        FROM documents WHERE doc_id % 10 < 8 GROUP BY 1),
+      nn AS (
+        SELECT n_chars // 64 AS bucket, COUNT(*) AS n_new
+        FROM documents WHERE doc_id % 10 >= 2 GROUP BY 1),
+      j AS (
+        SELECT COALESCE(o.bucket, nn.bucket) AS bucket,
+               COALESCE(o.n_old, 0) AS n_old,
+               COALESCE(nn.n_new, 0) AS n_new
+        FROM o FULL OUTER JOIN nn ON o.bucket = nn.bucket),
+      t AS (
+        SELECT bucket, n_old, n_new,
+               CAST(SUM(n_old) OVER () AS BIGINT) AS t_old,
+               CAST(SUM(n_new) OVER () AS BIGINT) AS t_new
+        FROM j)
+      SELECT bucket, n_old, n_new,
+             CAST(n_old * 1000000 // t_old AS BIGINT) AS share_old_ppm,
+             CAST(n_new * 1000000 // t_new AS BIGINT) AS share_new_ppm,
+             CAST(abs(n_new * 1000000 // t_new -
+               n_old * 1000000 // t_old) AS BIGINT) AS drift_ppm
+      FROM t
+      ORDER BY bucket"""))
+
   /** Seed-deterministic global shuffle (tx35) — how 100 TB of training
     * data gets "randomly" shuffled reproducibly: every doc hashes to a
     * 60-bit priority from md5(doc_id | seed), shard =
@@ -2298,6 +2359,6 @@ object TextQueries {
     tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
     dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup,
-    dq4SkewReport, dq5ColumnProfile, tx35Shuffle, tx36TrainingSet,
-    tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch)
+    dq4SkewReport, dq5ColumnProfile, dq6DriftReport, tx35Shuffle,
+    tx36TrainingSet, tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch)
 }
