@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // epoch-arithmetic time predicates imply bare ts scan bounds
     // (parquet row-group stats pruning on time-range queries)
     e.injectOptimizerRule(_ => graft.plans.InferTimeScanBound)
+    // whole-operator extension: backward as-of join planned as a
+    // co-partitioned co-sorted O(n+m) merge walk (asofJoinExec.scala)
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
     e.injectFunction((FunctionIdentifier("array_dot"), info("array_dot"),

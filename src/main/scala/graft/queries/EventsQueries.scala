@@ -638,8 +638,160 @@ object EventsQueries {
       GROUP BY 1
       ORDER BY event_type"""))
 
+  /** Time-series resample: per-user hourly grid (first→last observed
+    * hour) carrying the forward-filled last observation. The missing
+    * half of the time-series story (av* answer "value as of an
+    * arbitrary instant"; this answers "value on a regular grid" — the
+    * feature-engineering shape for training on irregular event data).
+    *
+    * Scale: the grid explode is bounded by span/granularity per key
+    * (720 rows/user for this 30-day corpus — NEVER events×hours); the
+    * grid↔observations join is co-keyed on (user, hour); the fill is
+    * one window pass per user. Hour value = last event in the hour by
+    * (t_us, event_id) — deterministic under timestamp ties, hash-agg
+    * `max_by(struct)`, no per-hour window sort.
+    */
+  val q16Resample = Q(
+    "ev16_resample_ffill",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(
+        col("user_id"),
+        expr("ts DIV 1000").as("t_us"),
+        col("event_id"),
+        // exact cents: float money never crosses an engine boundary
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val hourly = e
+        .withColumn("h", expr("t_us DIV 3600000000"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(
+          max_by(col("cents"), struct(col("t_us"), col("event_id")))
+            .as("cents_last"),
+          cnt.as("n_obs"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("cents_last"), ignoreNulls = true).over(w)
+            .as("cents_ffill"),
+          coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+        .orderBy(col("user_id"), col("h"))
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+      hourly AS (
+        SELECT user_id, h, cents AS cents_last, n_obs FROM (
+          SELECT user_id, t_us // 3600000000 AS h, cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, t_us // 3600000000
+                                    ORDER BY t_us DESC, event_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY user_id, t_us // 3600000000)
+                   AS n_obs
+          FROM e) WHERE rn = 1),
+      grid AS (
+        SELECT user_id, unnest(generate_series(MIN(h), MAX(h))) AS h
+        FROM hourly GROUP BY user_id)
+      SELECT g.user_id, g.h,
+             last_value(hh.cents_last IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cents_ffill,
+             CAST(COALESCE(hh.n_obs, 0) AS BIGINT) AS n_obs
+      FROM grid g LEFT JOIN hourly hh
+        ON g.user_id = hh.user_id AND g.h = hh.h
+      ORDER BY g.user_id, g.h"""))
+
+  /** Linear interpolation on the same per-user hourly grid — gap hours
+    * get the value interpolated between the neighboring observed hours,
+    * in EXACT integer arithmetic: cents + floor-division (pmod-adjusted
+    * so Spark and DuckDB agree for negative slopes), so the oracle
+    * compare is bit-exact with zero float drift. Same scale shape as
+    * ev16 plus one extra frame direction: backward and forward window
+    * frames share ONE (user, h) sort.
+    */
+  val q17Interpolate = Q(
+    "ev17_interpolate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(
+        col("user_id"),
+        expr("ts DIV 1000").as("t_us"),
+        col("event_id"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      val hourly = e
+        .withColumn("h", expr("t_us DIV 3600000000"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(max_by(col("cents"), struct(col("t_us"), col("event_id")))
+          .as("cents_last"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .withColumn("vp", last(col("cents_last"), ignoreNulls = true).over(wb))
+        .withColumn("hp", last(when(col("cents_last").isNotNull, col("h")),
+          ignoreNulls = true).over(wb))
+        .withColumn("vn", first(col("cents_last"), ignoreNulls = true).over(wf))
+        .withColumn("hn", first(when(col("cents_last").isNotNull, col("h")),
+          ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("h"),
+          when(col("hn") === col("hp"), col("vp"))
+            .otherwise(expr(
+              "vp + (((vn - vp) * (h - hp) - pmod((vn - vp) * (h - hp)," +
+                " hn - hp)) DIV (hn - hp))"))
+            .as("cents_interp"))
+        .orderBy(col("user_id"), col("h"))
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_us, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events),
+      hourly AS (
+        SELECT user_id, h, cents AS cents_last FROM (
+          SELECT user_id, t_us // 3600000000 AS h, cents,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, t_us // 3600000000
+                                    ORDER BY t_us DESC, event_id DESC) AS rn
+          FROM e) WHERE rn = 1),
+      grid AS (
+        SELECT user_id, unnest(generate_series(MIN(h), MAX(h))) AS h
+        FROM hourly GROUP BY user_id),
+      j AS (
+        SELECT g.user_id, g.h, hh.cents_last
+        FROM grid g LEFT JOIN hourly hh
+          ON g.user_id = hh.user_id AND g.h = hh.h),
+      f AS (
+        SELECT user_id, h, cents_last,
+               last_value(cents_last IGNORE NULLS) OVER wb AS vp,
+               last_value(CASE WHEN cents_last IS NOT NULL THEN h END
+                 IGNORE NULLS) OVER wb AS hp,
+               first_value(cents_last IGNORE NULLS) OVER wf AS vn,
+               first_value(CASE WHEN cents_last IS NOT NULL THEN h END
+                 IGNORE NULLS) OVER wf AS hn
+        FROM j
+        WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, h,
+             CASE WHEN hn = hp THEN vp
+                  ELSE vp + (((vn - vp) * (h - hp)
+                              - ((((vn - vp) * (h - hp)) % (hn - hp))
+                                 + (hn - hp)) % (hn - hp)) // (hn - hp))
+             END AS cents_interp
+      FROM f
+      ORDER BY user_id, h"""))
+
   val all: Seq[Q] = Seq(q1Hourly, q2PerUser, q3Json, q4Gaps, q5Salted,
     q6RangeJoin, q7Sessionize, q8Funnel, q9Cohort, q10SessionWindow,
     q11SaltedJoin, q12DynamicSession, q13Scd2, q14SlidingWindow,
-    q15ZorderScan)
+    q15ZorderScan, q16Resample, q17Interpolate)
 }

@@ -80,6 +80,93 @@ object StreamingQueries {
       ORDER BY o.o_orderkey"""),
     bench = true)
 
+  /** av1's exact semantics re-run through the engine's custom
+    * WHOLE-OPERATOR as-of join ([[org.apache.spark.sql.graft.AsOfJoinExec]]:
+    * logical node + planner strategy + co-partitioned co-sorted O(n+m)
+    * merge walk, injected via GraftExtensions). Same DuckDB ASOF LEFT
+    * JOIN oracle as av1, so the two formulations are mutually
+    * cross-checked. Plan shape vs av1: no union, no window state — two
+    * clustering exchanges then a streaming merge with O(1) per-partition
+    * memory, the shape that survives per-key event counts that would
+    * make av1's per-user window buffers spill.
+    */
+  val av2AsofExec = Q(
+    "av2_asof_exec",
+    (s, d) => {
+      val ord = orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ; UTC session tz → lossless ns
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L)
+          .as("o_t_ns"))
+      val ev = events(s, d).select(
+        col("user_id"), col("ts").as("e_t_ns"),
+        col("event_id"), col("event_type"))
+      org.apache.spark.sql.graft.AsOfJoinOps.asofJoinBackward(
+          ord, ev,
+          Seq(col("o_custkey")), Seq(col("user_id")),
+          col("o_t_ns"), col("e_t_ns"),
+          // deterministic last-wins under equal ns timestamps — the
+          // same tie order av1's window (t_ns, is_order, event_id) uses
+          rightTieBreak = Seq(col("event_id")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"))
+        .orderBy(col("o_orderkey"))
+    },
+    sql = Some("""
+      SELECT o.o_orderkey, o.o_custkey,
+             e.event_id AS last_event_id,
+             e.event_type AS last_event_type
+      FROM orders o
+      ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      ORDER BY o.o_orderkey"""),
+    bench = true)
+
+  /** Toleranced as-of: the match must lie within 7 days before the
+    * order or it nulls out — the "stale quote is no quote" contract of
+    * financial as-of joins. Exercises the operator's tolerance path;
+    * oracle is nearest-match-then-distance-check, equivalent because
+    * any non-nearest match is strictly farther.
+    */
+  val av3AsofTolerance = Q(
+    "av3_asof_tolerance",
+    (s, d) => {
+      val ord = orders(s, d).select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L)
+          .as("o_t_ns"))
+      val ev = events(s, d).select(
+        col("user_id"), col("ts").as("e_t_ns"), col("event_id"))
+      org.apache.spark.sql.graft.AsOfJoinOps.asofJoinBackward(
+          ord, ev,
+          Seq(col("o_custkey")), Seq(col("user_id")),
+          col("o_t_ns"), col("e_t_ns"),
+          rightTieBreak = Seq(col("event_id")),
+          tolerance = Some(7L * 86400L * 1000000000L))
+        .select(col("o_orderkey"),
+          col("event_id").as("event_id_7d"),
+          // gap in whole seconds (ns-exact INTEGER division — float
+          // division would risk a one-ulp flip at second boundaries)
+          expr("(o_t_ns - e_t_ns) DIV 1000000000").as("gap_s"))
+        .orderBy(col("o_orderkey"))
+    },
+    sql = Some("""
+      SELECT o.o_orderkey,
+             CASE WHEN e.ts IS NOT NULL
+                   AND epoch_us(o.o_orderdate) - epoch_us(e.ts)
+                       <= 604800000000 THEN e.event_id END AS event_id_7d,
+             CASE WHEN e.ts IS NOT NULL
+                   AND epoch_us(o.o_orderdate) - epoch_us(e.ts)
+                       <= 604800000000
+                  THEN CAST((epoch_us(o.o_orderdate) - epoch_us(e.ts))
+                            // 1000000 AS BIGINT) END AS gap_s
+      FROM orders o
+      ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      ORDER BY o.o_orderkey"""))
+
   /** Stateful sessionization (30-min gap) through
     * flatMapGroupsWithState, verified against a completely different
     * algorithm in DuckDB (window-based session reconstruction:
@@ -620,7 +707,8 @@ object StreamingQueries {
           .mkString(" UNION ALL ")})
       ORDER BY query_id, doc_id"""))
 
-  val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, st2Sessionize,
+  val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
+    av3AsofTolerance, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,

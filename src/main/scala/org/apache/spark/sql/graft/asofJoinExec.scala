@@ -1,0 +1,254 @@
+/** Graft's first WHOLE-OPERATOR extension (SURVEY §2 preference order
+  * (c)): an as-of join as a custom logical node + planner strategy +
+  * physical merge-join operator, registered through
+  * SparkSessionExtensions. The scalar/aggregate kernels in this package
+  * extend Spark at the expression tier; this file extends it at the
+  * operator tier, for a join shape Catalyst cannot express without
+  * either a range-exploding theta-join or a union+window detour
+  * (av1_asof_join keeps the union+window formulation as the composed
+  * baseline; av2 runs this operator).
+  *
+  * Semantics (backward as-of, LEFT OUTER): for every left row, the
+  * single right row with equal keys and the LARGEST right-time <=
+  * left-time; ties on right-time broken by an explicit deterministic
+  * tie-break ordering (last in that order wins). An optional tolerance
+  * nulls out matches farther than `tolerance` time units — equivalent
+  * to "nearest match within tolerance", because any non-nearest match
+  * is strictly farther. Unmatched left rows survive with nulls
+  * (reference behavior: DuckDB `ASOF LEFT JOIN`, the oracle used by
+  * av1/av2).
+  *
+  * Scale design: both children are hash-clustered on the join keys and
+  * sorted by (keys, time) — declared through requiredChildDistribution
+  * / requiredChildOrdering, so EnsureRequirements plans ordinary
+  * co-partitioned exchanges (AQE-coalescible, reusable) exactly as it
+  * does for a sort-merge join. Execution is then a single O(n+m)
+  * forward merge walk per partition holding ONE buffered right row and
+  * ONE remembered candidate — no per-key grouping, no window state, no
+  * range explosion, constant memory regardless of key cardinality.
+  * That is the 100 TB shape: two shuffles (or zero, when the inputs are
+  * already bucketed by key), then streaming merge.
+  */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/** Logical as-of join. Output is left ++ right(nullable) — standard
+  * left-outer shape. Time expressions must share one of the
+  * long-backed time types (LongType epoch counters, TIMESTAMP,
+  * TIMESTAMP_NTZ); key expression types must match pairwise so the
+  * two hash-clusterings are co-partition compatible.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    toleranceUnits: Option[Long])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val resolved: Boolean = {
+    def timeTypeOk(e: Expression) = e.dataType match {
+      case LongType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    childrenResolved && expressions.forall(_.resolved) &&
+      leftKeys.length == rightKeys.length && leftKeys.nonEmpty &&
+      leftKeys.zip(rightKeys).forall { case (l, r) =>
+        l.dataType.sameType(r.dataType) } &&
+      timeTypeOk(leftTime) && leftTime.dataType.sameType(rightTime.dataType)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: the only producer of [[AsOfJoinExec]]. Injected
+  * via `e.injectPlannerStrategy` in [[graft.GraftExtensions]].
+  */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical backward as-of join: co-partitioned, co-sorted merge walk.
+  *
+  * Per partition the walk keeps exactly one remembered candidate (the
+  * latest right row at-or-before the current left time for the current
+  * key) plus the buffered head of the right iterator. Right rows are
+  * consumed once, left rows stream through once; rows with null keys
+  * or null time never match (SQL join null semantics) but left rows
+  * still surface (left-outer).
+  */
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    toleranceUnits: Option[Long])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // hash-cluster both sides on the join keys; EnsureRequirements makes
+  // the two sides' shuffle specs compatible (same mechanism as SMJ)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // (keys, time) per side; right additionally tie-broken so "last in
+  // order wins" is deterministic under duplicate right times
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTime +: rightTieBreak)).map(SortOrder(_, Ascending)))
+
+  // one output row per left row, in left order, left partitioning
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val tol = toleranceUnits
+    val keyTypes = leftKeys.map(_.dataType)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
+      val rTimeEval = BindReferences.bindReference(rTimeB, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val joiner = UnsafeProjection.create(allOut, lOut ++ rOut)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+      val buffered = rIter.buffered
+
+      // remembered candidate: latest right row seen with key ==
+      // candidateKey and time <= the left time that consumed it
+      var candRow: InternalRow = null
+      var candKey: InternalRow = null
+      var candTime: Long = 0L
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeVal = lTimeEval.eval(lRow)
+        if (lKey.anyNull || lTimeVal == null) {
+          joiner(joined(lRow, nullRight))
+        } else {
+          val lTime = lTimeVal.asInstanceOf[Long]
+          // advance right up to (and including) rows at-or-before lTime
+          var done = false
+          while (!done && buffered.hasNext) {
+            val rRow = buffered.head
+            val rKey = rKeyProj(rRow)
+            if (rKey.anyNull) { buffered.next() } // can never match
+            else {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0) { buffered.next() } // key already passed
+              else if (c > 0) { done = true } // future key: stop
+              else {
+                val rTimeVal = rTimeEval.eval(rRow)
+                if (rTimeVal == null) { buffered.next() }
+                else if (rTimeVal.asInstanceOf[Long] <= lTime) {
+                  // newer valid candidate (sorted: each consumes the last)
+                  candRow = rRow.copy()
+                  candKey = rKey.copy()
+                  candTime = rTimeVal.asInstanceOf[Long]
+                  buffered.next()
+                } else { done = true } // future time: stop, keep for later
+              }
+            }
+          }
+          val hit = candRow != null && keyOrd.compare(candKey, lKey) == 0 &&
+            tol.forall(t => lTime - candTime <= t)
+          joiner(joined(lRow, if (hit) candRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry point (lives in this package for
+  * `Dataset.ofRows`). Columns may be plain `col("name")` — the
+  * analyzer's generic reference resolution binds them against the two
+  * children — or `df("name")` to disambiguate.
+  */
+object AsOfJoinOps {
+
+  /** Backward as-of LEFT OUTER join of `left` to `right`.
+    *
+    * @param tolerance max allowed (leftTime - rightTime), in the time
+    *        column's own units; matches farther than this become nulls
+    * @param rightTieBreak deterministic last-wins order among equal
+    *        (key, rightTime) rows — REQUIRED to be a total order within
+    *        such groups for cluster-reproducible output
+    */
+  def asofJoinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTieBreak: Seq[Column] = Nil,
+      tolerance: Option[Long] = None): DataFrame = {
+    val classicLeft = left.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val spark = classicLeft.sparkSession
+    val lPlan = classicLeft.queryExecution.analyzed
+    val rPlan =
+      right.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed
+    val shared = lPlan.outputSet.intersect(rPlan.outputSet)
+    require(shared.isEmpty,
+      s"asofJoinBackward: inputs share attributes $shared — self-joins " +
+        "must alias one side (df.as / select) so attribute ids are disjoint")
+    // Resolve each Column against ITS side up front (a Column in the 4.x
+    // API is a lazy ColumnNode that only the analyzer's per-operator
+    // conversion resolves; a custom node never gets that pass). Routing
+    // through df.select(c) reuses the cached analyzed child, so the
+    // resolved expression references the exact child attribute ids.
+    def resolve(df: DataFrame, c: Column): Expression = {
+      val analyzed = df.select(c)
+        .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed
+      analyzed.expressions.head match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case other => other
+      }
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, AsOfJoin(lPlan, rPlan,
+      leftKeys.map(resolve(left, _)), rightKeys.map(resolve(right, _)),
+      resolve(left, leftTime), resolve(right, rightTime),
+      rightTieBreak.map(resolve(right, _)), tolerance))
+  }
+}

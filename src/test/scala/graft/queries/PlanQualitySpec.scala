@@ -1109,4 +1109,24 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gens.isEmpty,
       s"probe must not re-tokenize the corpus:\n$plan")
   }
+
+  test("av2: the as-of join plans as the custom AsOfJoinExec merge " +
+      "operator — no window state, no union, one clustering exchange " +
+      "per side (the O(n+m) constant-memory temporal-join shape)") {
+    val plan = executedPlan("av2_asof_exec")
+    import org.apache.spark.sql.execution.UnionExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.graft.AsOfJoinExec
+    assert(plan.collect { case e: AsOfJoinExec => e }.nonEmpty,
+      s"expected the custom operator:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty &&
+        plan.collect { case u: UnionExec => u }.isEmpty,
+      s"must not fall back to av1's union+window formulation:\n$plan")
+    // 2 clustering exchanges (one per side) + the final presentation
+    // sort's range exchange = at most 3 shuffles total
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 3,
+      s"expected ≤3 exchanges, got ${shuffles.size}:\n$plan")
+  }
 }
