@@ -167,6 +167,58 @@ object StreamingQueries {
         ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
       ORDER BY o.o_orderkey"""))
 
+  /** Forward as-of through the same custom operator: the EARLIEST event
+    * at-or-after each order — "first user action following the order",
+    * the attribution-analysis direction. Checked against DuckDB's
+    * forward ASOF (`e.ts >= o.o_orderdate`).
+    */
+  val av4AsofForward = Q(
+    "av4_asof_forward",
+    (s, d) => {
+      val ord = orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L)
+          .as("o_t_ns"))
+      val ev = events(s, d).select(
+        col("user_id"), col("ts").as("e_t_ns"),
+        col("event_id"), col("event_type"))
+      org.apache.spark.sql.graft.AsOfJoinOps.asofJoinForward(
+          ord, ev,
+          Seq(col("o_custkey")), Seq(col("user_id")),
+          col("o_t_ns"), col("e_t_ns"),
+          rightTieBreak = Seq(col("event_id")))
+        .select(col("o_orderkey"),
+          col("event_id").as("next_event_id"),
+          col("event_type").as("next_event_type"))
+        .orderBy(col("o_orderkey"))
+    },
+    sql = Some("""
+      SELECT o.o_orderkey,
+             e.event_id AS next_event_id,
+             e.event_type AS next_event_type
+      FROM orders o
+      ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
+      ORDER BY o.o_orderkey"""))
+
+  /** Streaming as-of enrichment over the deterministic replay harness:
+    * orders answered from O(1)-per-user "latest event" keyed state as
+    * they stream in. Third independent formulation of the same
+    * semantics (av1 union+window, av2 custom merge operator), all
+    * checked against one DuckDB ASOF LEFT JOIN oracle.
+    */
+  val st20AsofEnrich = Q(
+    "st20_stream_asof",
+    (s, d) => graft.streaming.EventsStreaming.asofEnrichStream(s, d),
+    sql = Some("""
+      SELECT o.o_orderkey, o.o_custkey,
+             e.event_id AS last_event_id,
+             e.event_type AS last_event_type
+      FROM orders o
+      ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+      ORDER BY o.o_orderkey"""))
+
   /** Stateful sessionization (30-min gap) through
     * flatMapGroupsWithState, verified against a completely different
     * algorithm in DuckDB (window-based session reconstruction:
@@ -708,10 +760,10 @@ object StreamingQueries {
       ORDER BY query_id, doc_id"""))
 
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
-    av3AsofTolerance, st2Sessionize,
+    av3AsofTolerance, av4AsofForward, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
-    st17CorpusIntake, st18SessionWindow, st19Bm25Serve)
+    st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich)
 }

@@ -8,15 +8,15 @@
   * (av1_asof_join keeps the union+window formulation as the composed
   * baseline; av2 runs this operator).
   *
-  * Semantics (backward as-of, LEFT OUTER): for every left row, the
-  * single right row with equal keys and the LARGEST right-time <=
-  * left-time; ties on right-time broken by an explicit deterministic
-  * tie-break ordering (last in that order wins). An optional tolerance
-  * nulls out matches farther than `tolerance` time units — equivalent
-  * to "nearest match within tolerance", because any non-nearest match
-  * is strictly farther. Unmatched left rows survive with nulls
-  * (reference behavior: DuckDB `ASOF LEFT JOIN`, the oracle used by
-  * av1/av2).
+  * Semantics (LEFT OUTER, both directions): for every left row, the
+  * single right row with equal keys and — backward — the LARGEST
+  * right-time <= left-time (right-time ties: the largest tie-break
+  * value), or — forward — the SMALLEST right-time >= left-time (ties:
+  * the smallest tie-break value). An optional tolerance nulls out
+  * matches farther than `tolerance` time units — equivalent to
+  * "nearest match within tolerance", because any non-nearest match is
+  * strictly farther. Unmatched left rows survive with nulls (reference
+  * behavior: DuckDB `ASOF LEFT JOIN`, the oracle used by av1/av2/av4).
   *
   * Scale design: both children are hash-clustered on the join keys and
   * sorted by (keys, time) — declared through requiredChildDistribution
@@ -34,7 +34,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -54,7 +54,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    toleranceUnits: Option[Long])
+    toleranceUnits: Option[Long],
+    forward: Boolean)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -82,8 +83,9 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol,
+        fwd) :: Nil
     case _ => Nil
   }
 }
@@ -105,8 +107,15 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    toleranceUnits: Option[Long])
+    toleranceUnits: Option[Long],
+    forward: Boolean)
   extends BinaryExecNode {
+
+  // forward as-of is the time-mirrored walk: sort DESCENDING by time so
+  // "last candidate consumed" is the EARLIEST right row at-or-after the
+  // left time (ties: the smallest tie-break value, mirroring backward's
+  // largest-wins) — one merge implementation, both directions
+  private def timeDir = if (forward) Descending else Ascending
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -119,13 +128,14 @@ case class AsOfJoinExec(
   // (keys, time) per side; right additionally tie-broken so "last in
   // order wins" is deterministic under duplicate right times
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys ++ (rightTime +: rightTieBreak)).map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (rightTime +: rightTieBreak).map(SortOrder(_, timeDir)))
 
   // one output row per left row, in left order, left partitioning
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -136,6 +146,7 @@ case class AsOfJoinExec(
     val lTimeB = leftTime
     val rTimeB = rightTime
     val tol = toleranceUnits
+    val fwd = forward
     val keyTypes = leftKeys.map(_.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -174,19 +185,24 @@ case class AsOfJoinExec(
               else if (c > 0) { done = true } // future key: stop
               else {
                 val rTimeVal = rTimeEval.eval(rRow)
+                val timeOk = rTimeVal != null && {
+                  val rt = rTimeVal.asInstanceOf[Long]
+                  if (fwd) rt >= lTime else rt <= lTime
+                }
                 if (rTimeVal == null) { buffered.next() }
-                else if (rTimeVal.asInstanceOf[Long] <= lTime) {
+                else if (timeOk) {
                   // newer valid candidate (sorted: each consumes the last)
                   candRow = rRow.copy()
                   candKey = rKey.copy()
                   candTime = rTimeVal.asInstanceOf[Long]
                   buffered.next()
-                } else { done = true } // future time: stop, keep for later
+                } else { done = true } // out of range: stop, keep for later
               }
             }
           }
           val hit = candRow != null && keyOrd.compare(candKey, lKey) == 0 &&
-            tol.forall(t => lTime - candTime <= t)
+            tol.forall(t =>
+              (if (fwd) candTime - lTime else lTime - candTime) <= t)
           joiner(joined(lRow, if (hit) candRow else nullRight))
         }
       }
@@ -221,7 +237,36 @@ object AsOfJoinOps {
       leftTime: Column,
       rightTime: Column,
       rightTieBreak: Seq[Column] = Nil,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None): DataFrame =
+    asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTieBreak, tolerance, forward = false)
+
+  /** Forward as-of LEFT OUTER join: the EARLIEST right row with equal
+    * keys and rightTime >= leftTime (within tolerance), ties broken by
+    * the SMALLEST tie-break value — "next quote after the order".
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTieBreak: Seq[Column] = Nil,
+      tolerance: Option[Long] = None): DataFrame =
+    asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      rightTieBreak, tolerance, forward = true)
+
+  private def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[Column],
+      rightKeys: Seq[Column],
+      leftTime: Column,
+      rightTime: Column,
+      rightTieBreak: Seq[Column],
+      tolerance: Option[Long],
+      forward: Boolean): DataFrame = {
     val classicLeft = left.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     val spark = classicLeft.sparkSession
     val lPlan = classicLeft.queryExecution.analyzed
@@ -249,6 +294,6 @@ object AsOfJoinOps {
     org.apache.spark.sql.classic.Dataset.ofRows(spark, AsOfJoin(lPlan, rPlan,
       leftKeys.map(resolve(left, _)), rightKeys.map(resolve(right, _)),
       resolve(left, leftTime), resolve(right, rightTime),
-      rightTieBreak.map(resolve(right, _)), tolerance))
+      rightTieBreak.map(resolve(right, _)), tolerance, forward))
   }
 }

@@ -100,6 +100,41 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size === 5 && got.values.forall(_.isEmpty))
   }
 
+  private def runFwd(left: DataFrame, right: DataFrame,
+      tol: Option[Long] = None): Map[(Long, Long), Option[String]] =
+    AsOfJoinOps.asofJoinForward(left, right,
+        Seq(col("k")), Seq(col("rk")), col("t"), col("rt"),
+        rightTieBreak = Seq(col("rtag")), tolerance = tol)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.getAs[String]("rtag"))).toMap
+
+  test("forward as-of: earliest right at-or-after each left time") {
+    val (l, r) = fixtures
+    val got = runFwd(l, r)
+    assert(got === Map(
+      (1L, 10L) -> Some("r2"), // exact-time match counts (>=)
+      (1L, 20L) -> None,       // nothing after 15
+      (1L, 5L) -> Some("r1"),
+      (2L, 100L) -> None,      // 90 precedes the left time
+      (3L, 7L) -> None))
+  }
+
+  test("forward tolerance and duplicate-time ties (smallest wins)") {
+    import spark.implicits._
+    val (l, r) = fixtures
+    assert(runFwd(l, r, tol = Some(2L)) === Map(
+      (1L, 10L) -> Some("r2"), // gap 0
+      (1L, 20L) -> None,
+      (1L, 5L) -> None,        // gap 3 > tol
+      (2L, 100L) -> None,
+      (3L, 7L) -> None))
+    val dup = Seq((1L, 10L, "dup-a"), (1L, 10L, "dup-b"))
+      .toDF("rk", "rt", "rtag")
+    val one = Seq((1L, 9L, "x")).toDF("k", "t", "ltag")
+    assert(runFwd(one, dup) === Map((1L, 9L) -> Some("dup-a")))
+  }
+
   test("plan contract: AsOfJoinExec, no window, one exchange per side") {
     val (l, r) = fixtures
     val df = AsOfJoinOps.asofJoinBackward(l, r,
