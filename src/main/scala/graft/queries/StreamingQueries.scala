@@ -26,58 +26,53 @@ object StreamingQueries {
       GROUP BY 1, 2
       ORDER BY hour_ts, event_type"""))
 
-  /** As-of join: for each order, the latest event (by ts, micros) of
-    * user = o_custkey with ts <= order date. Spark-side it's the
-    * scalable union-merge formulation: tag both streams, union, one
-    * window pass per user ordered by time (events sort before orders on
-    * ties), carry last event via last(ignoreNulls) — a single shuffle
-    * on the join key, no range explosion, no point-in-time self-join.
-    * DuckDB checks it with its native ASOF LEFT JOIN.
+  /** Shared oracle of the whole as-of family (av1 window formulation,
+    * av2 custom operator, st20 streaming state): for each purchase
+    * event, the user's latest click at-or-before it — last-touch
+    * attribution. Events↔events, so matches genuinely interleave
+    * (orders↔events, the r11 formulation, was VACUOUS: all orders are
+    * dated 1995–2001 and all events 2024, so every row matched null
+    * and the oracle passed trivially).
+    */
+  private val asofOracleSql = """
+      SELECT p.event_id AS purchase_id, p.user_id,
+             c.event_id AS last_click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY purchase_id"""
+
+  /** As-of join, composed-operator formulation: tag clicks/purchases,
+    * union, one window pass per user ordered by time (clicks sort
+    * before purchases on ties), carry the last click via
+    * last(ignoreNulls) — a single shuffle on the join key, no range
+    * explosion, no point-in-time self-join. DuckDB checks it with its
+    * native ASOF LEFT JOIN; av2 runs the same semantics through the
+    * custom merge operator.
     */
   val av1AsofJoin = Q(
     "av1_asof_join",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // Compare at NANOSECOND precision (raw ts), exactly like DuckDB's
-      // ASOF JOIN on the ns-typed column: an event 1-999 ns after an
-      // order must NOT match. Orders' TIMESTAMP_NTZ is µs-exact, so
-      // µs→ns widening is lossless.
-      val ev = events(s, d).select(
-        col("user_id").as("uid"),
-        col("ts").as("t_ns"),
-        lit(0).as("is_order"),
-        col("event_id"),
-        col("event_type"),
-        lit(null).cast("long").as("o_orderkey"),
-        lit(null).cast("double").as("o_totalprice"))
-      val ord = orders(s, d).select(
-        col("o_custkey").as("uid"),
-        // o_orderdate is TIMESTAMP_NTZ in the parquet; session tz is UTC
-        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("t_ns"),
-        lit(1).as("is_order"),
-        lit(null).cast("long").as("event_id"),
-        lit(null).cast("string").as("event_type"),
-        col("o_orderkey"),
-        col("o_totalprice"))
-      val w = Window.partitionBy(col("uid"))
-        .orderBy(col("t_ns"), col("is_order"), col("event_id"))
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts").as("t_ns"), lit(0).as("is_purchase"),
+        col("event_id").as("click_id"),
+        lit(null).cast("long").as("purchase_id"))
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts").as("t_ns"), lit(1).as("is_purchase"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_ns"), col("is_purchase"), col("click_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.unionByName(ord)
-        .withColumn("last_event_id", last(col("event_id"), true).over(w))
-        .withColumn("last_event_type", last(col("event_type"), true).over(w))
-        .filter(col("is_order") === 1)
-        .select(col("o_orderkey"), col("uid").as("o_custkey"),
-          col("last_event_id"), col("last_event_type"))
-        .orderBy(col("o_orderkey"))
+      clicks.unionByName(purchases)
+        .withColumn("last_click_id", last(col("click_id"), true).over(w))
+        .filter(col("is_purchase") === 1)
+        .select(col("purchase_id"), col("user_id"), col("last_click_id"))
+        .orderBy(col("purchase_id"))
     },
-    sql = Some("""
-      SELECT o.o_orderkey, o.o_custkey,
-             e.event_id AS last_event_id,
-             e.event_type AS last_event_type
-      FROM orders o
-      ASOF LEFT JOIN events e
-        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
-      ORDER BY o.o_orderkey"""),
+    sql = Some(asofOracleSql),
     bench = true)
 
   /** av1's exact semantics re-run through the engine's custom
@@ -93,131 +88,115 @@ object StreamingQueries {
   val av2AsofExec = Q(
     "av2_asof_exec",
     (s, d) => {
-      val ord = orders(s, d).select(
-        col("o_orderkey"), col("o_custkey"),
-        // o_orderdate is TIMESTAMP_NTZ; UTC session tz → lossless ns
-        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L)
-          .as("o_t_ns"))
-      val ev = events(s, d).select(
-        col("user_id"), col("ts").as("e_t_ns"),
-        col("event_id"), col("event_type"))
+      val e = events(s, d)
+      // both sides derive from the same relation: alias EVERY right
+      // column so the two subtrees' output attribute ids are disjoint
+      // (the operator's documented self-join contract)
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts").as("p_t_ns"),
+        col("event_id").as("purchase_id"))
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id").as("c_user_id"), col("ts").as("c_t_ns"),
+        col("event_id").as("click_id"))
       org.apache.spark.sql.graft.AsOfJoinOps.asofJoinBackward(
-          ord, ev,
-          Seq(col("o_custkey")), Seq(col("user_id")),
-          col("o_t_ns"), col("e_t_ns"),
+          purchases, clicks,
+          Seq(col("user_id")), Seq(col("c_user_id")),
+          col("p_t_ns"), col("c_t_ns"),
           // deterministic last-wins under equal ns timestamps — the
-          // same tie order av1's window (t_ns, is_order, event_id) uses
-          rightTieBreak = Seq(col("event_id")))
-        .select(col("o_orderkey"), col("o_custkey"),
-          col("event_id").as("last_event_id"),
-          col("event_type").as("last_event_type"))
-        .orderBy(col("o_orderkey"))
+          // same tie order av1's window (t_ns, is_purchase, id) uses
+          rightTieBreak = Seq(col("click_id")))
+        .select(col("purchase_id"), col("user_id"),
+          col("click_id").as("last_click_id"))
+        .orderBy(col("purchase_id"))
     },
-    sql = Some("""
-      SELECT o.o_orderkey, o.o_custkey,
-             e.event_id AS last_event_id,
-             e.event_type AS last_event_type
-      FROM orders o
-      ASOF LEFT JOIN events e
-        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
-      ORDER BY o.o_orderkey"""),
+    sql = Some(asofOracleSql),
     bench = true)
 
-  /** Toleranced as-of: the match must lie within 7 days before the
-    * order or it nulls out — the "stale quote is no quote" contract of
-    * financial as-of joins. Exercises the operator's tolerance path;
-    * oracle is nearest-match-then-distance-check, equivalent because
-    * any non-nearest match is strictly farther.
+  /** Toleranced as-of: the click must lie within ONE HOUR before the
+    * purchase or the match nulls out — last-touch attribution with an
+    * attribution window, the standard marketing-analytics contract.
+    * Exercises the operator's tolerance path; oracle is
+    * nearest-match-then-distance-check, equivalent because any
+    * non-nearest match is strictly farther.
     */
   val av3AsofTolerance = Q(
     "av3_asof_tolerance",
     (s, d) => {
-      val ord = orders(s, d).select(
-        col("o_orderkey"),
-        col("o_custkey"),
-        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L)
-          .as("o_t_ns"))
-      val ev = events(s, d).select(
-        col("user_id"), col("ts").as("e_t_ns"), col("event_id"))
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts").as("p_t_ns"),
+        col("event_id").as("purchase_id"))
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id").as("c_user_id"), col("ts").as("c_t_ns"),
+        col("event_id").as("click_id"))
       org.apache.spark.sql.graft.AsOfJoinOps.asofJoinBackward(
-          ord, ev,
-          Seq(col("o_custkey")), Seq(col("user_id")),
-          col("o_t_ns"), col("e_t_ns"),
-          rightTieBreak = Seq(col("event_id")),
-          tolerance = Some(7L * 86400L * 1000000000L))
-        .select(col("o_orderkey"),
-          col("event_id").as("event_id_7d"),
+          purchases, clicks,
+          Seq(col("user_id")), Seq(col("c_user_id")),
+          col("p_t_ns"), col("c_t_ns"),
+          rightTieBreak = Seq(col("click_id")),
+          tolerance = Some(3600L * 1000000000L))
+        .select(col("purchase_id"),
+          col("click_id").as("click_id_1h"),
           // gap in whole seconds (ns-exact INTEGER division — float
           // division would risk a one-ulp flip at second boundaries)
-          expr("(o_t_ns - e_t_ns) DIV 1000000000").as("gap_s"))
-        .orderBy(col("o_orderkey"))
+          expr("(p_t_ns - c_t_ns) DIV 1000000000").as("gap_s"))
+        .orderBy(col("purchase_id"))
     },
     sql = Some("""
-      SELECT o.o_orderkey,
-             CASE WHEN e.ts IS NOT NULL
-                   AND epoch_us(o.o_orderdate) - epoch_us(e.ts)
-                       <= 604800000000 THEN e.event_id END AS event_id_7d,
-             CASE WHEN e.ts IS NOT NULL
-                   AND epoch_us(o.o_orderdate) - epoch_us(e.ts)
-                       <= 604800000000
-                  THEN CAST((epoch_us(o.o_orderdate) - epoch_us(e.ts))
+      SELECT p.event_id AS purchase_id,
+             CASE WHEN c.ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                  THEN c.event_id END AS click_id_1h,
+             CASE WHEN c.ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+                  THEN CAST((epoch_us(p.ts) - epoch_us(c.ts))
                             // 1000000 AS BIGINT) END AS gap_s
-      FROM orders o
-      ASOF LEFT JOIN events e
-        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
-      ORDER BY o.o_orderkey"""))
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY purchase_id"""))
 
-  /** Forward as-of through the same custom operator: the EARLIEST event
-    * at-or-after each order — "first user action following the order",
-    * the attribution-analysis direction. Checked against DuckDB's
-    * forward ASOF (`e.ts >= o.o_orderdate`).
+  /** Forward as-of through the same custom operator: each click's NEXT
+    * purchase at-or-after it — the conversion-attribution direction.
+    * Checked against DuckDB's forward ASOF (`p.ts >= c.ts`).
     */
   val av4AsofForward = Q(
     "av4_asof_forward",
     (s, d) => {
-      val ord = orders(s, d).select(
-        col("o_orderkey"), col("o_custkey"),
-        (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L)
-          .as("o_t_ns"))
-      val ev = events(s, d).select(
-        col("user_id"), col("ts").as("e_t_ns"),
-        col("event_id"), col("event_type"))
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id"), col("ts").as("c_t_ns"),
+        col("event_id").as("click_id"))
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id").as("p_user_id"), col("ts").as("p_t_ns"),
+        col("event_id").as("purchase_id"))
       org.apache.spark.sql.graft.AsOfJoinOps.asofJoinForward(
-          ord, ev,
-          Seq(col("o_custkey")), Seq(col("user_id")),
-          col("o_t_ns"), col("e_t_ns"),
-          rightTieBreak = Seq(col("event_id")))
-        .select(col("o_orderkey"),
-          col("event_id").as("next_event_id"),
-          col("event_type").as("next_event_type"))
-        .orderBy(col("o_orderkey"))
+          clicks, purchases,
+          Seq(col("user_id")), Seq(col("p_user_id")),
+          col("c_t_ns"), col("p_t_ns"),
+          rightTieBreak = Seq(col("purchase_id")))
+        .select(col("click_id"), col("user_id"),
+          col("purchase_id").as("next_purchase_id"))
+        .orderBy(col("click_id"))
     },
     sql = Some("""
-      SELECT o.o_orderkey,
-             e.event_id AS next_event_id,
-             e.event_type AS next_event_type
-      FROM orders o
-      ASOF LEFT JOIN events e
-        ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate
-      ORDER BY o.o_orderkey"""))
+      SELECT c.event_id AS click_id, c.user_id,
+             p.event_id AS next_purchase_id
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+      ORDER BY click_id"""))
 
   /** Streaming as-of enrichment over the deterministic replay harness:
-    * orders answered from O(1)-per-user "latest event" keyed state as
-    * they stream in. Third independent formulation of the same
+    * purchases answered from O(1)-per-user "latest click" keyed state
+    * as they stream in. Third independent formulation of the same
     * semantics (av1 union+window, av2 custom merge operator), all
     * checked against one DuckDB ASOF LEFT JOIN oracle.
     */
   val st20AsofEnrich = Q(
     "st20_stream_asof",
     (s, d) => graft.streaming.EventsStreaming.asofEnrichStream(s, d),
-    sql = Some("""
-      SELECT o.o_orderkey, o.o_custkey,
-             e.event_id AS last_event_id,
-             e.event_type AS last_event_type
-      FROM orders o
-      ASOF LEFT JOIN events e
-        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
-      ORDER BY o.o_orderkey"""))
+    sql = Some(asofOracleSql))
 
   /** Stateful sessionization (30-min gap) through
     * flatMapGroupsWithState, verified against a completely different

@@ -752,105 +752,125 @@ object EventsStreaming {
   }
 
   /** One input row of the streaming as-of enrichment: a tagged union of
-    * events (is_order=0, carrying event fields) and orders (is_order=1,
-    * carrying o_orderkey). Times are epoch-nanos.
+    * reference rows (is_probe=0: clicks, whose latest instance is the
+    * per-user state) and probe rows (is_probe=1: purchases, each
+    * answered from that state). Times are epoch-nanos; `id` is the
+    * row's event_id.
     */
-  final case class AsOfIn(user_id: Long, t_ns: Long, is_order: Int,
-      event_id: Option[Long], event_type: Option[String],
-      o_orderkey: Option[Long])
+  final case class AsOfIn(user_id: Long, t_ns: Long, is_probe: Int,
+      id: Long)
 
-  /** Keyed state of the streaming as-of: the latest event seen per
+  /** Keyed state of the streaming as-of: the latest click seen per
     * user. O(1) per user — the streaming twin of AsOfJoinExec's merge
     * candidate.
     */
-  private[streaming] final case class LastEventState(event_id: Long,
-      event_type: String, t_ns: Long)
+  private[streaming] final case class LastClickState(click_id: Long,
+      t_ns: Long)
 
-  final case class AsOfOut(o_orderkey: Long, o_custkey: Long,
-      last_event_id: Option[Long], last_event_type: Option[String])
+  final case class AsOfOut(purchase_id: Long, user_id: Long,
+      last_click_id: Option[Long])
 
-  /** Streaming backward as-of enrichment: each arriving order is
-    * answered with the latest event at-or-before it for that user,
-    * from keyed state that holds exactly ONE event per user (nothing
-    * buffers, nothing replays — the enrichment-serving shape: state
-    * size is #users, independent of stream length).
+  /** Streaming backward as-of enrichment: each arriving purchase is
+    * answered with the user's latest click at-or-before it, from keyed
+    * state that holds exactly ONE click per user (nothing buffers,
+    * nothing replays — the enrichment-serving shape: state size is
+    * #users, independent of stream length).
     *
     * Ordering contract: correctness against the batch as-of (av1/av2)
     * requires per-key event-time-nondecreasing arrival ACROSS batches
     * (within a batch rows are sorted here). The staged replay
     * guarantees it with ts-disjoint ascending slices; a production
     * deployment gets it from a per-key-ordered log (e.g. a keyed
-    * Kafka topic). Out-of-order arrivals degrade gracefully: an order
-    * sees the latest event *ingested* so far, the standard eventual-
-    * consistency semantics of streaming enrichment. State is kept
-    * forever by design (a user's latest event IS the dimension value);
-    * a TTL eviction would bolt on via ProcessingTimeTimeout.
+    * Kafka topic). Out-of-order arrivals degrade gracefully: a probe
+    * sees the latest reference row *ingested* so far, the standard
+    * eventual-consistency semantics of streaming enrichment. State is
+    * kept forever by design (a user's latest click IS the dimension
+    * value); a TTL eviction would bolt on via ProcessingTimeTimeout.
     */
   def asofEnrich(rows: Dataset[AsOfIn]): Dataset[AsOfOut] = {
     import rows.sparkSession.implicits._
     rows
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[LastEventState, AsOfOut](
+      .flatMapGroupsWithState[LastClickState, AsOfOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (user, it, state: GroupState[LastEventState]) =>
-          // same-instant ties: events before orders (ASOF's <= is
-          // inclusive), equal-ts events resolved by max event_id —
+        case (user, it, state: GroupState[LastClickState]) =>
+          // same-instant ties: clicks before purchases (ASOF's <= is
+          // inclusive), equal-ts clicks resolved by max event_id —
           // the identical tie order av1's window and av2's tie-break use
-          val sorted = it.toSeq.sortBy(r =>
-            (r.t_ns, r.is_order, r.event_id.getOrElse(Long.MaxValue)))
+          val sorted = it.toSeq.sortBy(r => (r.t_ns, r.is_probe, r.id))
           var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
           for (r <- sorted) {
-            if (r.is_order == 0)
-              st = LastEventState(r.event_id.get, r.event_type.get, r.t_ns)
-            else
-              out += AsOfOut(r.o_orderkey.get, user,
-                Option(st).map(_.event_id), Option(st).map(_.event_type))
+            if (r.is_probe == 0) st = LastClickState(r.id, r.t_ns)
+            else out += AsOfOut(r.id, user, Option(st).map(_.click_id))
           }
           if (st != null) state.update(st)
           out.iterator
       }
   }
 
-  /** st20: [[asofEnrich]] over the deterministic replay harness — the
-    * tagged event/order union staged into ts-ascending ts-disjoint
-    * slices, one file per micro-batch. Equal-ts rows always share a
-    * slice (slice bounds are ts values), so the within-batch sort
-    * fully determines tie order and the emitted enrichment is exactly
-    * the batch as-of — checked against the same DuckDB ASOF LEFT JOIN
-    * oracle as av1/av2 (three independent formulations, one oracle).
+  /** The tagged click/purchase union the streaming as-of consumes
+    * (st20's input; staged into ts-ascending ts-disjoint slices, one
+    * file per micro-batch — equal-ts rows always share a slice, so the
+    * within-batch sort fully determines tie order and the emitted
+    * enrichment is exactly the batch as-of, same oracle as av1/av2).
     */
-  def asofEnrichStream(spark: SparkSession, dir: String,
-      slices: Int = 6): DataFrame = {
+  private[streaming] def asofUnion(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = graft.queries.Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(0).as("is_probe"), col("event_id"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(1).as("is_probe"), col("event_id"))
+    clicks.unionByName(purchases)
+  }
+
+  private def asofSource(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String): Dataset[AsOfIn] = {
     import spark.implicits._
-    val ev = graft.queries.Tables.events(spark, dir).select(
-      col("user_id"), col("ts"), lit(0).as("is_order"),
-      col("event_id"), col("event_type"),
-      lit(null).cast("long").as("o_orderkey"))
-    val ord = graft.queries.Tables.orders(spark, dir).select(
-      col("o_custkey").as("user_id"),
-      (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("ts"),
-      lit(1).as("is_order"),
-      lit(null).cast("long").as("event_id"),
-      lit(null).cast("string").as("event_type"),
-      col("o_orderkey"))
-    val union = ev.unionByName(ord)
-    val staged = stageTimeSlices(union, slices, trailer = false)
-    val src = spark.readStream.schema(union.schema)
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
-      .select(col("user_id"), col("ts").as("t_ns"), col("is_order"),
-        col("event_id"), col("event_type"), col("o_orderkey"))
+      .select(col("user_id"), col("ts").as("t_ns"), col("is_probe"),
+        col("event_id").as("id"))
       .as[AsOfIn]
+  }
+
+  def asofEnrichStream(spark: SparkSession, dir: String,
+      slices: Int = 6): DataFrame = {
+    val union = asofUnion(spark, dir)
+    val staged = stageTimeSlices(union, slices, trailer = false)
     val name = s"graft_st_asof_${nameCounter.incrementAndGet()}"
-    val q = asofEnrich(src).toDF().writeStream
+    val q = asofEnrich(asofSource(spark, union.schema, staged))
+      .toDF().writeStream
       .outputMode(OutputMode.Append())
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name).orderBy(col("o_orderkey"))
+    spark.table(name).orderBy(col("purchase_id"))
+  }
+
+  /** [[asofEnrich]] through the durable file sink: restartable with the
+    * same out/chk — the per-user "latest click" state resumes from the
+    * checkpointed state store, so a purchase replayed-in AFTER a stop
+    * still matches a click ingested BEFORE it (StreamingSpec proves
+    * equality with the uninterrupted run).
+    */
+  private[streaming] def drainAsOfToFileSink(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String, out: String, chk: String): Unit = {
+    val q = asofEnrich(asofSource(spark, schema, staged))
+      .toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
   }
 
   def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long,

@@ -110,6 +110,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emitted.distinct.length === emitted.length, "duplicate emits")
   }
 
+  test("st20 as-of enrichment state survives a checkpoint stop/resume — " +
+      "a purchase arriving after the restart still matches a click " +
+      "ingested before the stop") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import spark.implicits._
+    val union = EventsStreaming.asofUnion(spark, dir)
+    val fullStage = EventsStreaming.stageTimeSlices(union, 4, trailer = false)
+    val ordered = {
+      val it = Files.list(java.nio.file.Paths.get(fullStage)).iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      while (it.hasNext) b += it.next()
+      b.sortBy(_.getFileName.toString)
+    }
+
+    // single uninterrupted run = the reference result
+    val refBase = Files.createTempDirectory("st20_ref")
+    EventsStreaming.drainAsOfToFileSink(spark, union.schema, fullStage,
+      refBase.resolve("out").toString, refBase.resolve("chk").toString)
+    val expected = spark.read.parquet(refBase.resolve("out").toString)
+      .as[(Long, Long, Option[Long])].collect().sorted
+
+    // real matches must exist for the proof to bite
+    assert(expected.count(_._3.isDefined) > 0, "no purchase matched a click")
+
+    // interrupted run: 2 slices, stop, add the rest, resume on the
+    // SAME checkpoint — matches must be identical, not just complete
+    val stage2 = Files.createTempDirectory("st20_partial")
+    val base = Files.createTempDirectory("st20_resume")
+    val (out, chk) = (base.resolve("out").toString, base.resolve("chk").toString)
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName),
+        StandardCopyOption.COPY_ATTRIBUTES): Unit
+    ordered.take(2).foreach(copyIn)
+    EventsStreaming.drainAsOfToFileSink(spark, union.schema,
+      stage2.toString, out, chk)
+    ordered.drop(2).foreach(copyIn)
+    EventsStreaming.drainAsOfToFileSink(spark, union.schema,
+      stage2.toString, out, chk)
+    val resumed = spark.read.parquet(out)
+      .as[(Long, Long, Option[Long])].collect().sorted
+    assert(resumed.toSeq === expected.toSeq)
+  }
+
   test("sessionizeStream state + armed timeouts survive a checkpoint " +
       "stop/resume — same sessions as uninterrupted, timeouts fire " +
       "after restart") {
