@@ -68,5 +68,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("heavy_hitters"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.graft.HeavyHittersSketch(es.head, es(1))))
+    // stored mergeable KMV distinct sketches (sketch / merge / estimate)
+    e.injectFunction((FunctionIdentifier("kmv_sketch"), info("kmv_sketch"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.KmvSketch(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("kmv_merge"), info("kmv_merge"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.KmvMergeSketch(es.head)))
+    e.injectFunction((FunctionIdentifier("kmv_estimate"),
+      info("kmv_estimate"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.KmvEstimate(es.head)))
   }
 }

@@ -80,6 +80,26 @@ object VectorFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())
 
+  /** KMV distinct sketch per group over pre-hashed longs (the engine's
+    * 52-bit md5 hash convention) — BinaryType, storable in parquet,
+    * mergeable later with [[kmv_merge]]. O(k) state per group.
+    */
+  def kmv_sketch(hash: Column, k: Int): Column =
+    B.column(org.apache.spark.sql.graft.KmvSketch(B.expression(hash),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
+  /** Merge STORED KMV sketches (a binary column) into one — the rollup
+    * that never rescans raw data.
+    */
+  def kmv_merge(sketch: Column): Column =
+    B.column(org.apache.spark.sql.graft.KmvMergeSketch(B.expression(sketch))
+      .toAggregateExpression())
+
+  /** Distinct-count estimate from a KMV sketch (exact below k). */
+  def kmv_estimate(sketch: Column): Column =
+    B.column(org.apache.spark.sql.graft.KmvEstimate(B.expression(sketch)))
+
   /** Register SQL names (per-session) so `expr("array_dot(a,b)")` and
     * spark.sql can use the kernels too.
     */

@@ -39,6 +39,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
            AS t(g, v) GROUP BY g ORDER BY g""").collect()
       assert(tk(0).getSeq[Double](1) === Seq(9.0, 7.0))
       assert(tk(1).getSeq[Double](1) === Seq(3.0))
+      // the KMV sketch family resolves in SQL end-to-end:
+      // sketch per group → merge across groups → estimate (exact <k)
+      val kmv = spark.sql(
+        """SELECT kmv_estimate(kmv_merge(sk)) AS est FROM (
+             SELECT g, kmv_sketch(h, 8) AS sk FROM VALUES
+               (1, 10L), (1, 20L), (1, 20L), (2, 30L), (2, 10L)
+             AS t(g, h) GROUP BY g)""").head()
+      assert(kmv.getLong(0) === 3L) // distinct hashes {10, 20, 30}
     } finally spark.stop()
   }
 

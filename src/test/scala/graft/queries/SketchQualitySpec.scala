@@ -37,6 +37,47 @@ class SketchQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("KMV mergeability law: merging stored fine-grain sketches gives " +
+      "the BYTE-identical sketch of the coarse group, estimates within " +
+      "20% of exact, and below-k groups are exact") {
+    import graft.functions.{VectorFunctions => F}
+    val hashed = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 13),
+          16, 10).cast("long").as("h"))
+    // fine sketches merged up vs the coarse group sketched directly
+    val merged = hashed.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(F.kmv_sketch(col("h"), 64).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(F.kmv_merge(col("sk")).as("sk"))
+    val direct = hashed.groupBy(col("l_returnflag"))
+      .agg(F.kmv_sketch(col("h"), 64).as("sk"))
+    val m = merged.collect().map(r =>
+      r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    val dct = direct.collect().map(r =>
+      r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    assert(m === dct, "merged-of-parts != sketch-of-whole")
+    // estimates vs exact distinct hashes
+    val exact = hashed.select(col("l_returnflag"), col("h")).distinct()
+      .groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = direct.select(col("l_returnflag"),
+        F.kmv_estimate(col("sk")).as("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (g, e) =>
+      val n = exact(g)
+      assert(math.abs(e - n).toDouble / n <= 0.20,
+        s"KMV stored group $g: est=$e exact=$n off by >20%")
+    }
+    // below-k exactness: tiny groups estimate exactly
+    import spark.implicits._
+    val tiny = Seq((1, 10L), (1, 20L), (1, 30L), (2, 10L)).toDF("g", "h")
+      .groupBy(col("g")).agg(F.kmv_sketch(col("h"), 64).as("sk"))
+      .select(col("g"), F.kmv_estimate(col("sk")).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(tiny === Map(1 -> 3L, 2 -> 1L))
+  }
+
   test("histogram quantile estimates within two bin widths of the " +
       "exact interpolated percentile — the sketch's construction bound") {
     val est = Registry.byName("q29_histogram_quantiles").fn(spark, dir)
