@@ -104,7 +104,41 @@ object StreamingQueries {
           col("p_t_ns"), col("c_t_ns"),
           // deterministic last-wins under equal ns timestamps — the
           // same tie order av1's window (t_ns, is_purchase, id) uses
-          rightTieBreak = Seq(col("click_id")))
+          rightTieBreak = Seq(col("click_id")),
+          // pin the shuffle-MERGE plan (the big-right-side shape) so
+          // the plan gate is deterministic; av5 pins the broadcast plan
+          broadcast = Some(false))
+        .select(col("purchase_id"), col("user_id"),
+          col("click_id").as("last_click_id"))
+        .orderBy(col("purchase_id"))
+    },
+    sql = Some(asofOracleSql),
+    bench = true)
+
+  /** av2's semantics through the operator's SECOND physical plan:
+    * broadcast as-of ([[org.apache.spark.sql.graft.BroadcastAsOfJoinExec]]
+    * — the strategy's small-right-side choice, forced here for a
+    * deterministic gate). The probe side is never shuffled and never
+    * sorted: at 100 TB, a few MB of reference points enrich a petabyte
+    * scan with zero exchange on the fact table. Same oracle as
+    * av1/av2/st20.
+    */
+  val av5AsofBroadcast = Q(
+    "av5_asof_broadcast",
+    (s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("ts").as("p_t_ns"),
+        col("event_id").as("purchase_id"))
+      val clicks = e.filter(col("event_type") === "click").select(
+        col("user_id").as("c_user_id"), col("ts").as("c_t_ns"),
+        col("event_id").as("click_id"))
+      org.apache.spark.sql.graft.AsOfJoinOps.asofJoinBackward(
+          purchases, clicks,
+          Seq(col("user_id")), Seq(col("c_user_id")),
+          col("p_t_ns"), col("c_t_ns"),
+          rightTieBreak = Seq(col("click_id")),
+          broadcast = Some(true))
         .select(col("purchase_id"), col("user_id"),
           col("click_id").as("last_click_id"))
         .orderBy(col("purchase_id"))
@@ -739,7 +773,7 @@ object StreamingQueries {
       ORDER BY query_id, doc_id"""))
 
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
-    av3AsofTolerance, av4AsofForward, st2Sessionize,
+    av3AsofTolerance, av4AsofForward, av5AsofBroadcast, st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,

@@ -55,7 +55,12 @@ case class AsOfJoin(
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
     toleranceUnits: Option[Long],
-    forward: Boolean)
+    forward: Boolean,
+    /** Some(true)=force broadcast, Some(false)=force shuffle-merge,
+      * None=strategy decides from right-side size statistics vs
+      * spark.sql.autoBroadcastJoinThreshold (the SMJ-vs-BHJ rule).
+      */
+    broadcastHint: Option[Boolean])
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -78,14 +83,27 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: the only producer of [[AsOfJoinExec]]. Injected
-  * via `e.injectPlannerStrategy` in [[graft.GraftExtensions]].
+/** Planner strategy — ONE logical operator, TWO physical plans, picked
+  * the way Spark picks SMJ vs BHJ: a small right side broadcasts
+  * ([[BroadcastAsOfJoinExec]]: zero shuffle, zero sort on the probe
+  * side), a large one shuffle-merges ([[AsOfJoinExec]]). Injected via
+  * `e.injectPlannerStrategy` in [[graft.GraftExtensions]].
   */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol,
-        fwd) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol, fwd, hint) =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val broadcast = hint.getOrElse(
+        threshold >= 0 && r.stats.sizeInBytes >= 0 &&
+          r.stats.sizeInBytes <= threshold)
+      if (broadcast) {
+        BroadcastAsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt,
+          tb, tol, fwd) :: Nil
+      } else {
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol,
+          fwd) :: Nil
+      }
     case _ => Nil
   }
 }
@@ -214,6 +232,134 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast as-of join: the small-right-side physical plan. The probe
+  * (left) side is NEVER shuffled and NEVER sorted — it streams through
+  * in place while each task answers point-in-time lookups against a
+  * per-key time-sorted index built from the broadcast rows (O(R log R)
+  * build per task, O(log n) binary search per probe row). At 100 TB
+  * this is the difference between exchanging the whole fact table and
+  * exchanging nothing: the standard quote/dimension case (right side =
+  * a few MB of reference points) enriches a petabyte scan for free,
+  * exactly as BroadcastHashJoin does for equi-joins.
+  *
+  * One sorted array serves BOTH directions: ascending (time, tie-break)
+  * means "rightmost index with time <= t" is the backward answer (max
+  * time, then max tie) and "leftmost index with time >= t" is the
+  * forward answer (min time, then min tie).
+  */
+case class BroadcastAsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    toleranceUnits: Option[Long],
+    forward: Boolean)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
+    org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+      org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode))
+
+  // probe side untouched: its partitioning AND ordering flow through
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val lKeysB = leftKeys
+    val rKeysB = rightKeys
+    val lTimeB = leftTime
+    val rTimeB = rightTime
+    val tieB = rightTieBreak
+    val tol = toleranceUnits
+    val fwd = forward
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val rTimeEval = BindReferences.bindReference(rTimeB, rOut)
+      val tieProj = UnsafeProjection.create(tieB, rOut)
+      val tieOrd =
+        RowOrdering.createNaturalAscendingOrdering(tieB.map(_.dataType))
+      // per-key (time, tie)-ascending arrays from the broadcast rows
+      val index = new java.util.HashMap[InternalRow,
+        scala.collection.mutable.ArrayBuffer[(Long, InternalRow, InternalRow)]]()
+      bcast.value.foreach { rRow =>
+        val k = rKeyProj(rRow)
+        val t = rTimeEval.eval(rRow)
+        if (!k.anyNull && t != null) {
+          var buf = index.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, InternalRow, InternalRow)]
+            index.put(k.copy(), buf)
+          }
+          buf += ((t.asInstanceOf[Long], tieProj(rRow).copy(), rRow))
+        }
+      }
+      val sortedIndex = new java.util.HashMap[InternalRow,
+        (Array[Long], Array[InternalRow])]()
+      val keys = index.keySet().iterator()
+      while (keys.hasNext) {
+        val k = keys.next()
+        val sorted = index.get(k).sortWith { case ((t1, x1, _), (t2, x2, _)) =>
+          t1 < t2 || (t1 == t2 && tieOrd.compare(x1, x2) < 0)
+        }
+        sortedIndex.put(k,
+          (sorted.map(_._1).toArray, sorted.map(_._3).toArray))
+      }
+
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
+      val joiner = UnsafeProjection.create(allOut, lOut ++ rOut)
+      val nullRight = new GenericInternalRow(rOut.length)
+      val joined = new JoinedRow
+
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeVal = lTimeEval.eval(lRow)
+        var hit: InternalRow = null
+        if (!lKey.anyNull && lTimeVal != null) {
+          val entry = sortedIndex.get(lKey)
+          if (entry != null) {
+            val (times, rows) = entry
+            val lTime = lTimeVal.asInstanceOf[Long]
+            // backward: rightmost i with times(i) <= t;
+            // forward:  leftmost  i with times(i) >= t
+            var lo = 0
+            var hi = times.length // search the boundary lo == hi
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              val goRight = if (fwd) times(mid) < lTime else times(mid) <= lTime
+              if (goRight) lo = mid + 1 else hi = mid
+            }
+            val i = if (fwd) lo else lo - 1
+            if (i >= 0 && i < times.length) {
+              val ok = tol.forall(t =>
+                (if (fwd) times(i) - lTime else lTime - times(i)) <= t)
+              if (ok) hit = rows(i)
+            }
+          }
+        }
+        joiner(joined(lRow, if (hit != null) hit else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** DataFrame-level entry point (lives in this package for
   * `Dataset.ofRows`). Columns may be plain `col("name")` — the
   * analyzer's generic reference resolution binds them against the two
@@ -228,6 +374,9 @@ object AsOfJoinOps {
     * @param rightTieBreak deterministic last-wins order among equal
     *        (key, rightTime) rows — REQUIRED to be a total order within
     *        such groups for cluster-reproducible output
+    * @param broadcast Some(true) forces the broadcast plan, Some(false)
+    *        the shuffle-merge plan; None (default) lets the strategy
+    *        pick from right-side size stats (the SMJ-vs-BHJ rule)
     */
   def asofJoinBackward(
       left: DataFrame,
@@ -237,9 +386,10 @@ object AsOfJoinOps {
       leftTime: Column,
       rightTime: Column,
       rightTieBreak: Seq[Column] = Nil,
-      tolerance: Option[Long] = None): DataFrame =
+      tolerance: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame =
     asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      rightTieBreak, tolerance, forward = false)
+      rightTieBreak, tolerance, forward = false, broadcast)
 
   /** Forward as-of LEFT OUTER join: the EARLIEST right row with equal
     * keys and rightTime >= leftTime (within tolerance), ties broken by
@@ -253,9 +403,10 @@ object AsOfJoinOps {
       leftTime: Column,
       rightTime: Column,
       rightTieBreak: Seq[Column] = Nil,
-      tolerance: Option[Long] = None): DataFrame =
+      tolerance: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame =
     asofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      rightTieBreak, tolerance, forward = true)
+      rightTieBreak, tolerance, forward = true, broadcast)
 
   private def asofJoin(
       left: DataFrame,
@@ -266,7 +417,8 @@ object AsOfJoinOps {
       rightTime: Column,
       rightTieBreak: Seq[Column],
       tolerance: Option[Long],
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      broadcast: Option[Boolean]): DataFrame = {
     val classicLeft = left.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     val spark = classicLeft.sparkSession
     val lPlan = classicLeft.queryExecution.analyzed
@@ -294,6 +446,6 @@ object AsOfJoinOps {
     org.apache.spark.sql.classic.Dataset.ofRows(spark, AsOfJoin(lPlan, rPlan,
       leftKeys.map(resolve(left, _)), rightKeys.map(resolve(right, _)),
       resolve(left, leftTime), resolve(right, rightTime),
-      rightTieBreak.map(resolve(right, _)), tolerance, forward))
+      rightTieBreak.map(resolve(right, _)), tolerance, forward, broadcast))
   }
 }

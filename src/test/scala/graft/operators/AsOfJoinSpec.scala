@@ -34,11 +34,14 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     (left, right)
   }
 
+  // semantic tests drive the shuffle-MERGE plan (broadcast=false); the
+  // broadcast plan is proven equal in its own test below
   private def run(left: DataFrame, right: DataFrame,
       tol: Option[Long] = None): Map[(Long, Long), Option[String]] =
     AsOfJoinOps.asofJoinBackward(left, right,
         Seq(col("k")), Seq(col("rk")), col("t"), col("rt"),
-        rightTieBreak = Seq(col("rtag")), tolerance = tol)
+        rightTieBreak = Seq(col("rtag")), tolerance = tol,
+        broadcast = Some(false))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         Option(r.getAs[String]("rtag"))).toMap
@@ -104,7 +107,8 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       tol: Option[Long] = None): Map[(Long, Long), Option[String]] =
     AsOfJoinOps.asofJoinForward(left, right,
         Seq(col("k")), Seq(col("rk")), col("t"), col("rt"),
-        rightTieBreak = Seq(col("rtag")), tolerance = tol)
+        rightTieBreak = Seq(col("rtag")), tolerance = tol,
+        broadcast = Some(false))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         Option(r.getAs[String]("rtag"))).toMap
@@ -135,10 +139,82 @@ class AsOfJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(runFwd(one, dup) === Map((1L, 9L) -> Some("dup-a")))
   }
 
+  test("broadcast plan: identical results to the merge plan on every " +
+      "fixture (both directions, with and without tolerance)") {
+    val (l, r) = fixtures
+    def both(f: Option[Boolean] => Map[(Long, Long), Option[String]])
+        : Unit = assert(f(Some(true)) === f(Some(false)))
+    both(b => AsOfJoinOps.asofJoinBackward(l, r, Seq(col("k")),
+      Seq(col("rk")), col("t"), col("rt"), Seq(col("rtag")), None, b)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        Option(x.getAs[String]("rtag"))).toMap)
+    both(b => AsOfJoinOps.asofJoinBackward(l, r, Seq(col("k")),
+      Seq(col("rk")), col("t"), col("rt"), Seq(col("rtag")), Some(5L), b)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        Option(x.getAs[String]("rtag"))).toMap)
+    both(b => AsOfJoinOps.asofJoinForward(l, r, Seq(col("k")),
+      Seq(col("rk")), col("t"), col("rt"), Seq(col("rtag")), None, b)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        Option(x.getAs[String]("rtag"))).toMap)
+  }
+
+  test("broadcast plan contract: BroadcastAsOfJoinExec, broadcast " +
+      "exchange on the right, ZERO shuffle and ZERO sort on the probe") {
+    val (l, r) = fixtures
+    val df = AsOfJoinOps.asofJoinBackward(l, r,
+      Seq(col("k")), Seq(col("rk")), col("t"), col("rt"),
+      broadcast = Some(true))
+    df.count()
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = finalPlan(df.queryExecution.executedPlan)
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    import org.apache.spark.sql.graft.BroadcastAsOfJoinExec
+    assert(plan.collect { case e: BroadcastAsOfJoinExec => e }.nonEmpty,
+      s"expected the broadcast operator:\n$plan")
+    assert(plan.collect { case e: BroadcastExchangeLike => e }.nonEmpty,
+      s"right side must broadcast:\n$plan")
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"the probe side must not shuffle:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      s"the probe side must not sort:\n$plan")
+  }
+
+  test("strategy auto-picks broadcast for a small right side and " +
+      "merge when broadcasting is disabled") {
+    val (l, r) = fixtures
+    import org.apache.spark.sql.graft.BroadcastAsOfJoinExec
+    def finalPlan(df: DataFrame): SparkPlan = {
+      df.count()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+    }
+    val auto = AsOfJoinOps.asofJoinBackward(l, r,
+      Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
+    assert(finalPlan(auto).collect {
+      case e: BroadcastAsOfJoinExec => e }.nonEmpty,
+      "tiny right side should auto-broadcast")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merge = AsOfJoinOps.asofJoinBackward(l, r,
+        Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
+      assert(finalPlan(merge).collect {
+        case e: AsOfJoinExec => e }.nonEmpty,
+        "threshold -1 must fall back to the shuffle-merge plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("plan contract: AsOfJoinExec, no window, one exchange per side") {
     val (l, r) = fixtures
     val df = AsOfJoinOps.asofJoinBackward(l, r,
-      Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
+      Seq(col("k")), Seq(col("rk")), col("t"), col("rt"),
+      broadcast = Some(false))
     df.count()
     def finalPlan(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan

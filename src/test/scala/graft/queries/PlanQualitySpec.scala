@@ -1129,4 +1129,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles.size <= 3,
       s"expected ≤3 exchanges, got ${shuffles.size}:\n$plan")
   }
+
+  test("av5: the broadcast as-of never shuffles or sorts the probe " +
+      "side — one broadcast exchange, and the only shuffle/sort pair " +
+      "is the final presentation ORDER BY") {
+    val plan = executedPlan("av5_asof_broadcast")
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.graft.BroadcastAsOfJoinExec
+    assert(plan.collect { case e: BroadcastAsOfJoinExec => e }.nonEmpty,
+      s"expected the broadcast as-of operator:\n$plan")
+    assert(plan.collect { case e: BroadcastExchangeLike => e }.nonEmpty,
+      s"the click side must broadcast:\n$plan")
+    assert(plan.collect { case e: ShuffleExchangeLike => e }.size <= 1,
+      s"only the ORDER BY may shuffle:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.size <= 1,
+      s"only the ORDER BY may sort:\n$plan")
+  }
 }
