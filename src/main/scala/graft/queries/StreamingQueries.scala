@@ -551,6 +551,37 @@ object StreamingQueries {
       WHERE c.n_term * 30 > n.n_total
       ORDER BY c.n_term DESC, c.term"""))
 
+  /** Streaming KMV distinct (st21): q30's sketch kernel running in
+    * streaming aggregation STATE — daily distinct-user estimates
+    * maintained incrementally, O(k) state per day. Same estimator
+    * definition as the oracle recomputes from raw data, proving the
+    * kernel is arrival-order independent (set semantics) across
+    * micro-batches.
+    */
+  val st21KmvDistinct = Q(
+    "st21_stream_kmv_distinct",
+    (s, d) => graft.streaming.EventsStreaming.kmvDistinctStream(s, d),
+    sql = Some("""
+      WITH e AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+               CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 13))
+                 AS BIGINT) AS h
+        FROM events),
+      dv AS (SELECT DISTINCT d, h FROM e),
+      r AS (
+        SELECT d, h,
+               row_number() OVER (PARTITION BY d ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY d) AS nd
+        FROM dv)
+      SELECT d,
+             CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+                  ELSE CAST(FLOOR(CAST(63 AS DOUBLE)
+                         * 4503599627370496.0
+                         / CAST(MAX(CASE WHEN rn = 64 THEN h END)
+                                AS DOUBLE)) AS BIGINT)
+             END AS est_users
+      FROM r GROUP BY d ORDER BY d"""))
+
   /** Online repeated-span census (st14) — tx34's cross-document
     * window detection at ingestion time
     * ([[graft.streaming.DocumentsStreaming.spanCensusStream]]). The
@@ -778,5 +809,6 @@ object StreamingQueries {
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
-    st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich)
+    st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
+    st21KmvDistinct)
 }

@@ -873,6 +873,41 @@ object EventsStreaming {
     finally q.stop()
   }
 
+  /** st21: daily distinct-user estimates maintained in STREAMING
+    * aggregation state by the same KMV sketch kernel q30 stores in
+    * parquet — one code path, three lifecycles (batch agg, stored
+    * column, streaming state). Sketch content is set-semantic, so the
+    * final estimates are independent of slice arrival order, and the
+    * state per day is O(k) regardless of event volume — the streaming
+    * distinct-count shape that never holds a per-user set.
+    */
+  def kmvDistinctStream(spark: SparkSession, dir: String,
+      slices: Int = 4, k: Int = 64): DataFrame = {
+    val batch = graft.queries.Tables.events(spark, dir)
+    val staged = stageTimeSlices(batch, slices, trailer = false)
+    val agg = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .select(expr("ts DIV 86400000000000").as("d"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13),
+          16, 10).cast("long").as("uh"))
+      .groupBy(col("d"))
+      .agg(graft.functions.VectorFunctions.kmv_sketch(col("uh"), k)
+        .as("sk"))
+      .select(col("d"),
+        graft.functions.VectorFunctions.kmv_estimate(col("sk"))
+          .as("est_users"))
+    val name = s"graft_st_kmv_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("d"))
+  }
+
   def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long,
       watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
