@@ -2350,6 +2350,86 @@ object TextQueries {
             END > 0
       ORDER BY doc_id"""))
 
+  /** Dataset card (tx40): the one-row corpus summary a training run
+    * records next to its data — sizes, vocabulary-bearing token mass,
+    * duplication, language spread, short-doc fraction — in ONE pass
+    * over the corpus (single scan; the two exact count-distincts share
+    * Spark's expand-based multi-distinct aggregation). Alongside the
+    * exact unique-text count, the card carries the KMV ESTIMATE of the
+    * same quantity: at 100 TB the exact distinct is the one field that
+    * stops scaling (a full text shuffle), and the sketch column is the
+    * drop-in replacement — shipping both, oracle-checked, documents
+    * that the estimator is trustworthy where it matters.
+    */
+  val tx40DatasetCard = Q(
+    "tx40_dataset_card",
+    (s, d) => {
+      val nt = size(split(trim(col("text")), "\\s+")).cast("long")
+      documents(s, d)
+        .select(col("lang"), col("text"), nt.as("nt"),
+          length(col("text")).cast("long").as("nc"),
+          conv(substring(md5(col("text")), 1, 13), 16, 10)
+            .cast("long").as("th"))
+        .agg(
+          cnt.as("n_docs"),
+          sum(col("nt")).as("n_tokens_total"),
+          sum(col("nc")).as("n_chars_total"),
+          countDistinct(col("text")).as("n_unique_texts"),
+          graft.functions.VectorFunctions.kmv_sketch(col("th"), 64)
+            .as("sk"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("nt") < lit(10L), 1L).otherwise(0L))
+            .as("n_short_docs"),
+          min(col("nt")).as("min_tokens"),
+          max(col("nt")).as("max_tokens"))
+        .select(col("n_docs"), col("n_tokens_total"), col("n_chars_total"),
+          col("n_unique_texts"),
+          graft.functions.VectorFunctions.kmv_estimate(col("sk"))
+            .as("est_unique_texts"),
+          col("n_langs"), col("n_short_docs"),
+          col("min_tokens"), col("max_tokens"),
+          expr("(n_docs - n_unique_texts) * 1000000 DIV n_docs")
+            .as("dup_ppm"))
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT lang, text,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS nt,
+               CAST(length(text) AS BIGINT) AS nc,
+               CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) AS th
+        FROM documents),
+      card AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens_total,
+               CAST(SUM(nc) AS BIGINT) AS n_chars_total,
+               COUNT(DISTINCT text) AS n_unique_texts,
+               COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM(CASE WHEN nt < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_short_docs,
+               MIN(nt) AS min_tokens,
+               MAX(nt) AS max_tokens
+        FROM e),
+      dh AS (SELECT DISTINCT th FROM e),
+      r AS (
+        SELECT th, row_number() OVER (ORDER BY th) AS rn,
+               COUNT(*) OVER () AS nd
+        FROM dh),
+      est AS (
+        SELECT CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+                    ELSE CAST(FLOOR(CAST(63 AS DOUBLE)
+                           * 4503599627370496.0
+                           / CAST(MAX(CASE WHEN rn = 64 THEN th END)
+                                  AS DOUBLE)) AS BIGINT)
+               END AS est_unique_texts
+        FROM r)
+      SELECT c.n_docs, c.n_tokens_total, c.n_chars_total,
+             c.n_unique_texts, est.est_unique_texts, c.n_langs,
+             c.n_short_docs, c.min_tokens, c.max_tokens,
+             (c.n_docs - c.n_unique_texts) * 1000000 // c.n_docs
+               AS dup_ppm
+      FROM card c CROSS JOIN est"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -2360,5 +2440,6 @@ object TextQueries {
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
     dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup,
     dq4SkewReport, dq5ColumnProfile, dq6DriftReport, tx35Shuffle,
-    tx36TrainingSet, tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch)
+    tx36TrainingSet, tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch,
+    tx40DatasetCard)
 }
