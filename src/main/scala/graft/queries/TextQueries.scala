@@ -2060,6 +2060,56 @@ object TextQueries {
     * conditional agg — kept as two for snapshot stores that live in
     * different locations), then tiny-side work only.
     */
+  /** Outlier audit (dq7): per event type, how many values fail the 3σ
+    * test — entirely in EXACT integer arithmetic. (x−μ)² > 9σ² is
+    * cleared of divisions by multiplying through by n²:
+    * (n·x − S)² > 9·(n·Q − S²) with S=Σx, Q=Σx² over exact cents.
+    * The intermediates reach ~10²³, so both engines compute in their
+    * exact 128-bit-capable integer types (Spark DECIMAL(38,0), DuckDB
+    * HUGEINT) — the BOOLEAN is what crosses the engine boundary, and
+    * exact integers make it bit-identical; a float σ would make the
+    * boundary rows engine-dependent. Two passes over one scan shape:
+    * tiny per-type moment table broadcast back onto the stream — at
+    * 100 TB the moments are a map-side aggregate and the outlier pass
+    * is scan-local.
+    */
+  val dq7OutlierReport = Q(
+    "dq7_outlier_report",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("x"))
+      val moments = e.groupBy(col("event_type")).agg(
+        cnt.as("n"),
+        expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))").as("s"),
+        expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
+          .as("q"))
+      e.join(broadcast(moments), Seq("event_type"))
+        .withColumn("dev", expr("CAST(n AS DECIMAL(38,0)) * x - s"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          sum(when(expr(
+            "dev * dev > 9 * (CAST(n AS DECIMAL(38,0)) * q - s * s)"),
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events),
+      st AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s,
+               SUM(CAST(x AS HUGEINT) * x) AS q
+        FROM e GROUP BY 1)
+      SELECT e.event_type, MAX(st.n) AS n_events,
+             CAST(SUM(CASE WHEN
+                 (CAST(st.n AS HUGEINT) * e.x - st.s)
+               * (CAST(st.n AS HUGEINT) * e.x - st.s)
+               > 9 * (CAST(st.n AS HUGEINT) * st.q - st.s * st.s)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM e JOIN st USING (event_type)
+      GROUP BY 1 ORDER BY 1"""))
+
   val dq6DriftReport = Q(
     "dq6_drift_report",
     (s, d) => {
@@ -2439,7 +2489,8 @@ object TextQueries {
     tx28BigramLm, tx29ChangelogApply, tx30IncrementalAgg,
     tx31WeightedSample, q32HeavyHitters, tx33PerplexityFilter,
     dq1ConstraintReport, dq2KAnonymity, dq3FkOrphans, tx34SubstringDedup,
-    dq4SkewReport, dq5ColumnProfile, dq6DriftReport, tx35Shuffle,
+    dq4SkewReport, dq5ColumnProfile, dq6DriftReport, dq7OutlierReport,
+    tx35Shuffle,
     tx36TrainingSet, tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch,
     tx40DatasetCard)
 }
