@@ -427,7 +427,72 @@ object MultimodalQueries {
       FROM dd
       ORDER BY media_id"""))
 
+  /** Perceptual retrieval (md9): for each probe asset, the single
+    * nearest neighbor by Hamming distance over the 60-bit phash —
+    * "find the closest-looking asset". Probes broadcast onto the
+    * fingerprint scan (hamming is scan-local `bit_count(xor)`), the
+    * winner is a hash-aggregate `min(struct(ham, id))` — no pair
+    * explosion, no sort: at corpus scale this is k probes × one scan,
+    * the brute-force-exact baseline md4's banded index approximates.
+    */
+  val md9PhashTop1 = Q(
+    "md9_phash_top1",
+    (s, d) => {
+      val media = MultimodalOps.mediaFromDocuments(s, d).toDF()
+      val fps = media.select(col("media_id"),
+        graft.functions.VectorFunctions.phash_fingerprint(col("content"))
+          .as("fp"))
+      val probes = fps.filter(col("media_id") < 5).select(
+        col("media_id").as("q_id"), col("fp").as("q_fp"))
+      fps.join(broadcast(probes), col("media_id") =!= col("q_id"))
+        .select(col("q_id"), col("media_id"),
+          expr("CAST(bit_count(q_fp ^ fp) AS BIGINT)").as("ham"))
+        .groupBy(col("q_id"))
+        .agg(min(struct(col("ham"), col("media_id"))).as("best"))
+        .select(col("q_id"), col("best.media_id").as("nn_id"),
+          col("best.ham").as("hamming"))
+        .orderBy(col("q_id"))
+    },
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      bytes AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), i ->
+                 (strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1))
+                 AS bv
+        FROM m),
+      fp AS (
+        SELECT media_id,
+               CAST(COALESCE(list_sum(list_transform(range(0, 60), b ->
+                 CASE WHEN ((b+1)*n//60 - b*n//60) > 0
+                       AND COALESCE(list_sum(
+                             bv[CAST(b*n//60 + 1 AS INT)
+                                : CAST((b+1)*n//60 AS INT)]), 0) * n
+                           > COALESCE(list_sum(bv), 0)
+                             * ((b+1)*n//60 - b*n//60)
+                      THEN 1::BIGINT << CAST(b AS INT) ELSE 0::BIGINT
+                 END)), 0) AS BIGINT) AS fp
+        FROM bytes),
+      probes AS (
+        SELECT media_id AS q_id, fp AS q_fp FROM fp WHERE media_id < 5),
+      scored AS (
+        SELECT p.q_id, f.media_id,
+               CAST(bit_count(xor(p.q_fp, f.fp)) AS BIGINT) AS ham
+        FROM probes p JOIN fp f ON f.media_id <> p.q_id),
+      rk AS (
+        SELECT q_id, media_id, ham,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY ham, media_id) AS rn
+        FROM scored)
+      SELECT q_id, media_id AS nn_id, ham AS hamming
+      FROM rk WHERE rn = 1
+      ORDER BY q_id"""))
+
   val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample,
     md4PhashNearDup, md5FrameNearDup, md6AudioEnergy, md7ImageResize,
-    md8SceneChange)
+    md8SceneChange, md9PhashTop1)
 }
