@@ -221,6 +221,60 @@ object StreamingQueries {
         ON c.user_id = p.user_id AND p.ts >= c.ts
       ORDER BY click_id"""))
 
+  /** Build-once sorted-bucketed click/purchase tables for av6: both
+    * sides bucketed on the join key with the same bucket count and
+    * sorted by (key, time, id) within buckets — the standing-store
+    * layout that lets the as-of operator run with NO exchange at all.
+    */
+  private def ensureAsOfStore(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = synchronized {
+    val hex = Integer.toHexString(d.hashCode)
+    val (tp, tc) = (s"av6_purchases_$hex", s"av6_clicks_$hex")
+    if (!s.catalog.tableExists(tp)) {
+      val e = events(s, d)
+      def loc() = java.nio.file.Files.createTempDirectory("graft_av6").toString
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_t_ns"),
+          col("event_id").as("purchase_id"))
+        .repartition(col("user_id")) // one file per bucket → sorted scans
+        .write.bucketBy(8, "user_id").sortBy("user_id", "p_t_ns")
+        .option("path", loc()).saveAsTable(tp)
+      e.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("c_t_ns"),
+          col("event_id").as("click_id"))
+        .repartition(col("c_user_id"))
+        .write.bucketBy(8, "c_user_id").sortBy("c_user_id", "c_t_ns")
+        .option("path", loc()).saveAsTable(tc)
+    }
+    (tp, tc)
+  }
+
+  /** av6: the custom as-of operator over STANDING sorted-bucketed
+    * tables — both sides' bucketing satisfies the operator's clustering
+    * requirement straight off disk, so the join runs with ZERO
+    * exchanges (plan-gated; the only shuffle in the query is the
+    * presentation ORDER BY). This is the production shape for a
+    * standing point-in-time store: write once bucketed by key, answer
+    * as-of queries forever without moving either table.
+    */
+  val av6AsofBucketed = Q(
+    "av6_asof_bucketed",
+    (s, d) => {
+      val (tp, tc) = ensureAsOfStore(s, d)
+      val purchases = s.table(tp)
+      val clicks = s.table(tc)
+      org.apache.spark.sql.graft.AsOfJoinOps.asofJoinBackward(
+          purchases, clicks,
+          Seq(col("user_id")), Seq(col("c_user_id")),
+          col("p_t_ns"), col("c_t_ns"),
+          rightTieBreak = Seq(col("click_id")),
+          broadcast = Some(false))
+        .select(col("purchase_id"), col("user_id"),
+          col("click_id").as("last_click_id"))
+        .orderBy(col("purchase_id"))
+    },
+    sql = Some(asofOracleSql))
+
   /** Streaming as-of enrichment over the deterministic replay harness:
     * purchases answered from O(1)-per-user "latest click" keyed state
     * as they stream in. Third independent formulation of the same
@@ -804,7 +858,8 @@ object StreamingQueries {
       ORDER BY query_id, doc_id"""))
 
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
-    av3AsofTolerance, av4AsofForward, av5AsofBroadcast, st2Sessionize,
+    av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
+    st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,

@@ -1130,6 +1130,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected ≤3 exchanges, got ${shuffles.size}:\n$plan")
   }
 
+  test("av6: the as-of over the sorted-bucketed store runs with ZERO " +
+      "hash exchanges — bucketing satisfies the operator's clustering " +
+      "requirement straight off disk") {
+    val plan = executedPlan("av6_asof_bucketed")
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.graft.AsOfJoinExec
+    assert(plan.collect { case e: AsOfJoinExec => e }.nonEmpty,
+      s"expected the merge as-of operator:\n$plan")
+    val hashShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    assert(hashShuffles.isEmpty,
+      s"the bucketed store must satisfy clustering with no exchange:\n$plan")
+  }
+
   test("av5: the broadcast as-of never shuffles or sorts the probe " +
       "side — one broadcast exchange, and the only shuffle/sort pair " +
       "is the final presentation ORDER BY") {
