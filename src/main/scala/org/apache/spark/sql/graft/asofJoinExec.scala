@@ -173,7 +173,11 @@ case class AsOfJoinExec(
       val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
       val rTimeEval = BindReferences.bindReference(rTimeB, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val joiner = UnsafeProjection.create(allOut, lOut ++ rOut)
+      // bind against NULLABLE right attrs: an unmatched left row pairs
+      // with an all-null placeholder, and a non-nullable input binding
+      // would skip the null check and read garbage zeros instead
+      val joiner = UnsafeProjection.create(allOut,
+        lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
       val buffered = rIter.buffered
@@ -320,7 +324,11 @@ case class BroadcastAsOfJoinExec(
 
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
       val lTimeEval = BindReferences.bindReference(lTimeB, lOut)
-      val joiner = UnsafeProjection.create(allOut, lOut ++ rOut)
+      // bind against NULLABLE right attrs: an unmatched left row pairs
+      // with an all-null placeholder, and a non-nullable input binding
+      // would skip the null check and read garbage zeros instead
+      val joiner = UnsafeProjection.create(allOut,
+        lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
 
