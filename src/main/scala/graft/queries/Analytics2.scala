@@ -689,11 +689,82 @@ object Analytics2 {
              MAX(g.n_sketches) AS n_sketches
       FROM r JOIN g ON r.l_returnflag = g.l_returnflag
       GROUP BY r.l_returnflag
-      ORDER BY r.l_returnflag"""))
+      ORDER BY r.l_returnflag"""),
+    bench = true)
+
+  /** Incremental sketch-store maintenance (q31): a standing store of
+    * per-event-type distinct-user sketches built from the corpus
+    * through January 20 is brought up to date by merging ONLY the
+    * delta days' sketches into the stored bytes — the delta is the
+    * only raw data scanned at maintenance time. The oracle computes
+    * the estimator over the FULL range from scratch, so the compare
+    * proves fold(stored, delta) == rebuild exactly (KMV merge is
+    * associative over row partitions — the property that makes a
+    * standing sketch store maintainable at all).
+    */
+  private def ensureKmvBaseStore(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"q31_kmv_base_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t)) {
+      val loc = java.nio.file.Files.createTempDirectory("graft_kmv31").toString
+      Tables.events(s, d)
+        .filter(expr("ts DIV 86400000000000") < lit(19742L)) // < Jan 20 '24
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long").as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.VectorFunctions.kmv_sketch(col("h"), 64)
+          .as("sk"))
+        .write.option("path", loc).saveAsTable(t)
+    }
+    t
+  }
+
+  val q31KmvIncremental = Q(
+    "q31_kmv_incremental",
+    (s, d) => {
+      val base = s.table(ensureKmvBaseStore(s, d))
+      val delta = Tables.events(s, d)
+        .filter(expr("ts DIV 86400000000000") >= lit(19742L))
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long").as("h"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.VectorFunctions.kmv_sketch(col("h"), 64)
+          .as("sk"))
+      base.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.VectorFunctions.kmv_merge(col("sk")).as("sk"))
+        .select(col("event_type"),
+          graft.functions.VectorFunctions.kmv_estimate(col("sk"))
+            .as("est_users"))
+        .orderBy(col("event_type"))
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 13))
+                 AS BIGINT) AS h
+        FROM events),
+      dv AS (SELECT DISTINCT event_type, h FROM e),
+      r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM dv)
+      SELECT event_type,
+             CASE WHEN MAX(nd) < 64 THEN MAX(nd)
+                  ELSE CAST(FLOOR(CAST(63 AS DOUBLE)
+                         * 4503599627370496.0
+                         / CAST(MAX(CASE WHEN rn = 64 THEN h END)
+                                AS DOUBLE)) AS BIGINT)
+             END AS est_users
+      FROM r GROUP BY event_type ORDER BY event_type"""))
 
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
     q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot, q29Histogram,
-    q30KmvStored)
+    q30KmvStored, q31KmvIncremental)
 }

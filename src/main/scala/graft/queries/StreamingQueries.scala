@@ -273,7 +273,8 @@ object StreamingQueries {
           col("click_id").as("last_click_id"))
         .orderBy(col("purchase_id"))
     },
-    sql = Some(asofOracleSql))
+    sql = Some(asofOracleSql),
+    bench = true)
 
   /** Streaming as-of enrichment over the deterministic replay harness:
     * purchases answered from O(1)-per-user "latest click" keyed state
