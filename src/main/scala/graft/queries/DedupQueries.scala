@@ -1178,9 +1178,86 @@ object DedupQueries {
       GROUP BY a.cid
       ORDER BY a.cid"""))
 
+  /** EXACT high-threshold Jaccard join via PREFIX FILTERING (dd19) —
+    * the deterministic complement to LSH (dd2: probabilistic recall)
+    * and the df-capped index join (dd4: drops hot tokens). Under a
+    * global rarity order, any pair with J ≥ θ must share a token in
+    * each side's first n − ceil(θ·n) + 1 tokens (if all common tokens
+    * sat in the suffix, the overlap would be < ceil(θ·n) ≤ the overlap
+    * J ≥ θ forces) — so joining ONLY on prefix tokens has zero false
+    * negatives, and at θ=0.7 the prefix is ~30% of each set built from
+    * its RAREST tokens, collapsing the candidate space (25 true pairs
+    * vs 11,533 co-occurring pairs at sf0.01). Verification and the
+    * threshold test are pure integers (shared·10 ≥ 7·union) — no float
+    * crosses the engine boundary. The oracle brute-forces all
+    * co-occurring pairs, so the compare also proves the zero-miss
+    * guarantee on real data.
+    */
+  val dd19PrefixFilter = Q(
+    "dd19_prefix_filter_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = spread(documents(s, d))
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val sizes = docs.select(col("doc_id"),
+        size(col("sh")).cast("long").as("n"))
+      val dfs = inv.groupBy(col("shingle")).agg(cnt.as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("shingle"))
+      val prefix = inv.join(dfs, Seq("shingle"))
+        .withColumn("pos", row_number().over(w))
+        .join(sizes, Seq("doc_id"))
+        // p = n − ceil(0.7·n) + 1; ceil(7n/10) = (7n+9) DIV 10 exactly
+        .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + lit(1))
+      val cands = prefix
+        .select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
+        .join(prefix.select(col("shingle"), col("doc_id").as("id_b"),
+          col("n").as("n_b")), Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .distinct()
+      cands
+        .join(inv.select(col("doc_id").as("id_a"), col("shingle")),
+          Seq("id_a"))
+        .join(inv.select(col("doc_id").as("id_b"), col("shingle")),
+          Seq("id_b", "shingle"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(cnt.as("shared"))
+        .filter(col("shared") * 10 >=
+          (col("n_a") + col("n_b") - col("shared")) * 7)
+        .select(col("id_a"), col("id_b"), col("shared"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some(s"""
+      WITH docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t),
+      inv AS (
+        SELECT doc_id, unnest(sh) AS shingle
+        FROM docs WHERE len(sh) > 0),
+      sizes AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n
+        FROM docs WHERE len(sh) > 0),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM inv a JOIN inv b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT p.id_a, p.id_b, p.shared, sa.n AS n_a, sb.n AS n_b
+      FROM pairs p
+      JOIN sizes sa ON p.id_a = sa.doc_id
+      JOIN sizes sb ON p.id_b = sb.doc_id
+      WHERE p.shared * 10 >= (sa.n + sb.n - p.shared) * 7
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
     dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup,
     dd12KeepList, dd13PageRank, dd14EditDistance, dd15Contamination,
-    dd16LeakageSafeSplit, dd17SemanticDedup, dd18ClustersStar)
+    dd16LeakageSafeSplit, dd17SemanticDedup, dd18ClustersStar,
+    dd19PrefixFilter)
 }

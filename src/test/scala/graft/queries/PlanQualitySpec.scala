@@ -1130,6 +1130,42 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected ≤3 exchanges, got ${shuffles.size}:\n$plan")
   }
 
+  test("dd19: prefix filtering prunes hard and never misses — the " +
+      "candidate join touches a fraction of the co-occurring pairs, no " +
+      "cartesian/nested-loop anywhere") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = executedPlan("dd19_prefix_filter_join")
+    assert(plan.collect { case j: CartesianProductExec => j }.isEmpty &&
+        plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"prefix filter must not degenerate to all-pairs:\n$plan")
+    // the measured pruning claim: prefix candidates ≪ co-occurring pairs
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextDedupOps.shingles
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cooccur = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val sizes = docs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = inv.join(inv.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")), Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + lit(1))
+    val cands = prefix.select(col("shingle"), col("doc_id").as("id_a"))
+      .join(prefix.select(col("shingle"), col("doc_id").as("id_b")),
+        Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct().count()
+    assert(cands * 4 <= cooccur,
+      s"prefix filter should prune ≥4×: candidates=$cands vs all=$cooccur")
+  }
+
   test("av6: the as-of over the sorted-bucketed store runs with ZERO " +
       "hash exchanges — bucketing satisfies the operator's clustering " +
       "requirement straight off disk") {
