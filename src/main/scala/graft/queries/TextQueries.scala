@@ -2082,7 +2082,22 @@ object TextQueries {
         cnt.as("n"),
         expr("CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))").as("s"),
         expr("CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0))")
-          .as("q"))
+          .as("q"),
+        max(abs(col("x"))).as("mx"))
+        // Overflow guard: DECIMAL(38,0) products silently NULL on
+        // overflow in non-ANSI mode, which would make the 3σ predicate
+        // false and UNDERCOUNT outliers. The largest intermediates are
+        // dev² ≤ (2·n·mx)² and 9·(n·q − s²) ≤ 18·(n·mx)², both within
+        // 38 digits iff n·mx ≤ 2e18 — assert that loudly per group.
+        // (assert_true returns NULL on success, so the filter keeps
+        // every row and cannot be pruned out of the plan.)
+        .filter(expr(
+          """assert_true(CAST(n AS DECIMAL(38,0)) * mx
+            |  <= CAST(2000000000000000000 AS DECIMAL(38,0)),
+            |  'dq7: n*max|x| exceeds exact DECIMAL(38,0) 3-sigma range; '
+            |  || 'shard the scan or widen the arithmetic') IS NULL"""
+            .stripMargin))
+        .drop("mx")
       e.join(broadcast(moments), Seq("event_type"))
         .withColumn("dev", expr("CAST(n AS DECIMAL(38,0)) * x - s"))
         .groupBy(col("event_type"))

@@ -38,6 +38,8 @@ final class KmvBuffer(var k: Int) {
   val mins = new java.util.TreeSet[java.lang.Long]()
 
   def add(h: Long): Unit = {
+    require(k > 0, "kmv add: buffer has no adopted width yet (k == 0); " +
+      "merge a sized sketch in first")
     if (mins.size < k) { mins.add(h); () }
     else if (h < mins.last()) {
       if (mins.add(h)) { mins.pollLast(); () }
