@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // whole-operator extension: backward as-of join planned as a
     // co-partitioned co-sorted O(n+m) merge walk (asofJoinExec.scala)
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
+    // SQL-syntax surface for the same operator: `A ASOF [LEFT] JOIN B
+    // ON k = k AND t <= t` — a delegating parser rewrites the dialect
+    // into a marked stock LEFT JOIN, and a resolution rule converts the
+    // marked Join into the AsOfJoin logical node (asofSqlSurface.scala)
+    e.injectParser((_, delegate) =>
+      new org.apache.spark.sql.graft.GraftSqlParser(delegate))
+    e.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveAsOfJoin)
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)
     e.injectFunction((FunctionIdentifier("array_dot"), info("array_dot"),
@@ -79,5 +86,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_estimate"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.graft.KmvEstimate(es.head)))
+    // internal markers the ASOF parser rewrite emits around the ON
+    // condition; consumed by ResolveAsOfJoin during analysis
+    e.injectFunction((FunctionIdentifier("_graft_asof"),
+      info("_graft_asof"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.AsOfMarker(es.head, inner = false)))
+    e.injectFunction((FunctionIdentifier("_graft_asof_inner"),
+      info("_graft_asof_inner"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.AsOfMarker(es.head, inner = true)))
   }
 }

@@ -236,14 +236,19 @@ object StreamingQueries {
       e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_t_ns"),
           col("event_id").as("purchase_id"))
-        .repartition(col("user_id")) // one file per bucket → sorted scans
-        .write.bucketBy(8, "user_id").sortBy("user_id", "p_t_ns")
+        // 8 partitions == 8 buckets (same Murmur3 hash) → exactly one
+        // file per bucket, which is the condition under which the
+        // bucketed scan reports sorted output; sortBy carries the id
+        // tie-break so the scan ordering satisfies the as-of operator's
+        // requiredChildOrdering directly (no per-partition SortExec).
+        .repartition(8, col("user_id"))
+        .write.bucketBy(8, "user_id").sortBy("user_id", "p_t_ns", "purchase_id")
         .option("path", loc()).saveAsTable(tp)
       e.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user_id"), col("ts").as("c_t_ns"),
           col("event_id").as("click_id"))
-        .repartition(col("c_user_id"))
-        .write.bucketBy(8, "c_user_id").sortBy("c_user_id", "c_t_ns")
+        .repartition(8, col("c_user_id"))
+        .write.bucketBy(8, "c_user_id").sortBy("c_user_id", "c_t_ns", "click_id")
         .option("path", loc()).saveAsTable(tc)
     }
     (tp, tc)
@@ -275,6 +280,63 @@ object StreamingQueries {
     },
     sql = Some(asofOracleSql),
     bench = true)
+
+  /** The as-of join through pure SQL TEXT (av7): `spark.sql("... ASOF
+    * LEFT JOIN ... ON k = k AND t <= t")` — the parser extension
+    * ([[org.apache.spark.sql.graft.GraftSqlParser]]) rewrites the
+    * dialect and [[org.apache.spark.sql.graft.ResolveAsOfJoin]] lands
+    * it on the SAME AsOfJoin operator as av2/av5/av6 (plan-gated in
+    * PlanQualitySpec). Same DuckDB ASOF LEFT JOIN oracle as the whole
+    * family, so the SQL path is cross-checked against three other
+    * formulations. DuckDB itself runs this syntax natively — SQL users
+    * of the oracle engine can now run the same text here.
+    */
+  val av7AsofSql = Q(
+    "av7_asof_sql",
+    (s, d) => {
+      events(s, d).createOrReplaceTempView("graft_asof_events")
+      s.sql("""
+        SELECT p.purchase_id, p.user_id, c.click_id AS last_click_id
+        FROM (SELECT user_id, ts AS p_t_ns, event_id AS purchase_id
+                FROM graft_asof_events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT user_id AS c_user_id, ts AS c_t_ns,
+                     event_id AS click_id
+                FROM graft_asof_events WHERE event_type = 'click') c
+          ON p.user_id = c.c_user_id AND p.p_t_ns >= c.c_t_ns
+        ORDER BY p.purchase_id""")
+    },
+    sql = Some(asofOracleSql))
+
+  /** INNER as-of through SQL (av8): plain `ASOF JOIN` drops purchases
+    * with no prior click instead of null-padding them — DuckDB's
+    * default ASOF semantics, realized here as the left-outer operator
+    * plus a matched-only filter (a matched row always carries a
+    * non-null right time). Forward-direction spelled `c.t <= p.t` from
+    * the right side, exercising the operand-order normalization.
+    */
+  val av8AsofSqlInner = Q(
+    "av8_asof_sql_inner",
+    (s, d) => {
+      events(s, d).createOrReplaceTempView("graft_asof_events")
+      s.sql("""
+        SELECT p.purchase_id, p.user_id, c.click_id AS last_click_id
+        FROM (SELECT user_id, ts AS p_t_ns, event_id AS purchase_id
+                FROM graft_asof_events WHERE event_type = 'purchase') p
+        ASOF JOIN
+             (SELECT user_id AS c_user_id, ts AS c_t_ns,
+                     event_id AS click_id
+                FROM graft_asof_events WHERE event_type = 'click') c
+          ON p.user_id = c.c_user_id AND c.c_t_ns <= p.p_t_ns
+        ORDER BY p.purchase_id""")
+    },
+    sql = Some("""
+      SELECT p.event_id AS purchase_id, p.user_id,
+             c.event_id AS last_click_id
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+      ORDER BY purchase_id"""))
 
   /** Streaming as-of enrichment over the deterministic replay harness:
     * purchases answered from O(1)-per-user "latest click" keyed state
@@ -860,6 +922,7 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
     av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
+    av7AsofSql, av8AsofSqlInner,
     st2Sessionize,
     st3AppendHourly, st4StreamJoin, st5FileSink, st6StreamDedup,
     st7SessionizeStream, st8StreamStaticJoin, st9StreamLeftJoin,

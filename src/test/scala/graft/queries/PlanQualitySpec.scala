@@ -1199,4 +1199,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.collect { case s: SortExec => s }.size <= 1,
       s"only the ORDER BY may sort:\n$plan")
   }
+
+  test("av7: the SQL-text ASOF JOIN lands on the SAME custom operator " +
+      "as the DataFrame API — parser extension + resolution rule, " +
+      "no plain SortMergeJoin fallback") {
+    val plan = executedPlan("av7_asof_sql")
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.graft.{AsOfJoinExec, BroadcastAsOfJoinExec}
+    assert(plan.exists(p => p.isInstanceOf[AsOfJoinExec] ||
+        p.isInstanceOf[BroadcastAsOfJoinExec]),
+      s"expected an as-of exec from the SQL path:\n$plan")
+    assert(!plan.exists(p => p.isInstanceOf[SortMergeJoinExec] ||
+        p.isInstanceOf[BroadcastHashJoinExec]),
+      s"the ASOF text must not plan an ordinary join:\n$plan")
+  }
 }
