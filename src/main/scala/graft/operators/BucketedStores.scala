@@ -127,6 +127,64 @@ object BucketedStores {
     spark.sql(s"DROP TABLE $old")
   }
 
+  /** Apply a CHANGELOG (deletes and/or upsert additions) to a
+    * versioned store with the same atomic-swap discipline as
+    * [[compactAtomic]]: the next generation is the current one MINUS
+    * every row whose `idCol` appears in `removeIds` PLUS `additions`
+    * (an upsert is remove + add), rewritten one-file-per-bucket under
+    * the same bucket/sort spec, then flipped in with ONE catalog op.
+    * This is the piece append-only maintenance (tx38, dd11's
+    * appendToLshIndex) cannot express: a delete has no append-shaped
+    * representation in a plain parquet store, so it rides the
+    * generation rewrite — the same full-file-rewrite cost a Delta/
+    * Iceberg copy-on-write delete pays, amortized the same way
+    * (batch changelogs, don't flip per row).
+    *
+    * `removeIds` is changelog-scale: the anti-join broadcasts it when
+    * small (AQE's call) while the store side stays an unshuffled
+    * bucket-aligned scan feeding the bucket-preserving repartition.
+    */
+  def applyDeltaAtomic(spark: SparkSession, name: String,
+      bucketCols: Seq[String], sortCols: Seq[String], buckets: Int,
+      idCol: String, removeIds: org.apache.spark.sql.DataFrame,
+      additions: Option[org.apache.spark.sql.DataFrame],
+      location: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val old = currentGeneration(spark, name)
+    val next = name + "__v" + (versionOf(old, name) + 1)
+    val loc = location.getOrElse(
+      java.nio.file.Files.createTempDirectory(s"graft_delta_$name")
+        .toString)
+    val kept = spark.table(old)
+      .join(removeIds.select(col(idCol)).distinct(), Seq(idCol),
+        "left_anti")
+    val content = additions.fold(kept)(a =>
+      kept.unionByName(a.select(kept.columns.map(col).toSeq: _*)))
+    content
+      .repartition(buckets, pmod(hash(bucketCols.map(col): _*),
+        lit(buckets)))
+      .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", loc)
+      .saveAsTable(next)
+    spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $next")
+    spark.sql(s"DROP TABLE $old")
+  }
+
+  /** Remove a versioned store (serving view + every generation), plus
+    * any plain pre-adoption table of the same name — the per-run reset
+    * for queries that MUTATE their store each invocation (tx38's
+    * rebuild-per-run discipline needs it once deletes enter: the
+    * mutation is no longer idempotent-by-append).
+    */
+  def dropVersioned(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP VIEW IF EXISTS $name")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(name + "__v"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   /** [[compactAtomic]] with the LSH-index bucket spec. */
   def compactLshIndexAtomic(spark: SparkSession, name: String,
       buckets: Int = 8): Unit =

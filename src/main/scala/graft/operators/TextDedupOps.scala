@@ -183,6 +183,15 @@ object TextDedupOps {
     location.fold(w)(l => w.option("path", l)).saveAsTable(table)
   }
 
+  /** The index-row projection of a delta document set — exactly the
+    * rows [[writeLshIndex]] stores, exposed so changelog maintenance
+    * ([[BucketedStores.applyDeltaAtomic]]) can compute an upsert's
+    * replacement rows without reaching into the banding internals.
+    */
+  def lshIndexRows(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, bands: Int = 2): DataFrame =
+    banded(docs, idCol, textCol, numHashes, bands)
+
   /** Index MAINTENANCE: band a delta and append its rows to the stored
     * index, so the NEXT delta's probe sees them — the between-snapshots
     * refresh that keeps [[probeLshIndex]] current without ever

@@ -88,6 +88,43 @@ object TextRetrievalOps {
       .write.mode("overwrite").insertInto(table + "_meta")
   }
 
+  /** Apply a CHANGELOG (deletes + upserts) to a stored text index
+    * whose postings and lengths tables have been adopted into
+    * VERSIONED serving ([[BucketedStores.adoptVersioned]] on both
+    * `table` and `table_docs`). Deletes are what [[appendToTextIndex]]
+    * cannot express: every posting and length row of a deleted or
+    * upserted doc is dropped from the next generation, the upserts'
+    * recomputed postings/lengths are added, each table flips in ONE
+    * catalog op, and the 1-row meta is recomputed EXACTLY from the new
+    * lengths table (n_docs / total_tokens — the same two integers a
+    * full rebuild would write, so probe-time avgdl is rebuild-equal).
+    * The two flips are each atomic but not mutually transactional
+    * (Spark's catalog has no multi-table transaction); a reader
+    * between them sees a momentarily larger candidate set that the
+    * doc-length join immediately drops — never a wrong score.
+    */
+  def applyChangelogToTextIndex(spark: SparkSession, table: String,
+      deleteIds: DataFrame, upserts: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 8): Unit = {
+    val removed = deleteIds.select(col(idCol).as("doc_id"))
+      .unionByName(upserts.select(col(idCol).as("doc_id")))
+    val tok = tokens(upserts, idCol, textCol)
+    BucketedStores.applyDeltaAtomic(spark, table,
+      Seq("term"), Seq("term"), buckets, "doc_id", removed,
+      Some(tok.groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))))
+    BucketedStores.applyDeltaAtomic(spark, table + "_docs",
+      Seq("doc_id"), Seq("doc_id"), buckets, "doc_id", removed,
+      Some(tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))))
+    val m = spark.table(table + "_docs")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .head()
+    spark.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(m.getLong(0), m.getLong(1))),
+      spark.table(table + "_meta").schema)
+      .write.mode("overwrite").insertInto(table + "_meta")
+  }
+
   /** BM25 top-k against the stored index: candidates come off the
     * bucket-aligned postings scan joined to the BROADCAST query term
     * set (work scales with the query's posting mass, not the corpus);

@@ -1254,10 +1254,105 @@ object DedupQueries {
       WHERE p.shared * 10 >= (sa.n + sb.n - p.shared) * 7
       ORDER BY id_a, id_b"""))
 
+  /** Changelog fixture shared by the delete-maintenance queries (dd20
+    * here, tx41 in TextQueries): DELETES are the doc_id % 7 == 3 docs,
+    * UPSERTS are the surviving doc_id % 5 == 0 docs with " upd"
+    * appended — deterministic, overlapping neither way (a deleted doc
+    * is never also upserted; delete wins).
+    */
+  private[queries] def indexChangelog(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val base = documents(s, d).select(col("doc_id"), col("text"))
+    val upserts = base
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+    val deleteIds = base.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"))
+    (upserts, deleteIds)
+  }
+
+  /** DELETE-bearing index maintenance (dd20): the capability dd11's
+    * append-only refresh cannot express. A full-corpus LSH index is
+    * adopted into VERSIONED serving, a changelog with hard deletes and
+    * upserts flows through [[graft.operators.BucketedStores
+    * .applyDeltaAtomic]] (next generation = current − removed ids +
+    * re-banded upserts, one-file-per-bucket rewrite, ONE view-flip
+    * catalog op), and the upserts then probe the updated index. The
+    * oracle re-derives the whole pipeline from the POST-changelog
+    * corpus — so the row is a cross-engine REBUILD-EQUIVALENCE proof:
+    * incremental maintenance must equal building fresh from the final
+    * corpus, including every deleted doc being gone from the candidate
+    * space (IndexDeleteSpec proves the deleted docs would otherwise
+    * have matched, so the check is not vacuous). The store is rebuilt
+    * per run: a delete makes the mutation non-idempotent, so tx37's
+    * catalog-keyed ensure-cache discipline would serve a stale
+    * generation on re-invocation.
+    */
+  val dd20IndexDeletes = Q(
+    "dd20_index_delete_maintenance",
+    (s, d) => {
+      import graft.operators.BucketedStores
+      val t = s"dd_lsh_del_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      writeLshIndex(spread(documents(s, d)), "doc_id", "text", t,
+        numHashes = 8, bands = 2,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_lsh_del").toString))
+      BucketedStores.adoptVersioned(s, t)
+      val (upserts, deleteIds) = indexChangelog(s, d)
+      BucketedStores.applyDeltaAtomic(s, t,
+        Seq("band", "bhash"), Seq("band", "bhash"), buckets = 8,
+        idCol = "doc_id",
+        removeIds = deleteIds.unionByName(upserts.select(col("doc_id"))),
+        additions = Some(lshIndexRows(upserts, "doc_id", "text",
+          numHashes = 8, bands = 2)))
+      probeLshIndex(s, t, upserts, "doc_id", "text",
+        numHashes = 8, bands = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some(s"""
+      WITH newdocs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END
+                 AS text
+        FROM documents WHERE doc_id % 7 <> 3),
+      changed AS (SELECT doc_id FROM newdocs WHERE doc_id % 5 = 0),
+      docs AS (
+        SELECT doc_id, $shingleSql AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM newdocs) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${hash60Sql.format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                   AS DOUBLE) /
+                 (len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+                 6) AS jaccard
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM changed)
+           OR b.doc_id IN (SELECT doc_id FROM changed))
+      SELECT id_a, id_b, MAX(jaccard) AS jaccard
+      FROM pairs
+      GROUP BY id_a, id_b
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(dd1Minhash, dd2LshPairs, dd3Simhash, dd4NgramJaccard,
     dd5Clusters, dd6EstVsExact, dd7Shrink, dd8Decontaminate,
     dd9BloomDecontaminate, dd10IncrementalDedup, dd11StoredIndexDedup,
     dd12KeepList, dd13PageRank, dd14EditDistance, dd15Contamination,
     dd16LeakageSafeSplit, dd17SemanticDedup, dd18ClustersStar,
-    dd19PrefixFilter)
+    dd19PrefixFilter, dd20IndexDeletes)
 }

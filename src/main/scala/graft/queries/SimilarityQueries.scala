@@ -615,6 +615,77 @@ object SimilarityQueries {
       WHERE b.rn = 1
       ORDER BY b.query_id"""))
 
+  /** DELETE-bearing maintenance of the stored IVF index (sim10): a
+    * changelog with hard deletes flows into the versioned inverted
+    * lists via [[graft.operators.BucketedStores.applyDeltaAtomic]]
+    * (next generation = lists minus the deleted ids, ONE view-flip;
+    * the k-row centroid companion is untouched — deletes never retrain
+    * a coarse quantizer), and the surviving vectors then probe the
+    * maintained index. The oracle re-derives the answer from the
+    * POST-delete corpus against the ORIGINAL centroid definition
+    * (first 16 of the full table — deletion does not move centroids):
+    * a cross-engine rebuild-equivalence row proving no deleted vector
+    * can ever be returned as a neighbor (IndexDeleteSpec proves they
+    * otherwise would be, so the check is not vacuous). Rebuilt per
+    * run: deletes make the mutation non-idempotent (sim7's
+    * ensure-cache would serve a stale generation).
+    */
+  val sim10IvfDeletes = Q(
+    "sim10_ivf_delete_maintenance",
+    (s, d) => {
+      import graft.operators.BucketedStores
+      val t = s"sim_ivf_del_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+      SimilarityOps.writeIvfIndex(embeddings(s, d), "vec_id", "embedding",
+        dims = 64, k = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_ivf_del").toString))
+      BucketedStores.adoptVersioned(s, t)
+      val deleteIds = embeddings(s, d)
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("vid"))
+      BucketedStores.applyDeltaAtomic(s, t, Seq("cid"), Seq("cid"),
+        buckets = 8, idCol = "vid", removeIds = deleteIds,
+        additions = None)
+      val survivors = embeddings(s, d).filter(col("vec_id") % 7 =!= 3)
+      SimilarityOps.probeIvfIndex(s, t, spread(survivors), "vec_id",
+        "embedding", dims = 64, nprobe = 3)
+        .orderBy(col("id_a"))
+    },
+    sql = Some("""
+      WITH vall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM vall
+           ORDER BY vec_id LIMIT 16),
+      v AS (SELECT * FROM vall WHERE vec_id % 7 <> 3),
+      cscore AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs
+        FROM v CROSS JOIN c),
+      ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cid) AS rn
+        FROM cscore),
+      assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+      probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= 3),
+      cand AS (
+        SELECT p.vec_id AS id_a, a.vec_id AS id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS score
+        FROM probes p
+        JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN v va ON va.vec_id = p.vec_id
+        JOIN v vb ON vb.vec_id = a.vec_id),
+      best AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM cand)
+      SELECT id_a, id_b AS ann_id, score FROM best WHERE rn = 1
+      ORDER BY id_a"""))
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
-    sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc)
+    sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
+    sim10IvfDeletes)
 }

@@ -2495,6 +2495,76 @@ object TextQueries {
                AS dup_ppm
       FROM card c CROSS JOIN est"""))
 
+  /** DELETE-bearing maintenance of the BM25 index (tx41): tx38 proved
+    * append ≡ rebuild; this proves CHANGELOG (hard deletes + upserts)
+    * ≡ rebuild. The full-corpus index's postings and lengths tables
+    * are adopted into versioned serving, [[graft.operators
+    * .TextRetrievalOps.applyChangelogToTextIndex]] drops every
+    * removed doc's rows and folds in the upserts' recomputed rows
+    * (one view-flip per table, meta recomputed exactly), and the same
+    * BM25 probe as tx37 runs against the maintained index. The oracle
+    * recomputes the whole ranking from the POST-changelog corpus — a
+    * cross-engine rebuild-equivalence row (dd20's discipline on the
+    * lexical index). Rebuilt per run: deletes make the mutation
+    * non-idempotent (tx38's reasoning, one step further).
+    */
+  val tx41TextIndexDeletes = Q(
+    "tx41_text_index_deletes",
+    (s, d) => {
+      import graft.operators.{BucketedStores, TextRetrievalOps}
+      val t = s"graft_text_del_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      BucketedStores.dropVersioned(s, t + "_docs")
+      s.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      TextRetrievalOps.writeTextIndex(documents(s, d), "doc_id", "text",
+        t, location = Some(java.nio.file.Files
+          .createTempDirectory("graft_text_del").toString))
+      BucketedStores.adoptVersioned(s, t)
+      BucketedStores.adoptVersioned(s, t + "_docs")
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      TextRetrievalOps.applyChangelogToTextIndex(s, t, deleteIds,
+        upserts, "doc_id", "text")
+      TextRetrievalOps.bm25TopK(s, t,
+        Seq("spark", "vector", "hash", "window"), topK = 10)
+    },
+    sql = Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END
+                 AS text
+        FROM documents WHERE doc_id % 7 <> 3),
+      tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM base),
+      meta AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS tot
+        FROM tok),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      p AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok
+        WHERE term IN ('spark', 'vector', 'hash', 'window')
+        GROUP BY term, doc_id),
+      dft AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+      sc AS (
+        SELECT p.doc_id,
+               ROUND(ln((meta.n - CAST(dft.df AS DOUBLE) + 0.5) /
+                        (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+                     (CAST(p.tf AS DOUBLE) * 2.2) /
+                     (CAST(p.tf AS DOUBLE) + 1.2 *
+                       (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                         (meta.tot / meta.n)))), 6) AS s
+        FROM p
+        JOIN dft USING (term)
+        JOIN dl USING (doc_id), meta)
+      SELECT doc_id, ${sqlDsum("s")} AS score
+      FROM sc
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id
+      LIMIT 10"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -2507,5 +2577,5 @@ object TextQueries {
     dq4SkewReport, dq5ColumnProfile, dq6DriftReport, dq7OutlierReport,
     tx35Shuffle,
     tx36TrainingSet, tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch,
-    tx40DatasetCard)
+    tx40DatasetCard, tx41TextIndexDeletes)
 }

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Registry
+
+/** Delete-bearing maintenance of the three stored indexes (LSH dd20,
+  * BM25 tx41, IVF sim10). The oracle rows prove cross-engine
+  * rebuild-equivalence; this spec proves the two things the oracle
+  * alone cannot:
+  *
+  *   1. NON-VACUOUSNESS — before maintenance, the deleted entities
+  *      genuinely surface (LSH candidate pairs, ANN top-1 answers,
+  *      BM25 top-10 hits), so "gone after maintenance" is a real
+  *      state change, not an accident of the fixture;
+  *   2. ENGINE-SIDE rebuild equivalence — the incrementally-maintained
+  *      store content equals a from-scratch build over the
+  *      post-changelog corpus (dd20/tx41), row for row.
+  *
+  * Fixture: deletes = doc/vec id % 7 == 3, upserts = surviving
+  * id % 5 == 0 (DedupQueries.indexChangelog's convention).
+  */
+class IndexDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def hex = Integer.toHexString(dir.hashCode)
+
+  private def documents =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  test("dd20: deleted docs are LSH candidates BEFORE maintenance, " +
+      "absent after, and the maintained index equals a fresh rebuild") {
+    // pre-state: a full-corpus index; the upserts' ORIGINAL text finds
+    // deleted partners through it
+    val pre = "idxdel_lsh_pre"
+    spark.sql(s"DROP TABLE IF EXISTS $pre")
+    TextDedupOps.writeLshIndex(documents, "doc_id", "text", pre,
+      numHashes = 8, bands = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("idxdel_lsh_pre").toString))
+    val upsertOrig = documents
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+    val preHits = TextDedupOps.probeLshIndex(spark, pre, upsertOrig,
+      "doc_id", "text", numHashes = 8, bands = 2)
+      .filter(col("id_a") % 7 === 3 || col("id_b") % 7 === 3)
+      .count()
+    assert(preHits > 0,
+      "fixture must make deleted docs real candidates pre-maintenance")
+
+    // run the registered end-to-end query (build → adopt → changelog →
+    // probe); its output must contain NO deleted id on either side
+    val post = Registry.byName("dd20_index_delete_maintenance")
+      .fn(spark, dir)
+    assert(post.filter(col("id_a") % 7 === 3 || col("id_b") % 7 === 3)
+      .count() === 0L)
+
+    // engine-side rebuild equivalence: maintained view content ==
+    // fresh index over the post-changelog corpus
+    val maintained = spark.table(s"dd_lsh_del_$hex")
+    val postCorpus = documents.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")).as("text"))
+    val rebuilt = "idxdel_lsh_rebuilt"
+    spark.sql(s"DROP TABLE IF EXISTS $rebuilt")
+    TextDedupOps.writeLshIndex(postCorpus, "doc_id", "text", rebuilt,
+      numHashes = 8, bands = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("idxdel_lsh_rebuilt").toString))
+    val fresh = spark.table(rebuilt)
+    assert(maintained.exceptAll(fresh).count() === 0L)
+    assert(fresh.exceptAll(maintained).count() === 0L)
+  }
+
+  test("tx41: deleted docs rank in BM25 top-10 BEFORE maintenance, " +
+      "never after, and the maintained index serves the rebuild's " +
+      "exact ranking") {
+    val terms = Seq("spark", "vector", "hash", "window")
+    // pre-state: full-corpus index ranks deleted docs
+    val pre = "idxdel_bm25_pre"
+    Seq(pre, pre + "_docs", pre + "_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    TextRetrievalOps.writeTextIndex(documents, "doc_id", "text", pre,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("idxdel_bm25_pre").toString))
+    val preTop = TextRetrievalOps.bm25TopK(spark, pre, terms, topK = 10)
+    assert(preTop.filter(col("doc_id") % 7 === 3).count() > 0,
+      "fixture must rank deleted docs pre-maintenance")
+
+    // registered query: full build → adopt → changelog with deletes
+    val post = Registry.byName("tx41_text_index_deletes").fn(spark, dir)
+      .collect().toSeq
+    assert(post.nonEmpty)
+    assert(!post.exists(_.getLong(0) % 7 == 3))
+
+    // the maintained postings carry no deleted doc at all
+    val t = s"graft_text_del_$hex"
+    assert(spark.table(t).filter(col("doc_id") % 7 === 3).count() === 0L)
+    assert(spark.table(t + "_docs").filter(col("doc_id") % 7 === 3)
+      .count() === 0L)
+
+    // engine-side rebuild equivalence on the served ranking
+    val postCorpus = documents.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")).as("text"))
+    val rebuilt = "idxdel_bm25_rebuilt"
+    Seq(rebuilt, rebuilt + "_docs", rebuilt + "_meta")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+    TextRetrievalOps.writeTextIndex(postCorpus, "doc_id", "text",
+      rebuilt, location = Some(java.nio.file.Files
+        .createTempDirectory("idxdel_bm25_rebuilt").toString))
+    val freshTop = TextRetrievalOps
+      .bm25TopK(spark, rebuilt, terms, topK = 10).collect().toSeq
+    assert(post === freshTop)
+  }
+
+  test("sim10: deleted vectors are ANN answers BEFORE maintenance and " +
+      "can never be returned after") {
+    // pre-state: survivors querying the full index get deleted top-1s
+    val pre = "idxdel_ivf_pre"
+    Seq(pre, pre + "_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 64, k = 16, table = pre,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("idxdel_ivf_pre").toString))
+    val survivors = vecs.filter(col("vec_id") % 7 =!= 3)
+    val preAns = SimilarityOps.probeIvfIndex(spark, pre, survivors,
+      "vec_id", "embedding", dims = 64, nprobe = 3)
+    assert(preAns.filter(col("ann_id") % 7 === 3).count() > 0,
+      "fixture must return deleted vectors pre-maintenance")
+
+    val post = Registry.byName("sim10_ivf_delete_maintenance")
+      .fn(spark, dir)
+    assert(post.count() > 0)
+    assert(post.filter(col("ann_id") % 7 === 3).count() === 0L)
+    // the maintained lists carry no deleted vector
+    assert(spark.table(s"sim_ivf_del_$hex")
+      .filter(col("vid") % 7 === 3).count() === 0L)
+  }
+}
