@@ -13,7 +13,13 @@ import Tables._
   */
 object StreamingQueries {
 
-  /** Streaming hourly aggregate == batch ev1 (same oracle SQL). */
+  /** Streaming hourly aggregate == batch ev1 (same oracle SQL).
+    * BOUNDED state: append mode + watermark, full coverage restored by
+    * a staged sentinel event that drives the final watermark past
+    * every real window ([[graft.streaming.EventsStreaming
+    * .hourlyAggStream]]) — the registry's last complete-mode
+    * unbounded-driver-state pattern is gone.
+    */
   val st1StreamHourly = Q(
     "st1_stream_hourly_agg",
     (s, d) => graft.streaming.EventsStreaming.hourlyAggStream(s, d),

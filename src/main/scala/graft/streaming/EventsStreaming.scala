@@ -42,32 +42,45 @@ object EventsStreaming {
     * shape is [[hourlyAppendStream]] (st3): watermarked APPEND
     * mode, bounded state, finalized windows only.
     */
-  def hourlyAggStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // the file stream source needs a directory: stage a symlink dir
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(path).toAbsolutePath)
-    // raw file schema for the source; ts normalized to epoch-ns right after
-    val src = graft.queries.Tables.normalizeEventTs(
-      spark.readStream.schema(schema).parquet(streamDir.toString))
-    val agg = src
-      .withColumn("hour_ts", expr("ts DIV 3600000000000") * 3600L)
-      .groupBy(col("hour_ts"), col("event_type"))
+  /** st1: FULL-coverage streaming hourly aggregate with BOUNDED state.
+    * Append mode + 1 h watermark, with a far-future `__sentinel__`
+    * event staged as the final micro-batch: the sentinel pushes the
+    * final watermark past every REAL window's end, so the full result
+    * emits — then the sentinel is filtered out (its own window never
+    * finalizes, and the filter would drop it regardless). This
+    * replaces the r12 complete-mode memory sink, whose driver-resident
+    * state grew with the aggregate domain: here the state store holds
+    * only the still-open windows (the watermark evicts finalized ones)
+    * and the memory sink holds exactly the query's own result rows.
+    * The oracle stays ev1's FULL hourly aggregate — coverage is
+    * unchanged, only the state bound improved.
+    */
+  def hourlyAggStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    val batch = graft.queries.Tables.events(spark, dir)
+    val staged = stageTimeSlices(batch, slices, trailer = true,
+      sentinelGapNs = Some(72L * 3600L * 1000000000L))
+    val agg = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double")
           .as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_ts"),
+        col("event_type"), col("n_events"), col("total_value"))
     val name = s"graft_st1_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(OutputMode.Append())
       .format("memory")
       .queryName(name)
       .start()
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
+      .filter(col("event_type") =!= "__sentinel__")
       .orderBy(col("hour_ts"), col("event_type"))
   }
 
@@ -138,7 +151,14 @@ object EventsStreaming {
     * inner joins emit eagerly and don't need it).
     */
   private[streaming] def stageTimeSlices(batch: DataFrame, slices: Int,
-      trailer: Boolean): String = {
+      trailer: Boolean,
+      /** when set, the trailer is not empty but ONE synthetic
+        * `__sentinel__` event at tsMax + gap — it pushes the final
+        * watermark past every real window so append-mode queries can
+        * emit FULL coverage (the consumer filters the sentinel out;
+        * its own window never finalizes).
+        */
+      sentinelGapNs: Option[Long] = None): String = {
     val spark = batch.sparkSession
     val Row(tsMin: Long, tsMax: Long) =
       batch.select(min(col("ts")), max(col("ts"))).head()
@@ -147,11 +167,18 @@ object EventsStreaming {
       spark.sparkContext.hadoopConfiguration)
     val span = tsMax - tsMin + 1
     val last = if (trailer) slices else slices - 1
-    for (i <- 0 to last) { // slice `slices` (if present) = empty trailer
+    for (i <- 0 to last) { // slice `slices` (if present) = the trailer
       val lo = tsMin + span * i / slices
       val hi = tsMin + span * (i + 1) / slices
       val slice =
-        if (i == slices) batch.filter(lit(false))
+        if (i == slices) sentinelGapNs match {
+          case Some(gap) => batch.limit(1).select(batch.columns.map {
+              case "ts" => lit(tsMax + gap).as("ts")
+              case "event_type" => lit("__sentinel__").as("event_type")
+              case c => col(c)
+            }.toSeq: _*)
+          case None => batch.filter(lit(false))
+        }
         else batch.filter(col("ts") >= lo && col("ts") < hi)
       val tmp = staged.resolve(s"tmp_$i")
       slice.coalesce(1).write.parquet(tmp.toString)

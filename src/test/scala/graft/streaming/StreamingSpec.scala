@@ -13,20 +13,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  test("append-mode watermarked windows emit a subset of complete mode") {
+  test("plain append-mode windows emit a strict subset of the " +
+      "sentinel-driven full-coverage stream (st3 vs st1)") {
     import spark.implicits._
     val appended = EventsStreaming.hourlyAppendStream(spark, dir, slices = 4)
       .as[(Long, String, Long)].collect().toSet
-    val complete = EventsStreaming.hourlyAggStream(spark, dir)
+    // st1: same watermarked append plan, but the staged sentinel
+    // pushes the final watermark past every real window — full result
+    val full = EventsStreaming.hourlyAggStream(spark, dir)
       .selectExpr("hour_ts", "event_type", "n_events")
       .as[(Long, String, Long)].collect().toSet
     // watermark advanced across micro-batches → finalized windows exist
     assert(appended.nonEmpty, "append mode emitted no closed windows")
-    // every emitted window is final — identical to the batch/complete agg
-    assert(appended.subsetOf(complete),
-      s"append rows must match complete-mode values; extra: ${appended -- complete}")
-    // and something was withheld (the tail windows still open)
-    assert(appended.size < complete.size)
+    // every emitted window is final — identical values in both runs
+    assert(appended.subsetOf(full),
+      s"append rows must match full-coverage values; extra: ${appended -- full}")
+    // without the sentinel, the tail windows are withheld
+    assert(appended.size < full.size)
   }
 
   test("file sink resumes from checkpoint exactly-once after a stop") {
