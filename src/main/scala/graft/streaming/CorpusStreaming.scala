@@ -104,6 +104,22 @@ object CorpusStreaming {
   def bm25ServeStream(spark: SparkSession, table: String,
       queries: Seq[(Long, Seq[String])], topK: Int): DataFrame = {
     val run = nameCounter.incrementAndGet()
+    val staged = stageQueryFiles(spark, queries)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st19_out_$run").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st19_chk_$run").toString
+    serveBm25(spark, table, staged, outDir, chk, topK)
+    spark.read.parquet(outDir).distinct()
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Stage each ranked query as one (query_id, term) parquet file —
+    * one micro-batch per query under maxFilesPerTrigger=1.
+    */
+  private[streaming] def stageQueryFiles(spark: SparkSession,
+      queries: Seq[(Long, Seq[String])]): String = {
+    val run = nameCounter.incrementAndGet()
     val staged = java.nio.file.Files
       .createTempDirectory(s"graft_st19_q_$run")
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
@@ -121,17 +137,23 @@ object CorpusStreaming {
       fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
       fs.setTimes(dest, (i + 1) * 60000L, -1)
     }
-    val outDir = java.nio.file.Files
-      .createTempDirectory(s"graft_st19_out_$run").toString
-    val chk = java.nio.file.Files
-      .createTempDirectory(s"graft_st19_chk_$run").toString
+    staged.toString
+  }
+
+  /** Drain whatever query files exist in `staged` against the stored
+    * index — RESTARTABLE with the same out/chk: the checkpoint's file
+    * offsets are the serving log, so a restart answers only queries
+    * not yet committed (StreamingSpec's stop/resume proof).
+    */
+  private[streaming] def serveBm25(spark: SparkSession, table: String,
+      staged: String, outDir: String, chk: String, topK: Int): Unit = {
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("query_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("term", StringType))))
       .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
+      .parquet(staged)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val rows = batch.collect() // bounded: one query's term set
@@ -148,8 +170,6 @@ object CorpusStreaming {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.read.parquet(outDir).distinct()
-      .orderBy(col("query_id"), col("doc_id"))
   }
 
   /** Run the intake stream over the staged corpus; returns the

@@ -276,12 +276,14 @@ object EventsStreaming {
     * which is st2's `diff >= gap ⇒ break` — the two mechanisms must
     * agree session-for-session.
     */
-  def sessionWindowAppendStream(spark: SparkSession, dir: String,
-      slices: Int = 4): DataFrame = {
-    import org.apache.spark.sql.streaming.OutputMode
-    val batch = graft.queries.Tables.events(spark, dir)
-    val staged = stageTimeSlices(batch, slices, trailer = true)
-    val agg = spark.readStream.schema(batch.schema)
+  /** The st18 session_window aggregate over a staged slice dir —
+    * shared by the memory-sink query path and the file-sink
+    * stop/resume proof so both run the identical plan.
+    */
+  private[streaming] def sessionWindowAgg(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String): DataFrame =
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
       .select(col("user_id"),
@@ -295,6 +297,31 @@ object EventsStreaming {
         unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("wend_us"),
         col("n_events"), col("total_cents"))
+
+  /** st18's merged-session state through the durable file sink —
+    * restartable with the same out/chk (StreamingSpec's stop/resume
+    * proof: open session_window state crosses the restart).
+    */
+  private[streaming] def drainSessionWindowToFileSink(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String, out: String, chk: String): Unit = {
+    val q = sessionWindowAgg(spark, schema, staged)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  def sessionWindowAppendStream(spark: SparkSession, dir: String,
+      slices: Int = 4): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = graft.queries.Tables.events(spark, dir)
+    val staged = stageTimeSlices(batch, slices, trailer = true)
+    val agg = sessionWindowAgg(spark, batch.schema, staged)
     val name = s"graft_st_sesswin_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
       .outputMode(OutputMode.Append())
@@ -908,11 +935,15 @@ object EventsStreaming {
     * state per day is O(k) regardless of event volume — the streaming
     * distinct-count shape that never holds a per-user set.
     */
-  def kmvDistinctStream(spark: SparkSession, dir: String,
-      slices: Int = 4, k: Int = 64): DataFrame = {
-    val batch = graft.queries.Tables.events(spark, dir)
-    val staged = stageTimeSlices(batch, slices, trailer = false)
-    val agg = spark.readStream.schema(batch.schema)
+  /** The st21 daily KMV aggregate over a staged slice dir — shared by
+    * the query path and the stop/resume proof (the sketch buffers must
+    * round-trip the CHECKPOINTED state store, not just the in-memory
+    * inter-batch store).
+    */
+  private[streaming] def kmvDailyAgg(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String, k: Int): DataFrame =
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
       .select(expr("ts DIV 86400000000000").as("d"),
@@ -924,6 +955,12 @@ object EventsStreaming {
       .select(col("d"),
         graft.functions.VectorFunctions.kmv_estimate(col("sk"))
           .as("est_users"))
+
+  def kmvDistinctStream(spark: SparkSession, dir: String,
+      slices: Int = 4, k: Int = 64): DataFrame = {
+    val batch = graft.queries.Tables.events(spark, dir)
+    val staged = stageTimeSlices(batch, slices, trailer = false)
+    val agg = kmvDailyAgg(spark, batch.schema, staged, k)
     val name = s"graft_st_kmv_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
       .outputMode(OutputMode.Complete())

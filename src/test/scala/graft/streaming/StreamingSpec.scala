@@ -558,4 +558,171 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = CorpusStreaming.report(spark, auditDir).collect().toSeq
     assert(got === expected)
   }
+
+  test("st18 session_window state survives a checkpoint stop/resume — " +
+      "merged sessions spanning the restart equal the uninterrupted run") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val batch = graft.queries.Tables.events(spark, dir)
+    val fullStage = EventsStreaming.stageTimeSlices(batch, 4, trailer = true)
+    val files = Files.list(Paths.get(fullStage)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) all += files.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    // single uninterrupted run = the reference session-window set
+    val refBase = Files.createTempDirectory("st18_ref")
+    EventsStreaming.drainSessionWindowToFileSink(spark, batch.schema,
+      fullStage, refBase.resolve("out").toString,
+      refBase.resolve("chk").toString)
+    val expected = spark.read.parquet(refBase.resolve("out").toString)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+
+    // interrupted run: 2 slices, "crash", add the rest, resume on the
+    // SAME checkpoint — the state store's open merged windows must
+    // recover so late events keep extending pre-stop sessions
+    val stage2 = Files.createTempDirectory("st18_partial")
+    val base = Files.createTempDirectory("st18_resume")
+    val (out, chk) = (base.resolve("out").toString, base.resolve("chk").toString)
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES): Unit
+    ordered.take(2).foreach(copyIn)
+    EventsStreaming.drainSessionWindowToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 1, then "crash"
+    val afterRun1 = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    ordered.drop(2).foreach(copyIn)
+    EventsStreaming.drainSessionWindowToFileSink(spark, batch.schema,
+      stage2.toString, out, chk) // run 2: resume the window state
+    val resumed = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    assert(resumed === expected)
+    // the stop landed mid-stream: open session_window state genuinely
+    // crossed the restart
+    assert(afterRun1.subsetOf(resumed) && afterRun1.size < resumed.size)
+  }
+
+  test("st19 BM25 serving resumes from its checkpointed query offsets — " +
+      "queries answered before the stop are not re-served, queries " +
+      "after it are, and the final answer set equals uninterrupted") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val table = graft.queries.TextQueries.ensureTextIndex(spark, dir)
+    val queries: Seq[(Long, Seq[String])] = Seq(
+      1L -> Seq("spark", "vector"), 2L -> Seq("hash", "window"),
+      3L -> Seq("spark", "hash"), 4L -> Seq("vector", "window"))
+    // uninterrupted serve = the reference
+    val expected = CorpusStreaming.bm25ServeStream(spark, table,
+      queries, topK = 5).collect().toSeq
+    assert(expected.map(_.getLong(0)).distinct.size === 4)
+
+    val staged = CorpusStreaming.stageQueryFiles(spark, queries)
+    val files = Files.list(Paths.get(staged)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) all += files.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    val stage2 = Files.createTempDirectory("st19_partial")
+    val out = Files.createTempDirectory("st19_out").toString
+    val chk = Files.createTempDirectory("st19_chk").toString
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES): Unit
+    ordered.take(2).foreach(copyIn)
+    CorpusStreaming.serveBm25(spark, table, stage2.toString, out, chk,
+      topK = 5) // run 1: serves queries 1-2, then "crashes"
+    val served1 = spark.read.parquet(out)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(served1 === Set(1L, 2L))
+    ordered.drop(2).foreach(copyIn)
+    CorpusStreaming.serveBm25(spark, table, stage2.toString, out, chk,
+      topK = 5) // run 2: resumes at the first unanswered query
+    val answers = spark.read.parquet(out)
+    // exactly-once serving across the restart: no query answered twice
+    // (each answer row appears once even BEFORE the distinct collapse)
+    assert(answers.count() === answers.distinct().count())
+    val got = answers.distinct()
+      .orderBy(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("doc_id")).collect().toSeq
+    assert(got === expected)
+  }
+
+  test("st21 KMV sketch state round-trips the CHECKPOINTED state store " +
+      "— a day's estimate keeps accumulating across the restart and " +
+      "the final estimates equal the uninterrupted run") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val batch = graft.queries.Tables.events(spark, dir)
+    // uninterrupted reference (the registered st21 path)
+    val expected = EventsStreaming.kmvDistinctStream(spark, dir)
+      .as[(Long, Long)].collect().toMap
+
+    val fullStage = EventsStreaming.stageTimeSlices(batch, 4,
+      trailer = false)
+    val files = Files.list(Paths.get(fullStage)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) all += files.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    // complete-mode drain through foreachBatch: each batch overwrites
+    // `out` with the FULL current aggregate, so `out` always holds the
+    // state store's latest view — restartable with the same chk
+    def drain(staged: String, out: String, chk: String): Unit = {
+      val q = EventsStreaming.kmvDailyAgg(spark, batch.schema, staged,
+          k = 64)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    val stage2 = Files.createTempDirectory("st21_partial")
+    val out = Files.createTempDirectory("st21_out").toString
+    val chk = Files.createTempDirectory("st21_chk").toString
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES): Unit
+    // stop after ONE slice: the fixture spans exactly 30 days, so the
+    // half-way cut lands ON a midnight (no day would span the restart
+    // and the growth assertion below would be vacuous); the quarter
+    // cut splits a day
+    ordered.take(1).foreach(copyIn)
+    drain(stage2.toString, out, chk) // run 1, then "crash"
+    val afterRun1 = spark.read.parquet(out)
+      .as[(Long, Long)].collect().toMap
+    ordered.drop(1).foreach(copyIn)
+    drain(stage2.toString, out, chk) // run 2: sketches resume from chk
+    val resumed = spark.read.parquet(out)
+      .as[(Long, Long)].collect().toMap
+
+    // final estimates equal the uninterrupted run: the recovered
+    // sketch buffers are the SAME multiset-of-mins they'd have been
+    // without the stop (serialize → state store → deserialize exact)
+    assert(resumed === expected)
+    // the restart landed mid-stream: later days only appear after the
+    // resume, and at least one day seen BEFORE the stop accumulated
+    // more distinct users AFTER it — sketch state crossed the restart
+    assert(afterRun1.size < resumed.size)
+    assert(afterRun1.exists { case (d, est) => resumed(d) > est },
+      s"expected a boundary day's estimate to grow across the " +
+        s"restart; run1=$afterRun1")
+  }
 }
