@@ -152,6 +152,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"wod_bulk_casts_per_sec":$bulkCastsPerSec,"host_calib_sec":$calib,"host_calib_anchor_sec":$CalibAnchorSec,"host_calib_par_sec":$calibPar,"wod_casts_per_sec_normalized":$normCasts,"wod_bulk_casts_per_sec_normalized":$normBulk,"wod_casts_per_sec_normalized_par":$normCastsPar,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), line + "\n")
+    // Stamped snapshot, COMMITTED at round close: r11's driver bench
+    // never ran and BENCH_r11.json simply doesn't exist — the series
+    // has a hole no one can backfill. BENCH_latest.json carries the
+    // same line plus a wall-clock stamp so every round leaves a
+    // committed, dateable bench artifact even when the driver's own
+    // snapshot is missed.
+    val stamped = line.dropRight(1) +
+      s""","run_at":"${java.time.Instant.now()}"}"""
+    Files.writeString(Paths.get("BENCH_latest.json"), stamped + "\n")
     println(line)
     spark.stop()
   }
