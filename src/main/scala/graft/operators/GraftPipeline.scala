@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed training-data pipeline — quality gate → (exact)
+  * decontamination → dedup (exact or near) → seeded sharding → greedy
+  * sequence packing — as ONE reusable, configurable API instead of a
+  * per-query copy of the chain (tx36 composes the same stages inline;
+  * this is that shape promoted to a user-facing builder, the r12
+  * verdict's "user-facing composition" item). Config mirrors
+  * [[graft.wod.Cli]]'s explicit-knobs style: one case class, every
+  * stage a plain function over DataFrames so callers can run the whole
+  * chain ([[run]]) or any prefix of it.
+  *
+  * Scale shape (the same discipline the per-stage queries lock in
+  * PlanQualitySpec): the quality gate is scan-local; decontamination
+  * is a BROADCAST anti-join (eval sets are benchmark-scale);
+  * exact dedup is one content-hash agg + a semi join; near dedup is
+  * dd12's banded-LSH + bounded-iteration components (never all-pairs);
+  * pack is ONE hash exchange on shard whose partition-local sort feeds
+  * both window passes.
+  */
+object GraftPipeline {
+
+  /** One knob per stage; stages off by default stay out of the plan
+    * entirely (no no-op operators for Catalyst to chew through).
+    */
+  final case class Config(
+      /** quality gate: minimum `n_chars` (0 disables) */
+      minChars: Long = 100L,
+      /** exact content-hash dedup (min-id keep rule) */
+      exactDedup: Boolean = true,
+      /** banded-minhash near dedup instead of exact (subsumes it:
+        * identical texts share all shingles)
+        */
+      nearDedup: Boolean = false,
+      nearDedupMinJaccard: Double = 0.2,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      /** shard/packing tail */
+      shards: Long = 4L,
+      seqLen: Long = 512L,
+      shardSeed: String = "ts42")
+
+  /** Scan-local quality gate. */
+  def qualityFilter(docs: DataFrame, cfg: Config): DataFrame =
+    if (cfg.minChars <= 0) docs
+    else docs.filter(col("n_chars") >= cfg.minChars)
+
+  /** EXACT decontamination: drop every corpus doc whose content hash
+    * appears in the eval/benchmark set — the leakage gate a training
+    * build runs against its held-out benchmarks (dd8's semantics as a
+    * pipeline stage). Broadcast anti-join: the eval side is
+    * benchmark-scale, the corpus side never shuffles.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      textCol: String): DataFrame =
+    docs.join(
+      broadcast(evalDocs.select(md5(col(textCol)).as("_eval_h"))
+        .distinct()),
+      md5(docs(textCol)) === col("_eval_h"), "left_anti")
+
+  /** Exact-dedup keep list: the minimum id per content hash. */
+  def exactKeepList(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), md5(col(textCol)).as("_h"))
+      .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+
+  /** Near-dedup keep list: banded-LSH candidate pairs → connected
+    * components → each doc survives iff it IS its cluster's canonical
+    * (minimum id); singletons — the overwhelming majority — never
+    * enter the cluster computation (dd12's rule as a stage).
+    */
+  def nearKeepList(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = {
+    val clusters = ClusterOps.connectedComponents(
+      TextDedupOps.minhashLshPairs(docs, idCol, textCol,
+        cfg.numHashes, cfg.bands, cfg.nearDedupMinJaccard))
+    docs.select(col(idCol))
+      .join(broadcast(clusters), Seq(idCol), "left")
+      .filter(coalesce(col("cluster_id"), col(idCol)) === col(idCol))
+      .select(col(idCol))
+  }
+
+  /** Seeded shard assignment + greedy sequence packing (tx35/tx22's
+    * arithmetic): deterministic md5 priority, shard = priority mod
+    * `shards`, per-shard running token offsets, each doc's first/last
+    * packed sequence at capacity `seqLen`. ONE hash exchange on shard;
+    * the partition-local (priority, id) sort feeds both windows.
+    */
+  def pack(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = {
+    val pri = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("|" + cfg.shardSeed))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("p"), col(idCol))
+    docs.select(col(idCol), pri.as("p"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long")
+          .as("n_tokens"))
+      .withColumn("shard", pmod(col("p"), lit(cfg.shards)))
+      .withColumn("end_off", sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("shard"), col("pos"), col(idCol), col("n_tokens"),
+        (col("end_off") - col("n_tokens")).as("start_off"),
+        expr(s"(end_off - n_tokens) DIV ${cfg.seqLen}").as("seq_first"),
+        expr(s"(end_off - 1) DIV ${cfg.seqLen}").as("seq_last"))
+  }
+
+  /** The full chain: quality → (decontaminate) → dedup → pack.
+    * `evalDocs` present ⇒ the decontamination stage runs against it.
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    val q = qualityFilter(docs, cfg)
+    val clean = evalDocs.fold(q)(e => decontaminate(q, e, textCol))
+    val deduped =
+      if (cfg.nearDedup)
+        clean.join(nearKeepList(clean, idCol, textCol, cfg),
+          Seq(idCol), "left_semi")
+      else if (cfg.exactDedup)
+        clean.join(exactKeepList(clean, idCol, textCol),
+          Seq(idCol), "left_semi")
+      else clean
+    pack(deduped, idCol, textCol, cfg)
+  }
+}

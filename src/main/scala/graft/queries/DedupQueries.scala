@@ -11,13 +11,13 @@ import Tables._
   */
 object DedupQueries {
 
-  private val shingleSql =
+  private[queries] val shingleSql =
     """CASE WHEN len(toks) >= 3
          THEN list_distinct(list_transform(range(0, len(toks) - 2),
               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
          ELSE [] END"""
 
-  private val hash60Sql =
+  private[queries] val hash60Sql =
     "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
 
   /** MinHash signatures (8 hashes) per document. */

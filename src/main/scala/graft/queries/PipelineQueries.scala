@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraftPipeline
+import Q._
+import Tables._
+
+/** The [[graft.operators.GraftPipeline]] builder under the oracle: two
+  * full-chain configurations, each hash-checked against a DuckDB
+  * recompute of the ENTIRE composition (quality → decontaminate/dedup
+  * → shard → pack). tx36 proved the inline composition once; these
+  * prove the reusable API computes the same thing under different
+  * configs — including the stages tx36 doesn't exercise
+  * (decontamination, near-dedup).
+  */
+object PipelineQueries {
+
+  /** pl1: quality(≥100 chars) → EXACT DECONTAMINATION against a
+    * deterministic "benchmark" slice (doc_id % 11 == 5 — any corpus
+    * doc sharing a contaminated content hash is dropped, including
+    * the slice itself) → exact dedup → 4-shard packing at 512. The
+    * oracle recomputes every stage; contamination REALLY bites (the
+    * eval slice's own members must vanish from the packed output).
+    */
+  val pl1PipelineDecon = Q(
+    "pl1_pipeline_decontaminated",
+    (s, d) => {
+      val docs = documents(s, d)
+      GraftPipeline.run(docs, "doc_id", "text",
+          GraftPipeline.Config(minChars = 100, exactDedup = true),
+          evalDocs = Some(docs.filter(col("doc_id") % 11 === 5)))
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some("""
+      WITH q AS (
+        SELECT doc_id, text, md5(text) AS h
+        FROM documents WHERE n_chars >= 100),
+      ev AS (SELECT DISTINCT md5(text) AS eh
+             FROM documents WHERE doc_id % 11 = 5),
+      dq AS (SELECT * FROM q WHERE h NOT IN (SELECT eh FROM ev)),
+      k AS (SELECT h, MIN(doc_id) AS doc_id FROM dq GROUP BY h),
+      kept AS (
+        SELECT dq.doc_id, dq.text FROM dq
+        WHERE EXISTS (SELECT 1 FROM k WHERE k.doc_id = dq.doc_id)),
+      s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ts42'),
+                 1, 15)) AS BIGINT) AS p,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, p, p % 4 AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS end_off,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+        FROM s)
+      SELECT shard, pos, doc_id, n_tokens,
+             end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 512 AS seq_first,
+             (end_off - 1) // 512 AS seq_last
+      FROM o
+      ORDER BY shard, pos"""))
+
+  /** pl2: quality(≥100 chars) → NEAR dedup (banded minhash, jaccard ≥
+    * 0.2, connected components, min-id canonical — subsumes exact
+    * dedup) → 4-shard packing at 512. The oracle recomputes the LSH
+    * pipeline, the RECURSIVE component closure, the keep rule, and the
+    * packing arithmetic in one statement.
+    */
+  val pl2PipelineNearDedup = Q(
+    "pl2_pipeline_near_dedup",
+    (s, d) =>
+      GraftPipeline.run(spread(documents(s, d)), "doc_id", "text",
+          GraftPipeline.Config(minChars = 100, nearDedup = true))
+        .orderBy(col("shard"), col("pos")),
+    sql = Some(s"""
+      WITH RECURSIVE
+      base AS (
+        SELECT doc_id, text FROM documents WHERE n_chars >= 100),
+      docs AS (
+        SELECT doc_id, ${DedupQueries.shingleSql} AS sh
+        FROM (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM base) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${DedupQueries.hash60Sql
+                     .format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                AS DOUBLE) /
+              (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+              6) >= 0.2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY id),
+      kept AS (
+        SELECT b.doc_id, b.text
+        FROM base b LEFT JOIN cl ON b.doc_id = cl.doc_id
+        WHERE COALESCE(cl.cluster_id, b.doc_id) = b.doc_id),
+      s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ts42'),
+                 1, 15)) AS BIGINT) AS p,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, p, p % 4 AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS end_off,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+        FROM s)
+      SELECT shard, pos, doc_id, n_tokens,
+             end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 512 AS seq_first,
+             (end_off - 1) // 512 AS seq_last
+      FROM o
+      ORDER BY shard, pos"""))
+
+  val all: Seq[Q] = Seq(pl1PipelineDecon, pl2PipelineNearDedup)
+}

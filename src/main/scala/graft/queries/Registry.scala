@@ -9,7 +9,7 @@ object Registry {
     Analytics.all ++ Analytics2.all ++ EventsQueries.all ++ TextQueries.all ++
       EmbeddingQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ StreamingQueries.all ++ WodQueries.all ++
-      SourceQueries.all
+      SourceQueries.all ++ PipelineQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
