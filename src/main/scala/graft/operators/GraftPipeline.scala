@@ -58,8 +58,9 @@ object GraftPipeline {
   def decontaminate(docs: DataFrame, evalDocs: DataFrame,
       textCol: String): DataFrame =
     docs.join(
-      broadcast(evalDocs.select(md5(col(textCol)).as("_eval_h"))
-        .distinct()),
+      // no distinct(): an anti-join is unaffected by duplicate build
+      // rows and the dedup exchange it would cost is pure waste
+      broadcast(evalDocs.select(md5(col(textCol)).as("_eval_h"))),
       md5(docs(textCol)) === col("_eval_h"), "left_anti")
 
   /** Exact-dedup keep list: the minimum id per content hash. */

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GraftPipeline builder: stage semantics (decontamination really
+  * removes contaminated content, dedup keep rules match the standalone
+  * queries' rules), config gating (a disabled stage leaves NO trace in
+  * the plan), and the plan discipline the inline tx36 pipeline locks
+  * (broadcast anti-join for decon; the packing tail's single hash
+  * exchange feeding both window passes).
+  */
+class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  /** PlanQualitySpec's discipline: run a SEPARATE action first, then
+    * read this df's own executedPlan lazily — an EXECUTED adaptive
+    * plan hides operators inside materialized query-stage leaves and
+    * becomes untraversable.
+    */
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.count()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("decontamination drops every doc sharing a contaminated hash " +
+      "and nothing else") {
+    val d = docs
+    val eval = d.filter(col("doc_id") % 11 === 5)
+    val out = GraftPipeline.run(d, "doc_id", "text",
+      GraftPipeline.Config(minChars = 0, exactDedup = false),
+      evalDocs = Some(eval))
+    val outIds = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminated = d.join(
+        eval.select(md5(col("text")).as("eh")).distinct(),
+        md5(d("text")) === col("eh"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty)
+    assert(outIds.intersect(contaminated).isEmpty,
+      "contaminated docs must not survive")
+    assert(outIds.size === d.count() - contaminated.size,
+      "nothing beyond the contaminated set may be dropped")
+  }
+
+  test("near-dedup keep rule matches dd12's canonical-min-id rule") {
+    val cfg = GraftPipeline.Config(minChars = 0, nearDedup = true)
+    val keep = GraftPipeline.nearKeepList(docs, "doc_id", "text", cfg)
+      .collect().map(_.getLong(0)).toSet
+    val clusters = ClusterOps.connectedComponents(
+      TextDedupOps.minhashLshPairs(docs, "doc_id", "text", 8, 2, 0.2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = docs.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => clusters.getOrElse(id, id) == id).toSet
+    assert(keep === expected)
+    assert(keep.size < docs.count(), "some duplicate must be dropped")
+  }
+
+  test("the full chain equals the composition of its stages") {
+    val cfg = GraftPipeline.Config(minChars = 100, exactDedup = true)
+    val chained = GraftPipeline.run(docs, "doc_id", "text", cfg)
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    val q = GraftPipeline.qualityFilter(docs, cfg)
+    val manual = GraftPipeline.pack(
+      q.join(GraftPipeline.exactKeepList(q, "doc_id", "text"),
+        Seq("doc_id"), "left_semi"), "doc_id", "text", cfg)
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    assert(chained === manual)
+  }
+
+  test("plan discipline: decon is a BROADCAST anti-join; the pack tail " +
+      "has ONE hash exchange; disabled stages leave no plan trace") {
+    // assertions run on the FINAL adaptive plan's string (materialized
+    // query stages print fully even though they are untraversable as
+    // trees; the runtime-broadcast decisions only exist here)
+    def finalPlanString(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+    }
+    val eval = docs.filter(col("doc_id") % 11 === 5)
+    val full = finalPlanString(GraftPipeline.run(docs, "doc_id", "text",
+      GraftPipeline.Config(minChars = 100, exactDedup = true),
+      evalDocs = Some(eval)))
+    // decon: broadcast-built anti join (never a shuffled join, no NLJ)
+    assert(full.contains("BroadcastHashJoin") && full.contains("LeftAnti"),
+      s"expected a broadcast LeftAnti for decontamination:\n$full")
+    assert(!full.contains("BroadcastNestedLoopJoin"))
+    // hash exchanges: the dedup agg + the ONE pack exchange on shard —
+    // nothing else may shuffle (the decon/semi joins must broadcast)
+    val nEx = "Exchange hashpartitioning".r.findAllIn(full).length
+    assert(nEx <= 2, s"pipeline must not grow extra exchanges:\n$full")
+
+    // stages off ⇒ truly absent: no joins at all in a pack-only run
+    val packOnly = finalPlanString(GraftPipeline.run(docs, "doc_id",
+      "text", GraftPipeline.Config(minChars = 0, exactDedup = false)))
+    assert(!packOnly.toLowerCase.contains("join"),
+      s"disabled stages must leave no joins:\n$packOnly")
+  }
+}
