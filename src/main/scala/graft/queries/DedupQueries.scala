@@ -1200,31 +1200,49 @@ object DedupQueries {
       val docs = spread(documents(s, d))
         .select(col("doc_id"), shingles(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
-      val inv = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // Candidate GENERATION runs entirely on 8-byte shingle HASHES:
+      // the prefix theorem needs only a CONSISTENT global total order
+      // over shingles (any order works — frequency order just prunes
+      // best), and two docs sharing a true prefix shingle also share
+      // its hash, so zero-false-negatives is preserved. A collision
+      // can only ADD a candidate, which exact verification removes.
+      // Measured at the 32× stress corpus: the string-keyed variant
+      // shuffled ~30-char keys through the df join, window, and
+      // candidate join and cliffed into spill (BENCH_SCALE.md); the
+      // hashed variant moves a quarter of the bytes.
+      val inv = docs.select(col("doc_id"),
+        explode(expr("transform(sh, t -> xxhash64(t))")).as("hsh"))
       val sizes = docs.select(col("doc_id"),
         size(col("sh")).cast("long").as("n"))
-      val dfs = inv.groupBy(col("shingle")).agg(cnt.as("df"))
+      val dfs = inv.groupBy(col("hsh")).agg(cnt.as("df"))
       val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df"), col("shingle"))
-      val prefix = inv.join(dfs, Seq("shingle"))
+        .orderBy(col("df"), col("hsh"))
+      val prefix = inv.join(dfs, Seq("hsh"))
         .withColumn("pos", row_number().over(w))
         .join(sizes, Seq("doc_id"))
         // p = n − ceil(0.7·n) + 1; ceil(7n/10) = (7n+9) DIV 10 exactly
         .filter(col("pos") <= col("n") - expr("(7 * n + 9) DIV 10") + lit(1))
       val cands = prefix
-        .select(col("shingle"), col("doc_id").as("id_a"), col("n").as("n_a"))
-        .join(prefix.select(col("shingle"), col("doc_id").as("id_b"),
-          col("n").as("n_b")), Seq("shingle"))
+        .select(col("hsh"), col("doc_id").as("id_a"), col("n").as("n_a"))
+        .join(prefix.select(col("hsh"), col("doc_id").as("id_b"),
+          col("n").as("n_b")), Seq("hsh"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
         .distinct()
+      // EXACT verification IN-ROW: two id-keyed joins fetch the real
+      // shingle sets and `array_intersect` counts the overlap — the
+      // old double explode-join shuffled |cands|·|sh| rows (~116 M at
+      // the 32× stress corpus) where this ships each candidate pair
+      // once with two array payloads. Exactness is untouched: the
+      // final jaccard test runs on true shingles, never hashes.
       cands
-        .join(inv.select(col("doc_id").as("id_a"), col("shingle")),
+        .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
           Seq("id_a"))
-        .join(inv.select(col("doc_id").as("id_b"), col("shingle")),
-          Seq("id_b", "shingle"))
-        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-        .agg(cnt.as("shared"))
+        .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+            .as("shared"))
         .filter(col("shared") * 10 >=
           (col("n_a") + col("n_b") - col("shared")) * 7)
         .select(col("id_a"), col("id_b"), col("shared"),
