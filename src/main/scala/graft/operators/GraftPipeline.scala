@@ -111,6 +111,78 @@ object GraftPipeline {
         expr(s"(end_off - 1) DIV ${cfg.seqLen}").as("seq_last"))
   }
 
+  // ---- Incremental nightly run: index-backed exact dedup -----------
+  //
+  // At 100 TB the expensive part of a nightly pipeline re-run is NOT
+  // the packing tail (one exchange over the kept set) — it's re-hashing
+  // the whole corpus to recompute the dedup decision. The index-backed
+  // variant stores the decision's inputs once — every (id, content
+  // hash) pair, bucketed by hash in a versioned BucketedStores table —
+  // and each night only the CHANGELOG is hashed: deletes/upserts ride
+  // [[BucketedStores.applyDeltaAtomic]]'s one-view-flip generation
+  // rewrite, and the keep list is re-derived FROM THE INDEX ALONE
+  // (a groupBy over (hash, id) pairs — no corpus text is read).
+  // pl3 proves rebuild-equivalence: this path equals running [[run]]
+  // fresh over the post-changelog corpus (GraftPipelineSpec gates the
+  // no-corpus-scan property on the keep-list plan).
+
+  /** Stand up the exact-dedup index for `docs`: every (idCol, content
+    * hash) pair, bucketed+sorted by hash so the nightly groupBy scans
+    * bucket-aligned, adopted into versioned serving ([[BucketedStores
+    * .adoptVersioned]]) so every later delta is one atomic view flip.
+    */
+  def buildExactIndex(docs: DataFrame, idCol: String, textCol: String,
+      name: String, buckets: Int = 8): Unit = {
+    val s = docs.sparkSession
+    BucketedStores.dropVersioned(s, name)
+    docs.select(col(idCol), md5(col(textCol)).as("h"))
+      .repartition(buckets, pmod(hash(col("h")), lit(buckets)))
+      .write.bucketBy(buckets, "h").sortBy("h", idCol)
+      .option("path", java.nio.file.Files
+        .createTempDirectory(s"graft_exidx_$name").toString)
+      .saveAsTable(name)
+    BucketedStores.adoptVersioned(s, name)
+  }
+
+  /** Nightly changelog into the exact-dedup index: remove the deleted
+    * AND upserted ids, hash ONLY the upsert texts back in (the corpus
+    * itself is never re-read), one-file-per-bucket rewrite, one
+    * view-flip swap.
+    */
+  def applyExactIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      name: String, deleteIds: DataFrame, upserts: Option[DataFrame],
+      idCol: String, textCol: String, buckets: Int = 8): Unit =
+    BucketedStores.applyDeltaAtomic(spark, name,
+      Seq("h"), Seq("h", idCol), buckets, idCol,
+      removeIds = upserts.fold(deleteIds.select(col(idCol)))(u =>
+        deleteIds.select(col(idCol))
+          .unionByName(u.select(col(idCol)))),
+      additions = upserts.map(
+        _.select(col(idCol), md5(col(textCol)).as("h"))))
+
+  /** The exact-dedup keep list derived from the INDEX alone: min id
+    * per content hash, computed over stored (id, hash) pairs — the
+    * corpus text is not in this plan at all (spec-gated).
+    */
+  def keepListFromIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String): DataFrame =
+    spark.table(name).groupBy(col("h"))
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+
+  /** The incremental nightly run: keep list from the maintained index,
+    * semi-joined onto the (post-changelog) corpus, packed. Equals
+    * [[run]] over the same corpus with `exactDedup = true` — pl3's
+    * oracle row is exactly that rebuild-equivalence, cross-engine.
+    */
+  def runIncremental(spark: org.apache.spark.sql.SparkSession,
+      indexName: String, corpus: DataFrame, idCol: String,
+      textCol: String, cfg: Config = Config()): DataFrame =
+    pack(
+      qualityFilter(corpus, cfg)
+        .join(keepListFromIndex(spark, indexName, idCol),
+          Seq(idCol), "left_semi"),
+      idCol, textCol, cfg)
+
   /** The full chain: quality → (decontaminate) → dedup → pack.
     * `evalDocs` present ⇒ the decontamination stage runs against it.
     */

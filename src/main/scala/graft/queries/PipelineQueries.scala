@@ -141,5 +141,80 @@ object PipelineQueries {
       FROM o
       ORDER BY shard, pos"""))
 
-  val all: Seq[Q] = Seq(pl1PipelineDecon, pl2PipelineNearDedup)
+  /** pl3: the INCREMENTAL nightly pipeline run. The expensive stage of
+    * a nightly re-run at 100 TB is re-hashing the corpus for the dedup
+    * decision; pl3 stores that decision's inputs once — every
+    * (doc_id, content hash) pair in a versioned hash-bucketed index —
+    * then flows dd20's changelog (hard deletes: doc_id % 7 == 3;
+    * upserts: surviving doc_id % 5 == 0 with " upd" appended) through
+    * [[graft.operators.BucketedStores.applyDeltaAtomic]] (only the
+    * DELTA texts are hashed; one view-flip swap) and derives the keep
+    * list FROM THE INDEX ALONE — GraftPipelineSpec gates that the
+    * keep-list plan contains no corpus scan. The packed output is
+    * oracle-checked against a full DuckDB rebuild over the
+    * post-changelog corpus, so the row is a cross-engine
+    * REBUILD-EQUIVALENCE proof for the whole composed pipeline, with
+    * quality gating on CURRENT text length (an upsert can cross the
+    * quality boundary; both engines must agree on the new length).
+    */
+  val pl3PipelineIncremental = Q(
+    "pl3_pipeline_incremental",
+    (s, d) => {
+      val t = s"pl3_exidx_${Integer.toHexString(d.hashCode)}"
+      val base = documents(s, d)
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("text"))
+      GraftPipeline.buildExactIndex(base, "doc_id", "text", t)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      GraftPipeline.applyExactIndexDelta(s, t, deleteIds,
+        Some(upserts.filter(length(col("text")) >= 100)),
+        "doc_id", "text")
+      val newCorpus = documents(s, d)
+        .filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" upd")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      GraftPipeline.runIncremental(s, t, newCorpus, "doc_id", "text",
+          GraftPipeline.Config(minChars = 100, exactDedup = true))
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some("""
+      WITH newdocs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END
+                 AS text
+        FROM documents WHERE doc_id % 7 <> 3),
+      q AS (
+        SELECT doc_id, text, md5(text) AS h
+        FROM newdocs WHERE len(text) >= 100),
+      k AS (SELECT h, MIN(doc_id) AS doc_id FROM q GROUP BY h),
+      kept AS (
+        SELECT q.doc_id, q.text FROM q
+        WHERE EXISTS (SELECT 1 FROM k WHERE k.doc_id = q.doc_id)),
+      s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ts42'),
+                 1, 15)) AS BIGINT) AS p,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, p, p % 4 AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS end_off,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+        FROM s)
+      SELECT shard, pos, doc_id, n_tokens,
+             end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 512 AS seq_first,
+             (end_off - 1) // 512 AS seq_last
+      FROM o
+      ORDER BY shard, pos"""))
+
+  val all: Seq[Q] =
+    Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental)
 }
