@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{BucketedStores, GraftPipeline}
+
+/** The PipelineCli option surface and both execution modes, driven
+  * through `parse` + `execute` on a shared session (graft.wod.CliSpec's
+  * discipline): the CLI must be a THIN shell — every mode's output
+  * equals the corresponding GraftPipeline call, byte for byte.
+  */
+class PipelineCliSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docsPath = s"$dir/documents.parquet"
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("parse: defaults, knobs, and loud failures") {
+    val a = PipelineCli.parse(Array("-i", "in.parquet", "-o", "out"))
+    assert(a.cfg.exactDedup && !a.cfg.nearDedup)
+    assert(a.cfg.minChars == 100L && a.cfg.shards == 4L)
+
+    val b = PipelineCli.parse(Array("--input", "i", "--output", "o",
+      "--dedup", "near", "--near-min-jaccard", "0.5", "--shards", "8",
+      "--seq-len", "1024", "--seed", "abc", "--min-chars", "0"))
+    assert(b.cfg.nearDedup && !b.cfg.exactDedup)
+    assert(b.cfg.nearDedupMinJaccard == 0.5 && b.cfg.shards == 8L)
+    assert(b.cfg.seqLen == 1024L && b.cfg.shardSeed == "abc")
+
+    intercept[RuntimeException](PipelineCli.parse(Array("--nope")))
+    intercept[RuntimeException](PipelineCli.parse(Array("-i", "x")))
+    intercept[RuntimeException](
+      PipelineCli.parse(Array("-i", "x", "-o", "y", "--dedup", "fuzzy")))
+    intercept[RuntimeException](PipelineCli.parse(
+      Array("-i", "x", "-o", "y", "--shards", "eight")))
+    intercept[RuntimeException](PipelineCli.parse(Array("-i", "x", "-o",
+      "y", "--build-index", "t", "--index", "t")))
+    intercept[RuntimeException](PipelineCli.parse(
+      Array("-i", "x", "-o", "y", "--deletes", "d.parquet")))
+  }
+
+  test("batch mode writes exactly GraftPipeline.run's packed output") {
+    val out = Files.createTempDirectory("plcli_batch").toString + "/p"
+    val msg = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "-o", out, "--min-chars", "100",
+      "--dedup", "exact")))
+    assert(msg.contains("packed"))
+    val got = spark.read.parquet(out)
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    val want = GraftPipeline.run(spark.read.parquet(docsPath),
+        "doc_id", "text",
+        GraftPipeline.Config(minChars = 100, exactDedup = true))
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("index lifecycle: build, changelog delta, incremental run " +
+      "equals the full rebuild") {
+    val t = "plcli_exidx"
+    BucketedStores.dropVersioned(spark, t)
+    val tmp = Files.createTempDirectory("plcli_incr")
+    val docs = spark.read.parquet(docsPath)
+
+    // changelog: delete doc_id%7==3, upsert surviving %5==0 (" upd")
+    val upserts = docs
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" upd")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val newCorpus = docs.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val (upP, delP, corpusP, outP) = (s"$tmp/up", s"$tmp/del",
+      s"$tmp/corpus", s"$tmp/out")
+    upserts.write.parquet(upP)
+    deletes.write.parquet(delP)
+    newCorpus.write.parquet(corpusP)
+
+    val built = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "--build-index", t)))
+    assert(built.contains(s"index '$t' built"))
+
+    val ran = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", corpusP, "-o", outP, "--index", t,
+      "--deletes", delP, "--upserts", upP)))
+    assert(ran.contains("packed"))
+
+    val got = spark.read.parquet(outP)
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    val want = GraftPipeline.run(newCorpus, "doc_id", "text",
+        GraftPipeline.Config(minChars = 100, exactDedup = true))
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    assert(got.nonEmpty && got === want)
+    BucketedStores.dropVersioned(spark, t)
+  }
+}
