@@ -52,7 +52,10 @@ object ScaleBench {
 
   private val LinearQueries = Seq(
     "dd2_minhash_lsh_pairs", "dd19_prefix_filter_join", "tx37_bm25_topk",
-    "av2_asof_exec", "ev16_resample_ffill", "sim4_ivf_ann_top1")
+    "av2_asof_exec", "ev16_resample_ffill", "sim4_ivf_ann_top1",
+    // the COMPOSED pipeline (quality → broadcast decon → exact-dedup
+    // agg → two-window pack): the chain a nightly build actually runs
+    "pl1_pipeline_decontaminated")
   private val QuadQuery = "em2_embedding_near_dup"
 
   def main(args: Array[String]): Unit = {
