@@ -99,24 +99,24 @@ object BucketedStores {
     spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $gen1")
   }
 
-  /** Compact a VERSIONED store with an atomic swap: rewrite the
-    * current generation into `name__v<k+1>` (one file per bucket, same
-    * bucket/sort spec — [[compact]]'s rewrite discipline), flip the
-    * serving view in ONE catalog op, then drop the old generation.
-    * A concurrent reader that already resolved the old generation
-    * keeps reading its files until the drop; one that resolves during
-    * the swap sees exactly one of the two generations.
+  /** The shared tail of every atomic maintenance op: write `content`
+    * as the next generation (one file per bucket — the bucket-id
+    * repartition — same bucket/sort spec), flip the serving view in
+    * ONE catalog op, drop the old generation. A concurrent reader that
+    * already resolved the old generation keeps reading its files until
+    * the drop; one that resolves during the swap sees exactly one of
+    * the two generations.
     */
-  def compactAtomic(spark: SparkSession, name: String,
+  private def swapInNextGeneration(spark: SparkSession, name: String,
+      old: String, content: org.apache.spark.sql.DataFrame,
       bucketCols: Seq[String], sortCols: Seq[String], buckets: Int,
-      location: Option[String] = None): Unit = {
+      location: Option[String]): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-    val old = currentGeneration(spark, name)
     val next = name + "__v" + (versionOf(old, name) + 1)
     val loc = location.getOrElse(
-      java.nio.file.Files.createTempDirectory(s"graft_compact_$name")
+      java.nio.file.Files.createTempDirectory(s"graft_gen_$name")
         .toString)
-    spark.table(old)
+    content
       .repartition(buckets, pmod(hash(bucketCols.map(col): _*),
         lit(buckets)))
       .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
@@ -125,6 +125,18 @@ object BucketedStores {
       .saveAsTable(next)
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $next")
     spark.sql(s"DROP TABLE $old")
+  }
+
+  /** Compact a VERSIONED store with an atomic swap: rewrite the
+    * current generation into `name__v<k+1>` and flip the serving view
+    * ([[swapInNextGeneration]]).
+    */
+  def compactAtomic(spark: SparkSession, name: String,
+      bucketCols: Seq[String], sortCols: Seq[String], buckets: Int,
+      location: Option[String] = None): Unit = {
+    val old = currentGeneration(spark, name)
+    swapInNextGeneration(spark, name, old, spark.table(old),
+      bucketCols, sortCols, buckets, location)
   }
 
   /** Apply a CHANGELOG (deletes and/or upsert additions) to a
@@ -149,26 +161,43 @@ object BucketedStores {
       idCol: String, removeIds: org.apache.spark.sql.DataFrame,
       additions: Option[org.apache.spark.sql.DataFrame],
       location: Option[String] = None): Unit = {
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    import org.apache.spark.sql.functions.col
     val old = currentGeneration(spark, name)
-    val next = name + "__v" + (versionOf(old, name) + 1)
-    val loc = location.getOrElse(
-      java.nio.file.Files.createTempDirectory(s"graft_delta_$name")
-        .toString)
     val kept = spark.table(old)
       .join(removeIds.select(col(idCol)).distinct(), Seq(idCol),
         "left_anti")
     val content = additions.fold(kept)(a =>
       kept.unionByName(a.select(kept.columns.map(col).toSeq: _*)))
-    content
-      .repartition(buckets, pmod(hash(bucketCols.map(col): _*),
-        lit(buckets)))
-      .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(sortCols.head, sortCols.tail: _*)
-      .option("path", loc)
-      .saveAsTable(next)
-    spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $next")
-    spark.sql(s"DROP TABLE $old")
+    swapInNextGeneration(spark, name, old, content,
+      bucketCols, sortCols, buckets, location)
+  }
+
+  /** [[applyDeltaAtomic]] for EDGE stores — rows that reference TWO
+    * document ids (`idColA`, `idColB`, e.g. a verified near-dup pair
+    * set): a changed document invalidates every edge it touches on
+    * EITHER end, so the kept set anti-joins on both columns before the
+    * additions union and the same one-view-flip swap.
+    */
+  def applyEdgeDeltaAtomic(spark: SparkSession, name: String,
+      bucketCols: Seq[String], sortCols: Seq[String], buckets: Int,
+      idColA: String, idColB: String,
+      removeIds: org.apache.spark.sql.DataFrame,
+      additions: Option[org.apache.spark.sql.DataFrame],
+      location: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val old = currentGeneration(spark, name)
+    val ids = removeIds.columns match {
+      case Array(c) => removeIds.select(col(c).as("_rm_id")).distinct()
+      case cs => sys.error(
+        s"removeIds must be a single id column, got ${cs.mkString(",")}")
+    }
+    val kept = spark.table(old)
+      .join(ids, col(idColA) === col("_rm_id"), "left_anti")
+      .join(ids, col(idColB) === col("_rm_id"), "left_anti")
+    val content = additions.fold(kept)(a =>
+      kept.unionByName(a.select(kept.columns.map(col).toSeq: _*)))
+    swapInNextGeneration(spark, name, old, content,
+      bucketCols, sortCols, buckets, location)
   }
 
   /** Remove a versioned store (serving view + every generation), plus

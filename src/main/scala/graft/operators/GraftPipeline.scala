@@ -183,6 +183,101 @@ object GraftPipeline {
           Seq(idCol), "left_semi"),
       idCol, textCol, cfg)
 
+  // ---- Incremental NEAR dedup: LSH index + verified-pair store ------
+  //
+  // The near-dup decision needs two stored artifacts: the LSH band
+  // index (candidate generation — dd11/dd20's store) and the VERIFIED
+  // PAIR SET (candidates that passed the exact-Jaccard check). With
+  // both standing, a nightly changelog costs: band + probe the DELTA
+  // against the index (delta-scale; the corpus is never re-banded),
+  // drop every pair touching a changed/deleted doc (an edge dies with
+  // either endpoint — [[BucketedStores.applyEdgeDeltaAtomic]]), add
+  // the probe's surviving pairs, then re-run connected components over
+  // the PAIR STORE alone — pair-store scale, not corpus scale, and no
+  // text in the plan. pl4 proves the rebuild-equivalence cross-engine.
+
+  /** Stand up both stores for `docs` (quality-gate upstream): the
+    * (band, bhash)-bucketed LSH index and the id_a-bucketed verified
+    * pair set, each versioned for atomic maintenance.
+    */
+  def buildNearIndexes(docs: DataFrame, idCol: String, textCol: String,
+      lshName: String, pairName: String, cfg: Config = Config(),
+      buckets: Int = 8): Unit = {
+    val s = docs.sparkSession
+    BucketedStores.dropVersioned(s, lshName)
+    BucketedStores.dropVersioned(s, pairName)
+    TextDedupOps.writeLshIndex(docs, idCol, textCol, lshName,
+      cfg.numHashes, cfg.bands, buckets,
+      location = Some(java.nio.file.Files
+        .createTempDirectory(s"graft_nearidx_$lshName").toString))
+    BucketedStores.adoptVersioned(s, lshName)
+    s.sql(s"DROP TABLE IF EXISTS $pairName")
+    TextDedupOps.minhashLshPairs(docs, idCol, textCol,
+        cfg.numHashes, cfg.bands, cfg.nearDedupMinJaccard)
+      .repartition(buckets, pmod(hash(col("id_a")), lit(buckets)))
+      .write.bucketBy(buckets, "id_a").sortBy("id_a", "id_b")
+      .option("path", java.nio.file.Files
+        .createTempDirectory(s"graft_pairs_$pairName").toString)
+      .saveAsTable(pairName)
+    BucketedStores.adoptVersioned(s, pairName)
+  }
+
+  /** Nightly changelog into both near-dedup stores: the LSH index
+    * swaps out removed/upserted ids and bands ONLY the delta back in;
+    * the pair store drops every edge touching a changed doc and adds
+    * the delta's probe pairs (probed against the POST-delta index, so
+    * upsert↔upsert and upsert↔unchanged pairs are both found once).
+    */
+  def applyNearIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      lshName: String, pairName: String, deleteIds: DataFrame,
+      upserts: Option[DataFrame], idCol: String, textCol: String,
+      cfg: Config = Config(), buckets: Int = 8): Unit = {
+    val removeIds = upserts.fold(deleteIds.select(col(idCol)))(u =>
+      deleteIds.select(col(idCol)).unionByName(u.select(col(idCol))))
+    BucketedStores.applyDeltaAtomic(spark, lshName,
+      Seq("band", "bhash"), Seq("band", "bhash"), buckets, idCol,
+      removeIds,
+      upserts.map(u => TextDedupOps.lshIndexRows(u, idCol, textCol,
+        cfg.numHashes, cfg.bands)))
+    BucketedStores.applyEdgeDeltaAtomic(spark, pairName,
+      Seq("id_a"), Seq("id_a", "id_b"), buckets, "id_a", "id_b",
+      removeIds,
+      upserts.map(u => TextDedupOps.probeLshIndex(spark, lshName, u,
+        idCol, textCol, cfg.numHashes, cfg.bands,
+        cfg.nearDedupMinJaccard)))
+  }
+
+  /** The near-dedup keep list from the PAIR STORE alone: connected
+    * components over stored verified pairs (pair-store scale), then
+    * [[nearKeepList]]'s canonical-min rule against the corpus id set —
+    * id column only; no text reaches this plan (spec-gated).
+    */
+  def nearKeepListFromStore(spark: org.apache.spark.sql.SparkSession,
+      pairName: String, corpusIds: DataFrame, idCol: String): DataFrame = {
+    val clusters = ClusterOps.connectedComponents(spark.table(pairName))
+      .withColumnRenamed("doc_id", idCol)
+    corpusIds.select(col(idCol))
+      .join(broadcast(clusters), Seq(idCol), "left")
+      .filter(coalesce(col("cluster_id"), col(idCol)) === col(idCol))
+      .select(col(idCol))
+  }
+
+  /** The incremental nightly run, NEAR-dedup form: keep list from the
+    * maintained pair store, semi-joined onto the post-changelog
+    * corpus, packed. Equals [[run]] with `nearDedup = true` over the
+    * same corpus — pl4's cross-engine oracle row.
+    */
+  def runIncrementalNear(spark: org.apache.spark.sql.SparkSession,
+      pairName: String, corpus: DataFrame, idCol: String,
+      textCol: String, cfg: Config = Config()): DataFrame = {
+    val q = qualityFilter(corpus, cfg)
+    pack(
+      q.join(nearKeepListFromStore(spark, pairName,
+          q.select(col(idCol)), idCol),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, cfg)
+  }
+
   /** The full chain: quality → (decontaminate) → dedup → pack.
     * `evalDocs` present ⇒ the decontamination stage runs against it.
     */

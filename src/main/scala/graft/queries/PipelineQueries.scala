@@ -215,6 +215,116 @@ object PipelineQueries {
       FROM o
       ORDER BY shard, pos"""))
 
+  /** pl4: the incremental nightly run, NEAR-dedup form. Two stores
+    * stand between runs — the LSH band index AND the verified-pair
+    * set. dd20's changelog costs only delta-scale work: the delta is
+    * banded and probed against the post-delta index (the corpus is
+    * never re-banded), every pair touching a changed doc dies with its
+    * endpoint ([[graft.operators.BucketedStores.applyEdgeDeltaAtomic]]),
+    * the probe's surviving pairs are added, and the keep list is
+    * connected components over the PAIR STORE alone. The oracle
+    * rebuilds the whole near-dedup pipeline (LSH, recursive component
+    * closure, canonical-min keep, packing) from the post-changelog
+    * corpus in DuckDB — cross-engine rebuild-equivalence for the
+    * hardest maintenance path this engine has.
+    */
+  val pl4PipelineIncrementalNear = Q(
+    "pl4_pipeline_incremental_near",
+    (s, d) => {
+      val hex = Integer.toHexString(d.hashCode)
+      val (lsh, pairs) = (s"pl4_lsh_$hex", s"pl4_pairs_$hex")
+      val cfg = GraftPipeline.Config(minChars = 100, nearDedup = true)
+      val baseQ = spread(documents(s, d))
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("text"))
+      GraftPipeline.buildNearIndexes(baseQ, "doc_id", "text", lsh, pairs,
+        cfg)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      GraftPipeline.applyNearIndexDelta(s, lsh, pairs, deleteIds,
+        Some(upserts.filter(length(col("text")) >= 100)),
+        "doc_id", "text", cfg)
+      val newCorpus = documents(s, d)
+        .filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" upd")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      GraftPipeline.runIncrementalNear(s, pairs, newCorpus, "doc_id",
+          "text", cfg)
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some(s"""
+      WITH RECURSIVE
+      nd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END
+                 AS text
+        FROM documents WHERE doc_id % 7 <> 3),
+      base AS (
+        SELECT doc_id, text FROM nd WHERE len(text) >= 100),
+      docs AS (
+        SELECT doc_id, ${DedupQueries.shingleSql} AS sh
+        FROM (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM base) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${DedupQueries.hash60Sql
+                     .format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                AS DOUBLE) /
+              (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+              6) >= 0.2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY id),
+      kept AS (
+        SELECT b.doc_id, b.text
+        FROM base b LEFT JOIN cl ON b.doc_id = cl.doc_id
+        WHERE COALESCE(cl.cluster_id, b.doc_id) = b.doc_id),
+      s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ts42'),
+                 1, 15)) AS BIGINT) AS p,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, p, p % 4 AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS end_off,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+        FROM s)
+      SELECT shard, pos, doc_id, n_tokens,
+             end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 512 AS seq_first,
+             (end_off - 1) // 512 AS seq_last
+      FROM o
+      ORDER BY shard, pos"""))
+
   val all: Seq[Q] =
-    Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental)
+    Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental,
+      pl4PipelineIncrementalNear)
 }

@@ -167,4 +167,62 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"keep list over the hash-bucketed index must not shuffle:\n$planStr")
     BucketedStores.dropVersioned(spark, t)
   }
+
+  test("NEAR incremental run equals a fresh near-dedup rebuild, with " +
+      "the keep list derived from the pair store (no re-banding)") {
+    val cfg = GraftPipeline.Config(minChars = 100, nearDedup = true)
+    val (lsh, pairs) = ("plspec_near_lsh", "plspec_near_pairs")
+    val base = docs.filter(length(col("text")) >= 100)
+      .select(col("doc_id"), col("text"))
+    GraftPipeline.buildNearIndexes(base, "doc_id", "text", lsh, pairs, cfg)
+    val upserts = docs
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+    val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    GraftPipeline.applyNearIndexDelta(spark, lsh, pairs, deletes,
+      Some(upserts.filter(length(col("text")) >= 100)), "doc_id", "text",
+      cfg)
+
+    val newCorpus = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val incremental = GraftPipeline.runIncrementalNear(spark, pairs,
+        newCorpus, "doc_id", "text", cfg)
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    val rebuilt = GraftPipeline.run(newCorpus, "doc_id", "text", cfg)
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    assert(incremental.nonEmpty)
+    assert(incremental === rebuilt,
+      "pair-store nightly run must equal the full near-dedup rebuild")
+
+    // the maintained pair store itself must equal a fresh pair
+    // computation over the post-changelog corpus (the decision's
+    // inputs, not just the packed output)
+    val stored = spark.table(pairs)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fresh = TextDedupOps.minhashLshPairs(
+        newCorpus.filter(col("n_chars") >= 100), "doc_id", "text",
+        cfg.numHashes, cfg.bands, cfg.nearDedupMinJaccard)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored === fresh,
+      "maintained pair store must equal the rebuilt pair set")
+
+    // keep-list plan: components over the stored pairs — the corpus
+    // contributes its id column only and the delta path never re-bands,
+    // so no shingle/minhash kernel and no text column may appear
+    val keep = GraftPipeline.nearKeepListFromStore(spark, pairs,
+      newCorpus.select("doc_id"), "doc_id")
+    val planStr = executed(keep).toString
+    assert(!planStr.contains("minhash") && !planStr.contains("shingle"),
+      s"keep list must not re-band any text:\n$planStr")
+    assert(!planStr.contains("text"),
+      s"no text column may reach the keep-list plan:\n$planStr")
+    BucketedStores.dropVersioned(spark, lsh)
+    BucketedStores.dropVersioned(spark, pairs)
+  }
 }
