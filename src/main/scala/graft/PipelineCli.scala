@@ -29,6 +29,9 @@ import graft.operators.GraftPipeline
   *   --build-index NAME       stand up the (id, hash) index from the
   *                            quality-gated corpus, then exit
   *   --index NAME             keep list from this stored index
+  *   --build-near-index LSH,PAIRS  stand up the pl4 pair: LSH band
+  *                            index + verified-pair store, then exit
+  *   --near-index LSH,PAIRS   near keep list from the stored pair set
   *   --deletes <parquet>      changelog deletes (id column = --id-col)
   *   --upserts <parquet>      changelog upserts (id + text columns)
   *
@@ -48,6 +51,8 @@ object PipelineCli {
       eval: Option[String] = None,
       buildIndex: Option[String] = None,
       index: Option[String] = None,
+      buildNearIndex: Option[(String, String)] = None,
+      nearIndex: Option[(String, String)] = None,
       deletes: Option[String] = None,
       upserts: Option[String] = None,
       cfg: GraftPipeline.Config = GraftPipeline.Config())
@@ -58,8 +63,8 @@ object PipelineCli {
       "[--dedup exact|near|none] [--near-min-jaccard D] " +
       "[--num-hashes N] [--bands N] [--eval <parquet>] " +
       "[--shards N] [--seq-len N] [--seed S] " +
-      "[--build-index NAME | --index NAME [--deletes <parquet>] " +
-      "[--upserts <parquet>]]"
+      "[--build-index NAME | --index NAME | --build-near-index L,P | " +
+      "--near-index L,P] [--deletes <parquet>] [--upserts <parquet>]"
 
   def parse(args: Array[String]): Args = {
     var a = Args()
@@ -105,17 +110,30 @@ object PipelineCli {
           a = a.copy(cfg = a.cfg.copy(shardSeed = value())); i += 2
         case "--build-index" => a = a.copy(buildIndex = Some(value())); i += 2
         case "--index"       => a = a.copy(index = Some(value())); i += 2
+        case "--build-near-index" | "--near-index" =>
+          val pair = value().split(",") match {
+            case Array(l, p) if l.nonEmpty && p.nonEmpty => (l, p)
+            case _ => sys.error(
+              s"${args(i)} needs LSHNAME,PAIRNAME\n$usage")
+          }
+          a = if (args(i) == "--build-near-index")
+            a.copy(buildNearIndex = Some(pair))
+          else a.copy(nearIndex = Some(pair))
+          i += 2
         case "--deletes"     => a = a.copy(deletes = Some(value())); i += 2
         case "--upserts"     => a = a.copy(upserts = Some(value())); i += 2
         case other => sys.error(s"unknown option: $other\n$usage")
       }
     }
     require(a.input != null, usage)
-    require(a.output != null || a.buildIndex.nonEmpty, usage)
-    require(a.buildIndex.isEmpty || a.index.isEmpty,
-      s"--build-index and --index are exclusive\n$usage")
-    require(a.index.nonEmpty || (a.deletes.isEmpty && a.upserts.isEmpty),
-      s"--deletes/--upserts need --index\n$usage")
+    require(a.output != null || a.buildIndex.nonEmpty ||
+      a.buildNearIndex.nonEmpty, usage)
+    require(Seq(a.buildIndex, a.index, a.buildNearIndex, a.nearIndex)
+        .count(_.nonEmpty) <= 1,
+      s"index modes are mutually exclusive\n$usage")
+    require(a.index.nonEmpty || a.nearIndex.nonEmpty ||
+      (a.deletes.isEmpty && a.upserts.isEmpty),
+      s"--deletes/--upserts need --index or --near-index\n$usage")
     a = a.copy(cfg = a.cfg.copy(
       exactDedup = a.dedup == "exact", nearDedup = a.dedup == "near"))
     a
@@ -126,27 +144,40 @@ object PipelineCli {
     */
   def execute(spark: SparkSession, a: Args): String = {
     val corpus = spark.read.parquet(a.input)
-    a.buildIndex match {
-      case Some(name) =>
+    def emptyIds: DataFrame = spark.emptyDataFrame
+      .withColumn(a.idCol, org.apache.spark.sql.functions.lit(0L))
+      .limit(0)
+    def deletesDf = a.deletes.fold(emptyIds)(p => spark.read.parquet(p))
+    def upsertsDf = a.upserts.map(p =>
+      GraftPipeline.qualityFilter(spark.read.parquet(p), a.cfg))
+    (a.buildIndex, a.buildNearIndex) match {
+      case (Some(name), _) =>
         GraftPipeline.buildExactIndex(
           GraftPipeline.qualityFilter(corpus, a.cfg), a.idCol, a.textCol,
           name)
         val n = spark.table(name).count()
         s"[pipeline] index '$name' built: $n entries"
-      case None =>
-        val packed: DataFrame = a.index match {
-          case Some(name) =>
+      case (_, Some((lsh, pairs))) =>
+        GraftPipeline.buildNearIndexes(
+          GraftPipeline.qualityFilter(corpus, a.cfg), a.idCol, a.textCol,
+          lsh, pairs, a.cfg)
+        val n = spark.table(pairs).count()
+        s"[pipeline] near indexes '$lsh'/'$pairs' built: $n pairs"
+      case _ =>
+        val packed: DataFrame = (a.index, a.nearIndex) match {
+          case (Some(name), _) =>
             if (a.deletes.nonEmpty || a.upserts.nonEmpty)
-              GraftPipeline.applyExactIndexDelta(spark, name,
-                a.deletes.fold(spark.emptyDataFrame
-                    .withColumn(a.idCol, org.apache.spark.sql.functions
-                      .lit(0L)).limit(0))(p => spark.read.parquet(p)),
-                a.upserts.map(p => GraftPipeline.qualityFilter(
-                  spark.read.parquet(p), a.cfg)),
-                a.idCol, a.textCol)
+              GraftPipeline.applyExactIndexDelta(spark, name, deletesDf,
+                upsertsDf, a.idCol, a.textCol)
             GraftPipeline.runIncremental(spark, name, corpus, a.idCol,
               a.textCol, a.cfg)
-          case None =>
+          case (_, Some((lsh, pairs))) =>
+            if (a.deletes.nonEmpty || a.upserts.nonEmpty)
+              GraftPipeline.applyNearIndexDelta(spark, lsh, pairs,
+                deletesDf, upsertsDf, a.idCol, a.textCol, a.cfg)
+            GraftPipeline.runIncrementalNear(spark, pairs, corpus,
+              a.idCol, a.textCol, a.cfg)
+          case _ =>
             GraftPipeline.run(corpus, a.idCol, a.textCol, a.cfg,
               evalDocs = a.eval.map(p => spark.read.parquet(p)))
         }

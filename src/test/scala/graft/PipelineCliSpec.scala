@@ -104,4 +104,46 @@ class PipelineCliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
     BucketedStores.dropVersioned(spark, t)
   }
+
+  test("near-index lifecycle through the CLI equals the near rebuild") {
+    val (lsh, pairs) = ("plcli_near_lsh", "plcli_near_pairs")
+    BucketedStores.dropVersioned(spark, lsh)
+    BucketedStores.dropVersioned(spark, pairs)
+    val tmp = Files.createTempDirectory("plcli_near")
+    val docs = spark.read.parquet(docsPath)
+    val upserts = docs
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" upd")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val newCorpus = docs.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val (upP, delP, corpusP, outP) = (s"$tmp/up", s"$tmp/del",
+      s"$tmp/corpus", s"$tmp/out")
+    upserts.write.parquet(upP)
+    deletes.write.parquet(delP)
+    newCorpus.write.parquet(corpusP)
+
+    val built = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "--build-near-index", s"$lsh,$pairs",
+      "--dedup", "near")))
+    assert(built.contains("near indexes"))
+
+    val ran = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", corpusP, "-o", outP, "--near-index", s"$lsh,$pairs",
+      "--dedup", "near", "--deletes", delP, "--upserts", upP)))
+    assert(ran.contains("packed"))
+
+    val got = spark.read.parquet(outP)
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    val want = GraftPipeline.run(newCorpus, "doc_id", "text",
+        GraftPipeline.Config(minChars = 100, nearDedup = true))
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    assert(got.nonEmpty && got === want)
+    BucketedStores.dropVersioned(spark, lsh)
+    BucketedStores.dropVersioned(spark, pairs)
+  }
 }
