@@ -210,8 +210,170 @@ object BucketedStores {
     spark.sql(s"DROP VIEW IF EXISTS $name")
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.catalog.listTables().collect().map(_.name)
-      .filter(_.startsWith(name + "__v"))
+      .filter(t => t.startsWith(name + "__v") ||
+        t.matches(java.util.regex.Pattern.quote(name) + "__t\\d+"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  // ---- MERGE-ON-READ maintenance ------------------------------------
+  //
+  // [[applyDeltaAtomic]] / [[applyEdgeDeltaAtomic]] are COPY-ON-WRITE:
+  // every changelog rewrites the whole generation. Measured on the
+  // scale-stress corpora (BENCH_INCR.json) that rewrite makes the
+  // nightly delta CORPUS-scale IO — at 100× the "incremental" path
+  // costs 1.2–1.5× the full rebuild it was meant to replace. The
+  // merge-on-read discipline below is the standard fix (the Iceberg/
+  // Delta/Hudi delete-file + sequence-number idea re-expressed in
+  // public Spark catalog ops): deletes APPEND (id, seq) rows to a
+  // small tombstone table, additions APPEND bucket-aligned files into
+  // the current generation, and the serving VIEW subtracts tombstones
+  // at read time — one anti-join per key column, which broadcasts
+  // (tombstones are changelog-scale) and so preserves the backing
+  // scan's bucket partitioning (BroadcastHashJoin keeps the streamed
+  // side's partitioning; bucket-aligned probe joins survive).
+  //
+  // SEQUENCE NUMBERS carry upsert semantics: every store row has a
+  // `_seq` column (0 at build), every tombstone a `seq`, and a row is
+  // dead iff a tombstone for its id has STRICTLY GREATER seq — so an
+  // upsert in batch k (tombstone at seq k + re-appended rows at
+  // `_seq` = k) kills every older row of the id while its own
+  // replacement rows survive. Without the ordinal, the id-only
+  // tombstone would kill the very rows the upsert appends.
+  //
+  // Nightly cost becomes delta-scale; the corpus-scale rewrite happens
+  // only at [[morCompact]] (amortized over many nights, same knob as
+  // Delta OPTIMIZE), which folds tombstones in, RESETS `_seq` to 0 and
+  // starts a fresh tombstone generation — the seq clock restarts
+  // together, keeping "tombstone seq strictly greater" well-defined.
+  // Appends are not crash-atomic (a torn append can leave a partial
+  // file — the same caveat [[TextDedupOps.appendToLshIndex]]
+  // documents); the view flip and compaction keep the versioned
+  // discipline's single-catalog-op atomicity.
+
+  // Tombstone generations are their own (tiny) versioned sequence
+  // `name__t<k>`: "truncating" at compaction is CREATE fresh empty +
+  // view re-point + DROP old — TRUNCATE is not allowed on external
+  // tables, and a managed tombstone table would reintroduce the
+  // dead-JVM warehouse-residue trap the external-location discipline
+  // exists to avoid.
+
+  private def tombVersionOf(t: String, name: String): Int =
+    t.stripPrefix(name + "__t").toInt
+
+  /** The tombstone table currently serving MoR store `name`. */
+  def currentTombstones(spark: SparkSession, name: String): String = {
+    val ts = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.matches(java.util.regex.Pattern.quote(name) + "__t\\d+"))
+    require(ts.nonEmpty, s"$name has no tombstone table — not MoR-enabled")
+    ts.maxBy(tombVersionOf(_, name))
+  }
+
+  private def newTombstoneTable(spark: SparkSession, name: String,
+      version: Int, tombIdCol: String): String = {
+    val t = s"${name}__t$version"
+    import spark.implicits._
+    spark.createDataset(Seq.empty[(Long, Long)]).toDF(tombIdCol, "seq")
+      .write.option("path", java.nio.file.Files
+        .createTempDirectory(s"graft_tomb_$name").toString)
+      .saveAsTable(t)
+    t
+  }
+
+  private def morViewSql(name: String, gen: String, tomb: String,
+      idCols: Seq[String], tombIdCol: String): String = {
+    val clauses = idCols.map(c =>
+      s"NOT EXISTS (SELECT 1 FROM $tomb t " +
+        s"WHERE t.$tombIdCol = g.$c AND g._seq < t.seq)")
+    s"CREATE OR REPLACE VIEW $name AS SELECT g.* FROM $gen g " +
+      s"WHERE ${clauses.mkString(" AND ")}"
+  }
+
+  /** Switch a VERSIONED store to merge-on-read serving. The backing
+    * generation MUST already carry a `_seq` BIGINT column (0 for built
+    * rows). The serving view becomes `generation ANTI tombstones` with
+    * the strictly-greater-seq rule — one anti-join per entry in
+    * `idCols` (an edge store lists both endpoint columns; a row dies
+    * when EITHER endpoint is tombstoned past it). `tombIdCol` names
+    * the id column tombstone rows carry.
+    */
+  def morEnable(spark: SparkSession, name: String, idCols: Seq[String],
+      tombIdCol: String): Unit = {
+    val gen = currentGeneration(spark, name)
+    require(spark.table(gen).columns.contains("_seq"),
+      s"$gen has no _seq column — build MoR stores with _seq = 0")
+    val tomb = newTombstoneTable(spark, name, 1, tombIdCol)
+    spark.sql(morViewSql(name, gen, tomb, idCols, tombIdCol))
+  }
+
+  /** The sequence number the NEXT delta batch should stamp: one past
+    * the highest tombstone seq (the tombstone table is tiny — this is
+    * a changelog-scale read, never a store scan).
+    */
+  def morNextSeq(spark: SparkSession, name: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, max}
+    spark.table(currentTombstones(spark, name))
+      .agg(coalesce(max("seq"), lit(0L))).head().getLong(0) + 1
+  }
+
+  /** Delta-scale DELETE at sequence `seq`: append (id, seq) tombstone
+    * rows. Readers through the serving view drop every row of those
+    * ids with `_seq` < seq on their next resolution — no generation
+    * rewrite. An upsert = morDelete at seq + [[morAppend]] of the
+    * replacement rows stamped `_seq` = seq.
+    */
+  def morDelete(spark: SparkSession, name: String,
+      removeIds: org.apache.spark.sql.DataFrame, seq: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tomb = currentTombstones(spark, name)
+    val tombCol = spark.table(tomb).columns.head
+    removeIds.toDF(tombCol).select(col(tombCol)).distinct()
+      .withColumn("seq", lit(seq))
+      .write.mode("append").saveAsTable(tomb)
+  }
+
+  /** Delta-scale ADD: append `rows` (stamped with their batch's
+    * `_seq`) bucket-aligned into the CURRENT generation table
+    * (bucketed append adds one file per populated bucket — probe joins
+    * stay bucket-aligned; file count grows with append count until
+    * [[morCompact]]).
+    */
+  def morAppend(spark: SparkSession, name: String,
+      rows: org.apache.spark.sql.DataFrame, seq: Long,
+      bucketCols: Seq[String], sortCols: Seq[String],
+      buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val gen = currentGeneration(spark, name)
+    rows.withColumn("_seq", lit(seq))
+      .select(spark.table(gen).columns.map(col).toSeq: _*)
+      .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .mode("append").saveAsTable(gen)
+  }
+
+  /** Fold the tombstones in: rewrite the LIVE rows (view output, with
+    * `_seq` RESET to 0) as the next generation — one file per bucket
+    * again — flip the serving view in one catalog op, start a fresh
+    * (empty) tombstone generation, drop the old one. The corpus-scale
+    * rewrite, paid on the operator's schedule instead of every night.
+    * The seq clock restarts with the tombstone table: rows at 0, next
+    * batch at 1.
+    */
+  def morCompact(spark: SparkSession, name: String, idCols: Seq[String],
+      tombIdCol: String, bucketCols: Seq[String], sortCols: Seq[String],
+      buckets: Int, location: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val old = currentGeneration(spark, name)
+    val oldTomb = currentTombstones(spark, name)
+    // materialize the LIVE rows (old gen ANTI old tombstones) as the
+    // next generation; swapInNextGeneration's view flip makes it serve
+    val live = spark.table(name).withColumn("_seq", lit(0L))
+    swapInNextGeneration(spark, name, old, live, bucketCols, sortCols,
+      buckets, location)
+    val next = currentGeneration(spark, name)
+    val tomb = newTombstoneTable(spark, name,
+      tombVersionOf(oldTomb, name) + 1, tombIdCol)
+    spark.sql(morViewSql(name, next, tomb, idCols, tombIdCol))
+    spark.sql(s"DROP TABLE $oldTomb")
   }
 
   /** [[compactAtomic]] with the LSH-index bucket spec. */

@@ -247,6 +247,89 @@ object GraftPipeline {
         cfg.nearDedupMinJaccard)))
   }
 
+  // ---- Merge-on-read variants (pl5) --------------------------------
+  //
+  // [[applyNearIndexDelta]] is copy-on-write: correct, atomic, but the
+  // generation rewrite is corpus-scale IO — BENCH_INCR measured the
+  // nightly cost at 1.2–1.5× the full rebuild it replaces. These
+  // variants keep the stores MERGE-ON-READ ([[BucketedStores
+  // .morEnable]]): a changelog appends tombstones + delta rows only
+  // (delta-scale), the serving views subtract tombstones with the
+  // sequence rule, and [[morCompactNearIndexes]] folds them in on the
+  // operator's schedule. Same rebuild-equivalence contract; different
+  // (amortized) cost model.
+
+  /** [[buildNearIndexes]], merge-on-read form: both stores carry
+    * `_seq` = 0 and serve through tombstone-subtracting views.
+    */
+  def buildNearIndexesMor(docs: DataFrame, idCol: String,
+      textCol: String, lshName: String, pairName: String,
+      cfg: Config = Config(), buckets: Int = 8): Unit = {
+    val s = docs.sparkSession
+    BucketedStores.dropVersioned(s, lshName)
+    BucketedStores.dropVersioned(s, pairName)
+    TextDedupOps.lshIndexRows(docs, idCol, textCol, cfg.numHashes,
+        cfg.bands)
+      .withColumn("_seq", lit(0L))
+      .repartition(buckets, pmod(hash(col("band"), col("bhash")),
+        lit(buckets)))
+      .write.bucketBy(buckets, "band", "bhash").sortBy("band", "bhash")
+      .option("path", java.nio.file.Files
+        .createTempDirectory(s"graft_nearidx_$lshName").toString)
+      .saveAsTable(lshName)
+    BucketedStores.adoptVersioned(s, lshName)
+    BucketedStores.morEnable(s, lshName, Seq("doc_id"), "doc_id")
+    TextDedupOps.minhashLshPairs(docs, idCol, textCol,
+        cfg.numHashes, cfg.bands, cfg.nearDedupMinJaccard)
+      .withColumn("_seq", lit(0L))
+      .repartition(buckets, pmod(hash(col("id_a")), lit(buckets)))
+      .write.bucketBy(buckets, "id_a").sortBy("id_a", "id_b")
+      .option("path", java.nio.file.Files
+        .createTempDirectory(s"graft_pairs_$pairName").toString)
+      .saveAsTable(pairName)
+    BucketedStores.adoptVersioned(s, pairName)
+    BucketedStores.morEnable(s, pairName, Seq("id_a", "id_b"), "doc_id")
+  }
+
+  /** [[applyNearIndexDelta]], merge-on-read form: tombstone the
+    * changed ids in both stores at this batch's sequence, append the
+    * delta's band rows, probe the LIVE index view (tombstones applied,
+    * this batch's appends visible), append the surviving pairs.
+    * Delta-scale work only — no generation is rewritten.
+    */
+  def applyNearIndexDeltaMor(spark: org.apache.spark.sql.SparkSession,
+      lshName: String, pairName: String, deleteIds: DataFrame,
+      upserts: Option[DataFrame], idCol: String, textCol: String,
+      cfg: Config = Config(), buckets: Int = 8): Unit = {
+    val removeIds = upserts.fold(deleteIds.select(col(idCol)))(u =>
+      deleteIds.select(col(idCol)).unionByName(u.select(col(idCol))))
+    val seqL = BucketedStores.morNextSeq(spark, lshName)
+    val seqP = BucketedStores.morNextSeq(spark, pairName)
+    BucketedStores.morDelete(spark, lshName, removeIds, seqL)
+    BucketedStores.morDelete(spark, pairName, removeIds, seqP)
+    upserts.foreach { u =>
+      BucketedStores.morAppend(spark, lshName,
+        TextDedupOps.lshIndexRows(u, idCol, textCol, cfg.numHashes,
+          cfg.bands),
+        seqL, Seq("band", "bhash"), Seq("band", "bhash"), buckets)
+      BucketedStores.morAppend(spark, pairName,
+        TextDedupOps.probeLshIndex(spark, lshName, u, idCol, textCol,
+          cfg.numHashes, cfg.bands, cfg.nearDedupMinJaccard),
+        seqP, Seq("id_a"), Seq("id_a", "id_b"), buckets)
+    }
+  }
+
+  /** Fold both stores' tombstones in (one file per bucket again, seq
+    * clock reset) — the amortized corpus-scale rewrite.
+    */
+  def morCompactNearIndexes(spark: org.apache.spark.sql.SparkSession,
+      lshName: String, pairName: String, buckets: Int = 8): Unit = {
+    BucketedStores.morCompact(spark, lshName, Seq("doc_id"), "doc_id",
+      Seq("band", "bhash"), Seq("band", "bhash"), buckets)
+    BucketedStores.morCompact(spark, pairName, Seq("id_a", "id_b"),
+      "doc_id", Seq("id_a"), Seq("id_a", "id_b"), buckets)
+  }
+
   /** The near-dedup keep list from the PAIR STORE alone: connected
     * components over stored verified pairs (pair-store scale), then
     * [[nearKeepList]]'s canonical-min rule against the corpus id set —

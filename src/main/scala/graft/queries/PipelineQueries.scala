@@ -254,7 +254,13 @@ object PipelineQueries {
           "text", cfg)
         .orderBy(col("shard"), col("pos"))
     },
-    sql = Some(s"""
+    sql = Some(nearIncrementalOracleSql))
+
+  /** The full near-dedup rebuild over the post-changelog corpus —
+    * shared by pl4 (copy-on-write maintenance) and pl5 (merge-on-read
+    * maintenance): both must land on this same answer.
+    */
+  private def nearIncrementalOracleSql: String = s"""
       WITH RECURSIVE
       nd AS (
         SELECT doc_id,
@@ -322,9 +328,48 @@ object PipelineQueries {
              (end_off - n_tokens) // 512 AS seq_first,
              (end_off - 1) // 512 AS seq_last
       FROM o
-      ORDER BY shard, pos"""))
+      ORDER BY shard, pos"""
+
+  /** pl5: pl4's nightly run under MERGE-ON-READ maintenance. Measuring
+    * pl4's copy-on-write delta on the scale-stress corpora
+    * (BENCH_INCR.json) showed the generation rewrite costs 1.2–1.5×
+    * the full rebuild at 100× — so the stores here stay append-only
+    * between compactions: the changelog appends (id, seq) tombstones
+    * and `_seq`-stamped delta rows, the serving views subtract
+    * tombstones with the strictly-greater-seq rule (an upsert's
+    * replacement rows survive their own tombstone), and the probe runs
+    * against the live view. Same oracle as pl4 — the two maintenance
+    * disciplines must land on the identical packed output.
+    */
+  val pl5PipelineIncrementalMor = Q(
+    "pl5_pipeline_incremental_mor",
+    (s, d) => {
+      val hex = Integer.toHexString(d.hashCode)
+      val (lsh, pairs) = (s"pl5_lsh_$hex", s"pl5_pairs_$hex")
+      val cfg = GraftPipeline.Config(minChars = 100, nearDedup = true)
+      val baseQ = spread(documents(s, d))
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("text"))
+      GraftPipeline.buildNearIndexesMor(baseQ, "doc_id", "text", lsh,
+        pairs, cfg)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      GraftPipeline.applyNearIndexDeltaMor(s, lsh, pairs, deleteIds,
+        Some(upserts.filter(length(col("text")) >= 100)),
+        "doc_id", "text", cfg)
+      val newCorpus = documents(s, d)
+        .filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" upd")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      GraftPipeline.runIncrementalNear(s, pairs, newCorpus, "doc_id",
+          "text", cfg)
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some(nearIncrementalOracleSql))
 
   val all: Seq[Q] =
     Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental,
-      pl4PipelineIncrementalNear)
+      pl4PipelineIncrementalNear, pl5PipelineIncrementalMor)
 }

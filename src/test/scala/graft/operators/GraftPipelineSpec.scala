@@ -225,4 +225,89 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     BucketedStores.dropVersioned(spark, lsh)
     BucketedStores.dropVersioned(spark, pairs)
   }
+
+  test("merge-on-read maintenance: two delta batches and a compaction " +
+      "all equal the fresh rebuild; tombstone subtraction broadcasts") {
+    val cfg = GraftPipeline.Config(minChars = 100, nearDedup = true)
+    val (lsh, pairs) = ("plspec_mor_lsh", "plspec_mor_pairs")
+    val base = docs.filter(length(col("text")) >= 100)
+      .select(col("doc_id"), col("text"))
+    GraftPipeline.buildNearIndexesMor(base, "doc_id", "text", lsh, pairs,
+      cfg)
+
+    def corpusAfter(suffixes: Map[Long, String]) = {
+      val marked = suffixes.foldLeft(
+        docs.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"), col("text"))) { case (df, (m, sfx)) =>
+        df.withColumn("text",
+          when(col("doc_id") % m === 0, concat(col("text"), lit(sfx)))
+            .otherwise(col("text")))
+      }
+      marked.withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    def check(corpus: org.apache.spark.sql.DataFrame, what: String) = {
+      val incr = GraftPipeline.runIncrementalNear(spark, pairs, corpus,
+          "doc_id", "text", cfg)
+        .orderBy(col("shard"), col("pos")).collect().toSeq
+      val rebuilt = GraftPipeline.run(corpus, "doc_id", "text", cfg)
+        .orderBy(col("shard"), col("pos")).collect().toSeq
+      assert(incr.nonEmpty && incr === rebuilt, s"$what diverged")
+    }
+
+    // batch 1: delete %7==3, upsert %5==0 (" upd")
+    val up1 = docs
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+    val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    GraftPipeline.applyNearIndexDeltaMor(spark, lsh, pairs, deletes,
+      Some(up1.filter(length(col("text")) >= 100)), "doc_id", "text", cfg)
+    val corpus1 = corpusAfter(Map(5L -> " upd"))
+    check(corpus1, "MoR batch 1")
+
+    // batch 2 RE-upserts a subset of the same docs (%10==0, so their
+    // batch-1 rows must die while batch-2 rows survive their own
+    // tombstone — the strictly-greater-seq rule's edge case)
+    val up2 = corpus1.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" more")).as("text"))
+    GraftPipeline.applyNearIndexDeltaMor(spark, lsh, pairs,
+      deletes.limit(0), Some(up2.filter(length(col("text")) >= 100)),
+      "doc_id", "text", cfg)
+    val corpus2 = corpusAfter(Map(5L -> " upd", 10L -> " more"))
+    check(corpus2, "MoR batch 2")
+
+    // tombstone subtraction must BROADCAST (bucket alignment of the
+    // backing scan survives); a shuffled anti-join here would make
+    // every probe corpus-scale again
+    val viewPlan = executed(spark.table(lsh)).toString
+    assert(viewPlan.contains("BroadcastHashJoin") &&
+      !viewPlan.contains("SortMergeJoin"),
+      s"MoR view must subtract tombstones via broadcast:\n$viewPlan")
+
+    // compaction folds tombstones in and changes NOTHING observable
+    val beforePairs = spark.table(pairs)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    GraftPipeline.morCompactNearIndexes(spark, lsh, pairs)
+    val afterPairs = spark.table(pairs)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(beforePairs === afterPairs, "compaction must be invisible")
+    check(corpus2, "post-compaction")
+
+    // and a delta AFTER compaction still lands correctly (seq clock
+    // restarted together with the tombstone generation)
+    val up3 = corpus2.filter(col("doc_id") % 15 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" again")).as("text"))
+    GraftPipeline.applyNearIndexDeltaMor(spark, lsh, pairs,
+      deletes.limit(0), Some(up3.filter(length(col("text")) >= 100)),
+      "doc_id", "text", cfg)
+    val corpus3 = corpusAfter(
+      Map(5L -> " upd", 10L -> " more", 15L -> " again"))
+    check(corpus3, "post-compaction delta")
+
+    BucketedStores.dropVersioned(spark, lsh)
+    BucketedStores.dropVersioned(spark, pairs)
+  }
 }
