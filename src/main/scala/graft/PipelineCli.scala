@@ -34,6 +34,11 @@ import graft.operators.GraftPipeline
   *   --near-index LSH,PAIRS   near keep list from the stored pair set
   *   --deletes <parquet>      changelog deletes (id column = --id-col)
   *   --upserts <parquet>      changelog upserts (id + text columns)
+  *   --mor                    merge-on-read maintenance: changelogs
+  *                            append tombstones + delta rows instead
+  *                            of rewriting the generation (build the
+  *                            store with --mor too; compact on your
+  *                            schedule via BucketedStores.morCompact)
   *
   * Output discipline: one `mode=overwrite` parquet write of the packed
   * set — the write inherits the pack stage's single hash exchange, so
@@ -55,6 +60,7 @@ object PipelineCli {
       nearIndex: Option[(String, String)] = None,
       deletes: Option[String] = None,
       upserts: Option[String] = None,
+      mor: Boolean = false,
       cfg: GraftPipeline.Config = GraftPipeline.Config())
 
   private val usage =
@@ -122,6 +128,7 @@ object PipelineCli {
           i += 2
         case "--deletes"     => a = a.copy(deletes = Some(value())); i += 2
         case "--upserts"     => a = a.copy(upserts = Some(value())); i += 2
+        case "--mor"         => a = a.copy(mor = true); i += 1
         case other => sys.error(s"unknown option: $other\n$usage")
       }
     }
@@ -152,29 +159,46 @@ object PipelineCli {
       GraftPipeline.qualityFilter(spark.read.parquet(p), a.cfg))
     (a.buildIndex, a.buildNearIndex) match {
       case (Some(name), _) =>
-        GraftPipeline.buildExactIndex(
-          GraftPipeline.qualityFilter(corpus, a.cfg), a.idCol, a.textCol,
-          name)
+        val gated = GraftPipeline.qualityFilter(corpus, a.cfg)
+        if (a.mor)
+          GraftPipeline.buildExactIndexMor(gated, a.idCol, a.textCol,
+            name)
+        else
+          GraftPipeline.buildExactIndex(gated, a.idCol, a.textCol, name)
         val n = spark.table(name).count()
         s"[pipeline] index '$name' built: $n entries"
       case (_, Some((lsh, pairs))) =>
-        GraftPipeline.buildNearIndexes(
-          GraftPipeline.qualityFilter(corpus, a.cfg), a.idCol, a.textCol,
-          lsh, pairs, a.cfg)
+        val gated = GraftPipeline.qualityFilter(corpus, a.cfg)
+        if (a.mor)
+          GraftPipeline.buildNearIndexesMor(gated, a.idCol, a.textCol,
+            lsh, pairs, a.cfg)
+        else
+          GraftPipeline.buildNearIndexes(gated, a.idCol, a.textCol,
+            lsh, pairs, a.cfg)
         val n = spark.table(pairs).count()
         s"[pipeline] near indexes '$lsh'/'$pairs' built: $n pairs"
       case _ =>
         val packed: DataFrame = (a.index, a.nearIndex) match {
           case (Some(name), _) =>
-            if (a.deletes.nonEmpty || a.upserts.nonEmpty)
-              GraftPipeline.applyExactIndexDelta(spark, name, deletesDf,
-                upsertsDf, a.idCol, a.textCol)
+            if (a.deletes.nonEmpty || a.upserts.nonEmpty) {
+              if (a.mor)
+                GraftPipeline.applyExactIndexDeltaMor(spark, name,
+                  deletesDf, upsertsDf, a.idCol, a.textCol)
+              else
+                GraftPipeline.applyExactIndexDelta(spark, name,
+                  deletesDf, upsertsDf, a.idCol, a.textCol)
+            }
             GraftPipeline.runIncremental(spark, name, corpus, a.idCol,
               a.textCol, a.cfg)
           case (_, Some((lsh, pairs))) =>
-            if (a.deletes.nonEmpty || a.upserts.nonEmpty)
-              GraftPipeline.applyNearIndexDelta(spark, lsh, pairs,
-                deletesDf, upsertsDf, a.idCol, a.textCol, a.cfg)
+            if (a.deletes.nonEmpty || a.upserts.nonEmpty) {
+              if (a.mor)
+                GraftPipeline.applyNearIndexDeltaMor(spark, lsh, pairs,
+                  deletesDf, upsertsDf, a.idCol, a.textCol, a.cfg)
+              else
+                GraftPipeline.applyNearIndexDelta(spark, lsh, pairs,
+                  deletesDf, upsertsDf, a.idCol, a.textCol, a.cfg)
+            }
             GraftPipeline.runIncrementalNear(spark, pairs, corpus,
               a.idCol, a.textCol, a.cfg)
           case _ =>

@@ -160,6 +160,52 @@ object GraftPipeline {
       additions = upserts.map(
         _.select(col(idCol), md5(col(textCol)).as("h"))))
 
+  /** [[buildExactIndex]], merge-on-read form: rows carry `_seq` = 0
+    * and serve through the tombstone-subtracting view, so nightly
+    * changelogs append instead of rewriting the generation
+    * ([[applyExactIndexDeltaMor]]).
+    */
+  def buildExactIndexMor(docs: DataFrame, idCol: String,
+      textCol: String, name: String, buckets: Int = 8): Unit = {
+    val s = docs.sparkSession
+    BucketedStores.dropVersioned(s, name)
+    docs.select(col(idCol), md5(col(textCol)).as("h"))
+      .withColumn("_seq", lit(0L))
+      .repartition(buckets, pmod(hash(col("h")), lit(buckets)))
+      .write.bucketBy(buckets, "h").sortBy("h", idCol)
+      .option("path", java.nio.file.Files
+        .createTempDirectory(s"graft_exidx_$name").toString)
+      .saveAsTable(name)
+    BucketedStores.adoptVersioned(s, name)
+    BucketedStores.morEnable(s, name, Seq(idCol), idCol)
+  }
+
+  /** [[applyExactIndexDelta]], merge-on-read form: tombstone the
+    * changed ids at this batch's sequence, hash ONLY the upsert texts
+    * and append them stamped with the same sequence. Delta-scale work;
+    * the generation is never rewritten (compact with
+    * [[BucketedStores.morCompact]] on schedule).
+    */
+  def applyExactIndexDeltaMor(spark: org.apache.spark.sql.SparkSession,
+      name: String, deleteIds: DataFrame, upserts: Option[DataFrame],
+      idCol: String, textCol: String, buckets: Int = 8): Unit = {
+    val seq = BucketedStores.morNextSeq(spark, name)
+    val removeIds = upserts.fold(deleteIds.select(col(idCol)))(u =>
+      deleteIds.select(col(idCol)).unionByName(u.select(col(idCol))))
+    BucketedStores.morDelete(spark, name, removeIds, seq)
+    upserts.foreach(u => BucketedStores.morAppend(spark, name,
+      u.select(col(idCol), md5(col(textCol)).as("h")), seq,
+      Seq("h"), Seq("h", idCol), buckets))
+  }
+
+  /** Fold the exact index's tombstones in (one file per bucket again,
+    * seq clock reset) — the amortized corpus-scale rewrite.
+    */
+  def morCompactExactIndex(spark: org.apache.spark.sql.SparkSession,
+      name: String, idCol: String, buckets: Int = 8): Unit =
+    BucketedStores.morCompact(spark, name, Seq(idCol), idCol,
+      Seq("h"), Seq("h", idCol), buckets)
+
   /** The exact-dedup keep list derived from the INDEX alone: min id
     * per content hash, computed over stored (id, hash) pairs — the
     * corpus text is not in this plan at all (spec-gated).

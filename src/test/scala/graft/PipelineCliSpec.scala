@@ -146,4 +146,54 @@ class PipelineCliSpec extends AnyFunSuite with BeforeAndAfterAll {
     BucketedStores.dropVersioned(spark, lsh)
     BucketedStores.dropVersioned(spark, pairs)
   }
+
+  test("--mor lifecycle: build + changelog append tombstones instead " +
+      "of rewriting, and the run still equals the full rebuild") {
+    val t = "plcli_mor_exidx"
+    BucketedStores.dropVersioned(spark, t)
+    val tmp = Files.createTempDirectory("plcli_mor")
+    val docs = spark.read.parquet(docsPath)
+    val upserts = docs
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .withColumn("text", concat(col("text"), lit(" upd")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val newCorpus = docs.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val (upP, delP, corpusP, outP) = (s"$tmp/up", s"$tmp/del",
+      s"$tmp/corpus", s"$tmp/out")
+    upserts.write.parquet(upP)
+    deletes.write.parquet(delP)
+    newCorpus.write.parquet(corpusP)
+
+    assert(PipelineCli.parse(Array("-i", "x", "-o", "y", "--mor")).mor)
+
+    val built = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "--build-index", t, "--mor")))
+    assert(built.contains(s"index '$t' built"))
+    val gen0 = BucketedStores.currentGeneration(spark, t)
+
+    val ran = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", corpusP, "-o", outP, "--index", t,
+      "--deletes", delP, "--upserts", upP, "--mor")))
+    assert(ran.contains("packed"))
+
+    // merge-on-read really happened: same serving generation (no
+    // rewrite), tombstones present
+    assert(BucketedStores.currentGeneration(spark, t) === gen0,
+      "MoR delta must not rewrite the generation")
+    assert(spark.table(BucketedStores.currentTombstones(spark, t))
+      .count() > 0, "MoR delta must write tombstones")
+
+    val got = spark.read.parquet(outP)
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    val want = GraftPipeline.run(newCorpus, "doc_id", "text",
+        GraftPipeline.Config(minChars = 100, exactDedup = true))
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    assert(got.nonEmpty && got === want)
+    BucketedStores.dropVersioned(spark, t)
+  }
 }

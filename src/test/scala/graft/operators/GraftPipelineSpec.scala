@@ -310,4 +310,76 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     BucketedStores.dropVersioned(spark, lsh)
     BucketedStores.dropVersioned(spark, pairs)
   }
+
+  test("EXACT index merge-on-read: delta batches, re-upsert edge case, " +
+      "and compaction all equal the fresh rebuild") {
+    val cfg = GraftPipeline.Config(minChars = 100, exactDedup = true)
+    val t = "plspec_mor_exidx"
+    val base = docs.filter(length(col("text")) >= 100)
+      .select(col("doc_id"), col("text"))
+    GraftPipeline.buildExactIndexMor(base, "doc_id", "text", t)
+
+    def corpusAfter(suffixes: Map[Long, String]) = {
+      val marked = suffixes.foldLeft(
+        docs.filter(col("doc_id") % 7 =!= 3)
+          .select(col("doc_id"), col("text"))) { case (df, (m, sfx)) =>
+        df.withColumn("text",
+          when(col("doc_id") % m === 0, concat(col("text"), lit(sfx)))
+            .otherwise(col("text")))
+      }
+      marked.withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    def check(corpus: org.apache.spark.sql.DataFrame, what: String) = {
+      val incr = GraftPipeline.runIncremental(spark, t, corpus,
+          "doc_id", "text", cfg)
+        .orderBy(col("shard"), col("pos")).collect().toSeq
+      val rebuilt = GraftPipeline.run(corpus, "doc_id", "text", cfg)
+        .orderBy(col("shard"), col("pos")).collect().toSeq
+      assert(incr.nonEmpty && incr === rebuilt, s"$what diverged")
+    }
+
+    // batch 1: delete %7==3, upsert %5==0 (" upd")
+    val up1 = docs
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+    val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    GraftPipeline.applyExactIndexDeltaMor(spark, t, deletes,
+      Some(up1.filter(length(col("text")) >= 100)), "doc_id", "text")
+    check(corpusAfter(Map(5L -> " upd")), "MoR batch 1")
+
+    // batch 2 RE-upserts %10==0: batch-1 rows must die while batch-2
+    // rows survive their own tombstone (strictly-greater-seq rule)
+    val up2 = corpusAfter(Map(5L -> " upd"))
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" more")).as("text"))
+    GraftPipeline.applyExactIndexDeltaMor(spark, t, deletes.limit(0),
+      Some(up2.filter(length(col("text")) >= 100)), "doc_id", "text")
+    val corpus2 = corpusAfter(Map(5L -> " upd", 10L -> " more"))
+    check(corpus2, "MoR batch 2")
+
+    // tombstone subtraction through the serving view must broadcast —
+    // a shuffled anti-join would make every nightly probe corpus-scale
+    val viewPlan = executed(spark.table(t)).toString
+    assert(viewPlan.contains("BroadcastHashJoin") &&
+      !viewPlan.contains("SortMergeJoin"),
+      s"MoR view must subtract tombstones via broadcast:\n$viewPlan")
+
+    // compaction is invisible, and a delta after it still lands
+    val before = spark.table(t).select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    GraftPipeline.morCompactExactIndex(spark, t, "doc_id")
+    val after = spark.table(t).select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(before === after, "compaction must be invisible")
+    check(corpus2, "post-compaction")
+    val up3 = corpus2.filter(col("doc_id") % 15 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" again")).as("text"))
+    GraftPipeline.applyExactIndexDeltaMor(spark, t, deletes.limit(0),
+      Some(up3.filter(length(col("text")) >= 100)), "doc_id", "text")
+    check(corpusAfter(Map(5L -> " upd", 10L -> " more", 15L -> " again")),
+      "post-compaction delta")
+    BucketedStores.dropVersioned(spark, t)
+  }
 }
