@@ -40,6 +40,14 @@ import graft.operators.GraftPipeline
   *                            store with --mor too; compact on your
   *                            schedule via BucketedStores.morCompact)
   *
+  * Store housekeeping (runs alone, then exits):
+  *
+  *   --vacuum <root>          delete retired generation dirs under
+  *                            root (catalog-reachability GC —
+  *                            BucketedStores.vacuumOrphans)
+  *   --vacuum-retention-h N   age guard in hours (default 24; 0 only
+  *                            when no writer/reader can be in flight)
+  *
   * Output discipline: one `mode=overwrite` parquet write of the packed
   * set — the write inherits the pack stage's single hash exchange, so
   * output file count is bounded by the shard partitioning, not by
@@ -61,6 +69,8 @@ object PipelineCli {
       deletes: Option[String] = None,
       upserts: Option[String] = None,
       mor: Boolean = false,
+      vacuum: Option[String] = None,
+      vacuumRetentionH: Int = 24,
       cfg: GraftPipeline.Config = GraftPipeline.Config())
 
   private val usage =
@@ -70,7 +80,8 @@ object PipelineCli {
       "[--num-hashes N] [--bands N] [--eval <parquet>] " +
       "[--shards N] [--seq-len N] [--seed S] " +
       "[--build-index NAME | --index NAME | --build-near-index L,P | " +
-      "--near-index L,P] [--deletes <parquet>] [--upserts <parquet>]"
+      "--near-index L,P] [--deletes <parquet>] [--upserts <parquet>] " +
+      "[--mor] | --vacuum <root> [--vacuum-retention-h N]"
 
   def parse(args: Array[String]): Args = {
     var a = Args()
@@ -129,8 +140,18 @@ object PipelineCli {
         case "--deletes"     => a = a.copy(deletes = Some(value())); i += 2
         case "--upserts"     => a = a.copy(upserts = Some(value())); i += 2
         case "--mor"         => a = a.copy(mor = true); i += 1
+        case "--vacuum"      => a = a.copy(vacuum = Some(value())); i += 2
+        case "--vacuum-retention-h" =>
+          a = a.copy(vacuumRetentionH = intValue()); i += 2
         case other => sys.error(s"unknown option: $other\n$usage")
       }
+    }
+    if (a.vacuum.nonEmpty) {
+      require(a.input == null && a.output == null &&
+        Seq(a.buildIndex, a.index, a.buildNearIndex, a.nearIndex)
+          .forall(_.isEmpty),
+        s"--vacuum runs alone\n$usage")
+      return a
     }
     require(a.input != null, usage)
     require(a.output != null || a.buildIndex.nonEmpty ||
@@ -149,7 +170,16 @@ object PipelineCli {
   /** Run the mode the options describe; returns the summary `main`
     * prints.
     */
-  def execute(spark: SparkSession, a: Args): String = {
+  def execute(spark: SparkSession, a: Args): String = a.vacuum match {
+    case Some(root) =>
+      val gone = graft.operators.BucketedStores.vacuumOrphans(spark,
+        root, olderThanMs = a.vacuumRetentionH * 3600L * 1000)
+      s"[pipeline] vacuumed ${gone.size} retired dirs under $root" +
+        (if (gone.isEmpty) "" else gone.mkString(":\n  ", "\n  ", ""))
+    case None => executeRun(spark, a)
+  }
+
+  private def executeRun(spark: SparkSession, a: Args): String = {
     val corpus = spark.read.parquet(a.input)
     def emptyIds: DataFrame = spark.emptyDataFrame
       .withColumn(a.idCol, org.apache.spark.sql.functions.lit(0L))

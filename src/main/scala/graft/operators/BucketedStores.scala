@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   * the store once into fresh buckets (back to ~one file per bucket)
   * and swaps it in via a catalog rename, preserving the bucket spec —
   * so probe plans keep their zero-shuffle bucket-aligned scan — and
-  * the external location discipline (fresh temp dir; the old location
-  * is dropped with the old table).
+  * the external location discipline (fresh temp dir per generation).
+  * NOTE: dropping an EXTERNAL table removes only the catalog entry —
+  * the retired directory's files stay on disk until [[vacuumOrphans]]
+  * reclaims them by catalog reachability.
   *
   * `compact` is not crash-atomic across its drop/rename pair; the
   * VERSIONED discipline below ([[adoptVersioned]] / [[compactAtomic]])
@@ -374,6 +376,70 @@ object BucketedStores {
       tombVersionOf(oldTomb, name) + 1, tombIdCol)
     spark.sql(morViewSql(name, next, tomb, idCols, tombIdCol))
     spark.sql(s"DROP TABLE $oldTomb")
+  }
+
+  // ---- Orphan reclamation (vacuum) ----------------------------------
+  //
+  // Every generation/tombstone table is EXTERNAL (`option("path", …)`
+  // — the discipline that keeps a dead JVM from stranding data inside
+  // a warehouse dir), and Spark's DROP TABLE on an external table
+  // removes the CATALOG ENTRY ONLY: the files stay. So every swap
+  // ([[swapInNextGeneration]]), [[compact]], [[morCompact]] and
+  // [[dropVersioned]] retires a directory that nothing references —
+  // at store scale that is an unbounded disk leak. The fix is the
+  // same shape as Iceberg's `remove_orphan_files`: reclamation by
+  // CATALOG REACHABILITY, guarded three ways —
+  //   prefix  — only store-owned names (`graft_…` by default) are
+  //             candidates; an unrelated sibling dir is never touched;
+  //   liveness — any directory that IS some catalog table's location
+  //             survives (current generations, tombstones, adopted
+  //             stores — views have no location and contribute none);
+  //   age     — only dirs whose modification time is older than
+  //             `olderThanMs` go, so an in-flight writer's directory
+  //             (created, not yet committed to the catalog) survives
+  //             the race. Retention is the crash-consistency knob,
+  //             exactly as in Iceberg/Delta VACUUM: run with a grace
+  //             period ≥ the longest reader/writer you allow.
+
+  /** Locations of every TABLE in the current database, fully
+    * qualified against its own filesystem (views resolve to nothing).
+    */
+  private def liveLocations(spark: SparkSession): Set[String] = {
+    val cat = spark.sessionState.catalog
+    spark.catalog.listTables().collect().toSeq
+      .filter(_.tableType != "VIEW")
+      .flatMap { t =>
+        scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(cat.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t.name))
+            .location)
+          p.getFileSystem(spark.sessionState.newHadoopConf())
+            .makeQualified(p).toString
+        }.toOption
+      }.toSet
+  }
+
+  /** Delete retired store directories under `root`: every CHILD
+    * directory whose name starts with `prefix`, is no catalog table's
+    * location, and is older than `olderThanMs`. Returns the deleted
+    * paths. One Hadoop-FS surface — the same call works on HDFS/S3A
+    * object stores, where the "directory" is a key prefix.
+    */
+  def vacuumOrphans(spark: SparkSession, root: String,
+      olderThanMs: Long = 24L * 3600 * 1000,
+      prefix: String = "graft_"): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return Seq.empty
+    val live = liveLocations(spark)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(prefix) &&
+        st.getModificationTime < cutoff &&
+        !live.contains(fs.makeQualified(st.getPath).toString))
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+      .sorted
   }
 
   /** [[compactAtomic]] with the LSH-index bucket spec. */

@@ -196,4 +196,16 @@ class PipelineCliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
     BucketedStores.dropVersioned(spark, t)
   }
+
+  test("--vacuum runs alone and reports what it reclaimed") {
+    intercept[RuntimeException](PipelineCli.parse(
+      Array("--vacuum", "/tmp/x", "-i", "y")))
+    val root = Files.createTempDirectory("plcli_vac")
+    Files.createDirectory(root.resolve("graft_retired_dir"))
+    val msg = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "--vacuum", root.toString, "--vacuum-retention-h", "0")))
+    assert(msg.contains("vacuumed 1 retired dirs") &&
+      msg.contains("graft_retired_dir"))
+    assert(!root.resolve("graft_retired_dir").toFile.exists())
+  }
 }

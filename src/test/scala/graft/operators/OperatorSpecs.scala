@@ -328,7 +328,7 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     val scans = plan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.relation.location.rootPaths.exists(
-            _.toString.contains("graft_compact_")) => s
+            _.toString.contains("graft_gen_")) => s
     }
     assert(scans.nonEmpty && scans.forall(_.bucketedScan),
       s"probe through the serving view must scan bucket-aligned:\n$plan")
@@ -650,5 +650,57 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "every step must contribute merge-table rows")
     assert(spark.sharedState.cacheManager.isEmpty,
       "trainMerges must release every cache it creates")
+  }
+
+  test("vacuumOrphans reclaims retired generations by catalog " +
+      "reachability — and only them (prefix, liveness, age guards)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vacspec")
+    def sub(n: String) = root.resolve(n).toString
+    val name = "t_idx_vacuum_spec"
+    BucketedStores.dropVersioned(spark, name)
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    TextDedupOps.writeLshIndex(corpus, "doc_id", "text", name,
+      numHashes = 8, bands = 4, buckets = 2,
+      location = Some(sub("graft_lsh_a")))
+    BucketedStores.adoptVersioned(spark, name)
+    BucketedStores.compactLshIndexAtomic(spark, name, buckets = 2)
+    // compactAtomic defaults its new location to java.io.tmpdir —
+    // redo one more swap into OUR root so both live and dead dirs
+    // sit under the scanned root
+    BucketedStores.compactAtomic(spark, name, Seq("band", "bhash"),
+      Seq("band", "bhash"), buckets = 2, location = Some(sub("graft_lsh_b")))
+    val rowsBefore = spark.table(name).count()
+    assert(rowsBefore > 0)
+
+    // the DROPPED generation's directory is still on disk — the leak
+    assert(new java.io.File(sub("graft_lsh_a")).exists(),
+      "external DROP TABLE must leave the retired dir (the leak)")
+    // bystanders: a non-prefixed dir and a fresh prefixed dir
+    java.nio.file.Files.createDirectory(root.resolve("user_data"))
+    java.nio.file.Files.createDirectory(root.resolve("graft_inflight"))
+
+    // age guard: nothing old enough yet → nothing deleted
+    assert(BucketedStores.vacuumOrphans(spark, root.toString,
+      olderThanMs = 3600L * 1000).isEmpty)
+
+    // zero retention: the retired generation goes (and so does the
+    // in-flight-shaped dir — zero retention is exactly the unsafe
+    // setting the age guard exists for)
+    val deleted = BucketedStores.vacuumOrphans(spark, root.toString,
+      olderThanMs = 0)
+    assert(deleted.map(_.split('/').last).toSet ===
+      Set("graft_lsh_a", "graft_inflight"),
+      s"must delete exactly the unreferenced prefixed dirs, got $deleted")
+    assert(!new java.io.File(sub("graft_lsh_a")).exists())
+    assert(new java.io.File(sub("graft_lsh_b")).exists(),
+      "the live generation must survive")
+    assert(new java.io.File(sub("user_data")).exists(),
+      "non-prefixed dirs are never candidates")
+    assert(spark.table(name).count() === rowsBefore,
+      "serving must be unaffected by vacuum")
+    BucketedStores.dropVersioned(spark, name)
   }
 }
