@@ -180,7 +180,13 @@ object PipelineQueries {
           GraftPipeline.Config(minChars = 100, exactDedup = true))
         .orderBy(col("shard"), col("pos"))
     },
-    sql = Some("""
+    sql = Some(exactIncrementalOracleSql))
+
+  /** The full exact-dedup rebuild over the post-changelog corpus —
+    * shared by pl3 (copy-on-write maintenance) and pl6 (merge-on-read
+    * maintenance + compaction): both must land on this same answer.
+    */
+  private def exactIncrementalOracleSql: String = """
       WITH newdocs AS (
         SELECT doc_id,
                CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END
@@ -213,7 +219,7 @@ object PipelineQueries {
              (end_off - n_tokens) // 512 AS seq_first,
              (end_off - 1) // 512 AS seq_last
       FROM o
-      ORDER BY shard, pos"""))
+      ORDER BY shard, pos"""
 
   /** pl4: the incremental nightly run, NEAR-dedup form. Two stores
     * stand between runs — the LSH band index AND the verified-pair
@@ -369,7 +375,44 @@ object PipelineQueries {
     },
     sql = Some(nearIncrementalOracleSql))
 
+  /** pl6: pl3's nightly run under MERGE-ON-READ maintenance WITH a
+    * mid-stream compaction. The exact-dedup index stays append-only
+    * through the changelog (tombstones + `_seq`-stamped delta rows,
+    * [[GraftPipeline.applyExactIndexDeltaMor]]), then
+    * [[GraftPipeline.morCompactExactIndex]] folds the tombstones into
+    * a fresh one-file-per-bucket generation BEFORE the keep list is
+    * derived — so this row proves, cross-engine, that compaction is
+    * observation-invisible: the packed output still equals pl3's
+    * DuckDB rebuild over the post-changelog corpus.
+    */
+  val pl6PipelineIncrementalMorExact = Q(
+    "pl6_pipeline_incremental_mor_exact",
+    (s, d) => {
+      val t = s"pl6_exidx_${Integer.toHexString(d.hashCode)}"
+      val base = documents(s, d)
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("text"))
+      GraftPipeline.buildExactIndexMor(base, "doc_id", "text", t)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      GraftPipeline.applyExactIndexDeltaMor(s, t, deleteIds,
+        Some(upserts.filter(length(col("text")) >= 100)),
+        "doc_id", "text")
+      GraftPipeline.morCompactExactIndex(s, t, "doc_id")
+      val newCorpus = documents(s, d)
+        .filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" upd")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      GraftPipeline.runIncremental(s, t, newCorpus, "doc_id", "text",
+          GraftPipeline.Config(minChars = 100, exactDedup = true))
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some(exactIncrementalOracleSql))
+
   val all: Seq[Q] =
     Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental,
-      pl4PipelineIncrementalNear, pl5PipelineIncrementalMor)
+      pl4PipelineIncrementalNear, pl5PipelineIncrementalMor,
+      pl6PipelineIncrementalMorExact)
 }
