@@ -183,10 +183,11 @@ object PipelineQueries {
     sql = Some(exactIncrementalOracleSql))
 
   /** The full exact-dedup rebuild over the post-changelog corpus —
-    * shared by pl3 (copy-on-write maintenance) and pl6 (merge-on-read
-    * maintenance + compaction): both must land on this same answer.
+    * shared by pl3 (copy-on-write maintenance), pl6 (merge-on-read
+    * maintenance + compaction) and st22 (streamed merge-on-read
+    * maintenance): all must land on this same answer.
     */
-  private def exactIncrementalOracleSql: String = """
+  private[queries] def exactIncrementalOracleSql: String = """
       WITH newdocs AS (
         SELECT doc_id,
                CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END

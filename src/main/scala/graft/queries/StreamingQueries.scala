@@ -926,6 +926,50 @@ object StreamingQueries {
           .mkString(" UNION ALL ")})
       ORDER BY query_id, doc_id"""))
 
+  /** CONTINUOUS index maintenance (st22) — the changelog arrives as a
+    * STREAM and keeps the standing merge-on-read exact-dedup index
+    * fresh ([[graft.streaming.DocumentsStreaming
+    * .indexMaintenanceStream]]): per micro-batch, tombstones + delta
+    * rows append (changelog-scale; no batch rewrites the generation),
+    * and the nightly packed run reads the serving view exactly as
+    * pl6 does. Oracle = pl3/pl6's full DuckDB rebuild over the
+    * post-changelog corpus — the third maintenance lifecycle (batch
+    * copy-on-write, batch merge-on-read, STREAMED merge-on-read) that
+    * must land on the identical packed output. Replay safety (the
+    * at-least-once `foreachBatch` contract) is the MoR seq rule:
+    * GraftPipelineSpec proves a re-delivered batch leaves the served
+    * index unchanged.
+    */
+  val st22IndexMaintenance = Q(
+    "st22_stream_index_maintenance",
+    (s, d) => {
+      import graft.operators.GraftPipeline
+      val t = s"st22_exidx_${Integer.toHexString(d.hashCode)}"
+      val base = documents(s, d)
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("text"))
+      GraftPipeline.buildExactIndexMor(base, "doc_id", "text", t)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      val changelog = deleteIds
+        .select(col("doc_id"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"))
+        .unionByName(upserts.filter(length(col("text")) >= 100)
+          .select(col("doc_id"), lit("upsert").as("op"), col("text")))
+      graft.streaming.DocumentsStreaming.indexMaintenanceStream(
+        s, t, changelog)
+      val newCorpus = documents(s, d)
+        .filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" upd")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      GraftPipeline.runIncremental(s, t, newCorpus, "doc_id", "text",
+          GraftPipeline.Config(minChars = 100, exactDedup = true))
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some(PipelineQueries.exactIncrementalOracleSql))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
     av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
     av7AsofSql, av8AsofSqlInner,
@@ -935,5 +979,5 @@ object StreamingQueries {
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
     st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
-    st21KmvDistinct)
+    st21KmvDistinct, st22IndexMaintenance)
 }

@@ -257,4 +257,69 @@ object DocumentsStreaming {
       .select(col("term"), col("n_term"), col("n_total"))
       .orderBy(col("n_term").desc, col("term"))
   }
+
+  /** CONTINUOUS index maintenance (st22) — a changelog STREAM keeps a
+    * standing merge-on-read exact-dedup index fresh: each micro-batch
+    * splits into deletes (`op = 'delete'`) and upserts
+    * (`op = 'upsert'`, already quality-gated by the caller) and rides
+    * [[graft.operators.GraftPipeline.applyExactIndexDeltaMor]] —
+    * tombstones at the batch's sequence + `_seq`-stamped delta rows,
+    * all APPEND-shaped, no generation rewrite on any batch. This is
+    * the production posture a crawl pipeline actually runs: the index
+    * never goes offline for a nightly rebuild; dedup queries read the
+    * serving view mid-stream and see every completed batch.
+    *
+    * Replay safety comes from the MoR upsert being SELF-SUPERSEDING:
+    * a re-delivered batch re-tombstones its ids at a fresh sequence
+    * (killing the first delivery's rows along with the originals) and
+    * re-appends the same content — the served index is unchanged, so
+    * the at-least-once `foreachBatch` contract needs no sink
+    * transactions (GraftPipelineSpec proves the law directly).
+    *
+    * Scale: per-batch cost is changelog-scale (hash the upsert texts,
+    * append one file per populated bucket + a tombstone append);
+    * corpus-scale IO happens only at scheduled
+    * [[graft.operators.GraftPipeline.morCompactExactIndex]].
+    */
+  def indexMaintenanceStream(spark: SparkSession, indexName: String,
+      changelog: DataFrame, slices: Int = 4): Unit = {
+    import graft.operators.{BucketedStores, GraftPipeline}
+    val staged = stageIdSlices(changelog, slices)
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st22_chk_${nameCounter.incrementAndGet()}")
+      .toString
+    // the batch dataframes are bound to the streaming engine's CLONED
+    // session, so the tombstone/delta appends land through the clone
+    // and refresh only ITS relation cache — the outer session (which
+    // morNextSeq and the final serving reads run on) would keep
+    // serving stale file listings (st10's lesson). Refresh the
+    // physical tables in the outer session before every batch's
+    // sequence read and once after the stream drains.
+    def refreshServing(): Unit = {
+      spark.catalog.refreshTable(
+        BucketedStores.currentGeneration(spark, indexName))
+      spark.catalog.refreshTable(
+        BucketedStores.currentTombstones(spark, indexName))
+    }
+    val q = spark.readStream.schema(changelog.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          refreshServing()
+          GraftPipeline.applyExactIndexDeltaMor(spark, indexName,
+            b.filter(col("op") === "delete").select(col("doc_id")),
+            Some(b.filter(col("op") === "upsert")
+              .select(col("doc_id"), col("text"))),
+            "doc_id", "text")
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    refreshServing()
+  }
 }

@@ -382,4 +382,31 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "post-compaction delta")
     BucketedStores.dropVersioned(spark, t)
   }
+
+  test("MoR replay safety: re-delivering the same changelog batch " +
+      "leaves the served index unchanged (st22's at-least-once law)") {
+    val t = "plspec_replay_exidx"
+    val base = docs.filter(length(col("text")) >= 100)
+      .select(col("doc_id"), col("text"))
+    GraftPipeline.buildExactIndexMor(base, "doc_id", "text", t)
+    val upserts = docs
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
+      .filter(length(col("text")) >= 100)
+    val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    def served(): Set[(Long, String)] = spark.table(t)
+      .select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    GraftPipeline.applyExactIndexDeltaMor(spark, t, deletes,
+      Some(upserts), "doc_id", "text")
+    val once = served()
+    // the replay: identical batch, delivered again — the fresh-seq
+    // tombstones kill the first delivery's rows, the re-appended rows
+    // survive their own tombstone, and the served content is unchanged
+    GraftPipeline.applyExactIndexDeltaMor(spark, t, deletes,
+      Some(upserts), "doc_id", "text")
+    assert(served() === once,
+      "a replayed MoR batch must be served-content invisible")
+    BucketedStores.dropVersioned(spark, t)
+  }
 }
