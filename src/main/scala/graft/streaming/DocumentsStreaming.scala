@@ -282,12 +282,24 @@ object DocumentsStreaming {
     * [[graft.operators.GraftPipeline.morCompactExactIndex]].
     */
   def indexMaintenanceStream(spark: SparkSession, indexName: String,
-      changelog: DataFrame, slices: Int = 4): Unit = {
+      changelog: DataFrame, slices: Int = 4): Unit =
+    drainIndexMaintenance(spark, indexName, changelog.schema,
+      stageIdSlices(changelog, slices),
+      java.nio.file.Files.createTempDirectory(
+        s"graft_st22_chk_${nameCounter.incrementAndGet()}").toString)
+
+  /** [[indexMaintenanceStream]]'s resumable core: drain whatever
+    * changelog files sit under `stagedDir` through the maintenance
+    * loop, tracking progress in `chk` — calling again with the same
+    * checkpoint after a stop (or crash) resumes from the recorded
+    * offsets, and any batch the crash cut mid-apply is re-delivered,
+    * which the MoR seq rule absorbs (replay-safe; StreamingSpec
+    * proves stop/resume lands on the uninterrupted run's index).
+    */
+  def drainIndexMaintenance(spark: SparkSession, indexName: String,
+      schema: org.apache.spark.sql.types.StructType, stagedDir: String,
+      chk: String): Unit = {
     import graft.operators.{BucketedStores, GraftPipeline}
-    val staged = stageIdSlices(changelog, slices)
-    val chk = java.nio.file.Files
-      .createTempDirectory(s"graft_st22_chk_${nameCounter.incrementAndGet()}")
-      .toString
     // the batch dataframes are bound to the streaming engine's CLONED
     // session, so the tombstone/delta appends land through the clone
     // and refresh only ITS relation cache — the outer session (which
@@ -301,9 +313,9 @@ object DocumentsStreaming {
       spark.catalog.refreshTable(
         BucketedStores.currentTombstones(spark, indexName))
     }
-    val q = spark.readStream.schema(changelog.schema)
+    val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
+      .parquet(stagedDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val b = batch.persist()

@@ -725,4 +725,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected a boundary day's estimate to grow across the " +
         s"restart; run1=$afterRun1")
   }
+
+  test("st22 index maintenance survives a checkpoint stop/resume — " +
+      "the resumed index equals the uninterrupted run's, and the " +
+      "mid-crash index serves exactly the processed batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    import graft.operators.{BucketedStores, GraftPipeline}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(length(col("text")) >= 100)
+      .select(col("doc_id"), col("text"))
+    val upserts = docs
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" upd")).as("text"))
+      .filter(length(col("text")) >= 100)
+    val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val changelog = deletes
+      .select(col("doc_id"), lit("delete").as("op"),
+        lit(null).cast("string").as("text"))
+      .unionByName(upserts.select(col("doc_id"), lit("upsert").as("op"),
+        col("text")))
+    def served(t: String): Set[(Long, String)] = spark.table(t)
+      .select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // uninterrupted run = the reference index
+    GraftPipeline.buildExactIndexMor(base, "doc_id", "text", "st22_ref")
+    DocumentsStreaming.indexMaintenanceStream(spark, "st22_ref",
+      changelog, slices = 4)
+    val expected = served("st22_ref")
+
+    // interrupted run: 2 slices, "crash", add the rest, resume on the
+    // SAME checkpoint
+    val fullStage = DocumentsStreaming.stageIdSlices(changelog, 4)
+    val ordered = {
+      val it = Files.list(Paths.get(fullStage)).iterator()
+      val all = scala.collection.mutable.ArrayBuffer
+        .empty[java.nio.file.Path]
+      while (it.hasNext) all += it.next()
+      // drop the local FS's hidden .crc siblings — they sort before
+      // the slices and are invisible to the stream source
+      all.filterNot(_.getFileName.toString.startsWith("."))
+        .sortBy(_.getFileName.toString)
+    }
+    val stage2 = Files.createTempDirectory("st22_partial")
+    val chk = Files.createTempDirectory("st22_chk").toString
+    def copyIn(p: java.nio.file.Path): Unit = Files.copy(p,
+      stage2.resolve(p.getFileName), StandardCopyOption.COPY_ATTRIBUTES)
+    GraftPipeline.buildExactIndexMor(base, "doc_id", "text", "st22_res")
+    ordered.take(2).foreach(copyIn)
+    DocumentsStreaming.drainIndexMaintenance(spark, "st22_res",
+      changelog.schema, stage2.toString, chk) // run 1, then "crash"
+    val midCrash = served("st22_res")
+    ordered.drop(2).foreach(copyIn)
+    DocumentsStreaming.drainIndexMaintenance(spark, "st22_res",
+      changelog.schema, stage2.toString, chk) // run 2: resume
+    assert(served("st22_res") === expected,
+      "resumed maintenance must land on the uninterrupted run's index")
+
+    // the mid-crash state is not vacuous: exactly the first two
+    // slices' changes applied — some change visible, some still ahead
+    assert(midCrash !== served("st22_res"),
+      "the crash point must sit strictly inside the changelog")
+    val baseServed = base
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(midCrash !== baseServed,
+      "run 1 must have applied its processed batches before the crash")
+    BucketedStores.dropVersioned(spark, "st22_ref")
+    BucketedStores.dropVersioned(spark, "st22_res")
+  }
 }
