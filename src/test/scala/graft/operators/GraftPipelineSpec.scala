@@ -364,6 +364,13 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viewPlan.contains("BroadcastHashJoin") &&
       !viewPlan.contains("SortMergeJoin"),
       s"MoR view must subtract tombstones via broadcast:\n$viewPlan")
+    // and the broadcast preserves the bucketed-by-h distribution, so
+    // the keep-list aggregate plans ZERO hash exchanges even under
+    // MoR serving — the nightly decision stays shuffle-free
+    val keepPlan = executed(
+      GraftPipeline.keepListFromIndex(spark, t, "doc_id")).toString
+    assert(!keepPlan.contains("Exchange hashpartitioning"),
+      s"MoR keep list must stay exchange-free:\n$keepPlan")
 
     // compaction is invisible, and a delta after it still lands
     val before = spark.table(t).select("doc_id", "h").collect()
