@@ -461,7 +461,7 @@ object SimilarityOps {
     */
   def writeIvfIndex(vecsDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, k: Int, table: String, buckets: Int = 8,
-      location: Option[String] = None): Unit = {
+      location: Option[String] = None, mor: Boolean = false): Unit = {
     val spark = vecsDf.sparkSession
     import spark.implicits._
     // stale-location hygiene: catalog registrations die with the JVM,
@@ -471,7 +471,7 @@ object SimilarityOps {
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cents = firstKCentroids(v, k, dims)
     val centArr = centroidLiteral(cents)
-    val lists = v.select(
+    val assigned = v.select(
         element_at(transform(
           slice(array_sort(transform(centArr, c => struct(
             (-round(array_dot(col("e"), c.getField("ce"))
@@ -479,6 +479,12 @@ object SimilarityOps {
             c.getField("cid").as("cid")))), 1, 1),
           s => s.getField("cid")), 1).as("cid"),
         col("vid"), col("e"), col("nrm"))
+    // mor = true: lists carry `_seq` = 0 and serve through the
+    // tombstone view, so vector deletes append (vid, seq) tombstones
+    // ([[BucketedStores.morDelete]]) instead of rewriting the lists;
+    // the k-row centroid companion never changes under maintenance
+    val lists = (if (mor) assigned.withColumn("_seq", lit(0L))
+      else assigned)
       .write.bucketBy(buckets, "cid").sortBy("cid")
       .mode("overwrite")
     location.fold(lists)(l => lists.option("path", s"$l/lists"))
@@ -486,6 +492,10 @@ object SimilarityOps {
     val cw = cents.toDF("cid", "ce").write.mode("overwrite")
     location.fold(cw)(l => cw.option("path", s"$l/cents"))
       .saveAsTable(table + "_centroids")
+    if (mor) {
+      BucketedStores.adoptVersioned(spark, table)
+      BucketedStores.morEnable(spark, table, Seq("vid"), "vid")
+    }
   }
 
   /** Probe a STORED IVF index ([[writeIvfIndex]]) with query vectors:

@@ -32,29 +32,44 @@ object TextRetrievalOps {
     docs.select(col(idCol).as("doc_id"),
       explode(split(trim(col(textCol)), "\\s+")).as("term"))
 
-  /** Materialize the inverted index (postings + doc lengths + meta). */
+  /** Materialize the inverted index (postings + doc lengths + meta).
+    * With `mor = true` both row tables are built MERGE-ON-READ
+    * ([[BucketedStores.morEnable]]): rows carry `_seq` = 0 and serve
+    * through tombstone-subtracting views, so changelogs append via
+    * [[applyChangelogToTextIndexMor]] instead of rewriting a
+    * generation (the 1-row meta stays a plain overwritten table).
+    */
   def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 8,
-      location: Option[String] = None): Unit = {
+      location: Option[String] = None, mor: Boolean = false): Unit = {
     val spark = docs.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_docs")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    def stamped(df: DataFrame): DataFrame =
+      if (mor) df.withColumn("_seq", lit(0L)) else df
     val tok = tokens(docs, idCol, textCol)
-    val postings = tok.groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val postings = stamped(tok.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf")))
       .write.bucketBy(buckets, "term").sortBy("term").mode("overwrite")
     location.fold(postings)(l => postings.option("path", s"$l/postings"))
       .saveAsTable(table)
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val dlw = dl.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .mode("overwrite")
+    val dlw = stamped(dl).write.bucketBy(buckets, "doc_id")
+      .sortBy("doc_id").mode("overwrite")
     location.fold(dlw)(l => dlw.option("path", s"$l/docs"))
       .saveAsTable(table + "_docs")
     val meta = dl.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens")).write.mode("overwrite")
     location.fold(meta)(l => meta.option("path", s"$l/meta"))
       .saveAsTable(table + "_meta")
+    if (mor) {
+      BucketedStores.adoptVersioned(spark, table)
+      BucketedStores.adoptVersioned(spark, table + "_docs")
+      BucketedStores.morEnable(spark, table, Seq("doc_id"), "doc_id")
+      BucketedStores.morEnable(spark, table + "_docs", Seq("doc_id"),
+        "doc_id")
+    }
   }
 
   /** Incrementally fold a delta corpus into the stored index: new
@@ -116,6 +131,41 @@ object TextRetrievalOps {
     BucketedStores.applyDeltaAtomic(spark, table + "_docs",
       Seq("doc_id"), Seq("doc_id"), buckets, "doc_id", removed,
       Some(tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))))
+    val m = spark.table(table + "_docs")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .head()
+    spark.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(m.getLong(0), m.getLong(1))),
+      spark.table(table + "_meta").schema)
+      .write.mode("overwrite").insertInto(table + "_meta")
+  }
+
+  /** [[applyChangelogToTextIndex]], merge-on-read form (the index must
+    * be built with `mor = true`): the changed doc ids tombstone BOTH
+    * row tables at their batch's sequence, the upserts' recomputed
+    * postings/lengths append `_seq`-stamped and bucket-aligned, and
+    * only the 1-row meta is rewritten (recomputed from the docs VIEW —
+    * a lengths-table-scale aggregate, never a postings rewrite).
+    * Changelog-scale work per batch; compact on schedule with
+    * [[BucketedStores.morCompact]] on both tables.
+    */
+  def applyChangelogToTextIndexMor(spark: SparkSession, table: String,
+      deleteIds: DataFrame, upserts: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 8): Unit = {
+    val removed = deleteIds.select(col(idCol).as("doc_id"))
+      .unionByName(upserts.select(col(idCol).as("doc_id")))
+    val tok = tokens(upserts, idCol, textCol)
+    val seqP = BucketedStores.morNextSeq(spark, table)
+    BucketedStores.morDelete(spark, table, removed, seqP)
+    BucketedStores.morAppend(spark, table,
+      tok.groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf")),
+      seqP, Seq("term"), Seq("term"), buckets)
+    val seqD = BucketedStores.morNextSeq(spark, table + "_docs")
+    BucketedStores.morDelete(spark, table + "_docs", removed, seqD)
+    BucketedStores.morAppend(spark, table + "_docs",
+      tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl")),
+      seqD, Seq("doc_id"), Seq("doc_id"), buckets)
     val m = spark.table(table + "_docs")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
       .head()

@@ -653,7 +653,13 @@ object SimilarityQueries {
         "embedding", dims = 64, nprobe = 3)
         .orderBy(col("id_a"))
     },
-    sql = Some("""
+    sql = Some(ivfDeleteOracleSql))
+
+  /** The ANN answer rebuilt from the post-delete corpus against the
+    * original centroids — shared by sim10 (copy-on-write delete) and
+    * sim11 (merge-on-read tombstones): both must return it exactly.
+    */
+  private def ivfDeleteOracleSql: String = """
       WITH vall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings),
       c AS (SELECT vec_id AS cid, e AS ce FROM vall
@@ -683,9 +689,42 @@ object SimilarityQueries {
                  ORDER BY score DESC, id_b) AS rn
         FROM cand)
       SELECT id_a, id_b AS ann_id, score FROM best WHERE rn = 1
-      ORDER BY id_a"""))
+      ORDER BY id_a"""
+
+  /** sim10 under MERGE-ON-READ maintenance (sim11): the index is
+    * built with `_seq`-stamped lists serving through the tombstone
+    * view ([[graft.operators.SimilarityOps.writeIvfIndex]] `mor`),
+    * and the delete changelog APPENDS (vid, seq) tombstones
+    * ([[graft.operators.BucketedStores.morDelete]]) — no list
+    * generation is rewritten, the centroid companion never changes.
+    * Same oracle as sim10: both maintenance disciplines must return
+    * the identical post-delete neighbors, and no tombstoned vector
+    * may ever surface.
+    */
+  val sim11IvfMorDeletes = Q(
+    "sim11_ivf_mor_delete_maintenance",
+    (s, d) => {
+      import graft.operators.BucketedStores
+      val t = s"sim_ivf_mor_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+      SimilarityOps.writeIvfIndex(embeddings(s, d), "vec_id", "embedding",
+        dims = 64, k = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_ivf_mor").toString), mor = true)
+      val deleteIds = embeddings(s, d)
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("vid"))
+      BucketedStores.morDelete(s, t, deleteIds,
+        BucketedStores.morNextSeq(s, t))
+      val survivors = embeddings(s, d).filter(col("vec_id") % 7 =!= 3)
+      SimilarityOps.probeIvfIndex(s, t, spread(survivors), "vec_id",
+        "embedding", dims = 64, nprobe = 3)
+        .orderBy(col("id_a"))
+    },
+    sql = Some(ivfDeleteOracleSql))
 
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
-    sim10IvfDeletes)
+    sim10IvfDeletes, sim11IvfMorDeletes)
 }

@@ -2527,7 +2527,13 @@ object TextQueries {
       TextRetrievalOps.bm25TopK(s, t,
         Seq("spark", "vector", "hash", "window"), topK = 10)
     },
-    sql = Some(s"""
+    sql = Some(bm25ChangelogOracleSql))
+
+  /** The BM25 ranking rebuilt from the post-changelog corpus — shared
+    * by tx41 (copy-on-write maintenance) and tx42 (merge-on-read):
+    * both disciplines must produce this identical top-10.
+    */
+  private def bm25ChangelogOracleSql: String = s"""
       WITH base AS (
         SELECT doc_id,
                CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END
@@ -2563,7 +2569,36 @@ object TextQueries {
       FROM sc
       GROUP BY doc_id
       ORDER BY score DESC, doc_id
-      LIMIT 10"""))
+      LIMIT 10"""
+
+  /** tx41 under MERGE-ON-READ maintenance (tx42): the postings and
+    * lengths tables stay append-only through the changelog —
+    * tombstones + `_seq`-stamped recomputed rows
+    * ([[graft.operators.TextRetrievalOps.applyChangelogToTextIndexMor]]),
+    * only the 1-row meta is rewritten — and the same BM25 probe runs
+    * against the tombstone-subtracting views. Same oracle as tx41:
+    * both maintenance disciplines must produce the identical top-10.
+    * Completes the MoR discipline across all three stored index
+    * families (LSH/pair dd-pl, lexical tx, dense sim).
+    */
+  val tx42TextIndexMorDeletes = Q(
+    "tx42_text_index_mor_deletes",
+    (s, d) => {
+      import graft.operators.{BucketedStores, TextRetrievalOps}
+      val t = s"graft_text_mor_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      BucketedStores.dropVersioned(s, t + "_docs")
+      s.sql(s"DROP TABLE IF EXISTS ${t}_meta")
+      TextRetrievalOps.writeTextIndex(documents(s, d), "doc_id", "text",
+        t, location = Some(java.nio.file.Files
+          .createTempDirectory("graft_text_mor").toString), mor = true)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      TextRetrievalOps.applyChangelogToTextIndexMor(s, t, deleteIds,
+        upserts, "doc_id", "text")
+      TextRetrievalOps.bm25TopK(s, t,
+        Seq("spark", "vector", "hash", "window"), topK = 10)
+    },
+    sql = Some(bm25ChangelogOracleSql))
 
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
@@ -2577,5 +2612,5 @@ object TextQueries {
     dq4SkewReport, dq5ColumnProfile, dq6DriftReport, dq7OutlierReport,
     tx35Shuffle,
     tx36TrainingSet, tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch,
-    tx40DatasetCard, tx41TextIndexDeletes)
+    tx40DatasetCard, tx41TextIndexDeletes, tx42TextIndexMorDeletes)
 }

@@ -150,4 +150,27 @@ class IndexDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(s"sim_ivf_del_$hex")
       .filter(col("vid") % 7 === 3).count() === 0L)
   }
+
+  test("tx42/sim11: merge-on-read maintenance never rewrites a " +
+      "generation — tombstones append, served content drops the ids") {
+    import graft.queries.{SimilarityQueries, TextQueries}
+    // IVF: run sim11's registered body, then prove the MoR shape
+    SimilarityQueries.sim11IvfMorDeletes.fn(spark, dir).collect()
+    val ivf = s"sim_ivf_mor_$hex"
+    assert(BucketedStores.currentGeneration(spark, ivf) === ivf + "__v1",
+      "sim11 must never advance the generation (tombstones only)")
+    assert(spark.table(BucketedStores.currentTombstones(spark, ivf))
+      .count() > 0, "sim11 must have appended tombstones")
+    assert(spark.table(ivf).filter(col("vid") % 7 === 3).count() === 0L,
+      "no tombstoned vector may be served")
+    // BM25: same for both row tables of the text index
+    TextQueries.tx42TextIndexMorDeletes.fn(spark, dir).collect()
+    val tx = s"graft_text_mor_$hex"
+    for (t <- Seq(tx, tx + "_docs")) {
+      assert(BucketedStores.currentGeneration(spark, t) === t + "__v1",
+        s"tx42 must never advance $t's generation")
+      assert(spark.table(t).filter(col("doc_id") % 7 === 3)
+        .count() === 0L, s"no tombstoned doc may be served from $t")
+    }
+  }
 }
