@@ -126,6 +126,62 @@ object IncrScaleBench {
       System.err.println(f"[incr] ${n}%3dx MOR  build=$tBuildM%7.2fs " +
         f"delta=$tDeltaM%6.2fs incr=$tIncrM%6.2fs " +
         f"mor_nightly/rebuild=${(tDeltaM + tIncrM) / tRebuild}%5.2f")
+
+      // EXACT family (pl3/pl6's stores): same changelog, same corpus,
+      // exact-dedup config — plus the compaction payoff (read-side
+      // cost of the tombstone view vs a freshly folded generation)
+      val exCfg = GraftPipeline.Config(minChars = 100, exactDedup = true)
+      val exT = s"incr_ex_$n"
+      val (tBuildE, _) = timed {
+        GraftPipeline.buildExactIndex(docs, "doc_id", "text", exT)
+      }
+      val (tDeltaE, _) = timed {
+        GraftPipeline.applyExactIndexDelta(spark, exT, deletes,
+          Some(upserts), "doc_id", "text")
+      }
+      val (tIncrE, nIncrE) = timed {
+        GraftPipeline.runIncremental(spark, exT, newCorpus, "doc_id",
+          "text", exCfg).count()
+      }
+      BucketedStores.dropVersioned(spark, exT)
+      val exM = s"incr_exm_$n"
+      val (tBuildEM, _) = timed {
+        GraftPipeline.buildExactIndexMor(docs, "doc_id", "text", exM)
+      }
+      val (tDeltaEM, _) = timed {
+        GraftPipeline.applyExactIndexDeltaMor(spark, exM, deletes,
+          Some(upserts), "doc_id", "text")
+      }
+      val (tIncrEM, nIncrEM) = timed {
+        GraftPipeline.runIncremental(spark, exM, newCorpus, "doc_id",
+          "text", exCfg).count()
+      }
+      val (tCompactE, _) = timed {
+        GraftPipeline.morCompactExactIndex(spark, exM, "doc_id")
+      }
+      val (tIncrEC, nIncrEC) = timed {
+        GraftPipeline.runIncremental(spark, exM, newCorpus, "doc_id",
+          "text", exCfg).count()
+      }
+      BucketedStores.dropVersioned(spark, exM)
+      val (tRebuildE, nRebuildE) = timed {
+        GraftPipeline.run(newCorpus, "doc_id", "text", exCfg).count()
+      }
+      require(nIncrE == nRebuildE && nIncrEM == nRebuildE &&
+        nIncrEC == nRebuildE,
+        s"exact incremental ($nIncrE cow / $nIncrEM mor / $nIncrEC " +
+          s"compacted) != rebuild ($nRebuildE) at ${n}x")
+      out(s"ex_build@$n") = tBuildE; out(s"ex_delta@$n") = tDeltaE
+      out(s"ex_incr@$n") = tIncrE; out(s"ex_rebuild@$n") = tRebuildE
+      out(s"ex_mor_build@$n") = tBuildEM
+      out(s"ex_mor_delta@$n") = tDeltaEM
+      out(s"ex_mor_incr@$n") = tIncrEM
+      out(s"ex_mor_compact@$n") = tCompactE
+      out(s"ex_mor_incr_postcompact@$n") = tIncrEC
+      System.err.println(f"[incr] ${n}%3dx EXACT cow delta=$tDeltaE%6.2fs " +
+        f"incr=$tIncrE%6.2fs | mor delta=$tDeltaEM%6.2fs " +
+        f"incr=$tIncrEM%6.2fs compact=$tCompactE%6.2fs " +
+        f"postcompact_incr=$tIncrEC%6.2fs | rebuild=$tRebuildE%6.2fs")
       spark.sharedState.cacheManager.clearCache()
     }
     val line =
