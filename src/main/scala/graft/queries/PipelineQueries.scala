@@ -62,7 +62,8 @@ object PipelineQueries {
              (end_off - n_tokens) // 512 AS seq_first,
              (end_off - 1) // 512 AS seq_last
       FROM o
-      ORDER BY shard, pos"""))
+      ORDER BY shard, pos"""),
+    bench = true)
 
   /** pl2: quality(≥100 chars) → NEAR dedup (banded minhash, jaccard ≥
     * 0.2, connected components, min-id canonical — subsumes exact
