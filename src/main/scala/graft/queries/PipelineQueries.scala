@@ -265,10 +265,11 @@ object PipelineQueries {
     sql = Some(nearIncrementalOracleSql))
 
   /** The full near-dedup rebuild over the post-changelog corpus —
-    * shared by pl4 (copy-on-write maintenance) and pl5 (merge-on-read
-    * maintenance): both must land on this same answer.
+    * shared by pl4 (copy-on-write maintenance), pl5 (merge-on-read
+    * maintenance) and st23 (streamed merge-on-read maintenance): all
+    * must land on this same answer.
     */
-  private def nearIncrementalOracleSql: String = s"""
+  private[queries] def nearIncrementalOracleSql: String = s"""
       WITH RECURSIVE
       nd AS (
         SELECT doc_id,

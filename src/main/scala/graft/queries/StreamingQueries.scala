@@ -970,6 +970,49 @@ object StreamingQueries {
     },
     sql = Some(PipelineQueries.exactIncrementalOracleSql))
 
+  /** st23 — st22 for the NEAR-dedup store pair: the changelog stream
+    * keeps the LSH band index AND the verified-pair store fresh
+    * ([[graft.streaming.DocumentsStreaming
+    * .nearIndexMaintenanceStream]]): per batch, tombstones both
+    * stores, appends the delta's band rows, probes the LIVE index for
+    * surviving pairs (within-batch pairs included — the batch is
+    * rebound to the probing session so its own appends are visible),
+    * appends those. Oracle = pl4/pl5's full near-dedup rebuild — the
+    * streamed MoR lifecycle must land on the identical packed output.
+    */
+  val st23NearIndexMaintenance = Q(
+    "st23_stream_near_maintenance",
+    (s, d) => {
+      import graft.operators.GraftPipeline
+      val hex = Integer.toHexString(d.hashCode)
+      val (lsh, pairs) = (s"st23_lsh_$hex", s"st23_pairs_$hex")
+      val cfg = GraftPipeline.Config(minChars = 100, nearDedup = true)
+      val base = Q.spread(documents(s, d))
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("text"))
+      GraftPipeline.buildNearIndexesMor(base, "doc_id", "text", lsh,
+        pairs, cfg)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      val changelog = deleteIds
+        .select(col("doc_id"), lit("delete").as("op"),
+          lit(null).cast("string").as("text"))
+        .unionByName(upserts.filter(length(col("text")) >= 100)
+          .select(col("doc_id"), lit("upsert").as("op"), col("text")))
+      graft.streaming.DocumentsStreaming.nearIndexMaintenanceStream(
+        s, lsh, pairs, changelog, cfg)
+      val newCorpus = documents(s, d)
+        .filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" upd")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      GraftPipeline.runIncrementalNear(s, pairs, newCorpus, "doc_id",
+          "text", cfg)
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some(PipelineQueries.nearIncrementalOracleSql))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
     av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
     av7AsofSql, av8AsofSqlInner,
@@ -979,5 +1022,5 @@ object StreamingQueries {
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
     st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
-    st21KmvDistinct, st22IndexMaintenance)
+    st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance)
 }

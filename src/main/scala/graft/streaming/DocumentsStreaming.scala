@@ -334,4 +334,51 @@ object DocumentsStreaming {
     finally q.stop()
     refreshServing()
   }
+
+  /** st23 — [[indexMaintenanceStream]] for the NEAR-dedup store pair
+    * (LSH band index + verified-pair set): per micro-batch the
+    * changelog tombstones both stores, appends the delta's band rows,
+    * probes the LIVE index view for the delta's surviving pairs and
+    * appends those ([[graft.operators.GraftPipeline
+    * .applyNearIndexDeltaMor]]) — the full near-dup decision stays
+    * continuously fresh at changelog-scale cost per batch.
+    *
+    * Session discipline differs from st22 on purpose: the near delta
+    * PROBES the index it just appended to mid-batch (within-batch
+    * pairs), so a stale relation cache between the append and the
+    * probe would silently lose pairs. Instead of refresh-juggling,
+    * the micro-batch is REBOUND to the outer session through its RDD
+    * (RDDs are SparkContext-level, session-free) — every read and
+    * write then shares one session whose cache invalidates on its own
+    * writes, exactly as in the batch path pl5 proves.
+    */
+  def nearIndexMaintenanceStream(spark: SparkSession, lshName: String,
+      pairName: String, changelog: DataFrame,
+      cfg: graft.operators.GraftPipeline.Config,
+      slices: Int = 4): Unit = {
+    import graft.operators.GraftPipeline
+    val staged = stageIdSlices(changelog, slices)
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st23_chk_${nameCounter.incrementAndGet()}")
+      .toString
+    val schema = changelog.schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = spark.createDataFrame(batch.rdd, schema).persist()
+        try {
+          GraftPipeline.applyNearIndexDeltaMor(spark, lshName, pairName,
+            b.filter(col("op") === "delete").select(col("doc_id")),
+            Some(b.filter(col("op") === "upsert")
+              .select(col("doc_id"), col("text"))),
+            "doc_id", "text", cfg)
+        } finally b.unpersist()
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 }
