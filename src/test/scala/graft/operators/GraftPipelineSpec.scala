@@ -283,6 +283,16 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viewPlan.contains("BroadcastHashJoin") &&
       !viewPlan.contains("SortMergeJoin"),
       s"MoR view must subtract tombstones via broadcast:\n$viewPlan")
+    // and the DELTA PROBE keeps dd11's shape through the MoR view:
+    // the index side scans its buckets in place (never shuffled, never
+    // sort-merged) with the tiny delta broadcast into it
+    val probePlan = executed(TextDedupOps.probeLshIndex(spark, lsh,
+      docs.select(col("doc_id"), col("text")).limit(20),
+      "doc_id", "text", cfg.numHashes, cfg.bands)).toString
+    assert(probePlan.contains(s"${lsh}__") &&
+      probePlan.contains("Bucketed: true") &&
+      !probePlan.contains("SortMergeJoin"),
+      s"MoR probe must keep the bucket-aligned index scan:\n$probePlan")
 
     // compaction folds tombstones in and changes NOTHING observable
     val beforePairs = spark.table(pairs)
