@@ -355,13 +355,20 @@ object DocumentsStreaming {
   def nearIndexMaintenanceStream(spark: SparkSession, lshName: String,
       pairName: String, changelog: DataFrame,
       cfg: graft.operators.GraftPipeline.Config,
-      slices: Int = 4): Unit = {
+      slices: Int = 4): Unit =
+    drainNearIndexMaintenance(spark, lshName, pairName, changelog.schema,
+      stageIdSlices(changelog, slices),
+      java.nio.file.Files.createTempDirectory(
+        s"graft_st23_chk_${nameCounter.incrementAndGet()}").toString, cfg)
+
+  /** [[nearIndexMaintenanceStream]]'s resumable core —
+    * [[drainIndexMaintenance]]'s contract for the near store pair. */
+  def drainNearIndexMaintenance(spark: SparkSession, lshName: String,
+      pairName: String, schema: org.apache.spark.sql.types.StructType,
+      stagedDir: String, chk: String,
+      cfg: graft.operators.GraftPipeline.Config): Unit = {
     import graft.operators.GraftPipeline
-    val staged = stageIdSlices(changelog, slices)
-    val chk = java.nio.file.Files
-      .createTempDirectory(s"graft_st23_chk_${nameCounter.incrementAndGet()}")
-      .toString
-    val schema = changelog.schema
+    val staged = stagedDir
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)

@@ -796,4 +796,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     BucketedStores.dropVersioned(spark, "st22_ref")
     BucketedStores.dropVersioned(spark, "st22_res")
   }
+
+  test("st23 near-store maintenance survives a checkpoint stop/resume " +
+      "— the resumed pair store equals the uninterrupted run's") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    import graft.operators.{BucketedStores, GraftPipeline}
+    val cfg = GraftPipeline.Config(minChars = 100, nearDedup = true)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(length(col("text")) >= 100)
+      .select(col("doc_id"), col("text"))
+    val upserts = docs
+      .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" upd")).as("text"))
+      .filter(length(col("text")) >= 100)
+    val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val changelog = deletes
+      .select(col("doc_id"), lit("delete").as("op"),
+        lit(null).cast("string").as("text"))
+      .unionByName(upserts.select(col("doc_id"), lit("upsert").as("op"),
+        col("text")))
+    def servedPairs(t: String): Set[(Long, Long)] = spark.table(t)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    GraftPipeline.buildNearIndexesMor(base, "doc_id", "text",
+      "st23_ref_lsh", "st23_ref_pairs", cfg)
+    DocumentsStreaming.nearIndexMaintenanceStream(spark, "st23_ref_lsh",
+      "st23_ref_pairs", changelog, cfg, slices = 4)
+    val expected = servedPairs("st23_ref_pairs")
+
+    val fullStage = DocumentsStreaming.stageIdSlices(changelog, 4)
+    val ordered = {
+      val it = Files.list(Paths.get(fullStage)).iterator()
+      val all = scala.collection.mutable.ArrayBuffer
+        .empty[java.nio.file.Path]
+      while (it.hasNext) all += it.next()
+      all.filterNot(_.getFileName.toString.startsWith("."))
+        .sortBy(_.getFileName.toString)
+    }
+    val stage2 = Files.createTempDirectory("st23_partial")
+    val chk = Files.createTempDirectory("st23_chk").toString
+    def copyIn(p: java.nio.file.Path): Unit = Files.copy(p,
+      stage2.resolve(p.getFileName), StandardCopyOption.COPY_ATTRIBUTES)
+    GraftPipeline.buildNearIndexesMor(base, "doc_id", "text",
+      "st23_res_lsh", "st23_res_pairs", cfg)
+    ordered.take(2).foreach(copyIn)
+    DocumentsStreaming.drainNearIndexMaintenance(spark, "st23_res_lsh",
+      "st23_res_pairs", changelog.schema, stage2.toString, chk, cfg)
+    val midCrash = servedPairs("st23_res_pairs")
+    ordered.drop(2).foreach(copyIn)
+    DocumentsStreaming.drainNearIndexMaintenance(spark, "st23_res_lsh",
+      "st23_res_pairs", changelog.schema, stage2.toString, chk, cfg)
+    assert(servedPairs("st23_res_pairs") === expected,
+      "resumed near maintenance must land on the uninterrupted stores")
+    assert(midCrash !== expected,
+      "the crash point must sit strictly inside the changelog")
+    Seq("st23_ref_lsh", "st23_ref_pairs", "st23_res_lsh",
+      "st23_res_pairs").foreach(BucketedStores.dropVersioned(spark, _))
+  }
 }
