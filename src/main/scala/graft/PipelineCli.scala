@@ -47,6 +47,10 @@ import graft.operators.GraftPipeline
   *                            BucketedStores.vacuumOrphans)
   *   --vacuum-retention-h N   age guard in hours (default 24; 0 only
   *                            when no writer/reader can be in flight)
+  *   --compact NAME           fold a MoR exact index's tombstones in
+  *                            (GraftPipeline.morCompactExactIndex);
+  *                            NAME,LSH_PAIRS form (`--compact L,P`)
+  *                            compacts a near-store pair instead
   *
   * Output discipline: one `mode=overwrite` parquet write of the packed
   * set — the write inherits the pack stage's single hash exchange, so
@@ -71,6 +75,7 @@ object PipelineCli {
       mor: Boolean = false,
       vacuum: Option[String] = None,
       vacuumRetentionH: Int = 24,
+      compact: Option[String] = None,
       cfg: GraftPipeline.Config = GraftPipeline.Config())
 
   private val usage =
@@ -143,14 +148,17 @@ object PipelineCli {
         case "--vacuum"      => a = a.copy(vacuum = Some(value())); i += 2
         case "--vacuum-retention-h" =>
           a = a.copy(vacuumRetentionH = intValue()); i += 2
+        case "--compact"     => a = a.copy(compact = Some(value())); i += 2
         case other => sys.error(s"unknown option: $other\n$usage")
       }
     }
-    if (a.vacuum.nonEmpty) {
+    if (a.vacuum.nonEmpty || a.compact.nonEmpty) {
+      require(a.vacuum.isEmpty || a.compact.isEmpty,
+        s"--vacuum and --compact are separate modes\n$usage")
       require(a.input == null && a.output == null &&
         Seq(a.buildIndex, a.index, a.buildNearIndex, a.nearIndex)
           .forall(_.isEmpty),
-        s"--vacuum runs alone\n$usage")
+        s"housekeeping modes run alone\n$usage")
       return a
     }
     require(a.input != null, usage)
@@ -170,13 +178,23 @@ object PipelineCli {
   /** Run the mode the options describe; returns the summary `main`
     * prints.
     */
-  def execute(spark: SparkSession, a: Args): String = a.vacuum match {
-    case Some(root) =>
+  def execute(spark: SparkSession, a: Args): String = (a.vacuum, a.compact) match {
+    case (Some(root), _) =>
       val gone = graft.operators.BucketedStores.vacuumOrphans(spark,
         root, olderThanMs = a.vacuumRetentionH * 3600L * 1000)
       s"[pipeline] vacuumed ${gone.size} retired dirs under $root" +
         (if (gone.isEmpty) "" else gone.mkString(":\n  ", "\n  ", ""))
-    case None => executeRun(spark, a)
+    case (_, Some(spec)) =>
+      spec.split(",") match {
+        case Array(name) =>
+          GraftPipeline.morCompactExactIndex(spark, name, a.idCol)
+          s"[pipeline] compacted exact index '$name'"
+        case Array(lsh, pairs) if lsh.nonEmpty && pairs.nonEmpty =>
+          GraftPipeline.morCompactNearIndexes(spark, lsh, pairs)
+          s"[pipeline] compacted near indexes '$lsh'/'$pairs'"
+        case _ => sys.error(s"--compact needs NAME or LSH,PAIRS\n$usage")
+      }
+    case _ => executeRun(spark, a)
   }
 
   private def executeRun(spark: SparkSession, a: Args): String = {

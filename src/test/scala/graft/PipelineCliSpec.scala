@@ -197,6 +197,40 @@ class PipelineCliSpec extends AnyFunSuite with BeforeAndAfterAll {
     BucketedStores.dropVersioned(spark, t)
   }
 
+  test("--compact folds a MoR index's tombstones (generation advances, " +
+      "served content unchanged) and runs alone") {
+    intercept[RuntimeException](PipelineCli.parse(
+      Array("--compact", "t", "-i", "y")))
+    intercept[RuntimeException](PipelineCli.parse(
+      Array("--compact", "t", "--vacuum", "/tmp/x")))
+    val t = "plcli_compact_exidx"
+    BucketedStores.dropVersioned(spark, t)
+    val docs = spark.read.parquet(docsPath)
+    PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "--build-index", t, "--mor")))
+    val tmp = Files.createTempDirectory("plcli_compact")
+    val delP = s"$tmp/del"
+    docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+      .write.parquet(delP)
+    PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "-o", s"$tmp/out", "--index", t,
+      "--deletes", delP, "--mor")))
+    val before = spark.table(t).select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val gen0 = BucketedStores.currentGeneration(spark, t)
+    val msg = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "--compact", t)))
+    assert(msg.contains(s"compacted exact index '$t'"))
+    assert(BucketedStores.currentGeneration(spark, t) !== gen0,
+      "compaction must advance the generation")
+    val after = spark.table(t).select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before, "compaction must be invisible")
+    assert(spark.table(BucketedStores.currentTombstones(spark, t))
+      .count() === 0L, "compaction must start a fresh tombstone gen")
+    BucketedStores.dropVersioned(spark, t)
+  }
+
   test("--vacuum runs alone and reports what it reclaimed") {
     intercept[RuntimeException](PipelineCli.parse(
       Array("--vacuum", "/tmp/x", "-i", "y")))
