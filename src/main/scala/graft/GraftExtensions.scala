@@ -86,6 +86,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_estimate"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.graft.KmvEstimate(es.head)))
+    // stored mergeable bottom-k sample sketches (quantile companion
+    // to kmv: sketch / merge / nearest-rank quantile)
+    e.injectFunction((FunctionIdentifier("bksample_sketch"),
+      info("bksample_sketch"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.BkSampleSketch(es.head, es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("bksample_merge"),
+      info("bksample_merge"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.BkSampleMerge(es.head)))
+    e.injectFunction((FunctionIdentifier("bksample_quantile"),
+      info("bksample_quantile"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.BkSampleQuantile(es.head, es(1))))
     // internal markers the ASOF parser rewrite emits around the ON
     // condition; consumed by ResolveAsOfJoin during analysis
     e.injectFunction((FunctionIdentifier("_graft_asof"),

@@ -100,6 +100,29 @@ object VectorFunctions {
   def kmv_estimate(sketch: Column): Column =
     B.column(org.apache.spark.sql.graft.KmvEstimate(B.expression(sketch)))
 
+  /** Bottom-k sample sketch per group over (52-bit md5 hash of the
+    * row's unique key, long measure value): a uniform sample without
+    * replacement carrying the values — BinaryType, storable,
+    * mergeable with [[bksample_merge]]. O(k) state per group.
+    */
+  def bksample_sketch(hash: Column, value: Column, k: Int): Column =
+    B.column(org.apache.spark.sql.graft.BkSampleSketch(
+      B.expression(hash), B.expression(value),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
+  /** Merge STORED bottom-k sample sketches into one. */
+  def bksample_merge(sketch: Column): Column =
+    B.column(org.apache.spark.sql.graft.BkSampleMerge(
+      B.expression(sketch)).toAggregateExpression())
+
+  /** Nearest-rank quantile of a sketch's carried sample (exact when
+    * the group had ≤ k rows).
+    */
+  def bksample_quantile(sketch: Column, q: Column): Column =
+    B.column(org.apache.spark.sql.graft.BkSampleQuantile(
+      B.expression(sketch), B.expression(q)))
+
   /** Register SQL names (per-session) so `expr("array_dot(a,b)")` and
     * spark.sql can use the kernels too.
     */

@@ -762,9 +762,173 @@ object Analytics2 {
              END AS est_users
       FROM r GROUP BY event_type ORDER BY event_type"""))
 
+  /** Mergeable QUANTILE sketch (q33) — the order-statistics companion
+    * to q27/q30's distinct counts, completing the mergeable-sketch
+    * family (distinct: KMV; frequency: Misra-Gries; quantiles: this).
+    * Classic bottom-k sampling (Cohen & Kaplan 2007, public): per
+    * group keep the k entries with the smallest 52-bit md5 hashes of
+    * the row's unique key, each carrying its measure value — a uniform
+    * sample without replacement that MERGES exactly (k smallest of a
+    * union = k smallest of the halves' k-smallest). The query
+    * exercises all three kernels in one lineage: sketch at
+    * (priority, status) grain, merge up to priority, nearest-rank
+    * median and p90 off the merged sample — by associativity the
+    * merged sketch equals sketching the coarse group directly, which
+    * is exactly what the oracle recomputes. Everything is
+    * deterministic (duplicate hashes keep MIN value; rank =
+    * floor((m−1)·q), same IEEE arithmetic both engines), so DuckDB
+    * hash-matches the ESTIMATES themselves — the estimator is checked,
+    * not just plausible. `SketchQualitySpec` gates the sampling-error
+    * band against exact quantiles.
+    */
+  val q33BkSampleQuantile = Q(
+    "q33_bksample_quantile",
+    (s, d) => {
+      val k = 256
+      val base = orders(s, d).select(
+        col("o_orderpriority").as("p"), col("o_orderstatus").as("st"),
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 13),
+          16, 10).cast("long").as("h"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("x"))
+      base.groupBy(col("p"), col("st"))
+        .agg(graft.functions.VectorFunctions
+            .bksample_sketch(col("h"), col("x"), k).as("sk"),
+          cnt.as("n"))
+        .groupBy(col("p"))
+        .agg(graft.functions.VectorFunctions.bksample_merge(col("sk"))
+            .as("sk"),
+          sum(col("n")).as("n_orders"))
+        .select(col("p").as("o_orderpriority"), col("n_orders"),
+          graft.functions.VectorFunctions
+            .bksample_quantile(col("sk"), lit(0.5))
+            .as("est_median_cents"),
+          graft.functions.VectorFunctions
+            .bksample_quantile(col("sk"), lit(0.9))
+            .as("est_p90_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    sql = Some("""
+      WITH s AS (
+        SELECT o_orderpriority AS p,
+               CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 13))
+                 AS BIGINT) AS h,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x
+        FROM orders),
+      d AS (SELECT p, h, MIN(x) AS x FROM s GROUP BY p, h),
+      r AS (
+        SELECT p, x,
+               row_number() OVER (PARTITION BY p ORDER BY h) AS rn
+        FROM d),
+      keep AS (SELECT p, x FROM r WHERE rn <= 256),
+      m AS (SELECT p, COUNT(*) AS msz FROM keep GROUP BY p),
+      rv AS (
+        SELECT p, x,
+               row_number() OVER (PARTITION BY p ORDER BY x) AS vr
+        FROM keep),
+      q AS (
+        SELECT rv.p,
+               -- DOUBLE casts: bare 0.5/0.9 are DECIMAL in DuckDB
+               -- (exact), the engine multiplies IEEE doubles — floors
+               -- could differ at integer boundaries
+               MAX(CASE WHEN vr = CAST(FLOOR((msz - 1)
+                 * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1 THEN x END)
+                 AS est_median_cents,
+               MAX(CASE WHEN vr = CAST(FLOOR((msz - 1)
+                 * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1 THEN x END)
+                 AS est_p90_cents
+        FROM rv JOIN m ON rv.p = m.p GROUP BY rv.p),
+      n AS (SELECT o_orderpriority AS p, COUNT(*) AS n_orders
+            FROM orders GROUP BY 1)
+      SELECT q.p AS o_orderpriority, n.n_orders,
+             q.est_median_cents, q.est_p90_cents
+      FROM q JOIN n ON q.p = n.p
+      ORDER BY 1"""))
+
+  /** Incremental QUANTILE-store maintenance (q34) — q31's standing-
+    * store discipline applied to the bottom-k sample sketch: a stored
+    * table of per-event-type value sketches built from the corpus
+    * through January 20 is brought up to date by sketching ONLY the
+    * delta days and merging into the stored bytes. The oracle
+    * recomputes the estimator over the FULL range from scratch, so the
+    * compare proves fold(stored, delta) == rebuild exactly — the
+    * associativity that makes a standing quantile store maintainable
+    * without rescanning history. Hash = md5(event_id) (the row's
+    * unique key); measure = integer cents of `value`.
+    */
+  private def ensureBkBaseStore(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"q34_bk_base_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t)) {
+      val loc = java.nio.file.Files.createTempDirectory("graft_bk34").toString
+      Tables.events(s, d)
+        .filter(expr("ts DIV 86400000000000") < lit(19742L)) // < Jan 20 '24
+        .select(col("event_type"),
+          conv(substring(md5(col("event_id").cast("string")), 1, 13),
+            16, 10).cast("long").as("h"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("x"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.VectorFunctions
+          .bksample_sketch(col("h"), col("x"), 256).as("sk"))
+        .write.option("path", loc).saveAsTable(t)
+    }
+    t
+  }
+
+  val q34BkIncremental = Q(
+    "q34_bksample_incremental",
+    (s, d) => {
+      val base = s.table(ensureBkBaseStore(s, d))
+      val delta = Tables.events(s, d)
+        .filter(expr("ts DIV 86400000000000") >= lit(19742L))
+        .select(col("event_type"),
+          conv(substring(md5(col("event_id").cast("string")), 1, 13),
+            16, 10).cast("long").as("h"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("x"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.VectorFunctions
+          .bksample_sketch(col("h"), col("x"), 256).as("sk"))
+      base.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.VectorFunctions.bksample_merge(col("sk"))
+          .as("sk"))
+        .select(col("event_type"),
+          graft.functions.VectorFunctions
+            .bksample_quantile(col("sk"), lit(0.5)).as("est_median_cents"),
+          graft.functions.VectorFunctions
+            .bksample_quantile(col("sk"), lit(0.9)).as("est_p90_cents"))
+        .orderBy(col("event_type"))
+    },
+    sql = Some("""
+      WITH s AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 13))
+                 AS BIGINT) AS h,
+               CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events),
+      d AS (SELECT event_type, h, MIN(x) AS x FROM s GROUP BY 1, 2),
+      r AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d),
+      keep AS (SELECT event_type, x FROM r WHERE rn <= 256),
+      m AS (SELECT event_type, COUNT(*) AS msz FROM keep GROUP BY 1),
+      rv AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY x) AS vr
+        FROM keep)
+      SELECT rv.event_type,
+             MAX(CASE WHEN vr = CAST(FLOOR((msz - 1)
+               * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1 THEN x END)
+               AS est_median_cents,
+             MAX(CASE WHEN vr = CAST(FLOOR((msz - 1)
+               * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1 THEN x END)
+               AS est_p90_cents
+      FROM rv JOIN m ON rv.event_type = m.event_type
+      GROUP BY rv.event_type ORDER BY rv.event_type"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
     q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot, q29Histogram,
-    q30KmvStored, q31KmvIncremental)
+    q30KmvStored, q31KmvIncremental, q33BkSampleQuantile, q34BkIncremental)
 }

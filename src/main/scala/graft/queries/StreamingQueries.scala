@@ -705,6 +705,45 @@ object StreamingQueries {
              END AS est_users
       FROM r GROUP BY d ORDER BY d"""))
 
+  /** Streaming quantiles (st24): the bottom-k sample kernel
+    * (q33/q34) running in streaming aggregation state — daily
+    * median/p90 of `value` maintained incrementally, O(k) state per
+    * day, never buffering a day's values. Deterministic sample
+    * content (k smallest md5 hashes, MIN value on a duplicate hash)
+    * means the oracle recomputes the identical estimates from raw
+    * data — arrival order across micro-batches cannot show.
+    */
+  val st24BkQuantile = Q(
+    "st24_stream_bk_quantile",
+    (s, d) => graft.streaming.EventsStreaming.bkQuantileStream(s, d),
+    sql = Some("""
+      WITH s AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+               CAST(('0x' || substr(md5(event_id::VARCHAR), 1, 13))
+                 AS BIGINT) AS h,
+               CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events),
+      dd AS (SELECT d, h, MIN(x) AS x FROM s GROUP BY 1, 2),
+      r AS (
+        SELECT d, x,
+               row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+        FROM dd),
+      keep AS (SELECT d, x FROM r WHERE rn <= 256),
+      m AS (SELECT d, COUNT(*) AS msz FROM keep GROUP BY 1),
+      rv AS (
+        SELECT d, x,
+               row_number() OVER (PARTITION BY d ORDER BY x) AS vr
+        FROM keep)
+      SELECT rv.d,
+             MAX(CASE WHEN vr = CAST(FLOOR((msz - 1)
+               * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1 THEN x END)
+               AS est_median_cents,
+             MAX(CASE WHEN vr = CAST(FLOOR((msz - 1)
+               * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1 THEN x END)
+               AS est_p90_cents
+      FROM rv JOIN m ON rv.d = m.d
+      GROUP BY rv.d ORDER BY rv.d"""))
+
   /** Online repeated-span census (st14) — tx34's cross-document
     * window detection at ingestion time
     * ([[graft.streaming.DocumentsStreaming.spanCensusStream]]). The
@@ -1022,5 +1061,6 @@ object StreamingQueries {
     st10IngestDedup, st11SlidingWindows, st12StreamTopk,
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
     st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
-    st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance)
+    st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance,
+    st24BkQuantile)
 }

@@ -972,6 +972,50 @@ object EventsStreaming {
     spark.table(name).orderBy(col("d"))
   }
 
+  /** st24: daily value-quantile estimates maintained in STREAMING
+    * aggregation state by the bottom-k sample kernel q33/q34 use in
+    * batch and storage — the third lifecycle of the quantile sketch.
+    * Sample content is determined by the hash order alone (set
+    * semantics, duplicate hash keeps MIN value), so the estimates are
+    * independent of slice arrival order, and state per day is O(k)
+    * regardless of event volume — a streaming percentile that never
+    * buffers the day's values.
+    */
+  private[streaming] def bkDailyAgg(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String, k: Int): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .select(expr("ts DIV 86400000000000").as("d"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 13),
+          16, 10).cast("long").as("h"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("x"))
+      .groupBy(col("d"))
+      .agg(graft.functions.VectorFunctions.bksample_sketch(
+        col("h"), col("x"), k).as("sk"))
+      .select(col("d"),
+        graft.functions.VectorFunctions
+          .bksample_quantile(col("sk"), lit(0.5)).as("est_median_cents"),
+        graft.functions.VectorFunctions
+          .bksample_quantile(col("sk"), lit(0.9)).as("est_p90_cents"))
+
+  def bkQuantileStream(spark: SparkSession, dir: String,
+      slices: Int = 4, k: Int = 256): DataFrame = {
+    val batch = graft.queries.Tables.events(spark, dir)
+    val staged = stageTimeSlices(batch, slices, trailer = false)
+    val agg = bkDailyAgg(spark, batch.schema, staged, k)
+    val name = s"graft_st_bk_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("d"))
+  }
+
   def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long,
       watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
     import events.sparkSession.implicits._

@@ -47,6 +47,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
                (1, 10L), (1, 20L), (1, 20L), (2, 30L), (2, 10L)
              AS t(g, h) GROUP BY g)""").head()
       assert(kmv.getLong(0) === 3L) // distinct hashes {10, 20, 30}
+      // ...and the bottom-k sample family: sketch per group → merge →
+      // nearest-rank quantile (exact below k)
+      val bk = spark.sql(
+        """SELECT bksample_quantile(bksample_merge(sk), 0.5d) AS med
+           FROM (
+             SELECT g, bksample_sketch(h, x, 8) AS sk FROM VALUES
+               (1, 10L, 500L), (1, 20L, 100L), (1, 20L, 900L),
+               (2, 30L, 300L), (2, 40L, 700L)
+             AS t(g, h, x) GROUP BY g)""").head()
+      // distinct hashes {10,20,30,40} carry {500, 100 (min of dup),
+      // 300, 700} → sorted {100,300,500,700}, rank floor(3·0.5)=1 → 300
+      assert(bk.getLong(0) === 300L)
     } finally spark.stop()
   }
 

@@ -137,4 +137,50 @@ class SketchQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"worst 4-bin error $worst vs fine bound ${2.0 * width1024} — a " +
         "resolution this coarse passing would mean the gate tests nothing")
   }
+
+  test("bottom-k sample quantiles: mergeability law (merged-of-parts " +
+      "byte-identical to sketch-of-whole), rank error within the " +
+      "sampling band, below-k groups exact") {
+    import graft.functions.{VectorFunctions => F}
+    val k = 256
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("p"), col("o_orderstatus").as("st"),
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 13),
+        16, 10).cast("long").as("h"),
+      expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("x"))
+    val merged = base.groupBy(col("p"), col("st"))
+      .agg(F.bksample_sketch(col("h"), col("x"), k).as("sk"))
+      .groupBy(col("p")).agg(F.bksample_merge(col("sk")).as("sk"))
+    val direct = base.groupBy(col("p"))
+      .agg(F.bksample_sketch(col("h"), col("x"), k).as("sk"))
+    val m = merged.collect().map(r =>
+      r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    val dct = direct.collect().map(r =>
+      r.getString(0) -> r.getAs[Array[Byte]]("sk").toSeq).toMap
+    assert(m === dct, "merged-of-parts != sketch-of-whole")
+    // rank-space band: the empirical CDF position of the estimate must
+    // sit within ~4 sampling sds of q (sd = sqrt(q(1-q)/k) ≈ 0.031 at
+    // q=0.5, k=256 → band 0.125)
+    val perGroup = base.select(col("p"), col("x")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(1)).sorted }
+    for ((g, bytes) <- dct; q <- Seq(0.5, 0.9)) {
+      val est = org.apache.spark.sql.graft.BkSampleQuantile
+        .quantile(bytes.toArray, q).longValue
+      val xs = perGroup(g)
+      val cdf = xs.count(_ <= est).toDouble / xs.length
+      assert(math.abs(cdf - q) <= 0.125,
+        s"group $g q=$q: est=$est lands at CDF $cdf")
+    }
+    // below-k exactness: a tiny group's carried sample IS the group,
+    // so the nearest-rank quantile is the exact order statistic
+    import spark.implicits._
+    val tiny = Seq((1, 10L, 500L), (1, 20L, 100L), (1, 30L, 300L),
+        (2, 40L, 700L)).toDF("g", "h", "x")
+      .groupBy(col("g"))
+      .agg(F.bksample_sketch(col("h"), col("x"), k).as("sk"))
+      .select(col("g"), F.bksample_quantile(col("sk"), lit(0.5)).as("q"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(tiny === Map(1 -> 300L, 2 -> 700L))
+  }
 }

@@ -726,6 +726,83 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"restart; run1=$afterRun1")
   }
 
+  test("st24 bottom-k sample state round-trips the CHECKPOINTED state " +
+      "store — the resumed run equals the uninterrupted one, and the " +
+      "mid-crash output is exactly the batch estimate of the processed " +
+      "slice alone") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val batch = graft.queries.Tables.events(spark, dir)
+    val expected = EventsStreaming.bkQuantileStream(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val fullStage = EventsStreaming.stageTimeSlices(batch, 4,
+      trailer = false)
+    val files = Files.list(Paths.get(fullStage)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) all += files.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    def drain(staged: String, out: String, chk: String): Unit = {
+      val q = EventsStreaming.bkDailyAgg(spark, batch.schema, staged,
+          k = 256)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    val stage2 = Files.createTempDirectory("st24_partial")
+    val out = Files.createTempDirectory("st24_out").toString
+    val chk = Files.createTempDirectory("st24_chk").toString
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES): Unit
+    // one slice (a quarter of the span: splits a day), then "crash"
+    ordered.take(1).foreach(copyIn)
+    drain(stage2.toString, out, chk)
+    val afterRun1 = spark.read.parquet(out)
+      .as[(Long, Long, Long)].collect().toSet
+    // the mid-crash view is DETERMINISTICALLY the batch estimate of
+    // the processed slice alone — a genuine partial, not a coincidence
+    val sliceOnly = spark.read.schema(batch.schema)
+      .parquet(stage2.toString)
+      .select(expr("ts DIV 86400000000000").as("d"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 13),
+          16, 10).cast("long").as("h"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("x"))
+      .groupBy(col("d"))
+      .agg(graft.functions.VectorFunctions.bksample_sketch(
+        col("h"), col("x"), 256).as("sk"))
+      .select(col("d"),
+        graft.functions.VectorFunctions
+          .bksample_quantile(col("sk"), lit(0.5)).as("m"),
+        graft.functions.VectorFunctions
+          .bksample_quantile(col("sk"), lit(0.9)).as("p"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(afterRun1 === sliceOnly)
+    // resume on the same checkpoint with the remaining slices
+    ordered.drop(1).foreach(copyIn)
+    drain(stage2.toString, out, chk)
+    val resumed = spark.read.parquet(out)
+      .as[(Long, Long, Long)].collect().toSet
+    // recovered sample buffers are byte-faithful: final == uninterrupted
+    assert(resumed === expected)
+    // later days only appear after the resume
+    assert(afterRun1.size < resumed.size)
+  }
+
   test("st22 index maintenance survives a checkpoint stop/resume — " +
       "the resumed index equals the uninterrupted run's, and the " +
       "mid-crash index serves exactly the processed batches") {
