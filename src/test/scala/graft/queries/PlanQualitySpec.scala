@@ -1213,4 +1213,28 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         p.isInstanceOf[BroadcastHashJoinExec]),
       s"the ASOF text must not plan an ordinary join:\n$plan")
   }
+
+  test("q33: sketch aggregation is two-phase at BOTH grain levels — " +
+      "raw rows combine map-side into O(k) sketches before any " +
+      "exchange, and only sketch bytes cross the wire") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executedPlan("q33_bksample_quantile")
+    val aggs = plan.collect { case a: ObjectHashAggregateExec => a }
+    val modes = aggs.flatMap(_.aggregateExpressions.map(_.mode))
+    assert(modes.count(_ == Partial) >= 2 && modes.count(_ == Final) >= 2,
+      s"expected Partial+Final at both grain levels, got $modes")
+    // every shuffle below a Final agg carries the binary sketch, not
+    // the (hash, value) raw pairs — the property that caps exchange
+    // bytes at groups×k regardless of row count
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    val aggShuffles = shuffles.filterNot(
+      _.outputPartitioning.numPartitions == 1) // final ORDER BY
+    assert(aggShuffles.nonEmpty)
+    aggShuffles.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.exists(c => c == "h" || c == "x"),
+        s"raw (h, x) columns crossed an exchange: $cols")
+    }
+  }
 }
