@@ -86,6 +86,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_estimate"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.graft.KmvEstimate(es.head)))
+    // KMV set algebra over stored sketches (union / Jaccard numerator
+    // / occupancy — q35's intersection estimator)
+    e.injectFunction((FunctionIdentifier("kmv_union"),
+      info("kmv_union"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.KmvUnion(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("kmv_overlap"),
+      info("kmv_overlap"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.KmvOverlap(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("kmv_size"),
+      info("kmv_size"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.KmvSize(es.head)))
     // stored mergeable bottom-k sample sketches (quantile companion
     // to kmv: sketch / merge / nearest-rank quantile)
     e.injectFunction((FunctionIdentifier("bksample_sketch"),

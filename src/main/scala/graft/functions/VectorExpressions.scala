@@ -100,6 +100,23 @@ object VectorFunctions {
   def kmv_estimate(sketch: Column): Column =
     B.column(org.apache.spark.sql.graft.KmvEstimate(B.expression(sketch)))
 
+  /** Union of two STORED KMV sketches (k smallest of A ∪ B). */
+  def kmv_union(a: Column, b: Column): Column =
+    B.column(org.apache.spark.sql.graft.KmvUnion(
+      B.expression(a), B.expression(b)))
+
+  /** Jaccard numerator: hashes in the union's k-min window present in
+    * BOTH sketches. With [[kmv_size]] and [[kmv_estimate]] of the
+    * union this yields the intersection estimate.
+    */
+  def kmv_overlap(a: Column, b: Column): Column =
+    B.column(org.apache.spark.sql.graft.KmvOverlap(
+      B.expression(a), B.expression(b)))
+
+  /** Sketch occupancy m = min(k, distinct seen). */
+  def kmv_size(sketch: Column): Column =
+    B.column(org.apache.spark.sql.graft.KmvSize(B.expression(sketch)))
+
   /** Bottom-k sample sketch per group over (52-bit md5 hash of the
     * row's unique key, long measure value): a uniform sample without
     * replacement carrying the values — BinaryType, storable,

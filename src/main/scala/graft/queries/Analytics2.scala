@@ -926,9 +926,107 @@ object Analytics2 {
       FROM rv JOIN m ON rv.event_type = m.event_type
       GROUP BY rv.event_type ORDER BY rv.event_type"""))
 
+  /** KMV set algebra (q35): audience-overlap estimates between every
+    * pair of order priorities from STORED sketches alone — the Beyer
+    * et al. SIGMOD'07 estimator (U = k-min of A∪B; J = overlap/|U|;
+    * |A∩B| ≈ J·est(U)) over the kmv_union / kmv_overlap / kmv_size
+    * scalars. The intersection estimate is computed in PURE INTEGER
+    * arithmetic (overlap · est_union DIV m), so DuckDB reproduces the
+    * ESTIMATE bit-exactly. At 100 TB the sketch path answers any
+    * pairwise overlap from a few KB per segment; the exact column
+    * (a distinct self-join the sketch replaces) is the test-scale
+    * accuracy witness carried in the output, q27-style.
+    */
+  val q35KmvSetOps = Q(
+    "q35_kmv_set_ops",
+    (s, d) => {
+      import graft.functions.{VectorFunctions => F}
+      val base = orders(s, d).select(
+        col("o_orderpriority").as("p"), col("o_custkey").as("c"),
+        conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
+          16, 10).cast("long").as("h"))
+      val sk = base.groupBy(col("p"))
+        .agg(F.kmv_sketch(col("h"), 64).as("sk"))
+      val est = sk.select(col("p").as("p1"), col("sk").as("ska"))
+        .join(sk.select(col("p").as("p2"), col("sk").as("skb")),
+          col("p1") < col("p2"))
+        .select(col("p1"), col("p2"),
+          F.kmv_overlap(col("ska"), col("skb")).as("n_overlap"),
+          F.kmv_size(F.kmv_union(col("ska"), col("skb"))).as("m_union"),
+          F.kmv_estimate(F.kmv_union(col("ska"), col("skb")))
+            .as("est_union"))
+        .withColumn("est_common",
+          expr("n_overlap * est_union DIV m_union"))
+      val pc = base.select(col("p"), col("c")).distinct()
+      val exact = pc.select(col("p").as("p1"), col("c"))
+        .join(pc.select(col("p").as("p2"), col("c")), Seq("c"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2")).agg(cnt.as("n_exact"))
+      est.join(exact, Seq("p1", "p2"))
+        .withColumn("err_ppm",
+          expr("abs(est_common - n_exact) * 1000000 DIV n_exact"))
+        .orderBy(col("p1"), col("p2"))
+    },
+    sql = Some("""
+      WITH h AS (
+        SELECT DISTINCT o_orderpriority AS p, o_custkey AS c,
+               CAST(('0x' || substr(md5(o_custkey::VARCHAR), 1, 13))
+                 AS BIGINT) AS h
+        FROM orders),
+      r AS (
+        SELECT p, h,
+               row_number() OVER (PARTITION BY p ORDER BY h) AS rn
+        FROM (SELECT DISTINCT p, h FROM h)),
+      sk AS (SELECT p, h FROM r WHERE rn <= 64),
+      pairs AS (
+        SELECT a.p AS p1, b.p AS p2
+        FROM (SELECT DISTINCT p FROM h) a
+        JOIN (SELECT DISTINCT p FROM h) b ON a.p < b.p),
+      uh AS (
+        SELECT DISTINCT pr.p1, pr.p2, s.h
+        FROM pairs pr JOIN sk s ON s.p = pr.p1 OR s.p = pr.p2),
+      ur AS (
+        SELECT p1, p2, h,
+               row_number() OVER (PARTITION BY p1, p2 ORDER BY h) AS rn
+        FROM uh),
+      u64 AS (SELECT p1, p2, h, rn FROM ur WHERE rn <= 64),
+      m AS (
+        SELECT p1, p2, COUNT(*) AS msz,
+               CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                    ELSE CAST(FLOOR(CAST(63 AS DOUBLE)
+                           * 4503599627370496.0
+                           / CAST(MAX(CASE WHEN rn = 64 THEN h END)
+                                  AS DOUBLE)) AS BIGINT)
+               END AS est_union
+        FROM u64 GROUP BY p1, p2),
+      ov AS (
+        SELECT u.p1, u.p2, COUNT(*) AS n_overlap
+        FROM u64 u
+        JOIN sk a ON a.p = u.p1 AND a.h = u.h
+        JOIN sk b ON b.p = u.p2 AND b.h = u.h
+        GROUP BY u.p1, u.p2),
+      ex AS (
+        SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_exact
+        FROM (SELECT DISTINCT p, c FROM h) a
+        JOIN (SELECT DISTINCT p, c FROM h) b
+          ON a.c = b.c AND a.p < b.p
+        GROUP BY 1, 2)
+      SELECT m.p1, m.p2,
+             COALESCE(ov.n_overlap, 0) AS n_overlap,
+             m.msz AS m_union, m.est_union,
+             COALESCE(ov.n_overlap, 0) * m.est_union // m.msz
+               AS est_common,
+             ex.n_exact,
+             abs(COALESCE(ov.n_overlap, 0) * m.est_union // m.msz
+                 - ex.n_exact) * 1000000 // ex.n_exact AS err_ppm
+      FROM m JOIN ex ON m.p1 = ex.p1 AND m.p2 = ex.p2
+      LEFT JOIN ov ON m.p1 = ov.p1 AND m.p2 = ov.p2
+      ORDER BY m.p1, m.p2"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
     q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot, q29Histogram,
-    q30KmvStored, q31KmvIncremental, q33BkSampleQuantile, q34BkIncremental)
+    q30KmvStored, q31KmvIncremental, q33BkSampleQuantile, q34BkIncremental,
+    q35KmvSetOps)
 }

@@ -47,6 +47,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
                (1, 10L), (1, 20L), (1, 20L), (2, 30L), (2, 10L)
              AS t(g, h) GROUP BY g)""").head()
       assert(kmv.getLong(0) === 3L) // distinct hashes {10, 20, 30}
+      // set algebra over two sketches: A={10,20,30}, B={20,30,40} →
+      // union {10,20,30,40} (size 4, exact estimate below k),
+      // overlap = |{20,30}| = 2
+      val setops = spark.sql(
+        """SELECT kmv_overlap(a.sk, b.sk) AS ov,
+                  kmv_size(kmv_union(a.sk, b.sk)) AS m,
+                  kmv_estimate(kmv_union(a.sk, b.sk)) AS est
+           FROM (SELECT kmv_sketch(h, 8) AS sk FROM VALUES
+                   (10L), (20L), (30L) AS t(h)) a,
+                (SELECT kmv_sketch(h, 8) AS sk FROM VALUES
+                   (20L), (30L), (40L) AS t(h)) b""").head()
+      assert((setops.getLong(0), setops.getLong(1), setops.getLong(2))
+        === ((2L, 4L, 4L)))
       // ...and the bottom-k sample family: sketch per group → merge →
       // nearest-rank quantile (exact below k)
       val bk = spark.sql(

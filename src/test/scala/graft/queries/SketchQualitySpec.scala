@@ -138,6 +138,40 @@ class SketchQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         "resolution this coarse passing would mean the gate tests nothing")
   }
 
+  test("KMV set algebra: at k=256 every pairwise intersection estimate " +
+      "lands within 20% of the exact overlap (q35 runs the same " +
+      "estimator at k=64; this pins quality at the accuracy tier a " +
+      "production store would use)") {
+    import graft.functions.{VectorFunctions => F}
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("p"), col("o_custkey").as("c"),
+      conv(substring(md5(col("o_custkey").cast("string")), 1, 13),
+        16, 10).cast("long").as("h"))
+    val sk = base.groupBy(col("p"))
+      .agg(F.kmv_sketch(col("h"), 256).as("sk"))
+    val est = sk.select(col("p").as("p1"), col("sk").as("ska"))
+      .join(sk.select(col("p").as("p2"), col("sk").as("skb")),
+        col("p1") < col("p2"))
+      .select(col("p1"), col("p2"),
+        expr("kmv_overlap(ska, skb) * kmv_estimate(kmv_union(ska, skb)) " +
+          "DIV kmv_size(kmv_union(ska, skb))").as("est_common"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val pc = base.select(col("p"), col("c")).distinct()
+    val exact = pc.select(col("p").as("p1"), col("c"))
+      .join(pc.select(col("p").as("p2"), col("c")), Seq("c"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (pair, e) =>
+      val n = exact(pair)
+      assert(math.abs(e - n).toDouble / n <= 0.20,
+        s"pair $pair: est_common=$e exact=$n off by >20%")
+    }
+  }
+
   test("bottom-k sample quantiles: mergeability law (merged-of-parts " +
       "byte-identical to sketch-of-whole), rank error within the " +
       "sampling band, below-k groups exact") {
