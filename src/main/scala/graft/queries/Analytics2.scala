@@ -1023,10 +1023,80 @@ object Analytics2 {
       LEFT JOIN ov ON m.p1 = ov.p1 AND m.p2 = ov.p2
       ORDER BY m.p1, m.p2"""))
 
+  /** Rolling distinct over stored sketches (q36): 7-day rolling
+    * distinct-user counts per day, answered by merging each day's
+    * STORED KMV sketch across the window — time-windowed distinct
+    * without rescanning raw data, the aggregation DISTINCT-COUNT
+    * cannot do (distinct doesn't sum across days; sketches merge).
+    * The window is a 7-row self-join on the tiny daily-sketch
+    * relation (days×k bytes, broadcast), never on raw events; at
+    * 100 TB the events scan happens once at store build, and any
+    * window length is then a sketch-merge over a few KB per day.
+    * Oracle recomputes each window's k-min estimator from raw rows.
+    */
+  val q36KmvRolling = Q(
+    "q36_kmv_rolling_distinct",
+    (s, d) => {
+      import graft.functions.{VectorFunctions => F}
+      val daily = Tables.events(s, d)
+        .select(expr("ts DIV 86400000000000").as("day"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long").as("h"))
+        .groupBy(col("day"))
+        .agg(F.kmv_sketch(col("h"), 64).as("sk"))
+      val win = daily.select(col("day").as("d_end"))
+        .join(broadcast(daily), col("day").between(col("d_end") - 6,
+          col("d_end")))
+        .groupBy(col("d_end"))
+        .agg(F.kmv_merge(col("sk")).as("sk"),
+          cnt.as("n_days"))
+      win.select(col("d_end"), col("n_days"),
+          F.kmv_estimate(col("sk")).as("est_users_7d"))
+        .orderBy(col("d_end"))
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 13))
+                 AS BIGINT) AS h
+        FROM events),
+      days AS (SELECT DISTINCT day FROM e),
+      -- per-day k-min windows (the stored sketch content)
+      dk AS (
+        SELECT day, h FROM (
+          SELECT day, h,
+                 row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+          FROM (SELECT DISTINCT day, h FROM e))
+        WHERE rn <= 64),
+      -- merged window sketch = 64 smallest of the member days' k-mins
+      wh AS (
+        SELECT DISTINCT d.day AS d_end, s.h
+        FROM days d JOIN dk s
+          ON s.day BETWEEN d.day - 6 AND d.day),
+      wr AS (
+        SELECT d_end, h,
+               row_number() OVER (PARTITION BY d_end ORDER BY h) AS rn
+        FROM wh),
+      w64 AS (SELECT d_end, h, rn FROM wr WHERE rn <= 64),
+      nd AS (
+        SELECT d.day AS d_end, COUNT(*) AS n_days
+        FROM days d JOIN days m ON m.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1)
+      SELECT w.d_end, nd.n_days,
+             CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+                  ELSE CAST(FLOOR(CAST(63 AS DOUBLE)
+                         * 4503599627370496.0
+                         / CAST(MAX(CASE WHEN w.rn = 64 THEN w.h END)
+                                AS DOUBLE)) AS BIGINT)
+             END AS est_users_7d
+      FROM w64 w JOIN nd ON w.d_end = nd.d_end
+      GROUP BY w.d_end, nd.n_days
+      ORDER BY w.d_end"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
     q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot, q29Histogram,
     q30KmvStored, q31KmvIncremental, q33BkSampleQuantile, q34BkIncremental,
-    q35KmvSetOps)
+    q35KmvSetOps, q36KmvRolling)
 }
