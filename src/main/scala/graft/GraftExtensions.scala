@@ -100,6 +100,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_size"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.graft.KmvSize(es.head)))
+    // count-min sketches (frequency point estimates from O(w·d) state)
+    e.injectFunction((FunctionIdentifier("cms_sketch"),
+      info("cms_sketch"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.CmsSketch(es.head, es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("cms_merge"),
+      info("cms_merge"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.CmsMerge(es.head)))
+    e.injectFunction((FunctionIdentifier("cms_query"),
+      info("cms_query"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.CmsQuery(es.head, es(1))))
     // stored mergeable bottom-k sample sketches (quantile companion
     // to kmv: sketch / merge / nearest-rank quantile)
     e.injectFunction((FunctionIdentifier("bksample_sketch"),

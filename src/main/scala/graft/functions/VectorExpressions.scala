@@ -117,6 +117,28 @@ object VectorFunctions {
   def kmv_size(sketch: Column): Column =
     B.column(org.apache.spark.sql.graft.KmvSize(B.expression(sketch)))
 
+  /** Count-min sketch per group over 52-bit md5 hashes: a d×w counter
+    * matrix (BinaryType, storable, element-wise mergeable) answering
+    * point-frequency queries for ANY key — estimate ≥ true,
+    * ≤ true + (e/w)·N w.p. 1−e^−d.
+    */
+  def cms_sketch(hash: Column, w: Int, d: Int): Column =
+    B.column(org.apache.spark.sql.graft.CmsSketch(
+      B.expression(hash),
+      org.apache.spark.sql.catalyst.expressions.Literal(w),
+      org.apache.spark.sql.catalyst.expressions.Literal(d))
+      .toAggregateExpression())
+
+  /** Element-wise sum of STORED count-min sketches. */
+  def cms_merge(sketch: Column): Column =
+    B.column(org.apache.spark.sql.graft.CmsMerge(
+      B.expression(sketch)).toAggregateExpression())
+
+  /** Point-frequency estimate of a pre-hashed key from a sketch. */
+  def cms_query(sketch: Column, hash: Column): Column =
+    B.column(org.apache.spark.sql.graft.CmsQuery(
+      B.expression(sketch), B.expression(hash)))
+
   /** Bottom-k sample sketch per group over (52-bit md5 hash of the
     * row's unique key, long measure value): a uniform sample without
     * replacement carrying the values — BinaryType, storable,

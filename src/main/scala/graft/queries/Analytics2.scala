@@ -842,7 +842,8 @@ object Analytics2 {
       SELECT q.p AS o_orderpriority, n.n_orders,
              q.est_median_cents, q.est_p90_cents
       FROM q JOIN n ON q.p = n.p
-      ORDER BY 1"""))
+      ORDER BY 1"""),
+    bench = true)
 
   /** Incremental QUANTILE-store maintenance (q34) — q31's standing-
     * store discipline applied to the bottom-k sample sketch: a stored
@@ -1093,10 +1094,77 @@ object Analytics2 {
       GROUP BY w.d_end, nd.n_days
       ORDER BY w.d_end"""))
 
+  /** Count-min point frequencies (q37): the token stream is sketched
+    * ONCE into a single d×w counter matrix (two-phase aggregation:
+    * partial matrices add element-wise map-side, only 24 KB crosses
+    * the exchange), then any term's frequency is answered from the
+    * stored bytes — the "how often did THIS key occur" query
+    * Misra-Gries can't serve for non-heavy keys. Buckets are the
+    * Carter–Wegman form ((h·P_j + B_j) mod 2⁶¹−1) mod w over fixed
+    * engine constants (see [[org.apache.spark.sql.graft.CmsBuffer]]),
+    * every product below 2⁶³ — so the oracle rebuilds the identical
+    * counters in BIGINT SQL and the ESTIMATES hash-match. Probes are
+    * the 20 alphabetically-first distinct terms; `overcount`
+    * (est − exact, ≥ 0 by the sketch's one-sided guarantee) rides
+    * along, q27-style, so accuracy is part of the checked output.
+    */
+  val q37CmsFreq = Q(
+    "q37_cms_token_freq",
+    (s, d) => {
+      import graft.functions.{VectorFunctions => F}
+      val hashed = documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .select(col("term"),
+          conv(substring(md5(col("term")), 1, 13), 16, 10)
+            .cast("long").as("h"))
+      val sk = hashed.agg(F.cms_sketch(col("h"), 1024, 3).as("sk"))
+      val probes = hashed.groupBy(col("term"), col("h"))
+        .agg(cnt.as("n_exact"))
+        .orderBy(col("term")).limit(20)
+      probes.crossJoin(broadcast(sk))
+        .select(col("term"), col("n_exact"),
+          F.cms_query(col("sk"), col("h")).as("est_cms"))
+        .withColumn("overcount", expr("est_cms - n_exact"))
+        .orderBy(col("term"))
+    },
+    sql = Some("""
+      WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        FROM documents),
+      h AS (
+        SELECT term,
+               CAST(('0x' || substr(md5(term), 1, 13)) AS BIGINT) AS h
+        FROM tok),
+      js AS (SELECT unnest([0, 1, 2]) AS j),
+      bk AS (
+        SELECT js.j,
+               ((h.h * CASE js.j WHEN 0 THEN 641 WHEN 1 THEN 1097
+                       ELSE 2039 END
+                 + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                   ELSE 1013 END)
+                % 2305843009213693951) % 1024 AS b,
+               COUNT(*) AS c
+        FROM h CROSS JOIN js GROUP BY 1, 2),
+      probes AS (
+        SELECT term, h, COUNT(*) AS n_exact
+        FROM h GROUP BY term, h ORDER BY term LIMIT 20),
+      est AS (
+        SELECT p.term, p.n_exact, MIN(bk.c) AS est_cms
+        FROM probes p CROSS JOIN js
+        JOIN bk ON bk.j = js.j
+               AND bk.b = ((p.h * CASE js.j WHEN 0 THEN 641
+                            WHEN 1 THEN 1097 ELSE 2039 END
+                            + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                              ELSE 1013 END)
+                           % 2305843009213693951) % 1024
+        GROUP BY p.term, p.n_exact)
+      SELECT term, n_exact, est_cms, est_cms - n_exact AS overcount
+      FROM est ORDER BY term"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
     q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot, q29Histogram,
     q30KmvStored, q31KmvIncremental, q33BkSampleQuantile, q34BkIncremental,
-    q35KmvSetOps, q36KmvRolling)
+    q35KmvSetOps, q36KmvRolling, q37CmsFreq)
 }
