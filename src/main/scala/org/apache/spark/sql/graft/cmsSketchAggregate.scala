@@ -134,7 +134,7 @@ case class CmsSketch(
         wExpr.eval() == null || dExpr.eval() == null) {
       TypeCheckResult.TypeCheckFailure(
         "cms_sketch: width and depth must be literals")
-    } else if (w < 16 || w > 1 << 20) {
+    } else if (w < 16 || w > (1 << 20)) {
       TypeCheckResult.TypeCheckFailure(
         s"cms_sketch: width must be in [16, 2^20], got $w")
     } else if (d < 1 || d > CmsBuffer.MaxDepth) {
@@ -205,6 +205,47 @@ case class CmsMerge(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): Expression = copy(child = cs(0))
+}
+
+/** Scalar: equi-join cardinality estimate from two stored sketches —
+  * min over rows j of the inner product Σ_b A_j[b]·B_j[b] (Cormode &
+  * Muthukrishnan §4.2: each row's inner product ≥ the true join size
+  * Σ_k f_A(k)·f_B(k), collisions only ADD mass, so the min is a
+  * one-sided upper estimate with ε‖A‖₁‖B‖₁ expected slack). This is
+  * the query-planning primitive: |A ⋈ B| answered from O(w·d) stats
+  * bytes without rescanning either table. Requires identical shapes —
+  * the bucket function must agree for products to align.
+  */
+case class CmsInnerProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_inner_product"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = CmsBuffer.deserialize(a.asInstanceOf[Array[Byte]])
+    val y = CmsBuffer.deserialize(b.asInstanceOf[Array[Byte]])
+    require(x.w == y.w && x.d == y.d,
+      s"cms_inner_product: mismatched sketch shapes ${x.w}x${x.d} vs " +
+        s"${y.w}x${y.d}")
+    var res = Long.MaxValue
+    var j = 0
+    while (j < x.d) {
+      var s = 0L
+      var b = 0
+      while (b < x.w) {
+        s += x.counters(j * x.w + b) * y.counters(j * x.w + b)
+        b += 1
+      }
+      if (s < res) res = s
+      j += 1
+    }
+    res
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CmsInnerProduct = copy(left = l, right = r)
 }
 
 /** Scalar: point-frequency estimate — min over rows of the key's
