@@ -113,6 +113,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cms_query"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.graft.CmsQuery(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("cms_inner_product"),
+      info("cms_inner_product"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.CmsInnerProduct(es.head, es(1))))
     // stored mergeable bottom-k sample sketches (quantile companion
     // to kmv: sketch / merge / nearest-rank quantile)
     e.injectFunction((FunctionIdentifier("bksample_sketch"),
@@ -127,6 +131,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bksample_quantile"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.graft.BkSampleQuantile(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("bksample_values"),
+      info("bksample_values"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.BkSampleValues(es.head)))
     // internal markers the ASOF parser rewrite emits around the ON
     // condition; consumed by ResolveAsOfJoin during analysis
     e.injectFunction((FunctionIdentifier("_graft_asof"),

@@ -139,6 +139,14 @@ object VectorFunctions {
     B.column(org.apache.spark.sql.graft.CmsQuery(
       B.expression(sketch), B.expression(hash)))
 
+  /** Equi-join cardinality estimate from two same-shape sketches:
+    * min over rows of the counter inner product — one-sided
+    * (≥ true join size), answered from stats bytes alone.
+    */
+  def cms_inner_product(a: Column, b: Column): Column =
+    B.column(org.apache.spark.sql.graft.CmsInnerProduct(
+      B.expression(a), B.expression(b)))
+
   /** Bottom-k sample sketch per group over (52-bit md5 hash of the
     * row's unique key, long measure value): a uniform sample without
     * replacement carrying the values — BinaryType, storable,
@@ -161,6 +169,14 @@ object VectorFunctions {
   def bksample_quantile(sketch: Column, q: Column): Column =
     B.column(org.apache.spark.sql.graft.BkSampleQuantile(
       B.expression(sketch), B.expression(q)))
+
+  /** The carried sample itself, in ascending-hash (= deterministic
+    * uniform-sample) order — the bounded-memory "sample k rows per
+    * group" primitive.
+    */
+  def bksample_values(sketch: Column): Column =
+    B.column(org.apache.spark.sql.graft.BkSampleValues(
+      B.expression(sketch)))
 
   /** Register SQL names (per-session) so `expr("array_dot(a,b)")` and
     * spark.sql can use the kernels too.

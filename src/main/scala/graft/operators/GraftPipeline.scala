@@ -407,6 +407,62 @@ object GraftPipeline {
       idCol, textCol, cfg)
   }
 
+  /** PROVENANCE-carrying run: one row per INPUT doc with its
+    * disposition through the exact-dedup chain — `kept`, or the first
+    * stage that dropped it (`quality`, `contaminated`, `duplicate`) —
+    * plus the canonical keep id its content resolved to (for kept and
+    * duplicate rows) and the packed (shard, pos) for kept rows. This
+    * is the audit trail a curation run ships next to the dataset: why
+    * each document is or isn't in the training set, attributable and
+    * re-derivable.
+    *
+    * Scale shape: each stage's flag is computed ONCE over the corpus —
+    * quality is scan-local, contamination is one broadcast join
+    * against the (distinct) eval hash set, the dedup verdict is one
+    * content-hash aggregate joined back by hash, and the packed
+    * coordinates join back by id. Keyed exchanges only; no stage is
+    * re-run per disposition.
+    */
+  def runWithProvenance(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    val withHash = docs
+      .withColumn("_h", md5(col(textCol)))
+      .withColumn("_qual", col("n_chars") >= cfg.minChars)
+    val marked = evalDocs.fold(withHash.withColumn("_cont", lit(false))) {
+      e =>
+        withHash.join(
+          // distinct IS needed here (unlike the anti-join in
+          // [[decontaminate]]): a duplicated eval row would multiply
+          // matching corpus rows in a plain left join
+          broadcast(e.select(md5(col(textCol)).as("_eval_h")).distinct()),
+          col("_h") === col("_eval_h"), "left")
+          .withColumn("_cont", col("_eval_h").isNotNull)
+          .drop("_eval_h")
+    }
+    val clean = marked.filter(col("_qual") && !col("_cont"))
+    val keep = clean.groupBy(col("_h"))
+      .agg(min(col(idCol)).as("_keep_id"))
+    val disp = marked.join(keep, Seq("_h"), "left")
+      .select(col(idCol),
+        when(!col("_qual"), lit("quality"))
+          .when(col("_cont"), lit("contaminated"))
+          .when(col(idCol) === col("_keep_id"), lit("kept"))
+          .otherwise(lit("duplicate")).as("disposition"),
+        // a dropped doc's hash can coincide with a kept one's —
+        // attribution only applies to docs that reached the dedup stage
+        when(col("_qual") && !col("_cont"), col("_keep_id"))
+          .as("keep_id"))
+    val packed = pack(
+      clean.join(keep,
+        clean(idCol) === keep("_keep_id"), "left_semi"),
+      idCol, textCol, cfg)
+    disp.join(packed.select(col(idCol), col("shard"), col("pos")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("disposition"), col("keep_id"),
+        col("shard"), col("pos"))
+  }
+
   /** The full chain: quality → (decontaminate) → dedup → pack.
     * `evalDocs` present ⇒ the decontamination stage runs against it.
     */

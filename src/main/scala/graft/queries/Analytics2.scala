@@ -1161,10 +1161,85 @@ object Analytics2 {
       SELECT term, n_exact, est_cms, est_cms - n_exact AS overcount
       FROM est ORDER BY term"""))
 
+  /** Join-size estimation from stored sketches (q38): the classic
+    * count-min application after point frequencies — |A ⋈ B| on an
+    * equi-key estimated as min_j Σ_b A_j[b]·B_j[b] (Cormode &
+    * Muthukrishnan §4.2) from two 24 KB sketches, never rescanning
+    * either table. This is the stats-store primitive a cost-based
+    * planner runs at 100 TB: per-table key sketches are maintained
+    * once (mergeable across partitions/days, q30-style), and any
+    * pairwise join cardinality is answered from bytes. Collisions
+    * only add counter mass, so the estimate is one-sided (≥ exact);
+    * the exact join count rides along q27-style so the error is part
+    * of the checked output. Same fixed Carter–Wegman constants as
+    * q37, so the oracle rebuilds both counter matrices and the row
+    * inner products in BIGINT SQL, bit-exactly.
+    */
+  val q38CmsJoinSize = Q(
+    "q38_cms_join_size",
+    (s, d) => {
+      import graft.functions.{VectorFunctions => F}
+      def hashed(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.select(conv(substring(md5(col(key).cast("string")), 1, 13),
+          16, 10).cast("long").as("h"))
+      val skA = hashed(orders(s, d), "o_orderkey")
+        .agg(F.cms_sketch(col("h"), 1024, 3).as("ska"))
+      val skB = hashed(lineitem(s, d), "l_orderkey")
+        .agg(F.cms_sketch(col("h"), 1024, 3).as("skb"))
+      val exact = orders(s, d).join(lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(cnt.as("exact_join_size"))
+      skA.crossJoin(broadcast(skB)).crossJoin(broadcast(exact))
+        .select(
+          F.cms_inner_product(col("ska"), col("skb"))
+            .as("est_join_size"),
+          col("exact_join_size"))
+        .withColumn("overcount", expr("est_join_size - exact_join_size"))
+    },
+    sql = Some("""
+      WITH ha AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                     1, 13)) AS BIGINT) AS h
+        FROM orders),
+      hb AS (
+        SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                     1, 13)) AS BIGINT) AS h
+        FROM lineitem),
+      js AS (SELECT unnest([0, 1, 2]) AS j),
+      ca AS (
+        SELECT js.j,
+               ((ha.h * CASE js.j WHEN 0 THEN 641 WHEN 1 THEN 1097
+                        ELSE 2039 END
+                 + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                   ELSE 1013 END)
+                % 2305843009213693951) % 1024 AS b,
+               COUNT(*) AS c
+        FROM ha CROSS JOIN js GROUP BY 1, 2),
+      cb AS (
+        SELECT js.j,
+               ((hb.h * CASE js.j WHEN 0 THEN 641 WHEN 1 THEN 1097
+                        ELSE 2039 END
+                 + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                   ELSE 1013 END)
+                % 2305843009213693951) % 1024 AS b,
+               COUNT(*) AS c
+        FROM hb CROSS JOIN js GROUP BY 1, 2),
+      ip AS (
+        SELECT ca.j, CAST(SUM(ca.c * cb.c) AS BIGINT) AS s
+        FROM ca JOIN cb ON ca.j = cb.j AND ca.b = cb.b
+        GROUP BY ca.j),
+      est AS (SELECT MIN(s) AS est_join_size FROM ip),
+      ex AS (
+        SELECT COUNT(*) AS exact_join_size
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      SELECT est.est_join_size, ex.exact_join_size,
+             est.est_join_size - ex.exact_join_size AS overcount
+      FROM est, ex"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
     q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot, q29Histogram,
     q30KmvStored, q31KmvIncremental, q33BkSampleQuantile, q34BkIncremental,
-    q35KmvSetOps, q36KmvRolling, q37CmsFreq)
+    q35KmvSetOps, q36KmvRolling, q37CmsFreq, q38CmsJoinSize)
 }

@@ -373,6 +373,77 @@ object EmbeddingQueries {
       GROUP BY a.cid, s.shift
       ORDER BY a.cid"""))
 
+  /** Semantic DIVERSITY sampling (em8): the cluster-stratified subset
+    * selection step of training-data curation — cover the embedding
+    * space by taking a uniform sample of m=10 vectors from EACH
+    * k-means cluster rather than m·k from wherever density is highest.
+    * Assignment is em6's broadcast-scored map-side top-1 (corpus never
+    * shuffles for it); the per-cluster sample then uses the bottom-k
+    * sample AGGREGATE carrying vec_id as the value — O(m) state per
+    * cluster on both sides of the partial/final split, so a
+    * billion-row cluster costs the same reducer memory as a
+    * thousand-row one. No window over the corpus, no collect_list:
+    * this is the scale shape (a window row_number per cid would sort
+    * k=8 giant partitions). Sample membership is the k-smallest-md5
+    * rule, so the oracle reproduces it exactly with a per-cluster
+    * hash-ordered row_number.
+    */
+  val em8DiversitySample = Q(
+    "em8_diversity_sample",
+    (s, d) => {
+      val v = vecs(s, d)
+      val cents = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("ce"),
+          col("nrm").as("cn"))
+      val assigned = v.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(
+            round(array_dot(col("e"), col("ce")) / (col("nrm") * col("cn")),
+              6).as("score"),
+            (-col("cid")).as("neg_cid")).as("cand"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cand")).as("best"))
+        .select(col("vec_id"), (-col("best.neg_cid")).as("cid"))
+      import graft.functions.{VectorFunctions => F}
+      assigned
+        .select(col("cid"),
+          conv(substring(md5(col("vec_id").cast("string")), 1, 13),
+            16, 10).cast("long").as("h"),
+          col("vec_id"))
+        .groupBy(col("cid"))
+        .agg(F.bksample_sketch(col("h"), col("vec_id"), 10).as("sk"))
+        .select(col("cid"), posexplode(F.bksample_values(col("sk"))))
+        .select(col("cid"), (col("pos") + 1).as("sample_rank"),
+          col("col").as("vec_id"))
+        .orderBy(col("cid"), col("sample_rank"))
+    },
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+      scored AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS score
+        FROM v CROSS JOIN c),
+      assigned AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY score DESC, cid) AS rn
+        FROM scored),
+      hashed AS (
+        SELECT cid, vec_id,
+               CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 13))
+                 AS BIGINT) AS h
+        FROM assigned WHERE rn = 1),
+      ranked AS (
+        SELECT cid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h)
+                 AS sample_rank
+        FROM hashed)
+      SELECT cid, CAST(sample_rank AS INT) AS sample_rank, vec_id
+      FROM ranked WHERE sample_rank <= 10
+      ORDER BY cid, sample_rank"""))
+
   val all: Seq[Q] = Seq(em1Knn, em2NearDup, em3Centroids, em4Norms, em5Quant,
-    em6Kmeans, em7KmeansIter)
+    em6Kmeans, em7KmeansIter, em8DiversitySample)
 }

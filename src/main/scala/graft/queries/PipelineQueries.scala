@@ -414,8 +414,68 @@ object PipelineQueries {
     },
     sql = Some(exactIncrementalOracleSql))
 
+  /** pl7: the PROVENANCE audit of pl1's exact run — one row per INPUT
+    * document stating its fate (`kept` / `quality` / `contaminated` /
+    * `duplicate`), the canonical id its content resolved to, and the
+    * packed (shard, pos) for kept rows. A curation run ships this next
+    * to the dataset: every exclusion is attributable and re-derivable.
+    * The oracle recomputes all four dispositions and the packing
+    * coordinates; the row count equals the full input corpus by
+    * construction, so silent drops are structurally impossible.
+    */
+  val pl7PipelineProvenance = Q(
+    "pl7_pipeline_provenance",
+    (s, d) => {
+      val docs = documents(s, d)
+      GraftPipeline.runWithProvenance(docs, "doc_id", "text",
+          GraftPipeline.Config(minChars = 100, exactDedup = true),
+          evalDocs = Some(docs.filter(col("doc_id") % 11 === 5)))
+        .orderBy(col("doc_id"))
+    },
+    sql = Some("""
+      WITH d AS (
+        SELECT doc_id, text, n_chars, md5(text) AS h FROM documents),
+      ev AS (SELECT DISTINCT md5(text) AS eh
+             FROM documents WHERE doc_id % 11 = 5),
+      m AS (
+        SELECT d.doc_id, d.text, d.h,
+               (d.n_chars >= 100) AS qual,
+               (ev.eh IS NOT NULL) AS cont
+        FROM d LEFT JOIN ev ON d.h = ev.eh),
+      k AS (
+        SELECT h, MIN(doc_id) AS keep_id FROM m
+        WHERE qual AND NOT cont GROUP BY h),
+      disp AS (
+        SELECT m.doc_id,
+               CASE WHEN NOT m.qual THEN 'quality'
+                    WHEN m.cont THEN 'contaminated'
+                    WHEN m.doc_id = k.keep_id THEN 'kept'
+                    ELSE 'duplicate' END AS disposition,
+               CASE WHEN m.qual AND NOT m.cont THEN k.keep_id END
+                 AS keep_id
+        FROM m LEFT JOIN k ON m.h = k.h),
+      kept AS (
+        SELECT m.doc_id, m.text FROM m
+        WHERE EXISTS (SELECT 1 FROM k WHERE k.keep_id = m.doc_id)),
+      s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ts42'),
+                 1, 15)) AS BIGINT) AS p,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, p % 4 AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+        FROM s)
+      SELECT disp.doc_id, disp.disposition, disp.keep_id,
+             o.shard, o.pos
+      FROM disp LEFT JOIN o ON disp.doc_id = o.doc_id
+      ORDER BY disp.doc_id"""))
+
   val all: Seq[Q] =
     Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental,
       pl4PipelineIncrementalNear, pl5PipelineIncrementalMor,
-      pl6PipelineIncrementalMorExact)
+      pl6PipelineIncrementalMorExact, pl7PipelineProvenance)
 }

@@ -744,6 +744,57 @@ object StreamingQueries {
       FROM rv JOIN m ON rv.d = m.d
       GROUP BY rv.d ORDER BY rv.d"""))
 
+  /** Streaming count-min frequencies (st25): the q37/q38 kernel's
+    * third lifecycle — daily per-key frequency sketches maintained in
+    * streaming aggregation STATE (24 KB/day checkpointed, element-wise
+    * exact merge across micro-batches), probed for fixed user ids.
+    * The oracle rebuilds each day's counter matrix from raw events
+    * with the same Carter–Wegman constants over a complete
+    * (day × probe × row) grid — absent counters are true zeros, which
+    * is exactly what the kernel's min sees — so the estimates match
+    * bit-for-bit regardless of slice arrival order.
+    */
+  val st25CmsFreq = Q(
+    "st25_stream_cms_freq",
+    (s, d) => graft.streaming.EventsStreaming.cmsFreqStream(s, d),
+    sql = Some("""
+      WITH e AS (
+        SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+               CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 13))
+                 AS BIGINT) AS h
+        FROM events),
+      js AS (SELECT unnest([0, 1, 2]) AS j),
+      bk AS (
+        SELECT e.d, js.j,
+               ((e.h * CASE js.j WHEN 0 THEN 641 WHEN 1 THEN 1097
+                       ELSE 2039 END
+                 + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                   ELSE 1013 END)
+                % 2305843009213693951) % 1024 AS b,
+               COUNT(*) AS c
+        FROM e CROSS JOIN js GROUP BY 1, 2, 3),
+      ph AS (
+        SELECT u, CAST(('0x' || substr(md5(u), 1, 13)) AS BIGINT) AS h
+        FROM (SELECT unnest(['1', '2', '3']) AS u)),
+      grid AS (
+        SELECT dd.d, ph.u, js.j,
+               ((ph.h * CASE js.j WHEN 0 THEN 641 WHEN 1 THEN 1097
+                        ELSE 2039 END
+                 + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                   ELSE 1013 END)
+                % 2305843009213693951) % 1024 AS b
+        FROM (SELECT DISTINCT d FROM e) dd CROSS JOIN ph CROSS JOIN js),
+      est AS (
+        SELECT g.d, g.u, MIN(COALESCE(bk.c, 0)) AS est
+        FROM grid g LEFT JOIN bk
+          ON bk.d = g.d AND bk.j = g.j AND bk.b = g.b
+        GROUP BY 1, 2)
+      SELECT d,
+             MAX(CASE WHEN u = '1' THEN est END) AS est_events_u1,
+             MAX(CASE WHEN u = '2' THEN est END) AS est_events_u2,
+             MAX(CASE WHEN u = '3' THEN est END) AS est_events_u3
+      FROM est GROUP BY d ORDER BY d"""))
+
   /** Online repeated-span census (st14) — tx34's cross-document
     * window detection at ingestion time
     * ([[graft.streaming.DocumentsStreaming.spanCensusStream]]). The
@@ -1062,5 +1113,5 @@ object StreamingQueries {
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
     st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
     st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance,
-    st24BkQuantile)
+    st24BkQuantile, st25CmsFreq)
 }

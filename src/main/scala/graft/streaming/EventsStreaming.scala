@@ -1016,6 +1016,51 @@ object EventsStreaming {
     spark.table(name).orderBy(col("d"))
   }
 
+  /** st25: daily per-key frequency sketches maintained in STREAMING
+    * aggregation state — the count-min kernel (q37/q38) in its third
+    * lifecycle. Counter matrices add element-wise across micro-batch
+    * updates (exact mergeability), so the checkpointed state is 24 KB
+    * per day regardless of event volume and the resulting estimates
+    * are arrival-order independent. Probes are fixed user ids, but
+    * the live sketch column can answer ANY key after the fact — the
+    * "per-entity rate stats" a streaming abuse/quota monitor keeps.
+    */
+  private[streaming] def cmsDailyAgg(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      staged: String, w: Int, d: Int): DataFrame = {
+    import graft.functions.{VectorFunctions => F}
+    def probeHash(u: String) =
+      conv(substring(md5(lit(u)), 1, 13), 16, 10).cast("long")
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .select(expr("ts DIV 86400000000000").as("d"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13),
+          16, 10).cast("long").as("h"))
+      .groupBy(col("d"))
+      .agg(F.cms_sketch(col("h"), w, d).as("sk"))
+      .select(col("d"),
+        F.cms_query(col("sk"), probeHash("1")).as("est_events_u1"),
+        F.cms_query(col("sk"), probeHash("2")).as("est_events_u2"),
+        F.cms_query(col("sk"), probeHash("3")).as("est_events_u3"))
+  }
+
+  def cmsFreqStream(spark: SparkSession, dir: String,
+      slices: Int = 4, w: Int = 1024, d: Int = 3): DataFrame = {
+    val batch = graft.queries.Tables.events(spark, dir)
+    val staged = stageTimeSlices(batch, slices, trailer = false)
+    val agg = cmsDailyAgg(spark, batch.schema, staged, w, d)
+    val name = s"graft_st_cms_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy(col("d"))
+  }
+
   def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long,
       watermarkDelay: String = "10 minutes"): Dataset[UserSession] = {
     import events.sparkSession.implicits._

@@ -228,3 +228,34 @@ object BkSampleQuantile {
     java.lang.Long.valueOf(xs(math.floor((n - 1) * q).toInt))
   }
 }
+
+/** Scalar: the carried sample ITSELF, values in ascending-HASH order —
+  * i.e. the deterministic uniform-sample order, independent of the
+  * value distribution. This is what makes the sketch a general
+  * bounded-memory "sample k rows per group" operator (stratified
+  * sampling, diversity selection), not only a quantile estimator:
+  * carry the row's id as the value, explode the array back out.
+  */
+case class BkSampleValues(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bksample_values"
+
+  protected override def nullSafeEval(bytes: Any): Any = {
+    val bb = ByteBuffer.wrap(bytes.asInstanceOf[Array[Byte]])
+    bb.getInt // k
+    val n = bb.getInt
+    val xs = new Array[Long](n)
+    var i = 0
+    // entries serialize in ascending-hash order already
+    while (i < n) { bb.getLong; xs(i) = bb.getLong; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BkSampleValues = copy(child = newChild)
+}

@@ -72,6 +72,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // distinct hashes {10,20,30,40} carry {500, 100 (min of dup),
       // 300, 700} → sorted {100,300,500,700}, rank floor(3·0.5)=1 → 300
       assert(bk.getLong(0) === 300L)
+      // ...and the count-min family: sketch → merge → point query.
+      // 10 occurs 3x (2 in g=1, 1 in g=2), 20 once; ample width so
+      // the estimates are exact here
+      val cms = spark.sql(
+        """SELECT cms_query(m, 10L) AS f10, cms_query(m, 20L) AS f20,
+                  cms_query(m, 99L) AS f99
+           FROM (SELECT cms_merge(sk) AS m FROM (
+             SELECT g, cms_sketch(h, 1024, 3) AS sk FROM VALUES
+               (1, 10L), (1, 10L), (1, 20L), (2, 10L)
+             AS t(g, h) GROUP BY g))""").head()
+      assert((cms.getLong(0), cms.getLong(1), cms.getLong(2))
+        === ((3L, 1L, 0L)))
     } finally spark.stop()
   }
 
