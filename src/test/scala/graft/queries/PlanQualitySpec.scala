@@ -1237,4 +1237,49 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"raw (h, x) columns crossed an exchange: $cols")
     }
   }
+
+  test("q38: both tables' key sketches combine map-side — only 24 KB " +
+      "counter matrices cross any exchange, never raw hashed keys") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executedPlan("q38_cms_join_size")
+    val aggs = plan.collect { case a: ObjectHashAggregateExec => a }
+    val modes = aggs.flatMap(_.aggregateExpressions.map(_.mode))
+    // two sketch aggregations (orders + lineitem), each Partial+Final
+    assert(modes.count(_ == Partial) >= 2 && modes.count(_ == Final) >= 2,
+      s"expected two two-phase sketch aggregations, got $modes")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.contains("h"),
+        s"raw hashed keys crossed an exchange: $cols")
+    }
+  }
+
+  test("em8: the per-cluster sample is a bounded-state AGGREGATE — " +
+      "no Window operator sorts the corpus inside k=8 giant " +
+      "partitions, and raw (h, vec_id) rows never cross an exchange " +
+      "after the sketch combine") {
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = executedPlan("em8_diversity_sample")
+    assert(!plan.exists(_.isInstanceOf[WindowExec]),
+      s"a window over the corpus would sort k giant partitions:\n$plan")
+    val aggs = plan.collect { case a: ObjectHashAggregateExec => a }
+    val modes = aggs.flatMap(_.aggregateExpressions.map(_.mode))
+    assert(modes.contains(Partial) && modes.contains(Final),
+      s"expected the bottom-k sample agg two-phase, got $modes")
+    // the exchange feeding the sample's Final agg carries sketch
+    // bytes keyed by cid — not per-row (h, vec_id) pairs
+    val sketchShuffles = plan.collect { case e: ShuffleExchangeExec
+      if e.child.output.exists(_.name.toLowerCase.contains("bksample")) ||
+         e.child.output.map(_.name.toLowerCase).contains("sk") => e }
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+      val cols = e.child.output.map(_.name.toLowerCase)
+      assert(!cols.contains("h"),
+        s"raw hash column crossed an exchange: $cols")
+    }
+    assert(sketchShuffles.nonEmpty || aggs.nonEmpty)
+  }
 }

@@ -803,6 +803,83 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterRun1.size < resumed.size)
   }
 
+  test("st25 count-min state round-trips the CHECKPOINTED state store " +
+      "— counter matrices keep accumulating across the restart and " +
+      "the final estimates equal the uninterrupted run") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val batch = graft.queries.Tables.events(spark, dir)
+    val expected = EventsStreaming.cmsFreqStream(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val fullStage = EventsStreaming.stageTimeSlices(batch, 4,
+      trailer = false)
+    val files = Files.list(Paths.get(fullStage)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) all += files.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+
+    def drain(staged: String, out: String, chk: String): Unit = {
+      val q = EventsStreaming.cmsDailyAgg(spark, batch.schema, staged,
+          w = 1024, d = 3)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    val stage2 = Files.createTempDirectory("st25_partial")
+    val out = Files.createTempDirectory("st25_out").toString
+    val chk = Files.createTempDirectory("st25_chk").toString
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES): Unit
+    // one slice (a quarter of the span: splits a day), then "crash"
+    ordered.take(1).foreach(copyIn)
+    drain(stage2.toString, out, chk)
+    val afterRun1 = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the mid-crash view is DETERMINISTICALLY the batch answer over
+    // the processed slice alone — a genuine partial, not a coincidence
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => F}
+    def probeHash(u: String) =
+      conv(substring(md5(lit(u)), 1, 13), 16, 10).cast("long")
+    val sliceOnly = spark.read.schema(batch.schema)
+      .parquet(stage2.toString)
+      .select(expr("ts DIV 86400000000000").as("d"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13),
+          16, 10).cast("long").as("h"))
+      .groupBy(col("d"))
+      .agg(F.cms_sketch(col("h"), 1024, 3).as("sk"))
+      .select(col("d"),
+        F.cms_query(col("sk"), probeHash("1")).as("u1"),
+        F.cms_query(col("sk"), probeHash("2")).as("u2"),
+        F.cms_query(col("sk"), probeHash("3")).as("u3"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterRun1 === sliceOnly)
+    ordered.drop(1).foreach(copyIn)
+    drain(stage2.toString, out, chk) // counters resume from chk
+    val resumed = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // recovered counter matrices are byte-faithful: element-wise sums
+    // across the restart land on the uninterrupted answer exactly
+    assert(resumed === expected)
+    // the restart landed mid-stream: later days only appear after it
+    assert(afterRun1.size < resumed.size)
+  }
+
   test("st22 index maintenance survives a checkpoint stop/resume — " +
       "the resumed index equals the uninterrupted run's, and the " +
       "mid-crash index serves exactly the processed batches") {
