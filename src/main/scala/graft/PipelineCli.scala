@@ -21,6 +21,10 @@ import graft.operators.GraftPipeline
   *   --eval <parquet>         decontaminate against this set
   *   --shards N --seq-len N   packing shape (defaults 4 / 512)
   *   --seed S                 shard seed (default ts42)
+  *   --provenance <dir>       also write the per-input-doc audit trail
+  *                            (disposition / canonical id / shard+pos —
+  *                            [[GraftPipeline.runWithProvenance]];
+  *                            batch exact-dedup mode only)
   *
   * Incremental mode (the pl3 path — nightly changelogs against a
   * standing [[GraftPipeline.buildExactIndex]] store; forces exact
@@ -72,6 +76,7 @@ object PipelineCli {
       nearIndex: Option[(String, String)] = None,
       deletes: Option[String] = None,
       upserts: Option[String] = None,
+      provenance: Option[String] = None,
       mor: Boolean = false,
       vacuum: Option[String] = None,
       vacuumRetentionH: Int = 24,
@@ -144,6 +149,7 @@ object PipelineCli {
           i += 2
         case "--deletes"     => a = a.copy(deletes = Some(value())); i += 2
         case "--upserts"     => a = a.copy(upserts = Some(value())); i += 2
+        case "--provenance"  => a = a.copy(provenance = Some(value())); i += 2
         case "--mor"         => a = a.copy(mor = true); i += 1
         case "--vacuum"      => a = a.copy(vacuum = Some(value())); i += 2
         case "--vacuum-retention-h" =>
@@ -170,6 +176,10 @@ object PipelineCli {
     require(a.index.nonEmpty || a.nearIndex.nonEmpty ||
       (a.deletes.isEmpty && a.upserts.isEmpty),
       s"--deletes/--upserts need --index or --near-index\n$usage")
+    require(a.provenance.isEmpty ||
+      (a.dedup == "exact" && a.index.isEmpty && a.nearIndex.isEmpty &&
+        a.buildIndex.isEmpty && a.buildNearIndex.isEmpty),
+      s"--provenance is batch exact-dedup mode only\n$usage")
     a = a.copy(cfg = a.cfg.copy(
       exactDedup = a.dedup == "exact", nearDedup = a.dedup == "near"))
     a
@@ -255,7 +265,14 @@ object PipelineCli {
         }
         packed.write.mode("overwrite").parquet(a.output)
         val n = spark.read.parquet(a.output).count()
-        s"[pipeline] packed $n docs -> ${a.output}"
+        val prov = a.provenance.fold("") { dir =>
+          GraftPipeline.runWithProvenance(corpus, a.idCol, a.textCol,
+              a.cfg, evalDocs = a.eval.map(p => spark.read.parquet(p)))
+            .write.mode("overwrite").parquet(dir)
+          val np = spark.read.parquet(dir).count()
+          s"; provenance for $np docs -> $dir"
+        }
+        s"[pipeline] packed $n docs -> ${a.output}$prov"
     }
   }
 

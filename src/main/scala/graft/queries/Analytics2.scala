@@ -1236,10 +1236,105 @@ object Analytics2 {
              est.est_join_size - ex.exact_join_size AS overcount
       FROM est, ex"""))
 
+  /** Build-once CMS store for q39: one counter matrix of user activity
+    * per (event_type, day), persisted as parquet — the ingest-time
+    * half of the frequency-stats lifecycle (q30's pattern for the
+    * count-min family).
+    */
+  private def ensureCmsStore(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"q39_cms_store_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t)) {
+      val loc = java.nio.file.Files.createTempDirectory("graft_cms").toString
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("ts DIV 86400000000000").as("day"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 13),
+            16, 10).cast("long").as("h"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(graft.functions.VectorFunctions.cms_sketch(col("h"), 1024, 3)
+          .as("sk"))
+        .write.option("path", loc).saveAsTable(t)
+    }
+    t
+  }
+
+  /** Stored-CMS rollup (q39): per-user event frequencies per event
+    * type answered by MERGING the persisted per-(type, day) counter
+    * matrices — raw events are scanned once at store-build time, every
+    * later rollup reads 24 KB of sketch bytes per (type, day). Counter
+    * matrices add element-wise, so the merged sketch is byte-identical
+    * to sketching the coarse group directly — which is exactly what the
+    * oracle recomputes from raw data over a complete probe grid (absent
+    * counters are true zeros). Completes the CMS lifecycle: q37 sketch
+    * +query, q38 sketch algebra, st25 streaming state, q39 store+merge.
+    */
+  val q39CmsStored = Q(
+    "q39_cms_stored_rollup",
+    (s, d) => {
+      import graft.functions.{VectorFunctions => F}
+      def probeHash(u: String) =
+        conv(substring(md5(lit(u)), 1, 13), 16, 10).cast("long")
+      val store = s.table(ensureCmsStore(s, d))
+      store.groupBy(col("event_type"))
+        .agg(F.cms_merge(col("sk")).as("sk"), cnt.as("n_sketches"))
+        .select(col("event_type"),
+          F.cms_query(col("sk"), probeHash("1")).as("est_events_u1"),
+          F.cms_query(col("sk"), probeHash("2")).as("est_events_u2"),
+          F.cms_query(col("sk"), probeHash("3")).as("est_events_u3"),
+          col("n_sketches"))
+        .orderBy(col("event_type"))
+    },
+    sql = Some("""
+      WITH e AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+               CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 13))
+                 AS BIGINT) AS h
+        FROM events),
+      js AS (SELECT unnest([0, 1, 2]) AS j),
+      bk AS (
+        SELECT e.event_type, js.j,
+               ((e.h * CASE js.j WHEN 0 THEN 641 WHEN 1 THEN 1097
+                       ELSE 2039 END
+                 + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                   ELSE 1013 END)
+                % 2305843009213693951) % 1024 AS b,
+               COUNT(*) AS c
+        FROM e CROSS JOIN js GROUP BY 1, 2, 3),
+      ph AS (
+        SELECT u, CAST(('0x' || substr(md5(u), 1, 13)) AS BIGINT) AS h
+        FROM (SELECT unnest(['1', '2', '3']) AS u)),
+      grid AS (
+        SELECT t.event_type, ph.u, js.j,
+               ((ph.h * CASE js.j WHEN 0 THEN 641 WHEN 1 THEN 1097
+                        ELSE 2039 END
+                 + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                   ELSE 1013 END)
+                % 2305843009213693951) % 1024 AS b
+        FROM (SELECT DISTINCT event_type FROM e) t
+        CROSS JOIN ph CROSS JOIN js),
+      est AS (
+        SELECT g.event_type, g.u, MIN(COALESCE(bk.c, 0)) AS est
+        FROM grid g LEFT JOIN bk
+          ON bk.event_type = g.event_type AND bk.j = g.j AND bk.b = g.b
+        GROUP BY 1, 2),
+      ns AS (
+        SELECT event_type, COUNT(DISTINCT day) AS n_sketches
+        FROM e GROUP BY 1)
+      SELECT est.event_type,
+             MAX(CASE WHEN u = '1' THEN est END) AS est_events_u1,
+             MAX(CASE WHEN u = '2' THEN est END) AS est_events_u2,
+             MAX(CASE WHEN u = '3' THEN est END) AS est_events_u3,
+             MAX(ns.n_sketches) AS n_sketches
+      FROM est JOIN ns ON est.event_type = ns.event_type
+      GROUP BY est.event_type
+      ORDER BY est.event_type"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
     q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot, q29Histogram,
     q30KmvStored, q31KmvIncremental, q33BkSampleQuantile, q34BkIncremental,
-    q35KmvSetOps, q36KmvRolling, q37CmsFreq, q38CmsJoinSize)
+    q35KmvSetOps, q36KmvRolling, q37CmsFreq, q38CmsJoinSize, q39CmsStored)
 }

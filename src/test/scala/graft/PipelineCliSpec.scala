@@ -63,6 +63,33 @@ class PipelineCliSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got === want)
   }
 
+  test("--provenance writes exactly runWithProvenance's audit trail, " +
+      "one row per input doc, and refuses non-exact modes") {
+    val base = Files.createTempDirectory("plcli_prov").toString
+    val (out, prov) = (s"$base/p", s"$base/a")
+    val msg = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "-o", out, "--min-chars", "100",
+      "--dedup", "exact", "--provenance", prov)))
+    assert(msg.contains("provenance"))
+    val got = spark.read.parquet(prov)
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = GraftPipeline.runWithProvenance(
+        spark.read.parquet(docsPath), "doc_id", "text",
+        GraftPipeline.Config(minChars = 100, exactDedup = true))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got.nonEmpty && got === want)
+    // audit covers the whole input — silent drops are impossible
+    assert(got.size === spark.read.parquet(docsPath).count())
+    // every kept row has packed coordinates; every dropped row doesn't
+    val bad = spark.read.parquet(prov).filter(
+      (col("disposition") === "kept") =!= col("shard").isNotNull)
+    assert(bad.count() === 0)
+    intercept[RuntimeException](PipelineCli.parse(Array(
+      "-i", "x", "-o", "y", "--dedup", "near", "--provenance", "p")))
+    intercept[RuntimeException](PipelineCli.parse(Array(
+      "-i", "x", "-o", "y", "--index", "t", "--provenance", "p")))
+  }
+
   test("index lifecycle: build, changelog delta, incremental run " +
       "equals the full rebuild") {
     val t = "plcli_exidx"
