@@ -463,6 +463,58 @@ object GraftPipeline {
         col("shard"), col("pos"))
   }
 
+  /** [[runWithProvenance]], NEAR-dedup form: the duplicate verdict
+    * comes from the banded-LSH connected components instead of the
+    * content hash, so a dropped doc's `keep_id` is its CLUSTER's
+    * canonical (minimum id) — the doc it was judged a near-duplicate
+    * of, which an auditor can actually diff against. Same full-input
+    * coverage contract; same keyed-exchange-only shape (the cluster
+    * map is dup-cluster-scale and broadcasts, dd12's rule).
+    */
+  def runWithProvenanceNear(docs: DataFrame, idCol: String,
+      textCol: String, cfg: Config = Config(),
+      evalDocs: Option[DataFrame] = None): DataFrame = {
+    val withHash = docs
+      .withColumn("_h", md5(col(textCol)))
+      .withColumn("_qual", col("n_chars") >= cfg.minChars)
+    val marked = evalDocs.fold(withHash.withColumn("_cont", lit(false))) {
+      e =>
+        withHash.join(
+          broadcast(e.select(md5(col(textCol)).as("_eval_h")).distinct()),
+          col("_h") === col("_eval_h"), "left")
+          .withColumn("_cont", col("_eval_h").isNotNull)
+          .drop("_eval_h")
+    }
+    val clean = marked.filter(col("_qual") && !col("_cont"))
+    val clusters = ClusterOps.connectedComponents(
+      TextDedupOps.minhashLshPairs(clean, idCol, textCol,
+        cfg.numHashes, cfg.bands, cfg.nearDedupMinJaccard))
+      .withColumnRenamed("doc_id", "_cl_id")
+    val disp = marked.join(broadcast(clusters),
+        marked(idCol) === col("_cl_id"), "left")
+      .withColumn("_keep_id",
+        when(col("_qual") && !col("_cont"),
+          coalesce(col("cluster_id"), col(idCol))))
+      .select(col(idCol),
+        when(!col("_qual"), lit("quality"))
+          .when(col("_cont"), lit("contaminated"))
+          .when(col(idCol) === col("_keep_id"), lit("kept"))
+          .otherwise(lit("near_duplicate")).as("disposition"),
+        col("_keep_id").as("keep_id"))
+    // reuse the SAME (localCheckpoint-backed) cluster map for the keep
+    // set — calling nearKeepList here would re-run banding + components
+    val packed = pack(
+      clean.join(broadcast(clusters),
+          clean(idCol) === col("_cl_id"), "left")
+        .filter(coalesce(col("cluster_id"), col(idCol)) === col(idCol))
+        .drop("_cl_id", "cluster_id"),
+      idCol, textCol, cfg)
+    disp.join(packed.select(col(idCol), col("shard"), col("pos")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("disposition"), col("keep_id"),
+        col("shard"), col("pos"))
+  }
+
   /** The full chain: quality → (decontaminate) → dedup → pack.
     * `evalDocs` present ⇒ the decontamination stage runs against it.
     */

@@ -1234,7 +1234,8 @@ object Analytics2 {
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
       SELECT est.est_join_size, ex.exact_join_size,
              est.est_join_size - ex.exact_join_size AS overcount
-      FROM est, ex"""))
+      FROM est, ex"""),
+    bench = true)
 
   /** Build-once CMS store for q39: one counter matrix of user activity
     * per (event_type, day), persisted as parquet — the ingest-time

@@ -474,8 +474,93 @@ object PipelineQueries {
       FROM disp LEFT JOIN o ON disp.doc_id = o.doc_id
       ORDER BY disp.doc_id"""))
 
+  /** pl8: pl7's audit trail for the NEAR-dedup chain — a dropped doc's
+    * `keep_id` is its LSH CLUSTER's canonical (the doc it was judged a
+    * near-duplicate of, diffable by an auditor), disposition
+    * `near_duplicate`. The oracle recomputes the banded-minhash
+    * pipeline, the recursive component closure, all dispositions, and
+    * the packing coordinates; full-input row count by construction.
+    */
+  val pl8PipelineProvenanceNear = Q(
+    "pl8_pipeline_provenance_near",
+    (s, d) =>
+      GraftPipeline.runWithProvenanceNear(spread(documents(s, d)),
+          "doc_id", "text",
+          GraftPipeline.Config(minChars = 100, nearDedup = true))
+        .orderBy(col("doc_id")),
+    sql = Some(s"""
+      WITH RECURSIVE
+      m AS (
+        SELECT doc_id, text, (n_chars >= 100) AS qual FROM documents),
+      base AS (SELECT doc_id, text FROM m WHERE qual),
+      docs AS (
+        SELECT doc_id, ${DedupQueries.shingleSql} AS sh
+        FROM (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM base) t),
+      sigs AS (
+        SELECT doc_id, sh,
+               list_transform(range(0, 8), seed ->
+                 list_min(list_transform(sh, s ->
+                   ${DedupQueries.hash60Sql
+                     .format("seed::VARCHAR || '|' || s")}))) AS sig
+        FROM docs WHERE len(sh) > 0),
+      banded AS (
+        SELECT doc_id, sh, b.band,
+               md5(concat_ws(',', sig[band*4+1], sig[band*4+2],
+                             sig[band*4+3], sig[band*4+4])) AS bhash
+        FROM sigs, (SELECT unnest(range(0, 2)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                AS DOUBLE) /
+              (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s)))),
+              6) >= 0.2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+      cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id
+             FROM reach GROUP BY id),
+      disp AS (
+        SELECT m.doc_id,
+               CASE WHEN NOT m.qual THEN 'quality'
+                    WHEN m.doc_id = COALESCE(cl.cluster_id, m.doc_id)
+                      THEN 'kept'
+                    ELSE 'near_duplicate' END AS disposition,
+               CASE WHEN m.qual
+                 THEN COALESCE(cl.cluster_id, m.doc_id) END AS keep_id
+        FROM m LEFT JOIN cl ON m.doc_id = cl.doc_id),
+      kept AS (
+        SELECT b.doc_id, b.text
+        FROM base b LEFT JOIN cl ON b.doc_id = cl.doc_id
+        WHERE COALESCE(cl.cluster_id, b.doc_id) = b.doc_id),
+      s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ts42'),
+                 1, 15)) AS BIGINT) AS p,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, p % 4 AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+        FROM s)
+      SELECT disp.doc_id, disp.disposition, disp.keep_id,
+             o.shard, o.pos
+      FROM disp LEFT JOIN o ON disp.doc_id = o.doc_id
+      ORDER BY disp.doc_id"""))
+
   val all: Seq[Q] =
     Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental,
       pl4PipelineIncrementalNear, pl5PipelineIncrementalMor,
-      pl6PipelineIncrementalMorExact, pl7PipelineProvenance)
+      pl6PipelineIncrementalMorExact, pl7PipelineProvenance,
+      pl8PipelineProvenanceNear)
 }

@@ -72,6 +72,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // distinct hashes {10,20,30,40} carry {500, 100 (min of dup),
       // 300, 700} → sorted {100,300,500,700}, rank floor(3·0.5)=1 → 300
       assert(bk.getLong(0) === 300L)
+      // ...and the sample itself comes back in ascending-hash order
+      val bkv = spark.sql(
+        """SELECT bksample_values(bksample_sketch(h, x, 8)) AS sample
+           FROM VALUES (10L, 500L), (20L, 100L), (20L, 900L),
+             (30L, 300L), (40L, 700L) AS t(h, x)""").head()
+      assert(bkv.getSeq[Long](0) === Seq(500L, 100L, 300L, 700L))
       // ...and the count-min family: sketch → merge → point query.
       // 10 occurs 3x (2 in g=1, 1 in g=2), 20 once; ample width so
       // the estimates are exact here
