@@ -88,6 +88,34 @@ object BucketedStores {
     vs.maxBy(versionOf(_, name))
   }
 
+  /** A versioned store's LIVE generation numbers, oldest first — more
+    * than one iff maintenance ran with `retain > 0` (snapshot
+    * retention, the Iceberg-style time-travel window).
+    */
+  def generations(spark: SparkSession, name: String): Seq[Int] = {
+    val vs = spark.catalog.listTables()
+      .collect().map(_.name)
+      .filter(_.startsWith(name + "__v"))
+      .map(versionOf(_, name)).sorted.toSeq
+    require(vs.nonEmpty, s"$name has no generations — not a versioned store")
+    vs
+  }
+
+  /** Time-travel read: the store AS OF generation `k`. Retained
+    * generations are immutable physical tables, so the snapshot is
+    * stable regardless of concurrent maintenance — exactly a
+    * lakehouse `VERSION AS OF`. Throws if `k` has been retired
+    * (maintenance ran with a smaller retention than the lookback).
+    */
+  def readGeneration(spark: SparkSession, name: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val t = s"${name}__v$k"
+    require(spark.catalog.tableExists(t),
+      s"generation $k of $name is not retained " +
+        s"(live: ${generations(spark, name).mkString(",")})")
+    spark.table(t)
+  }
+
   /** Adopt an existing physical table (e.g. a [[graft.operators
     * .TextDedupOps.writeLshIndex]] output) into versioned serving:
     * rename it to generation 1 and create the serving view. The
@@ -104,16 +132,21 @@ object BucketedStores {
   /** The shared tail of every atomic maintenance op: write `content`
     * as the next generation (one file per bucket — the bucket-id
     * repartition — same bucket/sort spec), flip the serving view in
-    * ONE catalog op, drop the old generation. A concurrent reader that
-    * already resolved the old generation keeps reading its files until
-    * the drop; one that resolves during the swap sees exactly one of
-    * the two generations.
+    * ONE catalog op, then retire every generation beyond the retention
+    * window (`retain` = how many PREVIOUS generations stay readable
+    * via [[readGeneration]]; 0 = drop the old one immediately, the
+    * historical default). A concurrent reader that already resolved
+    * a retired generation keeps reading its files until the drop; one
+    * that resolves during the swap sees exactly one generation.
+    * Retired EXTERNAL tables leave their directories behind — that is
+    * [[vacuumOrphans]]'s job, same as before.
     */
   private def swapInNextGeneration(spark: SparkSession, name: String,
       old: String, content: org.apache.spark.sql.DataFrame,
       bucketCols: Seq[String], sortCols: Seq[String], buckets: Int,
-      location: Option[String]): Unit = {
+      location: Option[String], retain: Int = 0): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    require(retain >= 0, s"retain must be >= 0, got $retain")
     val next = name + "__v" + (versionOf(old, name) + 1)
     val loc = location.getOrElse(
       java.nio.file.Files.createTempDirectory(s"graft_gen_$name")
@@ -126,7 +159,8 @@ object BucketedStores {
       .option("path", loc)
       .saveAsTable(next)
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $next")
-    spark.sql(s"DROP TABLE $old")
+    generations(spark, name).dropRight(retain + 1)
+      .foreach(k => spark.sql(s"DROP TABLE ${name}__v$k"))
   }
 
   /** Compact a VERSIONED store with an atomic swap: rewrite the
@@ -135,10 +169,10 @@ object BucketedStores {
     */
   def compactAtomic(spark: SparkSession, name: String,
       bucketCols: Seq[String], sortCols: Seq[String], buckets: Int,
-      location: Option[String] = None): Unit = {
+      location: Option[String] = None, retain: Int = 0): Unit = {
     val old = currentGeneration(spark, name)
     swapInNextGeneration(spark, name, old, spark.table(old),
-      bucketCols, sortCols, buckets, location)
+      bucketCols, sortCols, buckets, location, retain)
   }
 
   /** Apply a CHANGELOG (deletes and/or upsert additions) to a
@@ -162,7 +196,7 @@ object BucketedStores {
       bucketCols: Seq[String], sortCols: Seq[String], buckets: Int,
       idCol: String, removeIds: org.apache.spark.sql.DataFrame,
       additions: Option[org.apache.spark.sql.DataFrame],
-      location: Option[String] = None): Unit = {
+      location: Option[String] = None, retain: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
     val old = currentGeneration(spark, name)
     val kept = spark.table(old)
@@ -171,7 +205,7 @@ object BucketedStores {
     val content = additions.fold(kept)(a =>
       kept.unionByName(a.select(kept.columns.map(col).toSeq: _*)))
     swapInNextGeneration(spark, name, old, content,
-      bucketCols, sortCols, buckets, location)
+      bucketCols, sortCols, buckets, location, retain)
   }
 
   /** [[applyDeltaAtomic]] for EDGE stores — rows that reference TWO
@@ -185,7 +219,7 @@ object BucketedStores {
       idColA: String, idColB: String,
       removeIds: org.apache.spark.sql.DataFrame,
       additions: Option[org.apache.spark.sql.DataFrame],
-      location: Option[String] = None): Unit = {
+      location: Option[String] = None, retain: Int = 0): Unit = {
     import org.apache.spark.sql.functions.col
     val old = currentGeneration(spark, name)
     val ids = removeIds.columns match {
@@ -199,7 +233,7 @@ object BucketedStores {
     val content = additions.fold(kept)(a =>
       kept.unionByName(a.select(kept.columns.map(col).toSeq: _*)))
     swapInNextGeneration(spark, name, old, content,
-      bucketCols, sortCols, buckets, location)
+      bucketCols, sortCols, buckets, location, retain)
   }
 
   /** Remove a versioned store (serving view + every generation), plus

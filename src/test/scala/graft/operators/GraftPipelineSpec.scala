@@ -84,6 +84,50 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chained === manual)
   }
 
+  test("provenance is CONSISTENT with the packed run: kept ids == the " +
+      "run's output ids with identical coordinates, dispositions " +
+      "partition the input, and near-dup attribution points at the " +
+      "cluster canonical") {
+    val cfg = GraftPipeline.Config(minChars = 100, exactDedup = true)
+    val ev = Some(docs.filter(col("doc_id") % 11 === 5))
+    val prov = GraftPipeline.runWithProvenance(docs, "doc_id", "text",
+      cfg, ev).collect().toSeq
+    assert(prov.size.toLong === docs.count(), "one row per input doc")
+    val packed = GraftPipeline.run(docs, "doc_id", "text", cfg, ev)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val kept = prov.filter(_.getString(1) == "kept")
+    assert(kept.map(_.getLong(0)).toSet === packed.keySet,
+      "kept set must equal the packed run's output ids")
+    kept.foreach { r =>
+      assert((r.getLong(3), r.getLong(4)) === packed(r.getLong(0)),
+        s"coordinates must match the run for doc ${r.getLong(0)}")
+    }
+    // duplicates attribute to a kept doc with the same content
+    val byId = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    prov.filter(_.getString(1) == "duplicate").foreach { r =>
+      val keepId = r.getLong(2)
+      assert(packed.contains(keepId) &&
+        byId(keepId) == byId(r.getLong(0)),
+        s"duplicate ${r.getLong(0)} must point at a kept identical doc")
+    }
+    // near form: same invariants against the near run
+    val ncfg = GraftPipeline.Config(minChars = 100, nearDedup = true)
+    val nprov = GraftPipeline.runWithProvenanceNear(docs, "doc_id",
+      "text", ncfg).collect().toSeq
+    assert(nprov.size.toLong === docs.count())
+    val npacked = GraftPipeline.run(docs, "doc_id", "text", ncfg)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(nprov.filter(_.getString(1) == "kept").map(_.getLong(0)).toSet
+      === npacked)
+    nprov.filter(_.getString(1) == "near_duplicate").foreach { r =>
+      assert(npacked.contains(r.getLong(2)),
+        "a near-duplicate's canonical must itself be kept")
+    }
+  }
+
   test("plan discipline: decon is a BROADCAST anti-join; the pack tail " +
       "has ONE hash exchange; disabled stages leave no plan trace") {
     // assertions run on the FINAL adaptive plan's string (materialized

@@ -173,4 +173,51 @@ class IndexDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
         .count() === 0L, s"no tombstoned doc may be served from $t")
     }
   }
+
+  test("snapshot retention + time travel: retain=1 keeps the previous " +
+      "generation readable AS OF its version while the view serves the " +
+      "new one; the window slides; retain=0 retires history") {
+    import org.apache.spark.sql.functions.lit
+    val t = "idxdel_timetravel"
+    BucketedStores.dropVersioned(spark, t)
+    val base = documents.limit(200).select(col("doc_id"),
+      org.apache.spark.sql.functions.md5(col("text")).as("h"))
+    base.repartition(4, org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("h")), lit(4)))
+      .write.bucketBy(4, "h").sortBy("h", "doc_id")
+      .option("path", java.nio.file.Files
+        .createTempDirectory(s"graft_tt_$t").toString)
+      .saveAsTable(t)
+    BucketedStores.adoptVersioned(spark, t)
+    val v1Rows = spark.table(t).collect().toSet
+
+    // delta 1 with retention: v1 stays readable, view serves v2
+    val rm = documents.limit(200).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    BucketedStores.applyDeltaAtomic(spark, t, Seq("h"),
+      Seq("h", "doc_id"), 4, "doc_id", rm, None, retain = 1)
+    assert(BucketedStores.generations(spark, t) === Seq(1, 2))
+    assert(BucketedStores.readGeneration(spark, t, 1).collect().toSet
+      === v1Rows, "the retained snapshot must be the PRE-delta content")
+    val v2Rows = spark.table(t).collect().toSet
+    assert(v2Rows === BucketedStores.readGeneration(spark, t, 2)
+      .collect().toSet)
+    assert(v2Rows.size < v1Rows.size && v2Rows.subsetOf(v1Rows))
+
+    // delta 2, same retention: the window SLIDES — v1 retired, v2 kept
+    val rm2 = documents.limit(200).filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id"))
+    BucketedStores.applyDeltaAtomic(spark, t, Seq("h"),
+      Seq("h", "doc_id"), 4, "doc_id", rm2, None, retain = 1)
+    assert(BucketedStores.generations(spark, t) === Seq(2, 3))
+    assert(BucketedStores.readGeneration(spark, t, 2).collect().toSet
+      === v2Rows)
+    intercept[IllegalArgumentException](
+      BucketedStores.readGeneration(spark, t, 1))
+
+    // retain=0 (the default everywhere today) retires all history
+    BucketedStores.compactAtomic(spark, t, Seq("h"), Seq("h", "doc_id"), 4)
+    assert(BucketedStores.generations(spark, t) === Seq(4))
+    BucketedStores.dropVersioned(spark, t)
+  }
 }
