@@ -147,18 +147,22 @@ object GraftPipeline {
   /** Nightly changelog into the exact-dedup index: remove the deleted
     * AND upserted ids, hash ONLY the upsert texts back in (the corpus
     * itself is never re-read), one-file-per-bucket rewrite, one
-    * view-flip swap.
+    * view-flip swap. `retain` keeps that many previous generations
+    * readable AS OF their version ([[keepListFromSnapshot]]) — the
+    * reproducibility window for past training-set builds.
     */
   def applyExactIndexDelta(spark: org.apache.spark.sql.SparkSession,
       name: String, deleteIds: DataFrame, upserts: Option[DataFrame],
-      idCol: String, textCol: String, buckets: Int = 8): Unit =
+      idCol: String, textCol: String, buckets: Int = 8,
+      retain: Int = 0): Unit =
     BucketedStores.applyDeltaAtomic(spark, name,
       Seq("h"), Seq("h", idCol), buckets, idCol,
       removeIds = upserts.fold(deleteIds.select(col(idCol)))(u =>
         deleteIds.select(col(idCol))
           .unionByName(u.select(col(idCol)))),
       additions = upserts.map(
-        _.select(col(idCol), md5(col(textCol)).as("h"))))
+        _.select(col(idCol), md5(col(textCol)).as("h"))),
+      retain = retain)
 
   /** [[buildExactIndex]], merge-on-read form: rows carry `_seq` = 0
     * and serve through the tombstone-subtracting view, so nightly
@@ -213,6 +217,16 @@ object GraftPipeline {
   def keepListFromIndex(spark: org.apache.spark.sql.SparkSession,
       name: String, idCol: String): DataFrame =
     spark.table(name).groupBy(col("h"))
+      .agg(min(col(idCol)).as(idCol)).select(col(idCol))
+
+  /** [[keepListFromIndex]] AS OF a retained generation — reproduce a
+    * PAST build's dedup decision from the immutable snapshot, after
+    * any number of later changelogs (within the retention window).
+    */
+  def keepListFromSnapshot(spark: org.apache.spark.sql.SparkSession,
+      name: String, generation: Int, idCol: String): DataFrame =
+    BucketedStores.readGeneration(spark, name, generation)
+      .groupBy(col("h"))
       .agg(min(col(idCol)).as(idCol)).select(col(idCol))
 
   /** The incremental nightly run: keep list from the maintained index,

@@ -558,9 +558,70 @@ object PipelineQueries {
       FROM disp LEFT JOIN o ON disp.doc_id = o.doc_id
       ORDER BY disp.doc_id"""))
 
+  /** pl9: REPRODUCIBILITY through time travel. The nightly changelog
+    * runs with `retain = 1`, then yesterday's training set is rebuilt
+    * from the RETAINED index snapshot + yesterday's corpus — packed
+    * output byte-equal to a from-scratch DuckDB rebuild over the
+    * pre-changelog corpus, even though the live view already serves
+    * the post-changelog state. This is the audit/repro property a
+    * curation platform must have: any past build re-derivable as long
+    * as its snapshot is within the retention window (the live-path
+    * equivalence is pl3's row; this is the AS-OF half).
+    */
+  val pl9PipelineTimeTravel = Q(
+    "pl9_pipeline_time_travel",
+    (s, d) => {
+      val t = s"pl9_exidx_${Integer.toHexString(d.hashCode)}"
+      val base = documents(s, d)
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("text"))
+      GraftPipeline.buildExactIndex(base, "doc_id", "text", t)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      GraftPipeline.applyExactIndexDelta(s, t, deleteIds,
+        Some(upserts.filter(length(col("text")) >= 100)),
+        "doc_id", "text", retain = 1)
+      // the index now serves the post-changelog state; rebuild
+      // YESTERDAY's set from the retained snapshot (generation 1)
+      GraftPipeline.pack(
+        base.join(GraftPipeline.keepListFromSnapshot(s, t, 1, "doc_id"),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", "text",
+        GraftPipeline.Config(minChars = 100, exactDedup = true))
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some("""
+      WITH q AS (
+        SELECT doc_id, text, md5(text) AS h
+        FROM documents WHERE len(text) >= 100),
+      k AS (SELECT h, MIN(doc_id) AS doc_id FROM q GROUP BY h),
+      kept AS (
+        SELECT q.doc_id, q.text FROM q
+        WHERE EXISTS (SELECT 1 FROM k WHERE k.doc_id = q.doc_id)),
+      s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ts42'),
+                 1, 15)) AS BIGINT) AS p,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, p, p % 4 AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS end_off,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+        FROM s)
+      SELECT shard, pos, doc_id, n_tokens,
+             end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 512 AS seq_first,
+             (end_off - 1) // 512 AS seq_last
+      FROM o
+      ORDER BY shard, pos"""))
+
   val all: Seq[Q] =
     Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental,
       pl4PipelineIncrementalNear, pl5PipelineIncrementalMor,
       pl6PipelineIncrementalMorExact, pl7PipelineProvenance,
-      pl8PipelineProvenanceNear)
+      pl8PipelineProvenanceNear, pl9PipelineTimeTravel)
 }
