@@ -43,6 +43,11 @@ import graft.operators.GraftPipeline
   *                            of rewriting the generation (build the
   *                            store with --mor too; compact on your
   *                            schedule via BucketedStores.morCompact)
+  *   --retain N               snapshot retention for copy-on-write
+  *                            exact-index changelogs: keep the last N
+  *                            generations readable AS OF their version
+  *                            (GraftPipeline.keepListFromSnapshot —
+  *                            past builds stay reproducible); default 0
   *
   * Store housekeeping (runs alone, then exits):
   *
@@ -77,6 +82,7 @@ object PipelineCli {
       deletes: Option[String] = None,
       upserts: Option[String] = None,
       provenance: Option[String] = None,
+      retain: Int = 0,
       mor: Boolean = false,
       vacuum: Option[String] = None,
       vacuumRetentionH: Int = 24,
@@ -150,6 +156,7 @@ object PipelineCli {
         case "--deletes"     => a = a.copy(deletes = Some(value())); i += 2
         case "--upserts"     => a = a.copy(upserts = Some(value())); i += 2
         case "--provenance"  => a = a.copy(provenance = Some(value())); i += 2
+        case "--retain"      => a = a.copy(retain = intValue()); i += 2
         case "--mor"         => a = a.copy(mor = true); i += 1
         case "--vacuum"      => a = a.copy(vacuum = Some(value())); i += 2
         case "--vacuum-retention-h" =>
@@ -180,6 +187,9 @@ object PipelineCli {
       (a.dedup == "exact" && a.index.isEmpty && a.nearIndex.isEmpty &&
         a.buildIndex.isEmpty && a.buildNearIndex.isEmpty),
       s"--provenance is batch exact-dedup mode only\n$usage")
+    require(a.retain >= 0, s"--retain must be >= 0\n$usage")
+    require(a.retain == 0 || (a.index.nonEmpty && !a.mor),
+      s"--retain applies to copy-on-write --index changelogs only\n$usage")
     a = a.copy(cfg = a.cfg.copy(
       exactDedup = a.dedup == "exact", nearDedup = a.dedup == "near"))
     a
@@ -244,7 +254,8 @@ object PipelineCli {
                   deletesDf, upsertsDf, a.idCol, a.textCol)
               else
                 GraftPipeline.applyExactIndexDelta(spark, name,
-                  deletesDf, upsertsDf, a.idCol, a.textCol)
+                  deletesDf, upsertsDf, a.idCol, a.textCol,
+                  retain = a.retain)
             }
             GraftPipeline.runIncremental(spark, name, corpus, a.idCol,
               a.textCol, a.cfg)

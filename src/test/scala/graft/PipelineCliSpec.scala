@@ -88,6 +88,13 @@ class PipelineCliSpec extends AnyFunSuite with BeforeAndAfterAll {
       "-i", "x", "-o", "y", "--dedup", "near", "--provenance", "p")))
     intercept[RuntimeException](PipelineCli.parse(Array(
       "-i", "x", "-o", "y", "--index", "t", "--provenance", "p")))
+    // --retain: copy-on-write --index changelogs only
+    assert(PipelineCli.parse(Array("-i", "x", "-o", "y", "--index", "t",
+      "--retain", "2")).retain === 2)
+    intercept[RuntimeException](PipelineCli.parse(Array(
+      "-i", "x", "-o", "y", "--retain", "2")))
+    intercept[RuntimeException](PipelineCli.parse(Array(
+      "-i", "x", "-o", "y", "--index", "t", "--mor", "--retain", "2")))
   }
 
   test("index lifecycle: build, changelog delta, incremental run " +
