@@ -291,20 +291,22 @@ object GraftPipeline {
   def applyNearIndexDelta(spark: org.apache.spark.sql.SparkSession,
       lshName: String, pairName: String, deleteIds: DataFrame,
       upserts: Option[DataFrame], idCol: String, textCol: String,
-      cfg: Config = Config(), buckets: Int = 8): Unit = {
+      cfg: Config = Config(), buckets: Int = 8, retain: Int = 0): Unit = {
     val removeIds = upserts.fold(deleteIds.select(col(idCol)))(u =>
       deleteIds.select(col(idCol)).unionByName(u.select(col(idCol))))
     BucketedStores.applyDeltaAtomic(spark, lshName,
       Seq("band", "bhash"), Seq("band", "bhash"), buckets, idCol,
       removeIds,
       upserts.map(u => TextDedupOps.lshIndexRows(u, idCol, textCol,
-        cfg.numHashes, cfg.bands)))
+        cfg.numHashes, cfg.bands)),
+      retain = retain)
     BucketedStores.applyEdgeDeltaAtomic(spark, pairName,
       Seq("id_a"), Seq("id_a", "id_b"), buckets, "id_a", "id_b",
       removeIds,
       upserts.map(u => TextDedupOps.probeLshIndex(spark, lshName, u,
         idCol, textCol, cfg.numHashes, cfg.bands,
-        cfg.nearDedupMinJaccard)))
+        cfg.nearDedupMinJaccard)),
+      retain = retain)
   }
 
   // ---- Merge-on-read variants (pl5) --------------------------------
