@@ -386,6 +386,32 @@ object BucketedStores {
       .mode("append").saveAsTable(gen)
   }
 
+  /** Time-travel read of a MERGE-ON-READ store AS OF sequence `seq`:
+    * generation rows stamped `_seq` ≤ seq, minus rows a tombstone with
+    * `t.seq` ≤ seq kills under the strictly-greater rule — i.e. the
+    * exact state the serving view showed after batch `seq` committed.
+    * seq = 0 is the as-built state. The lookback window is the current
+    * compaction era: [[morCompact]] folds history in and resets the
+    * clock, so past-era sequences are gone (pair this with the
+    * copy-on-write `retain` knob when builds must stay reproducible
+    * across compactions). `idCols`/`tombIdCol` as in [[morEnable]].
+    */
+  def readMorAsOfSeq(spark: SparkSession, name: String,
+      idCols: Seq[String], tombIdCol: String,
+      seq: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val tomb = spark.table(currentTombstones(spark, name))
+      .filter(col("seq") <= seq)
+      .select(col(tombIdCol).as("_tt_id"), col("seq").as("_tt_seq"))
+    idCols.foldLeft(
+      spark.table(currentGeneration(spark, name))
+        .filter(col("_seq") <= seq)) { (df, c) =>
+      df.join(tomb,
+        col(c) === col("_tt_id") && col("_seq") < col("_tt_seq"),
+        "left_anti")
+    }
+  }
+
   /** Fold the tombstones in: rewrite the LIVE rows (view output, with
     * `_seq` RESET to 0) as the next generation — one file per bucket
     * again — flip the serving view in one catalog op, start a fresh

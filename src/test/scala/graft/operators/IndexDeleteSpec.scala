@@ -220,4 +220,55 @@ class IndexDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(BucketedStores.generations(spark, t) === Seq(4))
     BucketedStores.dropVersioned(spark, t)
   }
+
+  test("MoR as-of-seq read reproduces the state after each committed " +
+      "batch, within the compaction era") {
+    import org.apache.spark.sql.functions.lit
+    val t = "idxdel_mor_asof"
+    BucketedStores.dropVersioned(spark, t)
+    val base = documents.limit(100).select(col("doc_id"),
+      org.apache.spark.sql.functions.md5(col("text")).as("h"))
+    base.withColumn("_seq", lit(0L))
+      .repartition(4, org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("h")), lit(4)))
+      .write.bucketBy(4, "h").sortBy("h", "doc_id")
+      .option("path", java.nio.file.Files
+        .createTempDirectory(s"graft_morasof_$t").toString)
+      .saveAsTable(t)
+    BucketedStores.adoptVersioned(spark, t)
+    BucketedStores.morEnable(spark, t, Seq("doc_id"), "doc_id")
+    def asOf(s: Long) = BucketedStores.readMorAsOfSeq(spark, t,
+      Seq("doc_id"), "doc_id", s)
+      .select(col("doc_id"), col("h")).collect().toSet
+    val v0 = spark.table(t).select(col("doc_id"), col("h"))
+      .collect().toSet
+
+    // batch 1: delete %3, upsert %7 (replacement rows at the same seq)
+    val s1 = BucketedStores.morNextSeq(spark, t)
+    val rm1 = documents.limit(100)
+      .filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 === 0)
+      .select(col("doc_id"))
+    BucketedStores.morDelete(spark, t, rm1, s1)
+    BucketedStores.morAppend(spark, t,
+      documents.limit(100).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.md5(col("text")).as("h")),
+      s1, Seq("h"), Seq("h", "doc_id"), 4)
+    val live1 = spark.table(t).select(col("doc_id"), col("h"))
+      .collect().toSet
+
+    // batch 2: delete %5
+    val s2 = BucketedStores.morNextSeq(spark, t)
+    BucketedStores.morDelete(spark, t,
+      documents.limit(100).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id")), s2)
+    val live2 = spark.table(t).select(col("doc_id"), col("h"))
+      .collect().toSet
+
+    assert(asOf(0) === v0, "seq 0 must be the as-built state")
+    assert(asOf(s1) === live1, "as-of batch 1 must equal its live view")
+    assert(asOf(s2) === live2, "as-of head must equal the live view")
+    assert((live1 != v0) && (live2 != live1), "batches must have bitten")
+    BucketedStores.dropVersioned(spark, t)
+  }
 }
