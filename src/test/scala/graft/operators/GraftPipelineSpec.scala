@@ -173,8 +173,11 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0)
       .select(col("doc_id"), concat(col("text"), lit(" upd")).as("text"))
     val deletes = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    val preKeep = GraftPipeline.keepListFromIndex(spark, t, "doc_id")
+      .collect().map(_.getLong(0)).toSet
     GraftPipeline.applyExactIndexDelta(spark, t, deletes,
-      Some(upserts.filter(length(col("text")) >= 100)), "doc_id", "text")
+      Some(upserts.filter(length(col("text")) >= 100)), "doc_id", "text",
+      retain = 1)
 
     val newCorpus = docs.filter(col("doc_id") % 7 =!= 3)
       .select(col("doc_id"),
@@ -209,6 +212,15 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fully but are untraversable, so a tree collect could pass vacuously
     assert(!planStr.contains("Exchange"),
       s"keep list over the hash-bucketed index must not shuffle:\n$planStr")
+    // the RETAINED snapshot re-derives the PRE-delta decision with the
+    // same no-corpus-scan / no-shuffle plan (generation tables carry
+    // the identical bucket spec)
+    val snap = GraftPipeline.keepListFromSnapshot(spark, t, 1, "doc_id")
+    assert(snap.collect().map(_.getLong(0)).toSet === preKeep,
+      "snapshot keep list must equal the pre-delta decision")
+    val snapStr = executed(snap).toString
+    assert(!snapStr.contains("documents") && !snapStr.contains("Exchange"),
+      s"snapshot keep list must stay index-only and shuffle-free:\n$snapStr")
     BucketedStores.dropVersioned(spark, t)
   }
 
