@@ -149,8 +149,10 @@ object Bench {
     // 32-wide CPU work runs than 1-wide × ideal (par/single ≥ 1; no
     // historical anchor yet — r11 is the first round emitting it).
     val normCastsPar = castsPerSec * (calibPar / calib)
+    val calibDecay = hostCalibSustainedDecay()
+    val calibIo = hostCalibIoMbps()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"wod_bulk_casts_per_sec":$bulkCastsPerSec,"host_calib_sec":$calib,"host_calib_anchor_sec":$CalibAnchorSec,"host_calib_par_sec":$calibPar,"wod_casts_per_sec_normalized":$normCasts,"wod_bulk_casts_per_sec_normalized":$normBulk,"wod_casts_per_sec_normalized_par":$normCastsPar,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_isolated":$qsIso,"runs":$rs,"errors":$errs,"wod_casts_per_sec":$castsPerSec,"wod_bulk_casts_per_sec":$bulkCastsPerSec,"host_calib_sec":$calib,"host_calib_anchor_sec":$CalibAnchorSec,"host_calib_par_sec":$calibPar,"host_calib_sustained_decay":$calibDecay,"host_calib_io_mbps":$calibIo,"wod_casts_per_sec_normalized":$normCasts,"wod_bulk_casts_per_sec_normalized":$normBulk,"wod_casts_per_sec_normalized_par":$normCastsPar,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH.json"), line + "\n")
     // Stamped snapshot, COMMITTED at round close: r11's driver bench
     // never ran and BENCH_r11.json simply doesn't exist — the series
@@ -256,6 +258,72 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }.min
+  }
+
+  /** Sustained-burn probe (r14): both probes above are ~1 s bursts, so
+    * a host with burst-friendly CPU quotas (token-bucket throttling,
+    * thermal/frequency decay) looks healthy to them while a sustained
+    * 32-wide burn — exactly the 70–200 s conversion loop — runs at the
+    * POST-burst rate. Run the 32-thread MD5 loop continuously for
+    * ~12 s and report (first 3 s rate) / (last 3 s rate): ≈1.0 on an
+    * unthrottled host, >1 when sustained throughput decays below burst
+    * throughput. Read `wod_convert` regressions against THIS ratio
+    * before suspecting code.
+    */
+  private def hostCalibSustainedDecay(threads: Int = 32,
+      windowSec: Double = 3.0, totalSec: Double = 12.0): Double = {
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5a.toByte)
+    val t0 = System.nanoTime()
+    val firstN = new java.util.concurrent.atomic.AtomicLong
+    val lastN = new java.util.concurrent.atomic.AtomicLong
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => {
+        val md = MessageDigest.getInstance("MD5")
+        while (!stop.get()) {
+          var i = 0
+          while (i < 16) { md.update(buf); i += 1 }
+          md.digest()
+          val el = (System.nanoTime() - t0) / 1e9
+          if (el < windowSec) firstN.addAndGet(16L): Unit
+          else if (el > totalSec - windowSec && el <= totalSec)
+            lastN.addAndGet(16L): Unit
+          if (el > totalSec) stop.set(true)
+        }
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val (f, l) = (firstN.get(), lastN.get())
+    if (l == 0L) Double.NaN else f.toDouble / l
+  }
+
+  /** Disk probe (r14): the conversion path is gzip-read + parquet-write
+    * heavy, so co-tenant DISK pressure slows it while every CPU probe
+    * reads healthy. Write 256 MB to the same tmp filesystem the bench
+    * uses (force + close), read it back, report round-trip MB/s.
+    */
+  private def hostCalibIoMbps(): Double = {
+    val mb = 256
+    val f = Files.createTempFile("graft_ioprobe", ".bin")
+    try {
+      val buf = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(buf, 0x5a.toByte)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.WRITE)
+      var i = 0
+      while (i < mb) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+      ch.force(true); ch.close()
+      val in = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.READ)
+      val rb = java.nio.ByteBuffer.allocate(1 << 20)
+      var n = in.read(rb)
+      while (n > 0) { rb.clear(); n = in.read(rb) }
+      in.close()
+      2.0 * mb / ((System.nanoTime() - t0) / 1e9)
+    } finally Files.deleteIfExists(f): Unit
   }
 
   private def deleteRecursively(p: Path): Unit = {
