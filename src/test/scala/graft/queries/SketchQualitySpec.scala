@@ -217,4 +217,38 @@ class SketchQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(tiny === Map(1 -> 300L, 2 -> 700L))
   }
+
+  test("count-min: one-sided guarantee holds on every q37 probe, point" +
+      " overcounts sit inside the e/w·N band, and the q38 join-size " +
+      "estimate brackets the true size within e/w·|A||B|") {
+    // q37: term frequencies — overcount rides along in the output
+    val q37 = Registry.byName("q37_cms_token_freq").fn(spark, dir)
+      .collect()
+    assert(q37.nonEmpty)
+    val nTokens = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")))
+      .count()
+    // Cormode-Muthukrishnan: est ≤ true + (e/w)·N w.p. 1−e^−d per
+    // probe; data + constants are fixed, so this is a deterministic
+    // regression gate, with the bound doubled for union-over-probes
+    val band = math.ceil(2 * math.E / 1024.0 * nTokens).toLong
+    q37.foreach { r =>
+      val over = r.getAs[Long]("overcount")
+      assert(over >= 0L,
+        s"one-sided guarantee violated on ${r.getString(0)}: $over")
+      assert(over <= band,
+        s"${r.getString(0)}: overcount $over above the e/w band $band")
+    }
+    // q38: join-size estimate — one-sided and inside the inner-product
+    // error band e/w·‖A‖₁‖B‖₁
+    val q38 = Registry.byName("q38_cms_join_size").fn(spark, dir).head()
+    val est = q38.getAs[Long]("est_join_size")
+    val exact = q38.getAs[Long]("exact_join_size")
+    val nA = Tables.orders(spark, dir).count()
+    val nB = Tables.lineitem(spark, dir).count()
+    val jband = (2 * math.E / 1024.0 * nA * nB).toLong
+    assert(est >= exact, s"join-size estimate $est below exact $exact")
+    assert(est - exact <= jband,
+      s"join-size overcount ${est - exact} above the e/w band $jband")
+  }
 }
