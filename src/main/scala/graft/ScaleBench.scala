@@ -55,7 +55,13 @@ object ScaleBench {
     "av2_asof_exec", "ev16_resample_ffill", "sim4_ivf_ann_top1",
     // the COMPOSED pipeline (quality → broadcast decon → exact-dedup
     // agg → two-window pack): the chain a nightly build actually runs
-    "pl1_pipeline_decontaminated")
+    "pl1_pipeline_decontaminated",
+    // r14 additions: the full-input provenance audit (adds the
+    // hash-keyed disposition join + coordinate join-back on top of
+    // pl1's chain), the bounded-state cluster-stratified sample, and
+    // the two-table sketch build behind the join-size estimate
+    "pl7_pipeline_provenance", "em8_diversity_sample",
+    "q38_cms_join_size")
   private val QuadQuery = "em2_embedding_near_dup"
 
   def main(args: Array[String]): Unit = {
@@ -199,6 +205,30 @@ object ScaleBench {
         col("embedding"), col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // orders + lineitem (q38's two-table sketch build): the SAME key
+    // shift on BOTH tables keeps the FK relationship intact per
+    // replica, so the true join size scales exactly linearly and the
+    // sketch estimate is tested against a growing key universe
+    val o = spark.read.parquet(s"$base/orders.parquet")
+    val Row(oMax: Long) = o.agg(max(col("o_orderkey"))).head()
+    o.crossJoin(rep)
+      .select((col("o_orderkey") + col("r") * lit(oMax + 1))
+          .as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    li.crossJoin(rep)
+      .select((col("l_orderkey") + col("r") * lit(oMax + 1))
+          .as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
 
     Files.createFile(Paths.get(s"$dir/_STRESS_OK"))
     dir
