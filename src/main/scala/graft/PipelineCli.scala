@@ -48,6 +48,11 @@ import graft.operators.GraftPipeline
   *                            generations readable AS OF their version
   *                            (GraftPipeline.keepListFromSnapshot —
   *                            past builds stay reproducible); default 0
+  *   --as-of K                rebuild a PAST training set: derive the
+  *                            keep list from the --index store's
+  *                            RETAINED generation K instead of the
+  *                            live view (pair with --retain on the
+  *                            maintenance runs that preceded it)
   *
   * Store housekeeping (runs alone, then exits):
   *
@@ -83,6 +88,7 @@ object PipelineCli {
       upserts: Option[String] = None,
       provenance: Option[String] = None,
       retain: Int = 0,
+      asOf: Option[Int] = None,
       mor: Boolean = false,
       vacuum: Option[String] = None,
       vacuumRetentionH: Int = 24,
@@ -157,6 +163,7 @@ object PipelineCli {
         case "--upserts"     => a = a.copy(upserts = Some(value())); i += 2
         case "--provenance"  => a = a.copy(provenance = Some(value())); i += 2
         case "--retain"      => a = a.copy(retain = intValue()); i += 2
+        case "--as-of"       => a = a.copy(asOf = Some(intValue())); i += 2
         case "--mor"         => a = a.copy(mor = true); i += 1
         case "--vacuum"      => a = a.copy(vacuum = Some(value())); i += 2
         case "--vacuum-retention-h" =>
@@ -190,6 +197,9 @@ object PipelineCli {
     require(a.retain >= 0, s"--retain must be >= 0\n$usage")
     require(a.retain == 0 || (a.index.nonEmpty && !a.mor),
       s"--retain applies to copy-on-write --index changelogs only\n$usage")
+    require(a.asOf.isEmpty || (a.index.nonEmpty && !a.mor &&
+      a.deletes.isEmpty && a.upserts.isEmpty),
+      s"--as-of reads a retained --index snapshot (no changelog)\n$usage")
     a = a.copy(cfg = a.cfg.copy(
       exactDedup = a.dedup == "exact", nearDedup = a.dedup == "near"))
     a
@@ -257,8 +267,17 @@ object PipelineCli {
                   deletesDf, upsertsDf, a.idCol, a.textCol,
                   retain = a.retain)
             }
-            GraftPipeline.runIncremental(spark, name, corpus, a.idCol,
-              a.textCol, a.cfg)
+            a.asOf match {
+              case Some(k) =>
+                GraftPipeline.pack(
+                  GraftPipeline.qualityFilter(corpus, a.cfg)
+                    .join(GraftPipeline.keepListFromSnapshot(spark,
+                      name, k, a.idCol), Seq(a.idCol), "left_semi"),
+                  a.idCol, a.textCol, a.cfg)
+              case None =>
+                GraftPipeline.runIncremental(spark, name, corpus,
+                  a.idCol, a.textCol, a.cfg)
+            }
           case (_, Some((lsh, pairs))) =>
             if (a.deletes.nonEmpty || a.upserts.nonEmpty) {
               if (a.mor)

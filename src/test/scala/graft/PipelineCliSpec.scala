@@ -95,6 +95,49 @@ class PipelineCliSpec extends AnyFunSuite with BeforeAndAfterAll {
       "-i", "x", "-o", "y", "--retain", "2")))
     intercept[RuntimeException](PipelineCli.parse(Array(
       "-i", "x", "-o", "y", "--index", "t", "--mor", "--retain", "2")))
+    // --as-of: snapshot read, incompatible with a changelog
+    assert(PipelineCli.parse(Array("-i", "x", "-o", "y", "--index", "t",
+      "--as-of", "1")).asOf === Some(1))
+    intercept[RuntimeException](PipelineCli.parse(Array(
+      "-i", "x", "-o", "y", "--as-of", "1")))
+    intercept[RuntimeException](PipelineCli.parse(Array(
+      "-i", "x", "-o", "y", "--index", "t", "--as-of", "1",
+      "--deletes", "d.parquet")))
+  }
+
+  test("--as-of rebuilds the PRE-changelog training set from the " +
+      "retained snapshot while the live index serves the new state") {
+    val t = "plcli_asof_idx"
+    BucketedStores.dropVersioned(spark, t)
+    val tmp = Files.createTempDirectory("plcli_asof")
+    val docs = spark.read.parquet(docsPath)
+    // yesterday's build: full corpus, index stood up
+    PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "--build-index", t, "--min-chars", "100")))
+    val yesterday = GraftPipeline.runIncremental(spark, t, docs,
+        "doc_id", "text",
+        GraftPipeline.Config(minChars = 100, exactDedup = true))
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    // nightly changelog WITH retention
+    val del = s"$tmp/deletes"
+    docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+      .write.parquet(del)
+    val outNew = s"$tmp/new"
+    PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "-o", outNew, "--index", t, "--deletes", del,
+      "--retain", "1", "--min-chars", "100")))
+    // as-of rebuild from generation 1 == yesterday's build, bit-equal
+    val outOld = s"$tmp/old"
+    val msg = PipelineCli.execute(spark, PipelineCli.parse(Array(
+      "-i", docsPath, "-o", outOld, "--index", t, "--as-of", "1",
+      "--min-chars", "100")))
+    assert(msg.contains("packed"))
+    val got = spark.read.parquet(outOld)
+      .orderBy(col("shard"), col("pos")).collect().toSeq
+    assert(got === yesterday)
+    // ...and the live run really did change
+    assert(spark.read.parquet(outNew).count() < yesterday.size)
+    BucketedStores.dropVersioned(spark, t)
   }
 
   test("index lifecycle: build, changelog delta, incremental run " +
