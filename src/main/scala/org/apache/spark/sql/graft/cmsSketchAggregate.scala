@@ -235,7 +235,17 @@ case class CmsInnerProduct(left: Expression, right: Expression)
       var s = 0L
       var b = 0
       while (b < x.w) {
-        s += x.counters(j * x.w + b) * y.counters(j * x.w + b)
+        // exact arithmetic: at extreme scale (counters ~1e10, products
+        // ~1e20 > 2^63) a wrapped sum would return a confidently wrong
+        // cardinality — overflow must fail loudly, not estimate
+        s = try Math.addExact(s, Math.multiplyExact(
+          x.counters(j * x.w + b), y.counters(j * x.w + b)))
+        catch { case _: ArithmeticException =>
+          throw new ArithmeticException(
+            "cms_inner_product overflowed Long — the join-size " +
+              "estimate exceeds 2^63; shard the sketches (e.g. per " +
+              "partition/day) and sum the estimates instead")
+        }
         b += 1
       }
       if (s < res) res = s

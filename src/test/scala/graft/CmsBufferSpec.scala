@@ -59,6 +59,25 @@ class CmsBufferSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { a.merge(b) }
   }
 
+  test("inner-product overflow fails loudly instead of wrapping") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.CmsInnerProduct
+    import org.apache.spark.sql.types.BinaryType
+    val b = new CmsBuffer(16, 1)
+    java.util.Arrays.fill(b.counters, 4000000000L) // 4e9² × 16 > 2^63
+    val bytes = b.serialize()
+    val ex = intercept[ArithmeticException] {
+      CmsInnerProduct(Literal(bytes, BinaryType),
+        Literal(bytes, BinaryType)).eval(null)
+    }
+    assert(ex.getMessage.contains("overflow"))
+    // well-inside-range inputs still compute exactly
+    val small = new CmsBuffer(16, 1)
+    java.util.Arrays.fill(small.counters, 3L)
+    assert(CmsInnerProduct(Literal(small.serialize(), BinaryType),
+      Literal(small.serialize(), BinaryType)).eval(null) === 16L * 9L)
+  }
+
   test("buckets match the documented Carter-Wegman form") {
     // the q37 oracle re-derives buckets in SQL from these constants;
     // pin them here so a constant change breaks loudly
