@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,16 @@ object GraftPipeline {
   def qualityFilter(docs: DataFrame, cfg: Config): DataFrame =
     if (cfg.minChars <= 0) docs
     else docs.filter(col("n_chars") >= cfg.minChars)
+
+  /** [[qualityFilter]]'s verdict as a column, for the provenance runs.
+    * Must match the filter's semantics exactly: minChars <= 0 means the
+    * gate is off (so the corpus need not even HAVE an n_chars column),
+    * and a NULL n_chars is a quality FAIL, not a null that would fall
+    * through the disposition CASE to `duplicate`/`kept`.
+    */
+  private def provenanceQualFlag(cfg: Config): Column =
+    if (cfg.minChars <= 0) lit(true)
+    else coalesce(col("n_chars") >= cfg.minChars, lit(false))
 
   /** EXACT decontamination: drop every corpus doc whose content hash
     * appears in the eval/benchmark set — the leakage gate a training
@@ -444,7 +454,7 @@ object GraftPipeline {
       evalDocs: Option[DataFrame] = None): DataFrame = {
     val withHash = docs
       .withColumn("_h", md5(col(textCol)))
-      .withColumn("_qual", col("n_chars") >= cfg.minChars)
+      .withColumn("_qual", provenanceQualFlag(cfg))
     val marked = evalDocs.fold(withHash.withColumn("_cont", lit(false))) {
       e =>
         withHash.join(
@@ -492,7 +502,7 @@ object GraftPipeline {
       evalDocs: Option[DataFrame] = None): DataFrame = {
     val withHash = docs
       .withColumn("_h", md5(col(textCol)))
-      .withColumn("_qual", col("n_chars") >= cfg.minChars)
+      .withColumn("_qual", provenanceQualFlag(cfg))
     val marked = evalDocs.fold(withHash.withColumn("_cont", lit(false))) {
       e =>
         withHash.join(

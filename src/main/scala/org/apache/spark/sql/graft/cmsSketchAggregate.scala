@@ -226,6 +226,12 @@ case class CmsInnerProduct(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = CmsBuffer.deserialize(a.asInstanceOf[Array[Byte]])
     val y = CmsBuffer.deserialize(b.asInstanceOf[Array[Byte]])
+    // An unadopted sketch (cms_merge over zero rows serializes w=0,d=0)
+    // saw no keys: the true join size against it is 0, and the row loop
+    // below would otherwise never run and leave the Long.MaxValue
+    // sentinel as the answer. Short-circuit before the shape check so
+    // empty-vs-sized also yields 0 rather than throwing.
+    if (x.d == 0 || y.d == 0) return 0L
     require(x.w == y.w && x.d == y.d,
       s"cms_inner_product: mismatched sketch shapes ${x.w}x${x.d} vs " +
         s"${y.w}x${y.d}")

@@ -78,6 +78,21 @@ class CmsBufferSpec extends AnyFunSuite {
       Literal(small.serialize(), BinaryType)).eval(null) === 16L * 9L)
   }
 
+  test("inner product with an empty (unadopted, d=0) sketch is 0, " +
+      "not the Long.MaxValue sentinel and not a shape error") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graft.CmsInnerProduct
+    import org.apache.spark.sql.types.BinaryType
+    // cms_merge over zero rows serializes w=0,d=0 — the true join size
+    // against a key-less sketch is 0, and the row loop must not leave
+    // its min-accumulator sentinel behind as the answer
+    val empty = Literal(new CmsBuffer(0, 0).serialize(), BinaryType)
+    val sized = Literal(fill(Seq(1L, 2L), 16, 3).serialize(), BinaryType)
+    assert(CmsInnerProduct(empty, empty).eval(null) === 0L)
+    assert(CmsInnerProduct(empty, sized).eval(null) === 0L)
+    assert(CmsInnerProduct(sized, empty).eval(null) === 0L)
+  }
+
   test("buckets match the documented Carter-Wegman form") {
     // the q37 oracle re-derives buckets in SQL from these constants;
     // pin them here so a constant change breaks loudly

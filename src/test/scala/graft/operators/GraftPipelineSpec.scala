@@ -128,6 +128,39 @@ class GraftPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("provenance quality gate matches qualityFilter exactly: " +
+      "minChars<=0 needs no n_chars column, and a NULL n_chars is a " +
+      "quality drop, never a fall-through to duplicate/kept") {
+    val cfg0 = GraftPipeline.Config(minChars = 0, exactDedup = true)
+    // corpus WITHOUT n_chars: the disabled gate must not reference it
+    val bare = docs.select(col("doc_id"), col("text"))
+    val prov0 = GraftPipeline.runWithProvenance(bare, "doc_id", "text",
+      cfg0).collect()
+    assert(prov0.length.toLong === bare.count())
+    assert(!prov0.exists(_.getString(1) == "quality"),
+      "minChars=0 means the quality stage is off")
+    // NULL n_chars with the gate ON: disposition must be `quality`,
+    // exactly the rows qualityFilter would drop
+    val withNulls = docs.withColumn("n_chars",
+      when(col("doc_id") % 7 === 3, lit(null)).otherwise(col("n_chars")))
+    val cfg = GraftPipeline.Config(minChars = 100, exactDedup = true)
+    val prov = GraftPipeline.runWithProvenance(withNulls, "doc_id",
+      "text", cfg).collect()
+    val qualityDropped = prov.filter(_.getString(1) == "quality")
+      .map(_.getLong(0)).toSet
+    val keptByFilter = GraftPipeline.qualityFilter(withNulls, cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val allIds = withNulls.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(qualityDropped === (allIds -- keptByFilter),
+      "provenance quality drops must equal qualityFilter's complement")
+    // near form shares the flag helper — same two contracts hold
+    val nprov0 = GraftPipeline.runWithProvenanceNear(bare, "doc_id",
+      "text", GraftPipeline.Config(minChars = 0, nearDedup = true))
+      .collect()
+    assert(!nprov0.exists(_.getString(1) == "quality"))
+  }
+
   test("plan discipline: decon is a BROADCAST anti-join; the pack tail " +
       "has ONE hash exchange; disabled stages leave no plan trace") {
     // assertions run on the FINAL adaptive plan's string (materialized

@@ -1271,15 +1271,25 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(modes.contains(Partial) && modes.contains(Final),
       s"expected the bottom-k sample agg two-phase, got $modes")
     // the exchange feeding the sample's Final agg carries sketch
-    // bytes keyed by cid — not per-row (h, vec_id) pairs
+    // bytes keyed by cid — not per-row (h, vec_id) pairs. The robust
+    // plan signature for that is structural, not name-based: some
+    // shuffle must sit ABOVE the Partial-mode sample agg (its input
+    // subtree already combined rows into O(m)-state sketches before
+    // anything crossed the wire).
     val sketchShuffles = plan.collect { case e: ShuffleExchangeExec
-      if e.child.output.exists(_.name.toLowerCase.contains("bksample")) ||
-         e.child.output.map(_.name.toLowerCase).contains("sk") => e }
+      if e.child.exists {
+        case a: ObjectHashAggregateExec =>
+          a.aggregateExpressions.exists(_.mode == Partial)
+        case _ => false
+      } => e }
     plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
       val cols = e.child.output.map(_.name.toLowerCase)
       assert(!cols.contains("h"),
         s"raw hash column crossed an exchange: $cols")
     }
-    assert(sketchShuffles.nonEmpty || aggs.nonEmpty)
+    assert(sketchShuffles.nonEmpty,
+      "no exchange carries the partial bottom-k sketch keyed by cid — " +
+        "the sample's Final agg would be shuffling raw rows instead:\n" +
+        plan)
   }
 }
