@@ -43,9 +43,18 @@ object Bench {
     //   SPARK_GRAFT_WOD_CONC=n  — concurrent file conversions (default 24)
     val skipWod = sys.env.get("SPARK_GRAFT_SKIP_WOD").contains("1")
     val wodOnly = sys.env.get("SPARK_GRAFT_WOD_ONLY").contains("1")
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 — adjudication runs: just these
+    // queries (implies no conversion tail unless WOD_ONLY);
+    // SPARK_GRAFT_BENCH_REPS=n — more reps for variance forensics
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .map(_.toInt).getOrElse(Repeats)
 
     val headline =
-      if (wodOnly) Seq.empty else Registry.all.filter(_.bench)
+      if (wodOnly) Seq.empty
+      else Registry.all.filter(_.bench)
+        .filter(q => only.forall(_.contains(q.name)))
     // JVM/codegen warm-up at the smallest SF (not measured).
     headline.foreach { q =>
       try q.fn(spark, "/root/testdata/sf0.001").count()
@@ -57,7 +66,7 @@ object Bench {
       val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0
-      while (i < Repeats && !failed) {
+      while (i < repeats && !failed) {
         val t0 = System.nanoTime()
         try {
           q.fn(spark, sfDir).count()
@@ -86,7 +95,7 @@ object Bench {
     // output dir per rep so resume never short-circuits the timing.
     var castsPerSec = 0.0
     var bulkCastsPerSec = 0.0
-    if (!skipWod) {
+    if (!skipWod && !(only.isDefined && !wodOnly)) {
       try {
         val reps = benchWodConvert(spark, wodReps = 2, bulk = false)
         runs("wod_convert") = reps.map(_._1)
