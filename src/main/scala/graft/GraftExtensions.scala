@@ -22,15 +22,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // epoch-arithmetic time predicates imply bare ts scan bounds
     // (parquet row-group stats pruning on time-range queries)
     e.injectOptimizerRule(_ => graft.plans.InferTimeScanBound)
+    // stored key sketches (SketchStats) choose broadcast-vs-shuffle
+    // and fail runaway joins at planning time (SketchJoinRule.scala)
+    e.injectOptimizerRule(s => graft.plans.SketchJoinRule(s))
     // whole-operator extension: backward as-of join planned as a
     // co-partitioned co-sorted O(n+m) merge walk (asofJoinExec.scala)
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
     // SQL-syntax surface for the same operator: `A ASOF [LEFT] JOIN B
     // ON k = k AND t <= t` — a delegating parser rewrites the dialect
     // into a marked stock LEFT JOIN, and a resolution rule converts the
-    // marked Join into the AsOfJoin logical node (asofSqlSurface.scala)
-    e.injectParser((_, delegate) =>
-      new org.apache.spark.sql.graft.GraftSqlParser(delegate))
+    // marked Join into the AsOfJoin logical node (asofSqlSurface.scala).
+    // The same parser resolves `store VERSION|TIMESTAMP AS OF ...` to
+    // the retained generation table (storeTimeTravel.scala — parse-time
+    // because Spark's analyzer hard-rejects v1 time travel before any
+    // injected resolution rule can run); it consults the catalog, so it
+    // gets the session.
+    e.injectParser((s, delegate) =>
+      new org.apache.spark.sql.graft.GraftSqlParser(s, delegate))
     e.injectResolutionRule(_ => org.apache.spark.sql.graft.ResolveAsOfJoin)
     def info(name: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, name)

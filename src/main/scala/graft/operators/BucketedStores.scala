@@ -460,6 +460,20 @@ object BucketedStores {
   //             the race. Retention is the crash-consistency knob,
   //             exactly as in Iceberg/Delta VACUUM: run with a grace
   //             period ≥ the longest reader/writer you allow.
+  //
+  // Retention × vacuum contract (spec-pinned in OperatorSpecs):
+  //   - WITHIN the retention window the guarantee is absolute: a
+  //     retained generation is a catalog table, so the liveness guard
+  //     protects it at ANY age — `readGeneration`/`VERSION AS OF k`
+  //     readers can never lose their snapshot to a concurrent vacuum,
+  //     and a generation swap is one catalog op (view flip) that never
+  //     leaves a moment where neither generation is reachable.
+  //   - BEYOND the window the guarantee is explicitly the age grace
+  //     and nothing more: a reader that resolved a generation BEFORE
+  //     maintenance retired it keeps reading files that only
+  //     `olderThanMs` protects. That is the documented non-guarantee
+  //     (same as Iceberg/Delta): size the grace ≥ your longest query,
+  //     and size `retain` ≥ the lookback your readers actually use.
 
   /** Locations of every TABLE in the current database, fully
     * qualified against its own filesystem (views resolve to nothing).

@@ -112,17 +112,7 @@ object MultimodalOps {
   def phashNearDupPairs(media: org.apache.spark.sql.DataFrame,
       idCol: String, contentCol: String, maxHamming: Int,
       bands: Int = 4, bits: Int = 60): org.apache.spark.sql.DataFrame = {
-    require(bands >= 1 && bits % bands == 0,
-      s"bits $bits must divide into bands $bands")
-    val bitsPerBand = bits / bands
-    val mask = (1L << bitsPerBand) - 1
-    val fp = media.select(col(idCol).as("media_id"),
-      graft.functions.VectorFunctions
-        .phash_fingerprint(col(contentCol), bits).as("fp"))
-    val banded = fp.select(col("media_id"), col("fp"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("fp"), b * bitsPerBand).bitwiseAND(lit(mask))
-        ): _*)).as(Seq("band", "bkey")))
+    val banded = phashIndexRows(media, idCol, contentCol, bands, bits)
       .repartition(col("band"), col("bkey"))
     val a = banded.select(col("band"), col("bkey"),
       col("media_id").as("id_a"), col("fp").as("fp_a"))
@@ -137,6 +127,101 @@ object MultimodalOps {
       .agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The index-row projection of a media set — exactly the rows
+    * [[writePhashIndex]] stores: one `(band, bkey, media_id, fp)` row
+    * per asset per band, fingerprinting scan-local (payload bytes
+    * never leave the scan). Shared by the all-pairs operator, the
+    * stored-index build, the delta probe, and changelog maintenance —
+    * the same single-projection discipline as
+    * [[TextDedupOps.lshIndexRows]].
+    */
+  def phashIndexRows(media: org.apache.spark.sql.DataFrame,
+      idCol: String, contentCol: String, bands: Int = 4,
+      bits: Int = 60): org.apache.spark.sql.DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bits $bits must divide into bands $bands")
+    val bitsPerBand = bits / bands
+    val mask = (1L << bitsPerBand) - 1
+    media.select(col(idCol).as("media_id"),
+      graft.functions.VectorFunctions
+        .phash_fingerprint(col(contentCol), bits).as("fp"))
+      .select(col("media_id"), col("fp"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("fp"), b * bitsPerBand).bitwiseAND(lit(mask))
+        ): _*)).as(Seq("band", "bkey")))
+  }
+
+  /** STANDING perceptual-hash index: the banded fingerprints as a
+    * bucketed `(band, bkey)` parquet table — the media family's
+    * member of the stored-index tier (text has `writeLshIndex`,
+    * vectors `writeIvfIndex`, lexical retrieval the BM25 postings).
+    * Payloads are read ONCE at build; every later delta probes
+    * fingerprint rows from disk, bucket-aligned.
+    */
+  def writePhashIndex(media: org.apache.spark.sql.DataFrame,
+      idCol: String, contentCol: String, table: String, bands: Int = 4,
+      bits: Int = 60, buckets: Int = 8,
+      location: Option[String] = None): Unit = {
+    media.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = phashIndexRows(media, idCol, contentCol, bands, bits)
+      .repartition(buckets, pmod(hash(col("band"), col("bkey")),
+        lit(buckets)))
+      .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .mode("overwrite")
+    location.fold(w)(l => w.option("path", l)).saveAsTable(table)
+  }
+
+  /** Probe a STORED phash index with a delta of media assets: the
+    * near-dup pairs the delta forms against the indexed corpus
+    * (canonical lo/hi ids, min Hamming over shared bands,
+    * `<= maxHamming`) — [[phashNearDupPairs]]'s semantics with the
+    * corpus side read from fingerprint rows on disk; the corpus
+    * payloads are never re-read and never re-fingerprinted.
+    */
+  def probePhashIndex(spark: SparkSession, table: String,
+      deltaMedia: org.apache.spark.sql.DataFrame, idCol: String,
+      contentCol: String, maxHamming: Int, bands: Int = 4,
+      bits: Int = 60): org.apache.spark.sql.DataFrame = {
+    val probe = phashIndexRows(deltaMedia, idCol, contentCol, bands,
+      bits).select(col("band"), col("bkey"),
+      col("media_id").as("id_a"), col("fp").as("fp_a"))
+    val index = spark.table(table).select(col("band"), col("bkey"),
+      col("media_id").as("id_b"), col("fp").as("fp_b"))
+    probe.join(index, Seq("band", "bkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+          .as("hamming"))
+      .select(col("lo").as("id_a"), col("hi").as("id_b"), col("hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Changelog maintenance for a VERSIONED phash index
+    * ([[BucketedStores.adoptVersioned]] first): deletes drop an
+    * asset's fingerprint rows, upserts replace them with the
+    * re-fingerprinted delta's rows — delta-scale work, atomic
+    * generation swap, `retain` keeps past snapshots readable for
+    * `VERSION AS OF` reproducibility. Same lifecycle contract as
+    * [[graft.operators.GraftPipeline.applyExactIndexDelta]].
+    */
+  def applyPhashIndexDelta(spark: SparkSession, name: String,
+      deleteIds: org.apache.spark.sql.DataFrame,
+      upserts: Option[org.apache.spark.sql.DataFrame], idCol: String,
+      contentCol: String, bands: Int = 4, bits: Int = 60,
+      buckets: Int = 8, retain: Int = 0): Unit =
+    BucketedStores.applyDeltaAtomic(spark, name,
+      Seq("band", "bkey"), Seq("band", "bkey"), buckets, "media_id",
+      removeIds = upserts.fold(
+        deleteIds.select(col(idCol).as("media_id")))(u =>
+        deleteIds.select(col(idCol).as("media_id"))
+          .unionByName(u.select(col(idCol).as("media_id")))),
+      additions = upserts.map(u =>
+        phashIndexRows(u, idCol, contentCol, bands, bits)),
+      retain = retain)
 
   /** FRAME-level near-duplicate asset pairs — the video half of the
     * media-dedup story (md4 matches whole payloads; this catches

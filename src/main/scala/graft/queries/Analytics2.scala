@@ -1332,10 +1332,67 @@ object Analytics2 {
       GROUP BY est.event_type
       ORDER BY est.event_type"""))
 
+  /** Build-once statted store pair for q40: the fact/dim tables as the
+    * engine's writers would leave them — catalog tables carrying key
+    * sketch stats ([[graft.operators.SketchStats.analyzeKey]], one
+    * scan each at write time).
+    */
+  private def ensureSketchStore(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = synchronized {
+    val hex = Integer.toHexString(d.hashCode)
+    val (tf, td) = (s"q40_fact_$hex", s"q40_dim_$hex")
+    if (!s.catalog.tableExists(tf)) {
+      def loc() = java.nio.file.Files.createTempDirectory("graft_q40")
+        .toString
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.option("path", loc()).saveAsTable(tf)
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+        .write.option("path", loc()).saveAsTable(td)
+      graft.operators.SketchStats.analyzeKey(s, tf, "l_orderkey")
+      graft.operators.SketchStats.analyzeKey(s, td, "o_orderkey")
+    }
+    (tf, td)
+  }
+
+  /** Sketch-PLANNED join (q40): the join a cost-based 100 TB planner
+    * actually runs — both sides are engine-written stores carrying key
+    * sketch stats, and [[graft.plans.SketchJoinRule]] consults those
+    * stored bytes to pick the physical strategy (broadcast here: the
+    * dim side's recorded size fits the budget) and to pre-screen the
+    * estimated output size, without scanning either table at planning
+    * time. Results are strategy-invariant, which is exactly what the
+    * oracle checks; the strategy FLIP itself (broadcast with stats,
+    * shuffle when the budget says no, loud failure on a fanning-out
+    * key) is plan-gated in SketchJoinRuleSpec.
+    */
+  val q40SketchPlannedJoin = Q(
+    "q40_sketch_planned_join",
+    (s, d) => {
+      val (tf, td) = ensureSketchStore(s, d)
+      s.table(tf)
+        .join(s.table(td), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          cnt.as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    sql = Some(s"""
+      SELECT o_orderstatus,
+             ${sqlDsum("l_quantity")} AS sum_qty,
+             ${sqlDsum("l_extendedprice")} AS sum_price,
+             COUNT(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""))
+
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
     q20Ntile, q21Cube, q22Intersect, q23Percentiles, q24GroupingSets,
     q25Pivot, q26TopkAgg, q27KmvDistinct, q28Unpivot, q29Histogram,
     q30KmvStored, q31KmvIncremental, q33BkSampleQuantile, q34BkIncremental,
-    q35KmvSetOps, q36KmvRolling, q37CmsFreq, q38CmsJoinSize, q39CmsStored)
+    q35KmvSetOps, q36KmvRolling, q37CmsFreq, q38CmsJoinSize, q39CmsStored,
+    q40SketchPlannedJoin)
 }

@@ -619,9 +619,72 @@ object PipelineQueries {
       FROM o
       ORDER BY shard, pos"""))
 
+  /** pl10: pl9's reproducibility property through the SQL surface —
+    * the retained snapshot is read with the stock grammar's
+    * `VERSION AS OF` (resolved by
+    * [[org.apache.spark.sql.graft.ResolveStoreTimeTravel]] to the
+    * retained generation) instead of the `readGeneration` API. Same
+    * from-scratch DuckDB rebuild oracle as pl9: the SQL path must
+    * reproduce yesterday's keep list bit-exactly after today's
+    * changelog has already moved the live view.
+    */
+  val pl10SqlTimeTravel = Q(
+    "pl10_sql_time_travel",
+    (s, d) => {
+      val t = s"pl10_exidx_${Integer.toHexString(d.hashCode)}"
+      val base = documents(s, d)
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("text"))
+      GraftPipeline.buildExactIndex(base, "doc_id", "text", t)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      GraftPipeline.applyExactIndexDelta(s, t, deleteIds,
+        Some(upserts.filter(length(col("text")) >= 100)),
+        "doc_id", "text", retain = 1)
+      // yesterday's keep list via SQL time travel over the retained
+      // generation — the API-free spelling of keepListFromSnapshot
+      val keep = s.sql(
+        s"""SELECT MIN(doc_id) AS doc_id
+            FROM $t VERSION AS OF 1
+            GROUP BY h""")
+      GraftPipeline.pack(
+        base.join(keep, Seq("doc_id"), "left_semi"),
+        "doc_id", "text",
+        GraftPipeline.Config(minChars = 100, exactDedup = true))
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = Some("""
+      WITH q AS (
+        SELECT doc_id, text, md5(text) AS h
+        FROM documents WHERE len(text) >= 100),
+      k AS (SELECT h, MIN(doc_id) AS doc_id FROM q GROUP BY h),
+      kept AS (
+        SELECT q.doc_id, q.text FROM q
+        WHERE EXISTS (SELECT 1 FROM k WHERE k.doc_id = q.doc_id)),
+      s AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '|ts42'),
+                 1, 15)) AS BIGINT) AS p,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                 AS BIGINT) AS n_tokens
+        FROM kept),
+      o AS (
+        SELECT doc_id, p, p % 4 AS shard, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS end_off,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p % 4
+                 ORDER BY p, doc_id) - 1 AS BIGINT) AS pos
+        FROM s)
+      SELECT shard, pos, doc_id, n_tokens,
+             end_off - n_tokens AS start_off,
+             (end_off - n_tokens) // 512 AS seq_first,
+             (end_off - 1) // 512 AS seq_last
+      FROM o
+      ORDER BY shard, pos"""))
+
   val all: Seq[Q] =
     Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental,
       pl4PipelineIncrementalNear, pl5PipelineIncrementalMor,
       pl6PipelineIncrementalMorExact, pl7PipelineProvenance,
-      pl8PipelineProvenanceNear, pl9PipelineTimeTravel)
+      pl8PipelineProvenanceNear, pl9PipelineTimeTravel, pl10SqlTimeTravel)
 }

@@ -33,7 +33,7 @@ package org.apache.spark.sql.graft
 
 import java.util.Locale
 
-import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, PredicateHelper, Unevaluable}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
@@ -253,15 +253,20 @@ object AsOfSqlRewrite {
 }
 
 /** Delegating parser injected via `e.injectParser`: pre-rewrites the
-  * ASOF dialect, then hands the (now stock-grammar) text to Spark's own
-  * parser. Everything that is not an ASOF join is untouched — one
-  * uppercase-word scan over the text is the entire overhead.
+  * ASOF dialect and the store time-travel clauses
+  * ([[StoreTimeTravelRewrite]] — catalog-consulting, so it needs the
+  * session), then hands the (now stock-grammar) text to Spark's own
+  * parser. Everything else is untouched — one uppercase-word scan
+  * over the text is the entire overhead.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: => SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+  private def rewrite(sqlText: String): String =
+    StoreTimeTravelRewrite(session, AsOfSqlRewrite(sqlText))
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(AsOfSqlRewrite(sqlText))
+    delegate.parsePlan(rewrite(sqlText))
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(AsOfSqlRewrite(sqlText))
+    delegate.parseQuery(rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -5,29 +5,34 @@
   * readable through `readGeneration`, but until now API-only. Every
   * lakehouse exposes the same capability as SQL text
   * (`VERSION AS OF` / `TIMESTAMP AS OF`: Delta, Iceberg, BigQuery),
-  * and Spark 4's STOCK grammar already parses both clauses into a
-  * [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]] node
-  * — it just has no resolution path for session-catalog (v1) tables.
-  * This rule supplies one for graft versioned stores, following the
-  * asofSqlSurface discipline: no grammar work at all this time, one
-  * resolution rule, loud branded errors, and an untouched stand-down
-  * path for anything that is not a graft store (DSv2 catalogs that
-  * support native time travel keep working; everything else keeps
-  * Spark's own error).
+  * and Spark 4's STOCK grammar already parses both clauses — but its
+  * analyzer hard-rejects them for session-catalog (v1) tables
+  * (`UNSUPPORTED_FEATURE.TIME_TRAVEL` thrown by the built-in
+  * ResolveRelations, BEFORE any injected resolution rule can run; an
+  * analyzer-rule implementation was tried and is unreachable by
+  * construction). So this surface follows the asofSqlSurface
+  * discipline instead: the DELEGATING parser resolves the clause at
+  * parse time against the catalog —
   *
   *   SELECT ... FROM store VERSION AS OF 3
-  *     → the retained generation table `store__v3`; an AnalysisException
-  *       listing the live generations if 3 was retired (maintenance ran
-  *       with a smaller `retain` than the lookback).
+  *     → the retained generation table `store__v3`; an
+  *       AnalysisException listing the live generations if 3 was
+  *       retired (maintenance ran with a smaller `retain` than the
+  *       lookback).
   *   SELECT ... FROM store TIMESTAMP AS OF '2026-08-15 12:00:00'
   *     → the NEWEST generation whose catalog creation time is at or
-  *       before the cutoff — i.e. the generation a reader resolving the
-  *       serving view at that wall-clock instant would have seen.
+  *       before the cutoff — i.e. the generation a reader resolving
+  *       the serving view at that wall-clock instant would have seen.
   *
-  * Merge-on-read stores version by SEQUENCE within a compaction era
-  * (`readMorAsOfSeq`), not by generation — a raw generation read would
-  * silently include tombstoned rows — so a MoR store name is rejected
-  * with a pointer to the API rather than resolved wrong.
+  * Stand-down discipline: the rewrite fires ONLY when the preceding
+  * identifier is a graft versioned store (the catalog has
+  * `name__v<k>` generations) — `AS OF` over DSv2 catalogs that
+  * support native time travel, or over plain tables (Spark's own
+  * error), passes through untouched. Merge-on-read stores version by
+  * SEQUENCE within a compaction era (`readMorAsOfSeq`), not by
+  * generation — a raw generation read would silently include
+  * tombstoned rows — so a MoR store name is rejected with a pointer
+  * to the API rather than resolved wrong.
   *
   * Reference parity note: the reference pipeline
   * (CI-CMG/wod-ascii-to-parquet-spark) has no store tier or SQL
@@ -37,81 +42,139 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.types.TimestampType
 
-case class ResolveStoreTimeTravel(spark: SparkSession)
-  extends Rule[LogicalPlan] {
+object StoreTimeTravelRewrite {
+  import AsOfSqlLexer._
 
   private def fail(msg: String): Nothing =
     throw new AnalysisException(s"[GRAFT_TIME_TRAVEL] $msg", None, None,
       None, None, Map.empty[String, String], Array.empty)
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperators {
-      case RelationTimeTravel(u: UnresolvedRelation, ts, ver)
-          if isVersionedStore(storeName(u.multipartIdentifier)) =>
-        val name = storeName(u.multipartIdentifier)
-        if (tombstonesExist(name))
-          fail(s"$name is a merge-on-read store — its history is " +
-            "sequence-within-era, not generations; read a past state " +
-            "with BucketedStores.readMorAsOfSeq (a raw generation " +
-            "would include tombstoned rows)")
-        val gen = (ts, ver) match {
-          case (None, Some(v)) => byVersion(name, v)
-          case (Some(t), None) => byTimestamp(name, t)
-          case _ => fail("exactly one of VERSION AS OF / TIMESTAMP " +
-            "AS OF is expected") // grammar enforces this; belt+braces
-        }
-        UnresolvedRelation(Seq(gen))
-    }
+  /** Clause-head keywords of the stock temporal clause. */
+  private val VersionWords = Set("VERSION", "SYSTEM_VERSION")
+  private val TimestampWords = Set("TIMESTAMP", "SYSTEM_TIME")
 
-  /** graft stores are session-catalog single-part names; accept the
-    * spark_catalog[.default] spellings of the same thing.
+  /** Words that can never be the relation identifier preceding a
+    * temporal clause (clause keywords, join words, punctuation-ish).
     */
-  private def storeName(ident: Seq[String]): String = ident match {
-    case Seq(n) => n
-    case Seq("default", n) => n
-    case Seq("spark_catalog", "default", n) => n
-    case _ => "" // three-part non-default: never a graft store
+  private val NonIdent = Set("SELECT", "FROM", "JOIN", "ON", "WHERE",
+    "AS", "OF", "FOR", "AND", "OR", "UNION", "ALL", "BY", "GROUP",
+    "ORDER", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "LATERAL",
+    "USING", "(", ")")
+
+  def apply(spark: SparkSession, sql: String): String = {
+    // cheap pre-screen: both clauses contain the two words AS OF
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    if (!upper.contains("AS") || !upper.contains("OF")) return sql
+    var cur = sql
+    var guard = 0
+    var changed = true
+    while (changed) {
+      require(guard < 64, "time-travel rewrite did not converge")
+      guard += 1
+      rewriteFirst(spark, cur) match {
+        case Some(next) => cur = next
+        case None => changed = false
+      }
+    }
+    cur
   }
 
-  private def liveGenerations(name: String): Seq[Int] = {
-    val cat = spark.sessionState.catalog
+  private def rewriteFirst(spark: SparkSession,
+      s: String): Option[String] = {
+    val toks = AsOfSqlLexer.lex(s)
+    var i = 1
+    while (i + 2 < toks.length) {
+      val w = toks(i).word
+      val isVer = VersionWords.contains(w)
+      val isTs = TimestampWords.contains(w)
+      if ((isVer || isTs) && toks(i + 1).word == "AS" &&
+          toks(i + 2).word == "OF") {
+        // the relation identifier: the word before the clause,
+        // skipping the grammar's optional FOR
+        val identIdx = if (toks(i - 1).word == "FOR" && i >= 2) i - 2
+          else i - 1
+        val identTok = toks(identIdx)
+        if (identIdx >= 0 && !NonIdent.contains(identTok.word) &&
+            identTok.depth == toks(i).depth) {
+          val name = s.substring(identTok.start, identTok.end)
+          val gens = liveGenerations(spark, name)
+          if (gens.nonEmpty) {
+            if (tombstonesExist(spark, name))
+              fail(s"$name is a merge-on-read store — its history is " +
+                "sequence-within-era, not generations; read a past " +
+                "state with BucketedStores.readMorAsOfSeq (a raw " +
+                "generation would include tombstoned rows)")
+            // the value: raw text from OF to the next token (the
+            // lexer skips literals, so a quoted value sits wholly in
+            // the gap); constant literal values only. The splice ends
+            // at the literal's LAST non-space char so a following
+            // alias keeps its separating whitespace.
+            val valueEnd =
+              if (i + 3 < toks.length) toks(i + 3).start else s.length
+            val seg = s.substring(toks(i + 2).end, valueEnd)
+            val trail = seg.lastIndexWhere(!_.isWhitespace)
+            if (trail < 0)
+              fail(s"$w AS OF on graft store $name needs a constant " +
+                "literal value (an expression with identifiers is " +
+                "not supported on the store surface)")
+            val raw = seg.trim
+            val gen =
+              if (isVer) byVersion(spark, name, gens, stripQuotes(raw))
+              else byTimestamp(spark, name, gens, raw)
+            val sb = new StringBuilder(s)
+            sb.replace(identTok.start, toks(i + 2).end + trail + 1, gen)
+            return Some(sb.toString)
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  private def stripQuotes(v: String): String =
+    if (v.length >= 2 && (v.head == '\'' || v.head == '"') &&
+        v.last == v.head)
+      v.substring(1, v.length - 1)
+    else v
+
+  /** graft store generations live in the session catalog's default db
+    * as `name__v<k>` physical tables.
+    */
+  private def liveGenerations(spark: SparkSession,
+      name: String): Seq[Int] = {
+    if (name.isEmpty || !name.forall(c => c.isLetterOrDigit || c == '_'))
+      return Seq.empty
     val p = name + "__v"
-    cat.listTables("default", p + "*")
+    spark.sessionState.catalog.listTables("default", p + "*")
       .map(_.table)
-      .filter(t => t.startsWith(p) && t.stripPrefix(p).forall(_.isDigit)
-        && t.stripPrefix(p).nonEmpty)
+      .filter(t => t.startsWith(p) && t.stripPrefix(p).nonEmpty &&
+        t.stripPrefix(p).forall(_.isDigit))
       .map(_.stripPrefix(p).toInt).sorted
   }
 
-  private def isVersionedStore(name: String): Boolean =
-    name.nonEmpty && liveGenerations(name).nonEmpty
-
-  private def tombstonesExist(name: String): Boolean =
-    spark.sessionState.catalog
-      .listTables("default", name + "__t*")
+  private def tombstonesExist(spark: SparkSession,
+      name: String): Boolean =
+    spark.sessionState.catalog.listTables("default", name + "__t*")
       .exists(_.table.matches(
         java.util.regex.Pattern.quote(name) + "__t\\d+"))
 
-  private def byVersion(name: String, v: String): String = {
+  private def byVersion(spark: SparkSession, name: String,
+      gens: Seq[Int], v: String): String = {
     val k = try v.trim.toInt catch {
       case _: NumberFormatException =>
         fail(s"VERSION AS OF $v on graft store $name — generations " +
-          "are integers (live: " +
-          liveGenerations(name).mkString(", ") + ")")
+          s"are integers (live: ${gens.mkString(", ")})")
     }
-    val t = s"${name}__v$k"
-    if (!spark.catalog.tableExists(t))
+    if (!gens.contains(k))
       fail(s"generation $k of $name is not retained — it was retired " +
         "by maintenance with a smaller retention window (live " +
-        s"generations: ${liveGenerations(name).mkString(", ")}; raise " +
-        "`retain` on maintenance ops to keep a longer lookback)")
-    t
+        s"generations: ${gens.mkString(", ")}; raise `retain` on " +
+        "maintenance ops to keep a longer lookback)")
+    s"${name}__v$k"
   }
 
   /** Newest generation created at or before the cutoff: catalog
@@ -120,27 +183,24 @@ case class ResolveStoreTimeTravel(spark: SparkSession)
     * `t`. Ties (same millisecond) break to the higher generation, the
     * one the view served after the swap.
     */
-  private def byTimestamp(name: String, t: Expression): String = {
-    if (!t.foldable)
-      fail(s"TIMESTAMP AS OF on $name must be a constant expression")
-    val micros = Cast(t, TimestampType,
+  private def byTimestamp(spark: SparkSession, name: String,
+      gens: Seq[Int], raw: String): String = {
+    val micros = Cast(Literal(stripQuotes(raw)), TimestampType,
       Some(spark.sessionState.conf.sessionLocalTimeZone)).eval() match {
       case l: java.lang.Long => l.longValue()
-      case null => fail(s"TIMESTAMP AS OF on $name evaluated to NULL")
-      case other => fail(s"TIMESTAMP AS OF on $name evaluated to " +
-        s"unexpected ${other.getClass.getSimpleName}")
+      case _ => fail(s"TIMESTAMP AS OF $raw on $name did not evaluate " +
+        "to a timestamp — use a constant timestamp-formatted string")
     }
     val cutoffMs = Math.floorDiv(micros, 1000L)
     val cat = spark.sessionState.catalog
-    val atOrBefore = liveGenerations(name).filter { k =>
+    val atOrBefore = gens.filter { k =>
       cat.getTableMetadata(TableIdentifier(s"${name}__v$k"))
         .createTime <= cutoffMs
     }
     if (atOrBefore.isEmpty)
-      fail(s"no generation of $name existed at or before " +
-        s"${Literal(micros, TimestampType).toString} — oldest live " +
-        s"generation is ${liveGenerations(name).headOption.getOrElse(0)}" +
-        " (earlier history was retired; raise `retain` to keep it)")
+      fail(s"no generation of $name existed at or before $raw — " +
+        s"oldest live generation is ${gens.head} (earlier history " +
+        "was retired; raise `retain` to keep it)")
     s"${name}__v${atOrBefore.max}"
   }
 }

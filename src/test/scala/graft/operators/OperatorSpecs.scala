@@ -703,4 +703,59 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "serving must be unaffected by vacuum")
     BucketedStores.dropVersioned(spark, name)
   }
+
+  test("retention × vacuum: a RETAINED generation is vacuum-safe at " +
+      "ANY age (catalog reachability, not the age guard, protects the " +
+      "time-travel window); retiring it is what makes it reclaimable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vacretspec")
+    def sub(n: String) = root.resolve(n).toString
+    val name = "t_idx_vacret_spec"
+    BucketedStores.dropVersioned(spark, name)
+    Seq((1L, "g"), (2L, "g")).toDF("k", "v")
+      .repartition(2, col("k"))
+      .write.bucketBy(2, "k").sortBy("k")
+      .option("path", sub("graft_g1")).saveAsTable(name)
+    BucketedStores.adoptVersioned(spark, name)
+    // two maintenance swaps with retain=2: generations 1,2,3 all live
+    for (g <- 2 to 3)
+      BucketedStores.applyDeltaAtomic(spark, name, Seq("k"), Seq("k"), 2,
+        "k", removeIds = spark.range(0).select(col("id").as("k")),
+        additions = Some(Seq((g.toLong * 10, "g")).toDF("k", "v")),
+        location = Some(sub(s"graft_g$g")), retain = 2)
+    // vacuum with ZERO age grace — the harshest setting: every
+    // retained generation must survive because it is a catalog table,
+    // NOT because it is young. This is the guarantee an in-flight
+    // `--as-of K` reader relies on: within the retention window,
+    // vacuum can never pull its generation out from under it.
+    val deleted = BucketedStores.vacuumOrphans(spark, root.toString,
+      olderThanMs = 0)
+    assert(deleted.isEmpty,
+      s"retained generations must be vacuum-immune, deleted: $deleted")
+    for (k <- 1 to 3)
+      assert(BucketedStores.readGeneration(spark, name, k).count() > 0,
+        s"generation $k must still read after vacuum")
+    // one more swap with retain=1 retires generations 1 and 2: their
+    // catalog entries drop, and ONLY then do their dirs become
+    // vacuum candidates — still subject to the age grace, which is
+    // the sole protection for a reader that resolved a generation
+    // BEFORE it was retired (the documented non-guarantee: size
+    // olderThanMs ≥ your longest query, Iceberg/Delta's rule).
+    BucketedStores.applyDeltaAtomic(spark, name, Seq("k"), Seq("k"), 2,
+      "k", removeIds = spark.range(0).select(col("id").as("k")),
+      additions = Some(Seq((40L, "g")).toDF("k", "v")),
+      location = Some(sub("graft_g4")), retain = 1)
+    assert(BucketedStores.vacuumOrphans(spark, root.toString,
+      olderThanMs = 3600L * 1000).isEmpty,
+      "age grace must still hold retired dirs for in-flight readers")
+    val reclaimed = BucketedStores.vacuumOrphans(spark, root.toString,
+      olderThanMs = 0)
+    assert(reclaimed.map(_.split('/').last).toSet ===
+      Set("graft_g1", "graft_g2"),
+      s"exactly the RETIRED generations reclaim, got $reclaimed")
+    assert(BucketedStores.readGeneration(spark, name, 3).count() > 0 &&
+      BucketedStores.readGeneration(spark, name, 4).count() > 0,
+      "the retention window keeps serving after the reclaim")
+    BucketedStores.dropVersioned(spark, name)
+  }
 }

@@ -1,0 +1,134 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BucketedStores
+
+/** Gates [[org.apache.spark.sql.graft.ResolveStoreTimeTravel]]: SQL
+  * `VERSION AS OF k` must read exactly the retained generation
+  * (byte-equal to `readGeneration`), retired generations must fail
+  * loudly with the live window in the message, `TIMESTAMP AS OF` must
+  * resolve to what the serving view showed at that instant, MoR
+  * stores must be rejected toward `readMorAsOfSeq`, and everything
+  * that is not a graft versioned store must stand down to Spark's own
+  * behavior.
+  */
+class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession =
+    graft.GraftSession.builder("local[4]", 4).getOrCreate()
+
+  private def tmp() = Files.createTempDirectory("graft_ttl").toString
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** A versioned store with three generations (10, 20, 30 rows),
+    * retain=2 so all three stay live.
+    */
+  private def buildStore(name: String, retain: Int): Unit = {
+    spark.range(10).select(col("id").as("k"), lit(1L).as("gen"))
+      .repartition(2, col("k"))
+      .write.bucketBy(2, "k").sortBy("k").option("path", tmp())
+      .saveAsTable(name)
+    BucketedStores.adoptVersioned(spark, name)
+    for (g <- 2 to 3)
+      BucketedStores.applyDeltaAtomic(spark, name,
+        Seq("k"), Seq("k"), 2, "k",
+        removeIds = spark.range(0).select(col("id").as("k")),
+        additions = Some(spark.range(10L * (g - 1), 10L * g)
+          .select(col("id").as("k"), lit(g.toLong).as("gen"))),
+        location = Some(tmp()), retain = retain)
+  }
+
+  test("VERSION AS OF k reads exactly the retained generation, and a " +
+      "retired k fails loudly listing the live window") {
+    buildStore("ttl_store", retain = 1) // live: v2, v3
+    assert(spark.sql("SELECT count(*) c FROM ttl_store VERSION AS OF 2")
+      .head().getLong(0) === 20L)
+    assert(spark.sql("SELECT count(*) c FROM ttl_store VERSION AS OF 3")
+      .head().getLong(0) === 30L)
+    // byte-equality with the API read
+    val viaSql = spark.sql("SELECT * FROM ttl_store VERSION AS OF 2")
+      .orderBy("k").collect().toSeq
+    val viaApi = BucketedStores.readGeneration(spark, "ttl_store", 2)
+      .orderBy("k").collect().toSeq
+    assert(viaSql === viaApi)
+    // current serving view is unaffected
+    assert(spark.table("ttl_store").count() === 30L)
+    // generation 1 was retired by retain=1
+    val ex = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM ttl_store VERSION AS OF 1").collect()
+    }
+    assert(ex.getMessage.contains("GRAFT_TIME_TRAVEL") &&
+      ex.getMessage.contains("not retained") &&
+      ex.getMessage.contains("2, 3"), ex.getMessage)
+    // non-integer version on a graft store: loud, branded
+    val ex2 = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM ttl_store VERSION AS OF 'abc'").collect()
+    }
+    assert(ex2.getMessage.contains("GRAFT_TIME_TRAVEL"), ex2.getMessage)
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest generation created at " +
+      "or before the cutoff; before-history fails loudly") {
+    buildStore("ttl_ts_store", retain = 2) // live: v1, v2, v3
+    def createMs(k: Int) = spark.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"ttl_ts_store__v$k"))
+      .createTime
+    // a cutoff at v2's creation instant (v3 is strictly later —
+    // catalog createTime is millis, and generations are seconds apart
+    // only if the writes were; use v2's own stamp, inclusive)
+    val atV2 = new java.sql.Timestamp(createMs(2))
+    val n = spark.sql(
+      s"SELECT count(*) c FROM ttl_ts_store TIMESTAMP AS OF '$atV2'")
+      .head().getLong(0)
+    // v3 may share v2's millisecond on a fast machine — then the tie
+    // breaks to v3 (the generation the view served after the swap)
+    assert(n === 20L || (n === 30L && createMs(3) == createMs(2)),
+      s"got $n rows; v2@${createMs(2)} v3@${createMs(3)}")
+    // after everything: the newest generation
+    val late = new java.sql.Timestamp(createMs(3) + 60000L)
+    assert(spark.sql(
+      s"SELECT count(*) c FROM ttl_ts_store TIMESTAMP AS OF '$late'")
+      .head().getLong(0) === 30L)
+    // before the oldest retained generation: loud error
+    val early = new java.sql.Timestamp(createMs(1) - 60000L)
+    val ex = intercept[AnalysisException] {
+      spark.sql(
+        s"SELECT * FROM ttl_ts_store TIMESTAMP AS OF '$early'").collect()
+    }
+    assert(ex.getMessage.contains("GRAFT_TIME_TRAVEL") &&
+      ex.getMessage.contains("no generation"), ex.getMessage)
+  }
+
+  test("a merge-on-read store is rejected toward readMorAsOfSeq — a " +
+      "raw generation read would include tombstoned rows") {
+    spark.range(10)
+      .select(col("id").as("k"), lit(0L).as("_seq"))
+      .repartition(2, col("k"))
+      .write.bucketBy(2, "k").sortBy("k").option("path", tmp())
+      .saveAsTable("ttl_mor")
+    BucketedStores.adoptVersioned(spark, "ttl_mor")
+    BucketedStores.morEnable(spark, "ttl_mor", Seq("k"), "k")
+    val ex = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM ttl_mor VERSION AS OF 1").collect()
+    }
+    assert(ex.getMessage.contains("readMorAsOfSeq"), ex.getMessage)
+  }
+
+  test("stand-down: VERSION AS OF on a non-store table keeps Spark's " +
+      "own error (not a graft-branded one)") {
+    spark.range(5).select(col("id").as("k"))
+      .write.option("path", tmp()).saveAsTable("ttl_plain")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM ttl_plain VERSION AS OF 1").collect()
+    }
+    assert(!ex.getMessage.contains("GRAFT_TIME_TRAVEL"), ex.getMessage)
+  }
+}
