@@ -492,7 +492,169 @@ object MultimodalQueries {
       FROM rk WHERE rn = 1
       ORDER BY q_id"""))
 
+  /** Build-once STORED phash index over `d`'s media corpus (md10
+    * probes it). Catalog-keyed, dd11's `ensureLshIndex` discipline.
+    */
+  private def ensurePhashIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"md_phash_index_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t))
+      MultimodalOps.writePhashIndex(
+        MultimodalOps.mediaFromDocuments(s, d).toDF(),
+        "media_id", "content", t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_phash_idx").toString))
+    t
+  }
+
+  /** Stored-index media dedup (md10): the standing perceptual-hash
+    * index is a bucketed (band, bkey) parquet table written once per
+    * snapshot ([[MultimodalOps.writePhashIndex]] — payloads read and
+    * fingerprinted ONCE); a delta batch probes it from disk for its
+    * near-dup pairs against the whole corpus. md4's banded semantics
+    * restricted to pairs touching the delta, which is exactly what the
+    * oracle recomputes from scratch — two formulations, one result.
+    * Completes the media family's stored-index lifecycle (text:
+    * dd11/writeLshIndex, vectors: sim6/writeIvfIndex, lexical:
+    * tx38/BM25 postings).
+    */
+  val md10PhashIndexProbe = Q(
+    "md10_phash_index_probe",
+    (s, d) => {
+      val t = ensurePhashIndex(s, d)
+      val delta = MultimodalOps.mediaFromDocuments(s, d).toDF()
+        .filter(col("media_id") % 10 < 2)
+      MultimodalOps.probePhashIndex(s, t, delta, "media_id", "content",
+        maxHamming = 24)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents),
+      bytes AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), i ->
+                 (strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1))
+                 AS bv
+        FROM m),
+      fp AS (
+        SELECT media_id,
+               CAST(COALESCE(list_sum(list_transform(range(0, 60), b ->
+                 CASE WHEN ((b+1)*n//60 - b*n//60) > 0
+                       AND COALESCE(list_sum(
+                             bv[CAST(b*n//60 + 1 AS INT)
+                                : CAST((b+1)*n//60 AS INT)]), 0) * n
+                           > COALESCE(list_sum(bv), 0)
+                             * ((b+1)*n//60 - b*n//60)
+                      THEN 1::BIGINT << CAST(b AS INT) ELSE 0::BIGINT
+                 END)), 0) AS BIGINT) AS fp
+        FROM bytes),
+      banded AS (
+        SELECT media_id, fp, band,
+               (fp >> CAST(band * 15 AS INT)) & 32767 AS bkey
+        FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+      cand AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey
+         AND a.media_id < b.media_id
+        WHERE a.media_id % 10 < 2 OR b.media_id % 10 < 2)
+      SELECT id_a, id_b, MIN(hamming) AS hamming
+      FROM cand
+      GROUP BY id_a, id_b
+      HAVING MIN(hamming) <= 24
+      ORDER BY id_a, id_b"""))
+
+  /** Build-once VERSIONED phash index with a delete batch applied
+    * (md11 probes it): adopt → delete every `media_id % 13 = 5` via
+    * [[MultimodalOps.applyPhashIndexDelta]] (delta-scale, atomic
+    * generation swap, retain=1 keeps the pre-delete snapshot for
+    * `VERSION AS OF`).
+    */
+  private def ensurePhashMaintained(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"md_phash_mnt_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t)) {
+      val media = MultimodalOps.mediaFromDocuments(s, d).toDF()
+      MultimodalOps.writePhashIndex(media, "media_id", "content", t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_phash_mnt").toString))
+      graft.operators.BucketedStores.adoptVersioned(s, t)
+      MultimodalOps.applyPhashIndexDelta(s, t,
+        deleteIds = media.filter(col("media_id") % 13 === 5)
+          .select(col("media_id")),
+        upserts = None, idCol = "media_id", contentCol = "content",
+        retain = 1)
+    }
+    t
+  }
+
+  /** Delete maintenance on the stored phash index (md11): after a
+    * delta-scale delete batch (tombstoned assets' fingerprint rows
+    * dropped in an atomic generation swap), probing the maintained
+    * index equals a FROM-SCRATCH rebuild over the surviving corpus —
+    * the oracle recomputes exactly that, so stale fingerprint rows or
+    * lost bands would hash-mismatch. Same rebuild-equivalence contract
+    * as dd20 (LSH), sim10/sim11 (IVF), tx41/tx42 (BM25).
+    */
+  val md11PhashIndexDelete = Q(
+    "md11_phash_index_delete",
+    (s, d) => {
+      val t = ensurePhashMaintained(s, d)
+      val live = MultimodalOps.mediaFromDocuments(s, d).toDF()
+        .filter(col("media_id") % 10 < 2 && col("media_id") % 13 =!= 5)
+      MultimodalOps.probePhashIndex(s, t, live, "media_id", "content",
+        maxHamming = 24)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+        WHERE doc_id % 13 <> 5),
+      bytes AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), i ->
+                 (strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1))
+                 AS bv
+        FROM m),
+      fp AS (
+        SELECT media_id,
+               CAST(COALESCE(list_sum(list_transform(range(0, 60), b ->
+                 CASE WHEN ((b+1)*n//60 - b*n//60) > 0
+                       AND COALESCE(list_sum(
+                             bv[CAST(b*n//60 + 1 AS INT)
+                                : CAST((b+1)*n//60 AS INT)]), 0) * n
+                           > COALESCE(list_sum(bv), 0)
+                             * ((b+1)*n//60 - b*n//60)
+                      THEN 1::BIGINT << CAST(b AS INT) ELSE 0::BIGINT
+                 END)), 0) AS BIGINT) AS fp
+        FROM bytes),
+      banded AS (
+        SELECT media_id, fp, band,
+               (fp >> CAST(band * 15 AS INT)) & 32767 AS bkey
+        FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+      cand AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey
+         AND a.media_id < b.media_id
+        WHERE a.media_id % 10 < 2 OR b.media_id % 10 < 2)
+      SELECT id_a, id_b, MIN(hamming) AS hamming
+      FROM cand
+      GROUP BY id_a, id_b
+      HAVING MIN(hamming) <= 24
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample,
     md4PhashNearDup, md5FrameNearDup, md6AudioEnergy, md7ImageResize,
-    md8SceneChange, md9PhashTop1)
+    md8SceneChange, md9PhashTop1, md10PhashIndexProbe,
+    md11PhashIndexDelete)
 }

@@ -151,6 +151,58 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       s"unrelated payload must not look like a near-dup: $pairs")
   }
 
+  test("stored phash index: a delta probe equals the all-pairs operator " +
+      "restricted to the delta; a delete batch swaps atomically and the " +
+      "retained snapshot still serves the pre-delete state via SQL " +
+      "VERSION AS OF") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val base = Array.fill[Byte](600)((rng.nextInt(256) - 128).toByte)
+    val nearDup = base.clone(); nearDup(300) = (nearDup(300) ^ 0x7f).toByte
+    val other = Array.fill[Byte](600)(rng.nextInt(64).toByte)
+    val media = Seq(
+      (1L, base), (2L, base.clone()), (3L, nearDup), (4L, other))
+      .toDF("media_id", "content")
+    val table = "t_phash_idx_spec"
+    BucketedStores.dropVersioned(spark, table)
+    MultimodalOps.writePhashIndex(media, "media_id", "content", table,
+      buckets = 2, location = Some(java.nio.file.Files
+        .createTempDirectory("t_phash_idx").toString))
+    // probe the pair 3 forms against the indexed corpus: identical to
+    // the all-pairs operator's rows touching 3
+    val delta = media.filter(col("media_id") === 3L)
+    val probed = MultimodalOps.probePhashIndex(spark, table, delta,
+      "media_id", "content", maxHamming = 60)
+      .as[(Long, Long, Long)].collect().toSet
+    val allPairs = MultimodalOps.phashNearDupPairs(media, "media_id",
+      "content", maxHamming = 60)
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => p._1 == 3L || p._2 == 3L)
+    assert(probed === allPairs,
+      s"probe must equal the operator's delta-restricted pairs: " +
+        s"$probed vs $allPairs")
+    // delete asset 2 (delta-scale, atomic swap, retain the snapshot)
+    BucketedStores.adoptVersioned(spark, table)
+    MultimodalOps.applyPhashIndexDelta(spark, table,
+      deleteIds = Seq(2L).toDF("media_id"), upserts = None,
+      idCol = "media_id", contentCol = "content", buckets = 2,
+      retain = 1)
+    val afterDelete = MultimodalOps.probePhashIndex(spark, table,
+      media.filter(col("media_id") === 1L), "media_id", "content",
+      maxHamming = 60).as[(Long, Long, Long)].collect().toSet
+    assert(!afterDelete.exists(p => p._1 == 2L || p._2 == 2L),
+      s"deleted asset must stop pairing: $afterDelete")
+    assert(afterDelete.exists(p => p._1 == 1L && p._2 == 3L),
+      s"surviving near-dup must still pair: $afterDelete")
+    // the retained generation is yesterday's index, reachable from SQL
+    val snapIds = spark.sql(
+      s"SELECT DISTINCT media_id FROM $table VERSION AS OF 1")
+      .as[Long].collect().toSet
+    assert(snapIds === Set(1L, 2L, 3L, 4L),
+      s"the pre-delete snapshot must still hold asset 2: $snapIds")
+    BucketedStores.dropVersioned(spark, table)
+  }
+
   test("stored LSH index serves two successive deltas with NO rebuild — " +
       "results match the on-the-fly incremental operator, index files " +
       "untouched between probes") {
