@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{CmsBuffer, CmsInnerProduct}
@@ -99,6 +99,63 @@ object SketchStats {
   }
 
   def invalidate(table: String): Unit = { cache.remove(table): Unit }
+
+  /** DELTA-ONLY stats maintenance — the reason the stats tier survives
+    * 100 TB: when a store's changelog applies (appends and/or deletes
+    * of KNOWN rows), the key sketch updates from the delta alone.
+    * Counter matrices are linear in the input multiset (fixed
+    * Carter–Wegman buckets), so
+    *
+    *   cms(corpus + added − deleted) = cms(corpus) + cms(added)
+    *                                   − cms(deleted)
+    *
+    * holds EXACTLY — the maintained stats are byte-equal to a
+    * from-scratch [[analyzeKey]] rescan (spec-gated), at delta cost.
+    * `added`/`deleted` carry the analyzed key column; `deleted` must
+    * be rows the store actually held (a negative counter fails loudly
+    * — [[org.apache.spark.sql.graft.CmsBuffer.subtract]]). The size
+    * estimate re-reads the relation's (file-size) stats — a metadata
+    * call, not a scan.
+    */
+  def applyDelta(spark: SparkSession, table: String,
+      added: Option[DataFrame], deleted: Option[DataFrame]): KeyStats = {
+    val old = read(spark, table).getOrElse(sys.error(
+      s"$table has no key stats — analyzeKey first"))
+    val buf = CmsBuffer.deserialize(old.cms)
+    require(buf.w > 0 && buf.d > 0,
+      s"$table stats sketch has no shape — re-run analyzeKey")
+    val (w0, d0) = (buf.w, buf.d)
+    def deltaSketch(df: DataFrame): (Long, CmsBuffer) = {
+      val r = df
+        .select(conv(substring(md5(col(old.keyCol).cast("string")), 1, 13),
+          16, 10).cast("long").as("h"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.VectorFunctions.cms_sketch(col("h"), w0, d0)
+            .as("cms"))
+        .head()
+      (r.getLong(0), CmsBuffer.deserialize(r.getAs[Array[Byte]](1)))
+    }
+    var n = old.nRows
+    added.foreach { a =>
+      val (na, sk) = deltaSketch(a); n += na; buf.merge(sk)
+    }
+    deleted.foreach { dd =>
+      val (nd, sk) = deltaSketch(dd); n -= nd; buf.subtract(sk)
+    }
+    require(n >= 0, s"$table stats: row count went negative ($n)")
+    val sizeBytes = spark.table(table).queryExecution.optimizedPlan
+      .stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+    val stats = KeyStats(table, old.keyCol, n, sizeBytes, buf.serialize())
+    import spark.implicits._
+    Seq((stats.keyCol, stats.nRows, stats.sizeBytes, stats.cms))
+      .toDF("key_col", "n_rows", "size_bytes", "cms")
+      .write.mode("overwrite")
+      .option("path",
+        java.nio.file.Files.createTempDirectory("graft_kstats").toString)
+      .saveAsTable(statsTableOf(table))
+    cache.put(table, Some(stats))
+    stats
+  }
 
   /** Estimated |A ⋈ B| on the sketched keys — the q38 estimator over
     * stored bytes: min over rows j of Σ_b A_j[b]·B_j[b]. One-sided

@@ -98,6 +98,30 @@ final class CmsBuffer(var w: Int, var d: Int) {
     if (res == Long.MaxValue) 0L else res
   }
 
+  /** Element-wise SUBTRACTION — the delete half of delta-only stats
+    * maintenance ([[graft.operators.SketchStats.applyDelta]]). Sound
+    * ONLY when `o` sketches a sub-multiset of what this sketch
+    * absorbed: each key's contribution is deterministic (fixed
+    * Carter–Wegman buckets), so counters of (corpus − deleted) =
+    * counters(corpus) − counters(deleted) EXACTLY, byte-equal to a
+    * from-scratch rebuild. A negative counter proves the caller
+    * subtracted keys never added (or double-deleted) — fail loudly
+    * rather than serve a corrupt sketch.
+    */
+  def subtract(o: CmsBuffer): Unit = {
+    if (o.w == 0) return
+    require(w == o.w && d == o.d,
+      s"cms subtract: mismatched sketch shapes ${w}x$d vs ${o.w}x${o.d}")
+    var i = 0
+    while (i < counters.length) {
+      counters(i) -= o.counters(i)
+      require(counters(i) >= 0L,
+        "cms subtract: counter went negative — the subtrahend sketches " +
+          "keys this sketch never absorbed (wrong delta or double delete)")
+      i += 1
+    }
+  }
+
   /** Wire/storage format: int w, int d, d·w row-major longs. */
   def serialize(): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + 8 * counters.length)

@@ -153,6 +153,39 @@ class SketchJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("delta-only stats maintenance: applyDelta(added/deleted) is " +
+      "BYTE-equal to a from-scratch analyzeKey rescan, and subtracting " +
+      "keys the store never held fails loudly") {
+    spark.range(1000L).select(col("id").as("k"))
+      .write.option("path", tmp()).saveAsTable("sjr_delta")
+    val s1 = SketchStats.analyzeKey(spark, "sjr_delta", "k")
+    // append a batch, maintain stats from the delta alone
+    val batch = spark.range(1000L, 1200L).select(col("id").as("k"))
+    batch.write.mode("append").saveAsTable("sjr_delta")
+    val incr = SketchStats.applyDelta(spark, "sjr_delta",
+      added = Some(batch), deleted = None)
+    val full = SketchStats.analyzeKey(spark, "sjr_delta", "k")
+    assert(incr.nRows === full.nRows)
+    assert(java.util.Arrays.equals(incr.cms, full.cms),
+      "incremental sketch must be byte-equal to the rescan")
+    // delete the same batch from the stats: back to the original
+    val back = SketchStats.applyDelta(spark, "sjr_delta",
+      added = None, deleted = Some(batch))
+    assert(back.nRows === s1.nRows)
+    assert(java.util.Arrays.equals(back.cms, s1.cms),
+      "add-then-delete must restore the original sketch exactly")
+    // subtracting keys never added drives a counter negative — the
+    // loud-failure contract (deterministic: fixed md5 hashing)
+    val ex = intercept[Exception] {
+      SketchStats.applyDelta(spark, "sjr_delta", added = None,
+        deleted = Some(spark.range(500000L, 500200L)
+          .select(col("id").as("k"))))
+    }
+    assert(ex.getMessage.contains("negative"), ex.getMessage)
+    Seq("sjr_delta", "sjr_delta__kstats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("the estimate itself: one-sided and within the CMS error band") {
     val f = SketchStats.read(spark, "sjr_fact").get
     val d = SketchStats.read(spark, "sjr_dim").get
