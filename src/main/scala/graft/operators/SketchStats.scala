@@ -38,11 +38,13 @@ import org.apache.spark.sql.types.BinaryType
 object SketchStats {
 
   /** One table's key statistics: exact row count, the planner's size
-    * estimate at analyze time, and the count-min sketch of the key's
-    * engine-convention 52-bit md5 hash.
+    * estimate at analyze time, the count-min sketch of the key's
+    * engine-convention 52-bit md5 hash, and the highest streaming
+    * batch id already folded in (-1 = none; the [[applyDelta]]
+    * idempotence guard for at-least-once `foreachBatch` delivery).
     */
   final case class KeyStats(table: String, keyCol: String, nRows: Long,
-      sizeBytes: Long, cms: Array[Byte])
+      sizeBytes: Long, cms: Array[Byte], lastBatch: Long = -1L)
 
   def statsTableOf(table: String): String = table + "__kstats"
 
@@ -68,15 +70,20 @@ object SketchStats {
       .head()
     val stats = KeyStats(table, keyCol, row.getLong(0), sizeBytes,
       row.getAs[Array[Byte]](1))
+    persist(spark, stats)
+    stats
+  }
+
+  private def persist(spark: SparkSession, stats: KeyStats): Unit = {
     import spark.implicits._
-    Seq((stats.keyCol, stats.nRows, stats.sizeBytes, stats.cms))
-      .toDF("key_col", "n_rows", "size_bytes", "cms")
+    Seq((stats.keyCol, stats.nRows, stats.sizeBytes, stats.cms,
+      stats.lastBatch))
+      .toDF("key_col", "n_rows", "size_bytes", "cms", "last_batch")
       .write.mode("overwrite")
       .option("path",
         java.nio.file.Files.createTempDirectory("graft_kstats").toString)
-      .saveAsTable(statsTableOf(table))
-    cache.put(table, Some(stats))
-    stats
+      .saveAsTable(statsTableOf(stats.table))
+    cache.put(stats.table, Some(stats))
   }
 
   /** The stored stats for `table`, or None when it has none — the
@@ -92,7 +99,7 @@ object SketchStats {
       else {
         val r = spark.table(statsTableOf(table)).head()
         Some(KeyStats(table, r.getString(0), r.getLong(1), r.getLong(2),
-          r.getAs[Array[Byte]](3)))
+          r.getAs[Array[Byte]](3), r.getLong(4)))
       }
     cache.put(table, loaded)
     loaded
@@ -116,11 +123,19 @@ object SketchStats {
     * — [[org.apache.spark.sql.graft.CmsBuffer.subtract]]). The size
     * estimate re-reads the relation's (file-size) stats — a metadata
     * call, not a scan.
+    *
+    * `batchId` is the streaming idempotence guard: `foreachBatch`
+    * delivers at-least-once, and a double-applied delta would corrupt
+    * the counters silently — with a batch id, a replayed batch is a
+    * no-op (stats remember the highest id folded in). Batch ids must
+    * arrive non-decreasing (Structured Streaming's contract).
     */
   def applyDelta(spark: SparkSession, table: String,
-      added: Option[DataFrame], deleted: Option[DataFrame]): KeyStats = {
+      added: Option[DataFrame], deleted: Option[DataFrame],
+      batchId: Option[Long] = None): KeyStats = {
     val old = read(spark, table).getOrElse(sys.error(
       s"$table has no key stats — analyzeKey first"))
+    if (batchId.exists(_ <= old.lastBatch)) return old // replay: no-op
     val buf = CmsBuffer.deserialize(old.cms)
     require(buf.w > 0 && buf.d > 0,
       s"$table stats sketch has no shape — re-run analyzeKey")
@@ -145,15 +160,9 @@ object SketchStats {
     require(n >= 0, s"$table stats: row count went negative ($n)")
     val sizeBytes = spark.table(table).queryExecution.optimizedPlan
       .stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
-    val stats = KeyStats(table, old.keyCol, n, sizeBytes, buf.serialize())
-    import spark.implicits._
-    Seq((stats.keyCol, stats.nRows, stats.sizeBytes, stats.cms))
-      .toDF("key_col", "n_rows", "size_bytes", "cms")
-      .write.mode("overwrite")
-      .option("path",
-        java.nio.file.Files.createTempDirectory("graft_kstats").toString)
-      .saveAsTable(statsTableOf(table))
-    cache.put(table, Some(stats))
+    val stats = KeyStats(table, old.keyCol, n, sizeBytes, buf.serialize(),
+      batchId.getOrElse(old.lastBatch))
+    persist(spark, stats)
     stats
   }
 

@@ -1103,6 +1103,80 @@ object StreamingQueries {
     },
     sql = Some(PipelineQueries.nearIncrementalOracleSql))
 
+  /** CONTINUOUS key-stats maintenance (st26): lineitem arrives as an
+    * append stream into a standing table whose
+    * [[graft.operators.SketchStats]] fold in each micro-batch
+    * delta-only ([[graft.streaming.DocumentsStreaming
+    * .statsMaintenanceStream]] — counter matrices are linear, so the
+    * maintained sketch is byte-equal to a from-scratch rescan, and the
+    * batch-id guard makes replayed batches a no-op). The output is the
+    * PLANNING answer the stats exist for: the orders⋈lineitem join
+    * cardinality estimated from the two stored sketches, plus the
+    * maintained row count — and the oracle recomputes BOTH from raw
+    * data (q38's BIGINT counter rebuild), so a drifted stream-side
+    * sketch hash-mismatches. Completes the stats lifecycle: analyze
+    * once (q40's build), maintain by delta (batch: SketchJoinRuleSpec;
+    * STREAM: here), plan from bytes (SketchJoinRule).
+    */
+  val st26KstatsMaintenance = Q(
+    "st26_stream_kstats_maintenance",
+    (s, d) => {
+      import graft.operators.SketchStats
+      val hex = Integer.toHexString(d.hashCode)
+      val (ta, tb) = (s"st26_orders_$hex", s"st26_li_$hex")
+      if (!s.catalog.tableExists(tb)) synchronized {
+        def loc() = java.nio.file.Files
+          .createTempDirectory("graft_st26").toString
+        orders(s, d).select(col("o_orderkey"))
+          .write.option("path", loc()).saveAsTable(ta)
+        SketchStats.analyzeKey(s, ta, "o_orderkey")
+        lineitem(s, d).select(col("l_orderkey")).limit(0)
+          .write.option("path", loc()).saveAsTable(tb)
+        SketchStats.analyzeKey(s, tb, "l_orderkey")
+        graft.streaming.DocumentsStreaming.statsMaintenanceStream(
+          s, tb, lineitem(s, d).select(col("l_orderkey")), "l_orderkey")
+      }
+      val a = SketchStats.read(s, ta).get
+      val b = SketchStats.read(s, tb).get
+      import s.implicits._
+      Seq((SketchStats.estimateJoinRows(a, b), b.nRows))
+        .toDF("est_join_size", "n_li_rows")
+    },
+    sql = Some("""
+      WITH ha AS (
+        SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                     1, 13)) AS BIGINT) AS h
+        FROM orders),
+      hb AS (
+        SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+                     1, 13)) AS BIGINT) AS h
+        FROM lineitem),
+      js AS (SELECT unnest([0, 1, 2]) AS j),
+      ca AS (
+        SELECT js.j,
+               ((ha.h * CASE js.j WHEN 0 THEN 641 WHEN 1 THEN 1097
+                        ELSE 2039 END
+                 + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                   ELSE 1013 END)
+                % 2305843009213693951) % 1024 AS b,
+               COUNT(*) AS c
+        FROM ha CROSS JOIN js GROUP BY 1, 2),
+      cb AS (
+        SELECT js.j,
+               ((hb.h * CASE js.j WHEN 0 THEN 641 WHEN 1 THEN 1097
+                        ELSE 2039 END
+                 + CASE js.j WHEN 0 THEN 31 WHEN 1 THEN 277
+                   ELSE 1013 END)
+                % 2305843009213693951) % 1024 AS b,
+               COUNT(*) AS c
+        FROM hb CROSS JOIN js GROUP BY 1, 2),
+      ip AS (
+        SELECT ca.j, CAST(SUM(ca.c * cb.c) AS BIGINT) AS s
+        FROM ca JOIN cb ON ca.j = cb.j AND ca.b = cb.b
+        GROUP BY ca.j)
+      SELECT (SELECT MIN(s) FROM ip) AS est_join_size,
+             (SELECT COUNT(*) FROM lineitem) AS n_li_rows"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
     av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
     av7AsofSql, av8AsofSqlInner,
@@ -1113,5 +1187,5 @@ object StreamingQueries {
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
     st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
     st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance,
-    st24BkQuantile, st25CmsFreq)
+    st24BkQuantile, st25CmsFreq, st26KstatsMaintenance)
 }

@@ -281,6 +281,59 @@ object DocumentsStreaming {
     * corpus-scale IO happens only at scheduled
     * [[graft.operators.GraftPipeline.morCompactExactIndex]].
     */
+  /** CONTINUOUS key-stats maintenance (st26) — an append STREAM keeps
+    * a table AND its [[graft.operators.SketchStats]] fresh together:
+    * each micro-batch appends its rows and folds the batch's key
+    * sketch into the stored stats delta-only
+    * ([[graft.operators.SketchStats.applyDelta]] — counter matrices
+    * are linear, so the maintained sketch stays BYTE-equal to a
+    * from-scratch rescan). This is what makes the planning tier
+    * ([[graft.plans.SketchJoinRule]]) live on a growing store: join
+    * estimates stay current at changelog cost, no ANALYZE rescan ever.
+    *
+    * Replay safety, stated honestly: `foreachBatch` is at-least-once,
+    * and the stored batch id makes a replayed COMPLETED batch a no-op
+    * for both effects (the common restart case: the engine re-delivers
+    * the last batch whose sink commit it can't prove). A crash INSIDE
+    * the two-effect window is not transactional — rows append first,
+    * stats second, so that failure mode is a re-appended (duplicated)
+    * batch with singly-counted stats, which an invariant check
+    * (`stats.nRows == count(table)`) DETECTS cheaply; the opposite
+    * order would silently lose the append instead. Exactly-once here
+    * needs what it needs everywhere: an atomically-committed sink
+    * (the MoR index stream gets it from seq self-supersession; a
+    * lakehouse sink from its transaction log), after which the stats
+    * fold rides the same commit.
+    */
+  def statsMaintenanceStream(spark: SparkSession, table: String,
+      rows: DataFrame, idCol: String, slices: Int = 4): Unit = {
+    import graft.operators.SketchStats
+    val staged = stageIdSlices(rows, slices, idCol)
+    val chk = java.nio.file.Files.createTempDirectory(
+      s"graft_st26_chk_${nameCounter.incrementAndGet()}").toString
+    val q = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val seen = SketchStats.read(spark, table).exists(_.lastBatch >= bid)
+        if (!seen) {
+          val b = batch.persist()
+          try {
+            b.write.mode("append").saveAsTable(table)
+            spark.catalog.refreshTable(table)
+            SketchStats.applyDelta(spark, table, added = Some(b.toDF()),
+              deleted = None, batchId = Some(bid)): Unit
+          } finally b.unpersist()
+        }
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.catalog.refreshTable(table)
+  }
+
   def indexMaintenanceStream(spark: SparkSession, indexName: String,
       changelog: DataFrame, slices: Int = 4): Unit =
     drainIndexMaintenance(spark, indexName, changelog.schema,

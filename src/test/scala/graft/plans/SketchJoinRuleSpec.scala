@@ -174,6 +174,19 @@ class SketchJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.nRows === s1.nRows)
     assert(java.util.Arrays.equals(back.cms, s1.cms),
       "add-then-delete must restore the original sketch exactly")
+    // a replayed batch id is a NO-OP — the at-least-once foreachBatch
+    // guard: applying the same delta twice under one id leaves the
+    // stats bit-identical
+    val once = SketchStats.applyDelta(spark, "sjr_delta",
+      added = Some(batch), deleted = None, batchId = Some(7L))
+    val replay = SketchStats.applyDelta(spark, "sjr_delta",
+      added = Some(batch), deleted = None, batchId = Some(7L))
+    assert(replay.nRows === once.nRows &&
+      java.util.Arrays.equals(replay.cms, once.cms) &&
+      replay.lastBatch === 7L,
+      "replayed batch id must not double-apply")
+    SketchStats.applyDelta(spark, "sjr_delta", added = None,
+      deleted = Some(batch), batchId = Some(8L)): Unit
     // subtracting keys never added drives a counter negative — the
     // loud-failure contract (deterministic: fixed md5 hashing)
     val ex = intercept[Exception] {
