@@ -563,6 +563,71 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("md10: the stored phash index is probed, never rebuilt — " +
+      "fingerprinting runs once (delta side only) and the bucketed " +
+      "index scan feeds the band join with NO shuffle; payload bytes " +
+      "never cross an exchange") {
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val aqe = "spark.sql.adaptive.enabled"
+    val (savedB, savedA) = (spark.conf.get(bcast), spark.conf.get(aqe))
+    spark.conf.set(bcast, "-1")
+    spark.conf.set(aqe, "false")
+    try {
+      val df = Registry.byName("md10_phash_index_probe").fn(spark, dir)
+      // exactly ONE fingerprint computation (the delta's): the corpus
+      // fingerprints come from the stored index rows
+      import org.apache.spark.sql.graft.PHashFingerprint
+      val fps = df.queryExecution.optimizedPlan.collect {
+        case p if p.expressions.exists(_.exists(
+          _.isInstanceOf[PHashFingerprint])) => p
+      }
+      assert(fps.size === 1,
+        s"exactly one fingerprinting projection (the delta's), got " +
+          s"${fps.size}")
+      val plan = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val bandJoins = plan.collect {
+        case j: SortMergeJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "band")) =>
+          (j.left, j.right)
+        case j: ShuffledHashJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "band")) =>
+          (j.left, j.right)
+      }
+      assert(bandJoins.size === 1, s"expected ONE band join:\n$plan")
+      def indexScans(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect {
+          case s: FileSourceScanExec
+              if s.relation.location.rootPaths
+                .exists(_.toString.contains("graft_phash_idx")) => s
+        }
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+        p.collect { case e: ShuffleExchangeExec => e }
+      val (l, r) = bandJoins.head
+      val indexSide = if (indexScans(l).nonEmpty) l else r
+      val probeSide = if (indexScans(l).nonEmpty) r else l
+      assert(indexScans(indexSide).nonEmpty,
+        s"one side must read the stored index:\n$plan")
+      assert(indexScans(indexSide).head.bucketedScan,
+        "the index must be read AS BUCKETED (bucket-aligned, presorted)")
+      assert(shuffles(indexSide).isEmpty,
+        s"the corpus-scale index side must not shuffle:\n$indexSide")
+      assert(indexScans(probeSide).isEmpty,
+        s"the probe side must not re-read the index:\n$probeSide")
+      // media payload bytes (the binary `content` column) must never
+      // cross an exchange — only (band, bkey, media_id, fp) rows move
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        val cols = e.child.output.map(_.name.toLowerCase)
+        assert(!cols.contains("content"),
+          s"payload bytes crossed an exchange: $cols")
+      }
+    } finally {
+      spark.conf.set(bcast, savedB)
+      spark.conf.set(aqe, savedA)
+    }
+  }
+
   test("sim8: the SQ8 corpus-scale cid join moves ONLY int8 rows — no " +
       "double-array column crosses a cid exchange; floats flow at " +
       "candidate scale; one cached projection feeds every branch") {
