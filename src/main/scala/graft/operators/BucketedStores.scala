@@ -315,13 +315,37 @@ object BucketedStores {
     t
   }
 
+  /** The serving-view DDL. The anti-join topology (`idCols`,
+    * `tombIdCol`) rides along as VIEW PROPERTIES so later machinery —
+    * SQL `VERSION AS OF <seq>` ([[org.apache.spark.sql.graft
+    * .StoreTimeTravelRewrite]]), property-driven [[readMorAsOfSeq]] —
+    * can reconstruct a seq-consistent read without being handed the
+    * columns again.
+    */
   private def morViewSql(name: String, gen: String, tomb: String,
       idCols: Seq[String], tombIdCol: String): String = {
     val clauses = idCols.map(c =>
       s"NOT EXISTS (SELECT 1 FROM $tomb t " +
         s"WHERE t.$tombIdCol = g.$c AND g._seq < t.seq)")
-    s"CREATE OR REPLACE VIEW $name AS SELECT g.* FROM $gen g " +
+    s"CREATE OR REPLACE VIEW $name " +
+      s"TBLPROPERTIES ('graft.mor.idCols' = '${idCols.mkString(",")}', " +
+      s"'graft.mor.tombIdCol' = '$tombIdCol') " +
+      s"AS SELECT g.* FROM $gen g " +
       s"WHERE ${clauses.mkString(" AND ")}"
+  }
+
+  /** The MoR anti-join topology recorded on the serving view, if this
+    * is a property-carrying MoR store.
+    */
+  def morTopology(spark: SparkSession,
+      name: String): Option[(Seq[String], String)] = {
+    val props = scala.util.Try(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst
+        .TableIdentifier(name)).properties).getOrElse(Map.empty)
+    for {
+      ids <- props.get("graft.mor.idCols")
+      tid <- props.get("graft.mor.tombIdCol")
+    } yield (ids.split(',').toSeq, tid)
   }
 
   /** Switch a VERSIONED store to merge-on-read serving. The backing

@@ -682,9 +682,46 @@ object PipelineQueries {
       FROM o
       ORDER BY shard, pos"""))
 
+  /** pl11: the MERGE-ON-READ half of SQL time travel. The MoR exact
+    * index takes a changelog batch at seq 1 (tombstones + `_seq`-
+    * stamped appends, no generation rewrite), then YESTERDAY's keep
+    * list is read with `VERSION AS OF 0` — which
+    * [[org.apache.spark.sql.graft.StoreTimeTravelRewrite]] expands to
+    * the seq-consistent derived table (`readMorAsOfSeq` semantics,
+    * topology from the serving view's `graft.mor.*` properties) —
+    * and packed. Oracle: the same from-scratch DuckDB rebuild over the
+    * pre-changelog corpus as pl9/pl10, so the CoW-generation
+    * (pl10) and MoR-sequence (here) spellings of `VERSION AS OF` are
+    * held to one cross-engine truth.
+    */
+  val pl11SqlMorTimeTravel = Q(
+    "pl11_sql_mor_time_travel",
+    (s, d) => {
+      val t = s"pl11_exidx_${Integer.toHexString(d.hashCode)}"
+      val base = documents(s, d)
+        .filter(length(col("text")) >= 100)
+        .select(col("doc_id"), col("text"))
+      GraftPipeline.buildExactIndexMor(base, "doc_id", "text", t)
+      val (upserts, deleteIds) = DedupQueries.indexChangelog(s, d)
+      GraftPipeline.applyExactIndexDeltaMor(s, t, deleteIds,
+        Some(upserts.filter(length(col("text")) >= 100)),
+        "doc_id", "text")
+      val keep = s.sql(
+        s"""SELECT MIN(doc_id) AS doc_id
+            FROM $t VERSION AS OF 0
+            GROUP BY h""")
+      GraftPipeline.pack(
+        base.join(keep, Seq("doc_id"), "left_semi"),
+        "doc_id", "text",
+        GraftPipeline.Config(minChars = 100, exactDedup = true))
+        .orderBy(col("shard"), col("pos"))
+    },
+    sql = pl10SqlTimeTravel.sql)
+
   val all: Seq[Q] =
     Seq(pl1PipelineDecon, pl2PipelineNearDedup, pl3PipelineIncremental,
       pl4PipelineIncrementalNear, pl5PipelineIncrementalMor,
       pl6PipelineIncrementalMorExact, pl7PipelineProvenance,
-      pl8PipelineProvenanceNear, pl9PipelineTimeTravel, pl10SqlTimeTravel)
+      pl8PipelineProvenanceNear, pl9PipelineTimeTravel, pl10SqlTimeTravel,
+      pl11SqlMorTimeTravel)
 }

@@ -29,10 +29,13 @@
   * `name__v<k>` generations) — `AS OF` over DSv2 catalogs that
   * support native time travel, or over plain tables (Spark's own
   * error), passes through untouched. Merge-on-read stores version by
-  * SEQUENCE within a compaction era (`readMorAsOfSeq`), not by
-  * generation — a raw generation read would silently include
-  * tombstoned rows — so a MoR store name is rejected with a pointer
-  * to the API rather than resolved wrong.
+  * SEQUENCE within a compaction era, not by generation — a raw
+  * generation read would silently include tombstoned rows — so on a
+  * MoR store `VERSION AS OF s` expands instead to the seq-consistent
+  * derived table (`readMorAsOfSeq`'s semantics, topology read from
+  * the serving view's `graft.mor.*` properties), and `TIMESTAMP
+  * AS OF` fails with guidance (tombstones carry sequence, not
+  * wall-clock).
   *
   * Reference parity note: the reference pipeline
   * (CI-CMG/wod-ascii-to-parquet-spark) has no store tier or SQL
@@ -102,11 +105,6 @@ object StoreTimeTravelRewrite {
           val name = s.substring(identTok.start, identTok.end)
           val gens = liveGenerations(spark, name)
           if (gens.nonEmpty) {
-            if (tombstonesExist(spark, name))
-              fail(s"$name is a merge-on-read store — its history is " +
-                "sequence-within-era, not generations; read a past " +
-                "state with BucketedStores.readMorAsOfSeq (a raw " +
-                "generation would include tombstoned rows)")
             // the value: raw text from OF to the next token (the
             // lexer skips literals, so a quoted value sits wholly in
             // the gap); constant literal values only. The splice ends
@@ -121,11 +119,15 @@ object StoreTimeTravelRewrite {
                 "literal value (an expression with identifiers is " +
                 "not supported on the store surface)")
             val raw = seg.trim
-            val gen =
-              if (isVer) byVersion(spark, name, gens, stripQuotes(raw))
+            val target =
+              if (tombstonesExist(spark, name))
+                morAsOf(spark, name, isVer, raw)
+              else if (isVer) byVersion(spark, name, gens,
+                stripQuotes(raw))
               else byTimestamp(spark, name, gens, raw)
             val sb = new StringBuilder(s)
-            sb.replace(identTok.start, toks(i + 2).end + trail + 1, gen)
+            sb.replace(identTok.start, toks(i + 2).end + trail + 1,
+              target)
             return Some(sb.toString)
           }
         }
@@ -161,6 +163,41 @@ object StoreTimeTravelRewrite {
     spark.sessionState.catalog.listTables("default", name + "__t*")
       .exists(_.table.matches(
         java.util.regex.Pattern.quote(name) + "__t\\d+"))
+
+  /** A MERGE-ON-READ store versions by SEQUENCE within its compaction
+    * era: `VERSION AS OF s` expands to the seq-consistent derived
+    * table — generation rows stamped `_seq <= s`, minus rows a
+    * tombstone with `t.seq <= s` kills under the strictly-greater
+    * rule (exactly `BucketedStores.readMorAsOfSeq`, whose anti-join
+    * topology the serving view records as `graft.mor.*` properties).
+    * Aliased to the store name so qualified column refs keep working.
+    * `TIMESTAMP AS OF` has no MoR meaning (tombstones carry sequence,
+    * not wall-clock) and fails with guidance.
+    */
+  private def morAsOf(spark: SparkSession, name: String, isVer: Boolean,
+      raw: String): String = {
+    import graft.operators.BucketedStores
+    if (!isVer)
+      fail(s"$name is a merge-on-read store — its history is " +
+        "sequence-within-era, so TIMESTAMP AS OF has no meaning " +
+        "here; use VERSION AS OF <seq> (0 = the as-built state)")
+    val seq = try stripQuotes(raw).trim.toLong catch {
+      case _: NumberFormatException =>
+        fail(s"VERSION AS OF $raw on merge-on-read store $name — " +
+          "the version is the integer batch sequence (0 = as-built)")
+    }
+    val (idCols, tombIdCol) = BucketedStores.morTopology(spark, name)
+      .getOrElse(fail(s"$name is a merge-on-read store but its " +
+        "serving view carries no graft.mor.* topology properties — " +
+        "re-run morEnable (or read via BucketedStores.readMorAsOfSeq)"))
+    val gen = BucketedStores.currentGeneration(spark, name)
+    val tomb = BucketedStores.currentTombstones(spark, name)
+    val clauses = idCols.map(c =>
+      s"NOT EXISTS (SELECT 1 FROM $tomb t WHERE t.$tombIdCol = g.$c " +
+        s"AND t.seq <= $seq AND g._seq < t.seq)")
+    s"(SELECT g.* FROM $gen g WHERE g._seq <= $seq AND " +
+      s"${clauses.mkString(" AND ")}) $name"
+  }
 
   private def byVersion(spark: SparkSession, name: String,
       gens: Seq[Int], v: String): String = {

@@ -107,8 +107,9 @@ class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
       ex.getMessage.contains("no generation"), ex.getMessage)
   }
 
-  test("a merge-on-read store is rejected toward readMorAsOfSeq — a " +
-      "raw generation read would include tombstoned rows") {
+  test("a merge-on-read store's VERSION AS OF is the SEQUENCE read: " +
+      "byte-equal to readMorAsOfSeq at every seq, qualified refs " +
+      "work through the alias, TIMESTAMP AS OF fails with guidance") {
     spark.range(10)
       .select(col("id").as("k"), lit(0L).as("_seq"))
       .repartition(2, col("k"))
@@ -116,10 +117,33 @@ class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .saveAsTable("ttl_mor")
     BucketedStores.adoptVersioned(spark, "ttl_mor")
     BucketedStores.morEnable(spark, "ttl_mor", Seq("k"), "k")
-    val ex = intercept[AnalysisException] {
-      spark.sql("SELECT * FROM ttl_mor VERSION AS OF 1").collect()
+    // batch 1: delete keys 0-2, upsert key 1 with new content
+    import spark.implicits._
+    BucketedStores.morDelete(spark, "ttl_mor",
+      Seq(0L, 1L, 2L).toDF("k"), seq = 1L)
+    BucketedStores.morAppend(spark, "ttl_mor",
+      Seq((1L, 1L)).toDF("k", "_seq"), seq = 1L, Seq("k"), Seq("k"), 2)
+    for (seq <- 0L to 1L) {
+      val viaSql = spark.sql(
+        s"SELECT k FROM ttl_mor VERSION AS OF $seq ORDER BY k")
+        .as[Long].collect().toSeq
+      val viaApi = BucketedStores.readMorAsOfSeq(spark, "ttl_mor",
+        Seq("k"), "k", seq).select("k").orderBy("k")
+        .as[Long].collect().toSeq
+      assert(viaSql === viaApi, s"seq=$seq: $viaSql vs $viaApi")
     }
-    assert(ex.getMessage.contains("readMorAsOfSeq"), ex.getMessage)
+    // as-built state really is pre-delete; the live view is post
+    assert(spark.sql("SELECT count(*) c FROM ttl_mor VERSION AS OF 0")
+      .head().getLong(0) === 10L)
+    assert(spark.table("ttl_mor").count() === 8L)
+    // qualified column references resolve through the spliced alias
+    assert(spark.sql("SELECT max(ttl_mor.k) m FROM ttl_mor " +
+      "VERSION AS OF 0 WHERE ttl_mor.k < 5").head().getLong(0) === 4L)
+    val ex = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM ttl_mor TIMESTAMP AS OF '2026-01-01'").collect()
+    }
+    assert(ex.getMessage.contains("VERSION AS OF <seq>"), ex.getMessage)
   }
 
   test("stand-down: VERSION AS OF on a non-store table keeps Spark's " +
