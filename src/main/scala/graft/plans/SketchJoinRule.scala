@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -19,8 +19,12 @@ import graft.operators.SketchStats
   * nothing about join OUTPUT size — the quantity that decides whether
   * a join is safe to run at all at 100 TB. Engine-written stores carry
   * a 24 KB count-min sketch of their join key, maintained at write
-  * time; this rule consults those stored stats on every inner
-  * equi-join whose BOTH sides are statted catalog tables:
+  * time; this rule consults those stored stats on every inner and
+  * left/right-outer equi-join whose BOTH sides are statted catalog
+  * tables (outer joins hint only their non-preserved side, and the
+  * runaway gate stays inner-only — the sketch bounds the MATCHED-pair
+  * count, which is all of an inner output but only part of an outer
+  * one):
   *
   *   - **strategy**: if a side's recorded size fits the broadcast
   *     budget (`spark.graft.sketchJoin.broadcastBytes`, default 10 MB),
@@ -54,10 +58,11 @@ case class SketchJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (!conf.getConfString(EnabledConf, "true").equalsIgnoreCase("true"))
       return plan
     plan.transformUp {
-      case j @ Join(l, r, Inner, Some(cond), hint)
+      case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter),
+          Some(cond), hint)
           if hint.leftHint.forall(_.strategy.isEmpty) &&
             hint.rightHint.forall(_.strategy.isEmpty) =>
-        decide(j, l, r, cond).getOrElse(j)
+        decide(j, l, r, jt, cond).getOrElse(j)
     }
   }
 
@@ -81,7 +86,7 @@ case class SketchJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def decide(j: Join, l: LogicalPlan, r: LogicalPlan,
-      cond: Expression): Option[Join] = {
+      jt: JoinType, cond: Expression): Option[Join] = {
     val (lTab, lFiltered, lOut) = origin(l).getOrElse(return None)
     val (rTab, rFiltered, rOut) = origin(r).getOrElse(return None)
     val ls = SketchStats.read(spark, lTab).getOrElse(return None)
@@ -106,7 +111,11 @@ case class SketchJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
 
     val est = SketchStats.estimateJoinRows(ls, rs)
     val failRows = conf.getConfString(FailRowsConf, "-1").toLong
-    if (failRows > 0 && est > failRows) {
+    // the gate stays INNER-only: the inner product one-sidedly bounds
+    // the MATCHED-pair count, which equals inner output but only part
+    // of an outer join's — failing an outer join on it would not be
+    // evidence-sound
+    if (jt == Inner && failRows > 0 && est > failRows) {
       if (!lFiltered && !rFiltered)
         throw new AnalysisException(
           s"[GRAFT_SKETCH_JOIN] $lTab ⋈ $rTab on " +
@@ -121,7 +130,12 @@ case class SketchJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
 
     val budget = conf.getConfString(BroadcastBytesConf,
       (10L * 1024 * 1024).toString).toLong
-    val (lFits, rFits) = (ls.sizeBytes <= budget, rs.sizeBytes <= budget)
+    // an outer join can only build-broadcast its non-preserved side
+    // (LeftOuter streams the left, so only the right is hintable, and
+    // vice versa — JoinSelection's own constraint)
+    val (lFits, rFits) = (
+      jt != LeftOuter && ls.sizeBytes <= budget,
+      jt != RightOuter && rs.sizeBytes <= budget)
     if (!lFits && !rFits) return None
     // smaller recorded side wins when both fit
     val hintLeft = lFits && (!rFits || ls.sizeBytes <= rs.sizeBytes)

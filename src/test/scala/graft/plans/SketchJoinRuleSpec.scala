@@ -119,6 +119,33 @@ class SketchJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("outer joins hint only the non-preserved side: LEFT JOIN " +
+      "broadcasts the dim on the right; with the dim on the LEFT of a " +
+      "LEFT JOIN the rule must stand down (the preserved side can't " +
+      "build-broadcast)") {
+    // a budget that admits the dim but NOT the fact — at the default
+    // 10 MB both fit and the rule could legitimately broadcast either
+    val dimBytes = SketchStats.read(spark, "sjr_dim").get.sizeBytes
+    val factBytes = SketchStats.read(spark, "sjr_fact").get.sizeBytes
+    assert(dimBytes < factBytes)
+    noAutoBroadcast(
+      "spark.graft.sketchJoin.broadcastBytes" -> dimBytes.toString) {
+      val leftOuter = spark.table("sjr_fact")
+        .join(spark.table("sjr_dim"), Seq("k"), "left")
+        .agg(count(lit(1)).as("n"))
+      assert(executed(leftOuter)
+        .exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "LEFT JOIN with the small side on the right must broadcast it")
+      val dimPreserved = spark.table("sjr_dim")
+        .join(spark.table("sjr_fact"), Seq("k"), "left")
+        .agg(count(lit(1)).as("n"))
+      val plan = executed(dimPreserved)
+      assert(!plan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"only the fact side is hintable here and it exceeds the " +
+          s"budget:\n$plan")
+    }
+  }
+
   test("user hints win: an explicit MERGE hint disables the rule") {
     noAutoBroadcast() {
       val j = spark.table("sjr_fact")
