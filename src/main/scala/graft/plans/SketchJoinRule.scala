@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, PredicateHelper}
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -19,12 +19,12 @@ import graft.operators.SketchStats
   * nothing about join OUTPUT size — the quantity that decides whether
   * a join is safe to run at all at 100 TB. Engine-written stores carry
   * a 24 KB count-min sketch of their join key, maintained at write
-  * time; this rule consults those stored stats on every inner and
-  * left/right-outer equi-join whose BOTH sides are statted catalog
-  * tables (outer joins hint only their non-preserved side, and the
-  * runaway gate stays inner-only — the sketch bounds the MATCHED-pair
-  * count, which is all of an inner output but only part of an outer
-  * one):
+  * time; this rule consults those stored stats on every inner,
+  * left/right-outer, and left-semi/anti equi-join whose BOTH sides
+  * are statted catalog tables (non-inner joins hint only their
+  * build-broadcastable side, and the runaway gate stays inner-only —
+  * the sketch bounds the MATCHED-pair count, which is all of an inner
+  * output but only part or none of the others'):
   *
   *   - **strategy**: if a side's recorded size fits the broadcast
   *     budget (`spark.graft.sketchJoin.broadcastBytes`, default 10 MB),
@@ -58,7 +58,8 @@ case class SketchJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (!conf.getConfString(EnabledConf, "true").equalsIgnoreCase("true"))
       return plan
     plan.transformUp {
-      case j @ Join(l, r, jt @ (Inner | LeftOuter | RightOuter),
+      case j @ Join(l, r,
+          jt @ (Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti),
           Some(cond), hint)
           if hint.leftHint.forall(_.strategy.isEmpty) &&
             hint.rightHint.forall(_.strategy.isEmpty) =>
@@ -130,12 +131,14 @@ case class SketchJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
 
     val budget = conf.getConfString(BroadcastBytesConf,
       (10L * 1024 * 1024).toString).toLong
-    // an outer join can only build-broadcast its non-preserved side
-    // (LeftOuter streams the left, so only the right is hintable, and
-    // vice versa — JoinSelection's own constraint)
+    // only the build-broadcastable side is hintable: LeftOuter/Semi/
+    // Anti stream the left (right-only), RightOuter streams the right
+    // (left-only) — JoinSelection's own constraint
+    val leftHintable = jt == Inner || jt == RightOuter
+    val rightHintable = jt != RightOuter
     val (lFits, rFits) = (
-      jt != LeftOuter && ls.sizeBytes <= budget,
-      jt != RightOuter && rs.sizeBytes <= budget)
+      leftHintable && ls.sizeBytes <= budget,
+      rightHintable && rs.sizeBytes <= budget)
     if (!lFits && !rFits) return None
     // smaller recorded side wins when both fit
     val hintLeft = lFits && (!rFits || ls.sizeBytes <= rs.sizeBytes)

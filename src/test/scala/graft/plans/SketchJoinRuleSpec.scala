@@ -143,6 +143,15 @@ class SketchJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!plan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
         s"only the fact side is hintable here and it exceeds the " +
           s"budget:\n$plan")
+      // the dedup keep-list shape: a LEFT SEMI probe of the fact
+      // against the dim broadcasts the dim (build side)
+      val semi = spark.table("sjr_fact")
+        .join(spark.table("sjr_dim"), Seq("k"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+      val semiPlan = executed(semi)
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      assert(semiPlan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"LEFT SEMI must broadcast the statted right side:\n$semiPlan")
     }
   }
 
