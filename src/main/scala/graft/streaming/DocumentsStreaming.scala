@@ -306,14 +306,28 @@ object DocumentsStreaming {
     * fold rides the same commit.
     */
   def statsMaintenanceStream(spark: SparkSession, table: String,
-      rows: DataFrame, idCol: String, slices: Int = 4): Unit = {
+      rows: DataFrame, idCol: String, slices: Int = 4): Unit =
+    drainStatsMaintenance(spark, table, rows.schema,
+      stageIdSlices(rows, slices, idCol),
+      java.nio.file.Files.createTempDirectory(
+        s"graft_st26_chk_${nameCounter.incrementAndGet()}").toString)
+
+  /** [[statsMaintenanceStream]]'s resumable core (the
+    * [[drainIndexMaintenance]] discipline): drain whatever staged
+    * files sit under `stagedDir`, tracking progress in `chk` — calling
+    * again with the same checkpoint after a stop resumes from the
+    * recorded offsets, and the batch whose sink commit the engine
+    * can't prove is re-delivered, which the stats batch-id guard
+    * absorbs (StreamingSpec proves stop/resume lands on the
+    * uninterrupted run's stats, byte-equal).
+    */
+  def drainStatsMaintenance(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType, stagedDir: String,
+      chk: String): Unit = {
     import graft.operators.SketchStats
-    val staged = stageIdSlices(rows, slices, idCol)
-    val chk = java.nio.file.Files.createTempDirectory(
-      s"graft_st26_chk_${nameCounter.incrementAndGet()}").toString
-    val q = spark.readStream.schema(rows.schema)
+    val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
+      .parquet(stagedDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         val seen = SketchStats.read(spark, table).exists(_.lastBatch >= bid)

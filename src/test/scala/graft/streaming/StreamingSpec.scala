@@ -951,6 +951,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     BucketedStores.dropVersioned(spark, "st22_res")
   }
 
+  test("st26 key-stats maintenance survives a checkpoint stop/resume — " +
+      "the resumed stats are BYTE-equal to a from-scratch rescan of " +
+      "the fully-drained table, rows and stats in lockstep throughout") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.functions._
+    import graft.operators.SketchStats
+    def tmp() = Files.createTempDirectory("st26spec").toString
+    val rows = spark.range(4000L).select(col("id").as("k"))
+    spark.range(0L).select(col("id").as("k"))
+      .write.option("path", tmp()).saveAsTable("st26_res")
+    SketchStats.analyzeKey(spark, "st26_res", "k")
+    val fullStage = DocumentsStreaming.stageIdSlices(rows, 4, "k")
+    val ordered = {
+      val it = Files.list(Paths.get(fullStage)).iterator()
+      val all = scala.collection.mutable.ArrayBuffer
+        .empty[java.nio.file.Path]
+      while (it.hasNext) all += it.next()
+      all.filterNot(_.getFileName.toString.startsWith("."))
+        .sortBy(_.getFileName.toString)
+    }
+    val stage2 = Files.createTempDirectory("st26_partial")
+    val chk = Files.createTempDirectory("st26_chk").toString
+    def copyIn(p: java.nio.file.Path): Unit = Files.copy(p,
+      stage2.resolve(p.getFileName), StandardCopyOption.COPY_ATTRIBUTES)
+    ordered.take(2).foreach(copyIn)
+    DocumentsStreaming.drainStatsMaintenance(spark, "st26_res",
+      rows.schema, stage2.toString, chk) // run 1, then "crash"
+    val mid = SketchStats.read(spark, "st26_res").get
+    assert(mid.nRows > 0 && mid.nRows < 4000L,
+      s"the crash point must sit strictly inside the stream: $mid")
+    assert(mid.nRows === spark.table("st26_res").count(),
+      "rows and stats must agree at the crash point")
+    ordered.drop(2).foreach(copyIn)
+    DocumentsStreaming.drainStatsMaintenance(spark, "st26_res",
+      rows.schema, stage2.toString, chk) // run 2: resume
+    val fin = SketchStats.read(spark, "st26_res").get
+    assert(fin.nRows === 4000L)
+    assert(fin.nRows === spark.table("st26_res").count(),
+      "no batch may double-apply across the resume")
+    // byte-equality with a from-scratch rescan: the maintained sketch
+    // has no drift, crash or not
+    val rescan = SketchStats.analyzeKey(spark, "st26_res", "k")
+    assert(java.util.Arrays.equals(fin.cms, rescan.cms),
+      "resumed stats must be byte-equal to the rescan")
+    Seq("st26_res", "st26_res__kstats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("st23 near-store maintenance survives a checkpoint stop/resume " +
       "— the resumed pair store equals the uninterrupted run's") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
