@@ -223,6 +223,52 @@ object MultimodalOps {
         phashIndexRows(u, idCol, contentCol, bands, bits)),
       retain = retain)
 
+  /** [[writePhashIndex]], MERGE-ON-READ form: fingerprint rows carry
+    * `_seq` = 0 and serve through the tombstone-subtracting view, so
+    * changelogs APPEND instead of rewriting the generation — the same
+    * tier the exact index ([[GraftPipeline.buildExactIndexMor]]), LSH
+    * pair store, BM25 postings and IVF lists already run. Compaction
+    * on the operator's schedule via [[BucketedStores.morCompact]].
+    */
+  def writePhashIndexMor(media: org.apache.spark.sql.DataFrame,
+      idCol: String, contentCol: String, name: String, bands: Int = 4,
+      bits: Int = 60, buckets: Int = 8): Unit = {
+    val s = media.sparkSession
+    BucketedStores.dropVersioned(s, name)
+    phashIndexRows(media, idCol, contentCol, bands, bits)
+      .withColumn("_seq", lit(0L))
+      .repartition(buckets, pmod(hash(col("band"), col("bkey")),
+        lit(buckets)))
+      .write.bucketBy(buckets, "band", "bkey").sortBy("band", "bkey")
+      .option("path", java.nio.file.Files
+        .createTempDirectory(s"graft_phash_mor_$name").toString)
+      .saveAsTable(name)
+    BucketedStores.adoptVersioned(s, name)
+    BucketedStores.morEnable(s, name, Seq("media_id"), "media_id")
+  }
+
+  /** Changelog maintenance for the MoR phash index: tombstones at the
+    * batch's sequence + `_seq`-stamped re-fingerprinted delta rows,
+    * all append-shaped — no batch rewrites the generation. An upsert
+    * is delete + re-add at one sequence (self-superseding, so
+    * at-least-once redelivery leaves the served index unchanged).
+    */
+  def applyPhashIndexDeltaMor(spark: SparkSession, name: String,
+      deleteIds: org.apache.spark.sql.DataFrame,
+      upserts: Option[org.apache.spark.sql.DataFrame], idCol: String,
+      contentCol: String, bands: Int = 4, bits: Int = 60,
+      buckets: Int = 8): Unit = {
+    val seq = BucketedStores.morNextSeq(spark, name)
+    val removeIds = upserts.fold(
+      deleteIds.select(col(idCol).as("media_id")))(u =>
+      deleteIds.select(col(idCol).as("media_id"))
+        .unionByName(u.select(col(idCol).as("media_id"))))
+    BucketedStores.morDelete(spark, name, removeIds, seq)
+    upserts.foreach(u => BucketedStores.morAppend(spark, name,
+      phashIndexRows(u, idCol, contentCol, bands, bits), seq,
+      Seq("band", "bkey"), Seq("band", "bkey"), buckets))
+  }
+
   /** FRAME-level near-duplicate asset pairs — the video half of the
     * media-dedup story (md4 matches whole payloads; this catches
     * re-cuts/containers sharing content): sample frames

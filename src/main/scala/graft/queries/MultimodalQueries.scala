@@ -653,8 +653,108 @@ object MultimodalQueries {
       HAVING MIN(hamming) <= 24
       ORDER BY id_a, id_b"""))
 
+  /** The POST-changelog media corpus: every `media_id % 13 = 5` asset
+    * deleted, every surviving `media_id % 11 = 7` asset re-encoded
+    * with ` upd` appended — the changelog md12 applies and the state
+    * its oracle rebuilds from scratch.
+    */
+  private def mediaUpserted(s: org.apache.spark.sql.SparkSession,
+      d: String) =
+    s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 11 === 7, concat(col("text"), lit(" upd")))
+          .otherwise(col("text")).cast("binary").as("content"))
+
+  /** Build-once MERGE-ON-READ phash index with one changelog batch
+    * applied (md12 probes it): tombstones + `_seq`-stamped
+    * re-fingerprinted rows, no generation rewrite.
+    */
+  private def ensurePhashMor(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"md_phash_mor_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t)) {
+      val media = MultimodalOps.mediaFromDocuments(s, d).toDF()
+      MultimodalOps.writePhashIndexMor(media, "media_id", "content", t)
+      MultimodalOps.applyPhashIndexDeltaMor(s, t,
+        deleteIds = media.filter(col("media_id") % 13 === 5)
+          .select(col("media_id")),
+        upserts = Some(mediaUpserted(s, d)
+          .filter(col("media_id") % 11 === 7 &&
+            col("media_id") % 13 =!= 5)),
+        idCol = "media_id", contentCol = "content")
+    }
+    t
+  }
+
+  /** Merge-on-read maintenance for the phash index (md12): after a
+    * changelog batch of deletes AND upserts applied append-only
+    * (tombstones at the batch sequence, re-fingerprinted delta rows
+    * stamped `_seq`), probing the serving view equals a FROM-SCRATCH
+    * rebuild over the post-changelog corpus — the oracle recomputes
+    * fingerprints for the upserted content and drops the deleted
+    * assets, so a stale or resurrected fingerprint row
+    * hash-mismatches. With md10/md11 this gives the media family the
+    * full index lifecycle the text/vector/lexical families carry:
+    * stored → incremental probe → CoW deletes → MoR changelogs (and
+    * SQL time travel over either tier).
+    */
+  val md12PhashIndexMor = Q(
+    "md12_phash_index_mor",
+    (s, d) => {
+      val t = ensurePhashMor(s, d)
+      val live = mediaUpserted(s, d)
+        .filter(col("media_id") % 10 < 2 && col("media_id") % 13 =!= 5)
+      MultimodalOps.probePhashIndex(s, t, live, "media_id", "content",
+        maxHamming = 24)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    sql = Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               lower(hex(encode(CASE WHEN doc_id % 11 = 7
+                 THEN text || ' upd' ELSE text END))) AS hx,
+               octet_length(encode(CASE WHEN doc_id % 11 = 7
+                 THEN text || ' upd' ELSE text END)) AS n
+        FROM documents
+        WHERE doc_id % 13 <> 5),
+      bytes AS (
+        SELECT media_id, n,
+               list_transform(range(0, n), i ->
+                 (strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1))
+                 AS bv
+        FROM m),
+      fp AS (
+        SELECT media_id,
+               CAST(COALESCE(list_sum(list_transform(range(0, 60), b ->
+                 CASE WHEN ((b+1)*n//60 - b*n//60) > 0
+                       AND COALESCE(list_sum(
+                             bv[CAST(b*n//60 + 1 AS INT)
+                                : CAST((b+1)*n//60 AS INT)]), 0) * n
+                           > COALESCE(list_sum(bv), 0)
+                             * ((b+1)*n//60 - b*n//60)
+                      THEN 1::BIGINT << CAST(b AS INT) ELSE 0::BIGINT
+                 END)), 0) AS BIGINT) AS fp
+        FROM bytes),
+      banded AS (
+        SELECT media_id, fp, band,
+               (fp >> CAST(band * 15 AS INT)) & 32767 AS bkey
+        FROM fp, (SELECT unnest(range(0, 4)) AS band) b),
+      cand AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bkey = b.bkey
+         AND a.media_id < b.media_id
+        WHERE a.media_id % 10 < 2 OR b.media_id % 10 < 2)
+      SELECT id_a, id_b, MIN(hamming) AS hamming
+      FROM cand
+      GROUP BY id_a, id_b
+      HAVING MIN(hamming) <= 24
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(md1BinaryStats, md2Features, md3FrameSample,
     md4PhashNearDup, md5FrameNearDup, md6AudioEnergy, md7ImageResize,
     md8SceneChange, md9PhashTop1, md10PhashIndexProbe,
-    md11PhashIndexDelete)
+    md11PhashIndexDelete, md12PhashIndexMor)
 }
