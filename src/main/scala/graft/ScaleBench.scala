@@ -61,7 +61,14 @@ object ScaleBench {
     // pl1's chain), the bounded-state cluster-stratified sample, and
     // the two-table sketch build behind the join-size estimate
     "pl7_pipeline_provenance", "em8_diversity_sample",
-    "q38_cms_join_size")
+    "q38_cms_join_size",
+    // r15 additions: the stored phash index delta probe (media-family
+    // stored-index tier; rep 1 pays the one-time index build, min-of-
+    // reps is the probe) and the sketch-PLANNED join (rep 1 pays the
+    // store + analyzeKey build; at large scales the stats say neither
+    // side fits the broadcast budget, so the measured point is the
+    // rule's graceful stand-down to SMJ)
+    "md10_phash_index_probe", "q40_sketch_planned_join")
   private val QuadQuery = "em2_embedding_near_dup"
 
   def main(args: Array[String]): Unit = {
