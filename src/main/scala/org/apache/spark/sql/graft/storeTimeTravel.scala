@@ -102,7 +102,10 @@ object StoreTimeTravelRewrite {
         val identTok = toks(identIdx)
         if (identIdx >= 0 && !NonIdent.contains(identTok.word) &&
             identTok.depth == toks(i).depth) {
+          // the session catalog lowercases identifiers at creation, so
+          // match the store case-insensitively the way resolution would
           val name = s.substring(identTok.start, identTok.end)
+            .toLowerCase(java.util.Locale.ROOT)
           val gens = liveGenerations(spark, name)
           if (gens.nonEmpty) {
             // the value: raw text from OF to the next token (the

@@ -146,6 +146,26 @@ class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("VERSION AS OF <seq>"), ex.getMessage)
   }
 
+  test("snapshot DIFF in one statement: two generations of one store " +
+      "join under different AS OF clauses; FOR VERSION AS OF and " +
+      "quoted versions parse; comments and string literals never " +
+      "trigger the rewrite") {
+    buildStore("ttl_diff", retain = 2)
+    // what did the changelog between generations 1 and 3 add?
+    val added = spark.sql(
+      """SELECT count(*) c
+         FROM ttl_diff VERSION AS OF 3 cur
+         LEFT ANTI JOIN ttl_diff FOR VERSION AS OF '1' old
+           ON cur.k = old.k""").head().getLong(0)
+    assert(added === 20L, s"generations 1->3 added 20 keys, got $added")
+    // a commented-out clause and a string literal are inert
+    val inert = spark.sql(
+      """SELECT count(*) c, 'not ttl_diff VERSION AS OF 1' AS s
+         FROM ttl_diff -- ttl_diff VERSION AS OF 1
+         GROUP BY 2""").head().getLong(0)
+    assert(inert === 30L, "the live view must serve generation 3")
+  }
+
   test("stand-down: VERSION AS OF on a non-store table keeps Spark's " +
       "own error (not a graft-branded one)") {
     spark.range(5).select(col("id").as("k"))
