@@ -1386,7 +1386,8 @@ object Analytics2 {
              COUNT(*) AS n
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus
-      ORDER BY o_orderstatus"""))
+      ORDER BY o_orderstatus"""),
+    bench = true)
 
   val all: Seq[Q] = Seq(q12Rollup, q13Union, q14Exists, q15ScalarSubquery,
     q16CaseBuckets, q17MonthlyTrend, q18StringOps, q19ConditionalAgg,
