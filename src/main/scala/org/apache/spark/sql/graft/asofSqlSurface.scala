@@ -264,7 +264,10 @@ class GraftSqlParser(session: => SparkSession, delegate: ParserInterface)
   private def rewrite(sqlText: String): String =
     StoreTimeTravelRewrite(session, AsOfSqlRewrite(sqlText))
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(rewrite(sqlText))
+    // the GRAFT command namespace (maintenance verbs) dispatches on
+    // the first token, before any rewrite; everything else flows on
+    GraftCommandParser(sqlText)
+      .getOrElse(delegate.parsePlan(rewrite(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =
