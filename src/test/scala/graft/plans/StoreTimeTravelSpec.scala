@@ -166,6 +166,42 @@ class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inert === 30L, "the live view must serve generation 3")
   }
 
+  test("rewrite COMPOSITION: an ASOF JOIN against a time-traveled " +
+      "store in one statement — both parser rewrites splice the same " +
+      "text and land on the as-of operator over the retained snapshot") {
+    import spark.implicits._
+    // a versioned reference store: gen 1 has one price row per key,
+    // gen 2 adds a LATER row per key that would win any as-of match
+    Seq((1L, 10L, 100L), (2L, 10L, 200L))
+      .toDF("k", "t", "price").repartition(2, col("k"))
+      .write.bucketBy(2, "k").sortBy("k").option("path", tmp())
+      .saveAsTable("ttl_prices")
+    BucketedStores.adoptVersioned(spark, "ttl_prices")
+    BucketedStores.applyDeltaAtomic(spark, "ttl_prices",
+      Seq("k"), Seq("k"), 2, "k",
+      removeIds = spark.range(0).select(col("id").as("k")),
+      additions = Some(Seq((1L, 50L, 111L), (2L, 50L, 222L))
+        .toDF("k", "t", "price")),
+      location = Some(tmp()), retain = 1)
+    Seq((1L, 60L), (2L, 60L)).toDF("ck", "ct")
+      .createOrReplaceTempView("ttl_clicks")
+    // against the LIVE store the t=50 rows win; against the retained
+    // snapshot the t=10 rows must win — the composition is only
+    // correct if BOTH rewrites fired on the one statement
+    val live = spark.sql(
+      """SELECT c.ck, p.price FROM ttl_clicks c
+         ASOF JOIN ttl_prices p ON c.ck = p.k AND p.t <= c.ct
+         ORDER BY c.ck""").collect().map(_.getLong(1)).toSeq
+    assert(live === Seq(111L, 222L), s"live as-of picked $live")
+    val asOf = spark.sql(
+      """SELECT c.ck, p.price FROM ttl_clicks c
+         ASOF JOIN ttl_prices VERSION AS OF 1 p
+           ON c.ck = p.k AND p.t <= c.ct
+         ORDER BY c.ck""").collect().map(_.getLong(1)).toSeq
+    assert(asOf === Seq(100L, 200L),
+      s"snapshot as-of must see only generation 1, picked $asOf")
+  }
+
   test("stand-down: VERSION AS OF on a non-store table keeps Spark's " +
       "own error (not a graft-branded one)") {
     spark.range(5).select(col("id").as("k"))
