@@ -202,6 +202,28 @@ class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"snapshot as-of must see only generation 1, picked $asOf")
   }
 
+  test("no-op fuzz: every registered oracle SQL text passes through " +
+      "BOTH parser rewrites byte-identical — ordinary SQL is never " +
+      "touched") {
+    import org.apache.spark.sql.graft.{AsOfSqlRewrite, StoreTimeTravelRewrite}
+    val corpus = graft.SparkEntry.oracleSql.values.toSeq
+    assert(corpus.size > 200, "the fuzz corpus should be the registry")
+    // the as-of family's oracles USE the shared ASOF dialect (DuckDB
+    // speaks it natively) — for those the rewrite firing is the
+    // feature, not a false positive
+    val asofDialect = corpus.filter(_.toUpperCase.contains("ASOF")).toSet
+    assert(asofDialect.nonEmpty && asofDialect.size < 15,
+      s"sanity: the dialect set is the as-of family, " +
+        s"got ${asofDialect.size}")
+    corpus.foreach { sql =>
+      if (!asofDialect.contains(sql))
+        assert(AsOfSqlRewrite(sql) === sql,
+          s"ASOF rewrite touched ordinary SQL:\n$sql")
+      assert(StoreTimeTravelRewrite(spark, sql) === sql,
+        s"time-travel rewrite touched ordinary SQL:\n$sql")
+    }
+  }
+
   test("stand-down: VERSION AS OF on a non-store table keeps Spark's " +
       "own error (not a graft-branded one)") {
     spark.range(5).select(col("id").as("k"))
