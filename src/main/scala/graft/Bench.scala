@@ -95,9 +95,13 @@ object Bench {
     // output dir per rep so resume never short-circuits the timing.
     var castsPerSec = 0.0
     var bulkCastsPerSec = 0.0
+    // SPARK_GRAFT_WOD_REPS=n — conversion rep count (default 2); used
+    // for variance forensics on the per-file path (r15 weak flag).
+    val wodReps = sys.env.get("SPARK_GRAFT_WOD_REPS")
+      .map(_.toInt).getOrElse(2)
     if (!skipWod && !(only.isDefined && !wodOnly)) {
       try {
-        val reps = benchWodConvert(spark, wodReps = 2, bulk = false)
+        val reps = benchWodConvert(spark, wodReps = wodReps, bulk = false)
         runs("wod_convert") = reps.map(_._1)
         val (sec, casts) = reps.minBy(_._1)
         castsPerSec = if (sec > 0) casts / sec else 0.0
@@ -111,7 +115,7 @@ object Bench {
       // many-small-files scale shape; the gap vs wod_convert is the
       // per-file driver scheduling cost made visible.
       try {
-        val reps = benchWodConvert(spark, wodReps = 2, bulk = true)
+        val reps = benchWodConvert(spark, wodReps = wodReps, bulk = true)
         runs("wod_convert_bulk") = reps.map(_._1)
         val (sec, casts) = reps.minBy(_._1)
         bulkCastsPerSec = if (sec > 0) casts / sec else 0.0

@@ -12,15 +12,21 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(master: String = defaultMaster,
-      shufflePartitions: Int = defaultCpus): SparkSession.Builder =
-    SparkSession.builder()
+      shufflePartitions: Int = defaultCpus): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      // the engine's own extensions: SQL-surface kernels plus the
-      // geohash→geohash3 partition-pruning inference rule
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+    // the engine's own extensions: SQL-surface kernels plus the
+    // geohash→geohash3 partition-pruning inference rule.
+    // SPARK_GRAFT_NO_EXTENSIONS=1 builds a stock session instead —
+    // the forensics baseline for pricing the extension stack's
+    // per-job overhead on job-heavy workloads (per-file conversion).
+    val withExt =
+      if (sys.env.get("SPARK_GRAFT_NO_EXTENSIONS").contains("1")) b
+      else b.config("spark.sql.extensions", "graft.GraftExtensions")
+    withExt
       .config("spark.sql.adaptive.enabled", "true")
       // runtime bloom-filter pruning: on selective shuffle joins the
       // build side injects a bloom filter into the probe side's scan,
@@ -35,6 +41,7 @@ object GraftSession {
       // must read back as the string "977", never be inferred numeric
       .config("spark.sql.sources.partitionColumnTypeInference.enabled",
         "false")
+  }
 
   def defaultCpus: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

@@ -51,6 +51,10 @@ object BucketedStores {
     w.saveAsTable(tmp)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // a compaction preserves content exactly, so any stored key stats
+    // stay count/sketch-valid — only the size estimate is re-read
+    // (no-op when the table was never analyzed)
+    SketchStats.refreshSize(spark, table)
   }
 
   /** [[TextDedupOps.writeLshIndex]] store compaction. */
@@ -83,9 +87,19 @@ object BucketedStores {
   def currentGeneration(spark: SparkSession, name: String): String = {
     val vs = spark.catalog.listTables()
       .collect().map(_.name)
-      .filter(_.startsWith(name + "__v"))
+      .filter(isGenerationOf(_, name))
     require(vs.nonEmpty, s"$name has no generations — not a versioned store")
     vs.maxBy(versionOf(_, name))
+  }
+
+  /** `name__v<digits>` exactly — a generation's own auxiliary tables
+    * (`name__v3__kstats`) share the prefix and must not parse as
+    * generations.
+    */
+  private def isGenerationOf(t: String, name: String): Boolean = {
+    val p = name + "__v"
+    t.startsWith(p) && t.length > p.length &&
+      t.substring(p.length).forall(_.isDigit)
   }
 
   /** A versioned store's LIVE generation numbers, oldest first — more
@@ -95,7 +109,7 @@ object BucketedStores {
   def generations(spark: SparkSession, name: String): Seq[Int] = {
     val vs = spark.catalog.listTables()
       .collect().map(_.name)
-      .filter(_.startsWith(name + "__v"))
+      .filter(isGenerationOf(_, name))
       .map(versionOf(_, name)).sorted.toSeq
     require(vs.nonEmpty, s"$name has no generations — not a versioned store")
     vs
@@ -127,7 +141,28 @@ object BucketedStores {
     val gen1 = table + "__v1"
     spark.sql(s"ALTER TABLE $table RENAME TO $gen1")
     spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $gen1")
+    // adoption preserves content: carry any pre-adoption stats onto
+    // the serving name AND the generation the optimizer actually sees
+    carryStats(spark, table, gen1)
   }
+
+  /** Stats carry-through for a CONTENT-PRESERVING swap: the serving
+    * name's stored key stats (if any) stay count/sketch-exact, so
+    * re-persist them with a fresh size estimate and SNAPSHOT them onto
+    * the new generation table — the relation a join actually plans
+    * against once the view expands, and the one a `VERSION AS OF`
+    * read resolves to. This is what keeps [[graft.plans
+    * .SketchJoinRule]] armed across compactions and on time-traveled
+    * reads (a historical generation keeps the stats it had when it
+    * was current). Reads through the stale mark the swap's own
+    * catalog events set, then clears it. No-op when never analyzed.
+    */
+  private def carryStats(spark: SparkSession, name: String,
+      newGen: String): Unit =
+    SketchStats.readStored(spark, name).foreach { st =>
+      SketchStats.copyTo(spark, st, newGen)
+      SketchStats.refreshSize(spark, name)
+    }
 
   /** The shared tail of every atomic maintenance op: write `content`
     * as the next generation (one file per bucket — the bucket-id
@@ -144,7 +179,8 @@ object BucketedStores {
   private def swapInNextGeneration(spark: SparkSession, name: String,
       old: String, content: org.apache.spark.sql.DataFrame,
       bucketCols: Seq[String], sortCols: Seq[String], buckets: Int,
-      location: Option[String], retain: Int = 0): Unit = {
+      location: Option[String], retain: Int = 0,
+      contentPreserved: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     require(retain >= 0, s"retain must be >= 0, got $retain")
     val next = name + "__v" + (versionOf(old, name) + 1)
@@ -160,7 +196,20 @@ object BucketedStores {
       .saveAsTable(next)
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $next")
     generations(spark, name).dropRight(retain + 1)
-      .foreach(k => spark.sql(s"DROP TABLE ${name}__v$k"))
+      .foreach { k =>
+        spark.sql(s"DROP TABLE ${name}__v$k")
+        // a retired generation's stats table dies with it
+        SketchStats.dropStats(spark, s"${name}__v$k")
+      }
+    // Stats contract for the swap (the rule must NEVER plan on stats
+    // the store APIs let go stale): a content-preserving rewrite
+    // (compaction) carries the serving name's stats onto the new
+    // generation; a content-CHANGING delta drops them — the rule
+    // stands down until a fresh GRAFT ANALYZE. Retained old
+    // generations keep their stats either way (they are immutable).
+    if (contentPreserved) carryStats(spark, name, next)
+    else if (SketchStats.readStored(spark, name).isDefined)
+      SketchStats.dropStats(spark, name)
   }
 
   /** Compact a VERSIONED store with an atomic swap: rewrite the
@@ -172,7 +221,8 @@ object BucketedStores {
       location: Option[String] = None, retain: Int = 0): Unit = {
     val old = currentGeneration(spark, name)
     swapInNextGeneration(spark, name, old, spark.table(old),
-      bucketCols, sortCols, buckets, location, retain)
+      bucketCols, sortCols, buckets, location, retain,
+      contentPreserved = true)
   }
 
   /** Apply a CHANGELOG (deletes and/or upsert additions) to a
@@ -243,6 +293,7 @@ object BucketedStores {
     * mutation is no longer idempotent-by-append).
     */
   def dropVersioned(spark: SparkSession, name: String): Unit = {
+    SketchStats.dropStats(spark, name)
     spark.sql(s"DROP VIEW IF EXISTS $name")
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.catalog.listTables().collect().map(_.name)
@@ -363,6 +414,10 @@ object BucketedStores {
       s"$gen has no _seq column — build MoR stores with _seq = 0")
     val tomb = newTombstoneTable(spark, name, 1, tombIdCol)
     spark.sql(morViewSql(name, gen, tomb, idCols, tombIdCol))
+    // enabling MoR preserves served content (tombstones start empty):
+    // re-persist any serving-name stats so the view flip's catalog
+    // events don't leave them stale-marked
+    SketchStats.refreshSize(spark, name)
   }
 
   /** The sequence number the NEXT delta batch should stamp: one past
@@ -389,6 +444,13 @@ object BucketedStores {
     removeIds.toDF(tombCol).select(col(tombCol)).distinct()
       .withColumn("seq", lit(seq))
       .write.mode("append").saveAsTable(tomb)
+    // a delete changes the SERVED rows in a way id-level tombstones
+    // can't price delta-only (the killed rows' key multiset would need
+    // a store scan), so any serving-name stats must die rather than go
+    // stale — the rule stands down until a fresh analyze. The current
+    // GENERATION's own stats stay exact: its rows are untouched.
+    if (SketchStats.readStored(spark, name).isDefined)
+      SketchStats.dropStats(spark, name)
   }
 
   /** Delta-scale ADD: append `rows` (stamped with their batch's
@@ -403,11 +465,25 @@ object BucketedStores {
       buckets: Int): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val gen = currentGeneration(spark, name)
-    rows.withColumn("_seq", lit(seq))
+    val stamped = rows.withColumn("_seq", lit(seq))
       .select(spark.table(gen).columns.map(col).toSeq: _*)
+    stamped
       .write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .mode("append").saveAsTable(gen)
+    // the appended rows are IN HAND, so stats maintain delta-only —
+    // for the serving name (appended rows are alive: no tombstone can
+    // yet carry a higher seq) and for the generation (same rows). A
+    // store whose analyzed key isn't a column of the appended rows
+    // can't be priced → its stats die instead of going stale.
+    Seq(name, gen).foreach { t =>
+      SketchStats.readStored(spark, t).foreach { st =>
+        if (stamped.columns.contains(st.keyCol))
+          SketchStats.applyDelta(spark, t, added = Some(stamped),
+            deleted = None): Unit
+        else SketchStats.dropStats(spark, t)
+      }
+    }
   }
 
   /** Time-travel read of a MERGE-ON-READ store AS OF sequence `seq`:
@@ -451,15 +527,22 @@ object BucketedStores {
     val old = currentGeneration(spark, name)
     val oldTomb = currentTombstones(spark, name)
     // materialize the LIVE rows (old gen ANTI old tombstones) as the
-    // next generation; swapInNextGeneration's view flip makes it serve
+    // next generation; swapInNextGeneration's view flip makes it serve.
+    // Served content is PRESERVED (tombstones fold in, keys unchanged),
+    // so serving-name stats carry — and post-compaction the generation
+    // equals the served content exactly, so the snapshot it receives
+    // is sound even though the store is merge-on-read.
     val live = spark.table(name).withColumn("_seq", lit(0L))
     swapInNextGeneration(spark, name, old, live, bucketCols, sortCols,
-      buckets, location)
+      buckets, location, contentPreserved = true)
     val next = currentGeneration(spark, name)
     val tomb = newTombstoneTable(spark, name,
       tombVersionOf(oldTomb, name) + 1, tombIdCol)
     spark.sql(morViewSql(name, next, tomb, idCols, tombIdCol))
     spark.sql(s"DROP TABLE $oldTomb")
+    // the MoR view re-flip above poisons the serving name again —
+    // re-carry (idempotent) so the stats survive the whole compaction
+    carryStats(spark, name, next)
   }
 
   // ---- Orphan reclamation (vacuum) ----------------------------------

@@ -3,6 +3,8 @@ package graft.operators
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogTableType, CreateTableEvent, DropTableEvent, ExternalCatalogEvent, ExternalCatalogEventListener, RenameTableEvent}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{CmsBuffer, CmsInnerProduct}
@@ -24,11 +26,20 @@ import org.apache.spark.sql.types.BinaryType
   * microseconds from bytes (Cormode & Muthukrishnan §4.2, the q38
   * estimator) — no data scanned, no cluster touched.
   *
-  * Stored as a one-row table `<table>__kstats` next to the store, same
-  * catalog-visibility discipline as the `__v<k>` generations; a
-  * driver-side cache makes repeated planner consultations free and is
-  * invalidated by [[analyzeKey]] (same-session rewrites) and
-  * [[invalidate]].
+  * Stored as a one-row table `<table>__kstats` co-located next to the
+  * analyzed table's own directory (falling back to a managed warehouse
+  * table when the analyzed name has no filesystem location, e.g. a
+  * versioned-store serving view) — planner stats must survive a JVM
+  * restart and must not orphan a directory per rewrite.
+  *
+  * IDENTITY is the fully-qualified `db.table` name: an unqualified
+  * caller resolves against the session's CURRENT database, exactly as
+  * table resolution would, so `GRAFT ANALYZE db.t` and a same-named
+  * table in another database can never collide. A driver-side cache
+  * makes repeated planner consultations free; it is invalidated by
+  * [[analyzeKey]]/[[invalidate]] AND by catalog events (a DROP or
+  * re-CREATE of an analyzed table marks its stats STALE — the rule
+  * stands down until a fresh analyze, never plans on a ghost).
   *
   * Reference parity note: the reference pipeline
   * (CI-CMG/wod-ascii-to-parquet-spark) has no stats or planning tier;
@@ -39,26 +50,96 @@ object SketchStats {
 
   /** One table's key statistics: exact row count, the planner's size
     * estimate at analyze time, the count-min sketch of the key's
-    * engine-convention 52-bit md5 hash, and the highest streaming
-    * batch id already folded in (-1 = none; the [[applyDelta]]
-    * idempotence guard for at-least-once `foreachBatch` delivery).
+    * engine-convention 52-bit md5 hash, the highest streaming batch id
+    * already folded in (-1 = none), and the LINEAGE that batch id is
+    * scoped to (the streaming checkpoint identity — batch ids restart
+    * at 0 for every fresh checkpoint, so an id is only meaningful
+    * within its lineage; "" = batch-API maintenance, no lineage).
     */
   final case class KeyStats(table: String, keyCol: String, nRows: Long,
-      sizeBytes: Long, cms: Array[Byte], lastBatch: Long = -1L)
+      sizeBytes: Long, cms: Array[Byte], lastBatch: Long = -1L,
+      lineage: String = "")
 
   def statsTableOf(table: String): String = table + "__kstats"
 
+  /** `db.table`, resolving an unqualified name against the session's
+    * current database — the same resolution a table reference gets.
+    */
+  def qualify(spark: SparkSession, table: String): String = {
+    val t = table.toLowerCase(java.util.Locale.ROOT)
+    if (t.contains(".")) t
+    else spark.sessionState.catalog.getCurrentDatabase + "." + t
+  }
+
   private val cache = new ConcurrentHashMap[String, Option[KeyStats]]()
+  // qualified base names whose stored stats a catalog event declared
+  // stale (table dropped/renamed/re-created out-of-band): read() serves
+  // None for these — stand down — until a fresh analyze/persist clears
+  // the mark. The stats TABLE itself is left for the next persist to
+  // overwrite; internal content-preserving maintenance reads through
+  // the mark via readStored.
+  private val stale =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // externalCatalog instances already carrying our invalidation hook
+  private val hooked = java.util.Collections.newSetFromMap(
+    new ConcurrentHashMap[AnyRef, java.lang.Boolean]())
+
+  /** Register the catalog-event invalidation hook once per shared
+    * external catalog: DROP / RENAME / re-CREATE of an analyzed table
+    * poisons its cached stats (stand-down), and any event on a
+    * `__kstats` table itself just evicts the base's cache entry so the
+    * next read reloads from storage. Events post synchronously on the
+    * mutating thread, so the cache can never serve a pre-drop row
+    * after the drop returns.
+    */
+  private def ensureInvalidationHook(spark: SparkSession): Unit = {
+    val cat = spark.sharedState.externalCatalog
+    if (hooked.add(cat)) {
+      cat.addListener(new ExternalCatalogEventListener {
+        override def onEvent(event: ExternalCatalogEvent): Unit = {
+          def touch(db: String, name: String, poison: Boolean): Unit = {
+            val q = db + "." + name
+            if (name.endsWith("__kstats")) {
+              cache.remove(db + "." + name.stripSuffix("__kstats")): Unit
+            } else {
+              cache.remove(q)
+              if (poison) stale.add(q): Unit else ()
+            }
+          }
+          event match {
+            case e: DropTableEvent => touch(e.database, e.name, true)
+            case e: CreateTableEvent => touch(e.database, e.name, true)
+            case e: RenameTableEvent =>
+              touch(e.database, e.name, true)
+              touch(e.database, e.newName, true)
+            case _ => ()
+          }
+        }
+      })
+    }
+  }
 
   /** Build (or rebuild) `table`'s key stats with ONE scan: exact count
     * + cms_sketch over the engine's 52-bit md5 key hash. `sizeBytes`
     * records the relation's optimizer size estimate so the planning
     * rule can make the broadcast call without touching the filesystem
     * per query. w=1024, d=3 is the q37/q38 shape: 24 KB, ε = e/1024.
+    *
+    * Analyzing a VERSIONED STORE's serving name also snapshots the
+    * stats onto its current GENERATION table (the relation the
+    * optimizer actually sees once the view expands — and the one a
+    * `VERSION AS OF` read resolves to), unless the store is
+    * merge-on-read (tombstones make generation content differ from
+    * served content, so a generation-level sketch would overstate it).
+    *
+    * `location` overrides where the `__kstats` table's files live;
+    * default co-locates next to the analyzed table's own directory.
     */
   def analyzeKey(spark: SparkSession, table: String, keyCol: String,
-      w: Int = 1024, d: Int = 3): KeyStats = {
-    val df = spark.table(table)
+      w: Int = 1024, d: Int = 3,
+      location: Option[String] = None): KeyStats = {
+    val q = qualify(spark, table)
+    val df = spark.table(q)
     val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
       .min(BigInt(Long.MaxValue)).toLong
     val row = df
@@ -68,44 +149,160 @@ object SketchStats {
         graft.functions.VectorFunctions.cms_sketch(col("h"), w, d)
           .as("cms"))
       .head()
-    val stats = KeyStats(table, keyCol, row.getLong(0), sizeBytes,
+    val stats = KeyStats(q, keyCol, row.getLong(0), sizeBytes,
       row.getAs[Array[Byte]](1))
-    persist(spark, stats)
+    persist(spark, stats, location)
+    snapshotToCurrentGeneration(spark, q, stats)
     stats
   }
 
-  private def persist(spark: SparkSession, stats: KeyStats): Unit = {
+  /** If `q` is a versioned-store serving view (and not merge-on-read),
+    * copy its fresh stats onto the current generation table — count and
+    * sketch are identical by construction; sizeBytes re-reads the
+    * generation relation's own estimate.
+    */
+  private def snapshotToCurrentGeneration(spark: SparkSession, q: String,
+      stats: KeyStats): Unit = {
+    val Array(db, bare) = q.split('.')
+    // generation discovery lists the CURRENT database — a store in
+    // another db keeps its view-level stats only
+    if (db != spark.sessionState.catalog.getCurrentDatabase) return
+    val gen = scala.util.Try(
+      BucketedStores.currentGeneration(spark, bare)).toOption
+    val isMor = scala.util.Try(
+      BucketedStores.currentTombstones(spark, bare)).isSuccess
+    gen.filter(_ => !isMor).foreach { g =>
+      copyTo(spark, stats, g)
+    }
+  }
+
+  /** Persist `stats` under table name `to` (a generation snapshot):
+    * same count/sketch, sizeBytes re-read from `to`'s own relation.
+    */
+  private[graft] def copyTo(spark: SparkSession, stats: KeyStats,
+      to: String): Unit = {
+    val qTo = qualify(spark, to)
+    val sizeBytes = scala.util.Try(
+      spark.table(qTo).queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong).getOrElse(stats.sizeBytes)
+    persist(spark, stats.copy(table = qTo, sizeBytes = sizeBytes))
+  }
+
+  /** Durable stats location: next to the analyzed table's own
+    * directory (`<dir>__kstats` — deterministic, so an overwrite
+    * reuses it instead of orphaning the old one). Views and pathless
+    * relations get a deterministic warehouse-adjacent dir instead —
+    * still EXTERNAL (a managed table would refuse to re-create over a
+    * dead JVM's leftover directory; an external overwrite just
+    * truncates it).
+    */
+  private def defaultLocation(spark: SparkSession,
+      qTable: String): String = {
+    val fromBase = scala.util.Try {
+      val Array(db, t) = qTable.split('.')
+      val meta = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(t, Some(db)))
+      if (meta.tableType == CatalogTableType.VIEW) None
+      else Option(meta.location).map(_.toString.stripSuffix("/") +
+        "__kstats")
+    }.toOption.flatten
+    fromBase.getOrElse(
+      spark.sessionState.conf.warehousePath.stripSuffix("/") +
+        "/graft_kstats/" + qTable + "__kstats")
+  }
+
+  private def persist(spark: SparkSession, stats: KeyStats,
+      location: Option[String] = None): Unit = {
     import spark.implicits._
-    Seq((stats.keyCol, stats.nRows, stats.sizeBytes, stats.cms,
-      stats.lastBatch))
-      .toDF("key_col", "n_rows", "size_bytes", "cms", "last_batch")
+    ensureInvalidationHook(spark)
+    val w = Seq((stats.keyCol, stats.nRows, stats.sizeBytes, stats.cms,
+      stats.lastBatch, stats.lineage))
+      .toDF("key_col", "n_rows", "size_bytes", "cms", "last_batch",
+        "lineage")
       .write.mode("overwrite")
-      .option("path",
-        java.nio.file.Files.createTempDirectory("graft_kstats").toString)
+    w.option("path",
+        location.getOrElse(defaultLocation(spark, stats.table)))
       .saveAsTable(statsTableOf(stats.table))
+    stale.remove(stats.table)
     cache.put(stats.table, Some(stats))
   }
 
-  /** The stored stats for `table`, or None when it has none — the
-    * planning rule's stand-down signal. Cached per driver; a MISS
-    * (no stats table) is cached too, so un-statted tables cost one
-    * catalog probe per session, not one per query.
+  /** The stored stats for `table`, or None when it has none (or a
+    * catalog event marked them stale) — the planning rule's
+    * stand-down signal. Cached per driver; a MISS (no stats table) is
+    * cached too, so un-statted tables cost one catalog probe per
+    * session, not one per query.
     */
   def read(spark: SparkSession, table: String): Option[KeyStats] = {
-    val cached = cache.get(table)
+    ensureInvalidationHook(spark)
+    val q = qualify(spark, table)
+    if (stale.contains(q)) return None
+    val cached = cache.get(q)
     if (cached != null) return cached
-    val loaded =
-      if (!spark.catalog.tableExists(statsTableOf(table))) None
-      else {
-        val r = spark.table(statsTableOf(table)).head()
-        Some(KeyStats(table, r.getString(0), r.getLong(1), r.getLong(2),
-          r.getAs[Array[Byte]](3), r.getLong(4)))
-      }
-    cache.put(table, loaded)
+    val loaded = readStored(spark, q)
+    cache.put(q, loaded)
     loaded
   }
 
-  def invalidate(table: String): Unit = { cache.remove(table): Unit }
+  /** Direct storage read, bypassing cache AND the stale mark —
+    * internal maintenance that KNOWS content was preserved (a
+    * compaction rewrite fires drop/rename events that poison the mark,
+    * but the counts/sketch stay exact) reads through it and
+    * re-persists.
+    */
+  private[graft] def readStored(spark: SparkSession,
+      table: String): Option[KeyStats] = {
+    val q = qualify(spark, table)
+    if (!spark.catalog.tableExists(statsTableOf(q))) None
+    else {
+      val r = spark.table(statsTableOf(q)).head()
+      Some(KeyStats(q, r.getAs[String]("key_col"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("size_bytes"),
+        r.getAs[Array[Byte]]("cms"), r.getAs[Long]("last_batch"),
+        r.getAs[String]("lineage")))
+    }
+  }
+
+  def invalidate(table: String): Unit = {
+    // over-invalidation is safe (one extra storage read): without a
+    // session we can't resolve the current database, so evict every
+    // entry whose qualified name could refer to `table`
+    val t = table.toLowerCase(java.util.Locale.ROOT)
+    if (t.contains(".")) { cache.remove(t); stale.remove(t): Unit }
+    else {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) { if (it.next().endsWith("." + t)) it.remove() }
+    }
+  }
+
+  /** Drop `table`'s stored stats entirely — the stand-down marker the
+    * store maintenance paths use when a rewrite changes content they
+    * cannot price delta-only: a stale `sizeBytes`/sketch on a store
+    * that grew 100× is exactly the runaway broadcast the planning rule
+    * exists to prevent, so maintained-but-unpriced stats must die, not
+    * linger.
+    */
+  def dropStats(spark: SparkSession, table: String): Unit = {
+    val q = qualify(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${statsTableOf(q)}")
+    stale.remove(q)
+    cache.put(q, None): Unit
+  }
+
+  /** Content-preserving refresh: the table was rewritten (compaction)
+    * with identical rows, so count/sketch stay exact and only the
+    * relation's size estimate is re-read. Reads through the stale mark
+    * (the rewrite's own drop/rename events set it) and re-persists.
+    * No-op when the table was never analyzed.
+    */
+  def refreshSize(spark: SparkSession, table: String): Unit = {
+    val q = qualify(spark, table)
+    readStored(spark, q).foreach { old =>
+      val sizeBytes = spark.table(q).queryExecution.optimizedPlan
+        .stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+      persist(spark, old.copy(sizeBytes = sizeBytes))
+    }
+  }
 
   /** DELTA-ONLY stats maintenance — the reason the stats tier survives
     * 100 TB: when a store's changelog applies (appends and/or deletes
@@ -128,17 +325,30 @@ object SketchStats {
     * delivers at-least-once, and a double-applied delta would corrupt
     * the counters silently — with a batch id, a replayed batch is a
     * no-op (stats remember the highest id folded in). Batch ids must
-    * arrive non-decreasing (Structured Streaming's contract).
+    * arrive non-decreasing (Structured Streaming's contract) — WITHIN
+    * ONE LINEAGE: ids are scoped to a checkpoint, and a fresh
+    * checkpoint restarts them at 0, so callers pass the checkpoint
+    * identity as `lineage`. A batch from a NEW lineage always applies
+    * (and re-scopes the guard); only a same-lineage id at or below the
+    * recorded high-water is a replay. Omitting `lineage` keeps the
+    * previous scope — the batch-API form.
     */
   def applyDelta(spark: SparkSession, table: String,
       added: Option[DataFrame], deleted: Option[DataFrame],
-      batchId: Option[Long] = None): KeyStats = {
-    val old = read(spark, table).getOrElse(sys.error(
-      s"$table has no key stats — analyzeKey first"))
-    if (batchId.exists(_ <= old.lastBatch)) return old // replay: no-op
+      batchId: Option[Long] = None,
+      lineage: Option[String] = None): KeyStats = {
+    val q = qualify(spark, table)
+    // maintenance reads THROUGH the stale mark (readStored): the mark
+    // guards the planner path; a maintainer folding a delta it has in
+    // hand is the party that makes stats fresh again
+    val old = readStored(spark, q).getOrElse(sys.error(
+      s"$q has no key stats — analyzeKey first"))
+    val sameLineage = lineage.forall(_ == old.lineage)
+    if (sameLineage && batchId.exists(_ <= old.lastBatch))
+      return old // replay within this lineage: no-op
     val buf = CmsBuffer.deserialize(old.cms)
     require(buf.w > 0 && buf.d > 0,
-      s"$table stats sketch has no shape — re-run analyzeKey")
+      s"$q stats sketch has no shape — re-run analyzeKey")
     val (w0, d0) = (buf.w, buf.d)
     def deltaSketch(df: DataFrame): (Long, CmsBuffer) = {
       val r = df
@@ -157,11 +367,13 @@ object SketchStats {
     deleted.foreach { dd =>
       val (nd, sk) = deltaSketch(dd); n -= nd; buf.subtract(sk)
     }
-    require(n >= 0, s"$table stats: row count went negative ($n)")
-    val sizeBytes = spark.table(table).queryExecution.optimizedPlan
+    require(n >= 0, s"$q stats: row count went negative ($n)")
+    val sizeBytes = spark.table(q).queryExecution.optimizedPlan
       .stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
-    val stats = KeyStats(table, old.keyCol, n, sizeBytes, buf.serialize(),
-      batchId.getOrElse(old.lastBatch))
+    val stats = KeyStats(q, old.keyCol, n, sizeBytes, buf.serialize(),
+      if (sameLineage) batchId.getOrElse(old.lastBatch)
+      else batchId.getOrElse(-1L),
+      lineage.getOrElse(old.lineage))
     persist(spark, stats)
     stats
   }

@@ -76,7 +76,11 @@ case class SketchJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       Seq[AttributeReference])] = p match {
     case rel: LogicalRelation =>
       rel.catalogTable.map { ct =>
-        (ct.identifier.table, false,
+        // fully-qualified lookup key: a same-named table in another
+        // database must never resolve to this table's stats
+        val name = ct.identifier.database
+          .fold(ct.identifier.table)(_ + "." + ct.identifier.table)
+        (name, false,
           rel.output.collect { case a: AttributeReference => a })
       }
     case Project(_, child) => origin(child)
@@ -110,22 +114,37 @@ case class SketchJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
     if (!onSketchedKeys) return None
 
-    val est = SketchStats.estimateJoinRows(ls, rs)
     val failRows = conf.getConfString(FailRowsConf, "-1").toLong
+    // Estimate ONLY when the runaway gate is armed, and never let the
+    // estimator kill planning: two tables analyzed with different w/d
+    // make CmsInnerProduct throw on shape mismatch, and exact counter
+    // arithmetic throws on Long overflow at extreme scale. Either way
+    // the GATE stands down with a warning — the broadcast decision
+    // below needs only sizeBytes and proceeds regardless.
+    val est: Option[Long] =
+      if (failRows <= 0) None
+      else scala.util.Try(SketchStats.estimateJoinRows(ls, rs)) match {
+        case scala.util.Success(v) => Some(v)
+        case scala.util.Failure(e) =>
+          logWarning(s"[GRAFT_SKETCH_JOIN] $lTab ⋈ $rTab: join-rows " +
+            s"estimate unavailable (${e.getMessage}) — runaway gate " +
+            "stands down; broadcast decision proceeds on stored sizes")
+          None
+      }
     // the gate stays INNER-only: the inner product one-sidedly bounds
     // the MATCHED-pair count, which equals inner output but only part
     // of an outer join's — failing an outer join on it would not be
     // evidence-sound
-    if (jt == Inner && failRows > 0 && est > failRows) {
+    if (jt == Inner && est.exists(_ > failRows)) {
       if (!lFiltered && !rFiltered)
         throw new AnalysisException(
           s"[GRAFT_SKETCH_JOIN] $lTab ⋈ $rTab on " +
             s"(${ls.keyCol}, ${rs.keyCol}): sketch-estimated output " +
-            s"$est rows exceeds $FailRowsConf=$failRows — a key is " +
+            s"${est.get} rows exceeds $FailRowsConf=$failRows — a key is " +
             "fanning out; verify the join keys or raise the limit",
           None, None, None, None, Map.empty[String, String], Array.empty)
       else logWarning(s"[GRAFT_SKETCH_JOIN] $lTab ⋈ $rTab estimated " +
-        s"$est rows (> $failRows) from TABLE-level sketches; a filter " +
+        s"${est.get} rows (> $failRows) from TABLE-level sketches; a filter " +
         "is present so the estimate is an upper bound — not failing")
     }
 
@@ -142,7 +161,8 @@ case class SketchJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     if (!lFits && !rFits) return None
     // smaller recorded side wins when both fit
     val hintLeft = lFits && (!rFits || ls.sizeBytes <= rs.sizeBytes)
-    logInfo(s"[GRAFT_SKETCH_JOIN] $lTab ⋈ $rTab: est=$est rows, " +
+    logInfo(s"[GRAFT_SKETCH_JOIN] $lTab ⋈ $rTab: " +
+      s"est=${est.map(_.toString).getOrElse("n/a (gate off)")} rows, " +
       s"sizes=(${ls.sizeBytes}, ${rs.sizeBytes}) bytes, budget=$budget" +
       s" — broadcasting ${if (hintLeft) lTab else rTab}")
     Some(if (hintLeft)

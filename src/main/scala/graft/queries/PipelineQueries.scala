@@ -622,7 +622,7 @@ object PipelineQueries {
   /** pl10: pl9's reproducibility property through the SQL surface —
     * the retained snapshot is read with the stock grammar's
     * `VERSION AS OF` (resolved by
-    * [[org.apache.spark.sql.graft.ResolveStoreTimeTravel]] to the
+    * [[org.apache.spark.sql.graft.StoreTimeTravelRewrite]] to the
     * retained generation) instead of the `readGeneration` API. Same
     * from-scratch DuckDB rebuild oracle as pl9: the SQL path must
     * reproduce yesterday's keep list bit-exactly after today's

@@ -330,14 +330,22 @@ object DocumentsStreaming {
       .parquet(stagedDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
-        val seen = SketchStats.read(spark, table).exists(_.lastBatch >= bid)
+        // batch ids are CHECKPOINT-scoped (a fresh checkpoint restarts
+        // at 0), so the replay guard carries the checkpoint path as the
+        // batch id's LINEAGE: a second maintenance stream with a new
+        // checkpoint always applies its batches (new lineage re-scopes
+        // the guard), while a same-checkpoint resume's re-delivered
+        // batch is the no-op it should be.
+        val seen = SketchStats.read(spark, table)
+          .exists(s => s.lineage == chk && s.lastBatch >= bid)
         if (!seen) {
           val b = batch.persist()
           try {
             b.write.mode("append").saveAsTable(table)
             spark.catalog.refreshTable(table)
             SketchStats.applyDelta(spark, table, added = Some(b.toDF()),
-              deleted = None, batchId = Some(bid)): Unit
+              deleted = None, batchId = Some(bid),
+              lineage = Some(chk)): Unit
           } finally b.unpersist()
         }
       }

@@ -78,15 +78,21 @@ object GraftCommandParser {
     def w(i: Int) = if (i < toks.length) toks(i).word else ""
     w(1) match {
       case "ANALYZE" =>
-        // GRAFT ANALYZE <table> KEY <column>
-        if (w(3) != "KEY" || w(2).isEmpty || w(4).isEmpty ||
-            toks.length != 5)
+        // GRAFT ANALYZE <table> KEY <column> — the table may be
+        // db-qualified (`db.t` lexes as two words around a skipped
+        // dot), so the table text is everything between ANALYZE and
+        // the KEY keyword
+        val keyIdx = toks.indexWhere(_.word == "KEY", 2)
+        if (keyIdx < 3 || toks.length != keyIdx + 2)
           fail("expected GRAFT ANALYZE <table> KEY <column>, got: " +
             sql.trim)
-        Some(GraftAnalyzeKeyCommand(
-          sql.substring(toks(2).start, toks(2).end)
-            .toLowerCase(Locale.ROOT),
-          sql.substring(toks(4).start, toks(4).end)))
+        val table = sql.substring(toks(1).end, toks(keyIdx).start)
+          .trim.toLowerCase(Locale.ROOT)
+        if (table.isEmpty || !table.matches("[a-z0-9_]+(\\.[a-z0-9_]+)?"))
+          fail(s"GRAFT ANALYZE wants a plain or db-qualified table " +
+            s"name, got '$table'")
+        Some(GraftAnalyzeKeyCommand(table,
+          sql.substring(toks(keyIdx + 1).start, toks(keyIdx + 1).end)))
       case "VACUUM" =>
         // GRAFT VACUUM '<root>' [OLDER THAN <n> HOURS] — the quoted
         // path is skipped by the lexer and sits in the gap after

@@ -106,7 +106,22 @@ object StoreTimeTravelRewrite {
           // match the store case-insensitively the way resolution would
           val name = s.substring(identTok.start, identTok.end)
             .toLowerCase(java.util.Locale.ROOT)
-          val gens = liveGenerations(spark, name)
+          // an explicit `db.store` qualifier: the lexer skips the dot,
+          // so the qualifier is the immediately-adjacent previous word
+          // (dot between them in the raw text). Unqualified stores
+          // resolve against the session's CURRENT database, exactly as
+          // table resolution would.
+          val qualTok: Option[Tok] =
+            if (identTok.start > 0 && s.charAt(identTok.start - 1) == '.'
+                && identIdx > 0 &&
+                toks(identIdx - 1).end == identTok.start - 1 &&
+                !NonIdent.contains(toks(identIdx - 1).word))
+              Some(toks(identIdx - 1))
+            else None
+          val db = qualTok.map(t => s.substring(t.start, t.end)
+            .toLowerCase(java.util.Locale.ROOT))
+            .getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+          val gens = liveGenerations(spark, db, name)
           if (gens.nonEmpty) {
             // the value: raw text from OF to the next token (the
             // lexer skips literals, so a quoted value sits wholly in
@@ -122,14 +137,21 @@ object StoreTimeTravelRewrite {
                 "literal value (an expression with identifiers is " +
                 "not supported on the store surface)")
             val raw = seg.trim
+            val isMor = tombstonesExist(spark, db, name)
             val target =
-              if (tombstonesExist(spark, name))
-                morAsOf(spark, name, isVer, raw)
-              else if (isVer) byVersion(spark, name, gens,
+              if (isMor) morAsOf(spark, db, name, isVer, raw)
+              else if (isVer) byVersion(spark, db, name, gens,
                 stripQuotes(raw))
-              else byTimestamp(spark, name, gens, raw)
+              else byTimestamp(spark, db, name, gens, raw)
+            // a MoR expansion is a derived table `(SELECT …) name` — a
+            // leading `db.` prefix in the original text must splice
+            // away with it; a plain generation splice keeps the
+            // qualifier (`db.store__v3` resolves in db as intended)
+            val spliceStart =
+              if (isMor) qualTok.map(_.start).getOrElse(identTok.start)
+              else identTok.start
             val sb = new StringBuilder(s)
-            sb.replace(identTok.start, toks(i + 2).end + trail + 1,
+            sb.replace(spliceStart, toks(i + 2).end + trail + 1,
               target)
             return Some(sb.toString)
           }
@@ -146,24 +168,26 @@ object StoreTimeTravelRewrite {
       v.substring(1, v.length - 1)
     else v
 
-  /** graft store generations live in the session catalog's default db
-    * as `name__v<k>` physical tables.
+  /** graft store generations are `name__v<k>` physical tables in the
+    * store's own database (the identifier's qualifier, or the
+    * session's current database when unqualified).
     */
-  private def liveGenerations(spark: SparkSession,
+  private def liveGenerations(spark: SparkSession, db: String,
       name: String): Seq[Int] = {
     if (name.isEmpty || !name.forall(c => c.isLetterOrDigit || c == '_'))
       return Seq.empty
+    if (!spark.sessionState.catalog.databaseExists(db)) return Seq.empty
     val p = name + "__v"
-    spark.sessionState.catalog.listTables("default", p + "*")
+    spark.sessionState.catalog.listTables(db, p + "*")
       .map(_.table)
       .filter(t => t.startsWith(p) && t.stripPrefix(p).nonEmpty &&
         t.stripPrefix(p).forall(_.isDigit))
       .map(_.stripPrefix(p).toInt).sorted
   }
 
-  private def tombstonesExist(spark: SparkSession,
+  private def tombstonesExist(spark: SparkSession, db: String,
       name: String): Boolean =
-    spark.sessionState.catalog.listTables("default", name + "__t*")
+    spark.sessionState.catalog.listTables(db, name + "__t*")
       .exists(_.table.matches(
         java.util.regex.Pattern.quote(name) + "__t\\d+"))
 
@@ -177,9 +201,8 @@ object StoreTimeTravelRewrite {
     * `TIMESTAMP AS OF` has no MoR meaning (tombstones carry sequence,
     * not wall-clock) and fails with guidance.
     */
-  private def morAsOf(spark: SparkSession, name: String, isVer: Boolean,
-      raw: String): String = {
-    import graft.operators.BucketedStores
+  private def morAsOf(spark: SparkSession, db: String, name: String,
+      isVer: Boolean, raw: String): String = {
     if (!isVer)
       fail(s"$name is a merge-on-read store — its history is " +
         "sequence-within-era, so TIMESTAMP AS OF has no meaning " +
@@ -189,12 +212,27 @@ object StoreTimeTravelRewrite {
         fail(s"VERSION AS OF $raw on merge-on-read store $name — " +
           "the version is the integer batch sequence (0 = as-built)")
     }
-    val (idCols, tombIdCol) = BucketedStores.morTopology(spark, name)
+    val props = scala.util.Try(spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(name, Some(db))).properties)
+      .getOrElse(Map.empty[String, String])
+    val (idCols, tombIdCol) = (for {
+      ids <- props.get("graft.mor.idCols")
+      tid <- props.get("graft.mor.tombIdCol")
+    } yield (ids.split(',').toSeq, tid))
       .getOrElse(fail(s"$name is a merge-on-read store but its " +
         "serving view carries no graft.mor.* topology properties — " +
         "re-run morEnable (or read via BucketedStores.readMorAsOfSeq)"))
-    val gen = BucketedStores.currentGeneration(spark, name)
-    val tomb = BucketedStores.currentTombstones(spark, name)
+    val cat = spark.sessionState.catalog
+    def newest(suffix: String): String = {
+      val p = name + "__" + suffix
+      val vs = cat.listTables(db, p + "*").map(_.table)
+        .filter(t => t.startsWith(p) && t.stripPrefix(p).nonEmpty &&
+          t.stripPrefix(p).forall(_.isDigit))
+      require(vs.nonEmpty, s"$db.$name has no __$suffix tables")
+      db + "." + vs.maxBy(_.stripPrefix(p).toInt)
+    }
+    val gen = newest("v")
+    val tomb = newest("t")
     val clauses = idCols.map(c =>
       s"NOT EXISTS (SELECT 1 FROM $tomb t WHERE t.$tombIdCol = g.$c " +
         s"AND t.seq <= $seq AND g._seq < t.seq)")
@@ -202,7 +240,7 @@ object StoreTimeTravelRewrite {
       s"${clauses.mkString(" AND ")}) $name"
   }
 
-  private def byVersion(spark: SparkSession, name: String,
+  private def byVersion(spark: SparkSession, db: String, name: String,
       gens: Seq[Int], v: String): String = {
     val k = try v.trim.toInt catch {
       case _: NumberFormatException =>
@@ -223,7 +261,7 @@ object StoreTimeTravelRewrite {
     * `t`. Ties (same millisecond) break to the higher generation, the
     * one the view served after the swap.
     */
-  private def byTimestamp(spark: SparkSession, name: String,
+  private def byTimestamp(spark: SparkSession, db: String, name: String,
       gens: Seq[Int], raw: String): String = {
     val micros = Cast(Literal(stripQuotes(raw)), TimestampType,
       Some(spark.sessionState.conf.sessionLocalTimeZone)).eval() match {
@@ -234,7 +272,7 @@ object StoreTimeTravelRewrite {
     val cutoffMs = Math.floorDiv(micros, 1000L)
     val cat = spark.sessionState.catalog
     val atOrBefore = gens.filter { k =>
-      cat.getTableMetadata(TableIdentifier(s"${name}__v$k"))
+      cat.getTableMetadata(TableIdentifier(s"${name}__v$k", Some(db)))
         .createTime <= cutoffMs
     }
     if (atOrBefore.isEmpty)

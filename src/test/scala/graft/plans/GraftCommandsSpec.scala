@@ -30,7 +30,10 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.range(5000L).select((col("id") % 250).as("k"))
       .write.option("path", tmp()).saveAsTable("cmd_fact")
     val row = spark.sql("GRAFT ANALYZE cmd_fact KEY k").head()
-    assert(row.getString(0) === "cmd_fact" && row.getString(1) === "k")
+    // stats identity is the FULLY-QUALIFIED name (db.table): an
+    // unqualified ANALYZE resolves against the current database
+    assert(row.getString(0) === "default.cmd_fact" &&
+      row.getString(1) === "k")
     assert(row.getLong(2) === 5000L)
     assert(row.getLong(4) === 8L + 8L * 1024 * 3) // w=1024 d=3 matrix
     val s = SketchStats.read(spark, "cmd_fact").get

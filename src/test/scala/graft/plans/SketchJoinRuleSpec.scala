@@ -235,6 +235,153 @@ class SketchJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("store lifecycle keeps the planner honest: analyzing a " +
+      "versioned store arms the rule through the view AND on " +
+      "time-traveled reads; compaction carries stats; a " +
+      "content-changing delta kills them (stand-down, never stale)") {
+    import graft.operators.BucketedStores
+    spark.range(3000L)
+      .select((col("id") % 300).as("k"), col("id").as("p"))
+      .repartition(4, col("k"))
+      .write.bucketBy(4, "k").sortBy("k").option("path", tmp())
+      .saveAsTable("sjr_store")
+    BucketedStores.adoptVersioned(spark, "sjr_store")
+    SketchStats.analyzeKey(spark, "sjr_store", "k")
+    // the serving view expands to the generation table before the rule
+    // runs — the analyze must have armed the GENERATION, not just the
+    // name the user typed
+    noAutoBroadcast() {
+      val j = spark.table("sjr_store")
+        .join(spark.table("sjr_dim"), Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(executed(j).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "analyzing the store name must arm the rule through the view")
+    }
+    // compaction preserves content: stats carry to the new generation,
+    // and the RETAINED old one keeps its own — a time-traveled join
+    // still plans with the hint (a historical rescan is exactly where
+    // losing sketch planning would hurt most)
+    BucketedStores.compactAtomic(spark, "sjr_store", Seq("k"), Seq("k"),
+      4, retain = 1)
+    noAutoBroadcast() {
+      val j = spark.table("sjr_store")
+        .join(spark.table("sjr_dim"), Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(executed(j).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "stats must survive a content-preserving compaction")
+      val tt = spark.sql(
+        "SELECT count(1) AS n FROM sjr_store VERSION AS OF 1 s " +
+          "JOIN sjr_dim d ON s.k = d.k")
+      assert(executed(tt).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "a VERSION AS OF read of a retained generation must keep its " +
+          "sketch-planned broadcast")
+    }
+    // a changelog delta changes content the store APIs can't price
+    // delta-only (removed ids, not removed ROWS) — the stats must DIE
+    // so the rule stands down; stale stats on a store that grew are
+    // the runaway broadcast the rule exists to prevent
+    BucketedStores.applyDeltaAtomic(spark, "sjr_store", Seq("k"),
+      Seq("k"), 4, "k",
+      removeIds = spark.range(5L).select(col("id").as("k")),
+      additions = None)
+    assert(SketchStats.read(spark, "sjr_store").isEmpty,
+      "a content-changing delta must invalidate the serving stats")
+    noAutoBroadcast() {
+      val j = spark.table("sjr_store")
+        .join(spark.table("sjr_dim"), Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(!executed(j).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "after an unpriced delta the rule must stand down")
+    }
+    BucketedStores.dropVersioned(spark, "sjr_store")
+  }
+
+  test("merge-on-read maintenance prices what it holds: morAppend " +
+      "delta-maintains the serving stats byte-equal to a rescan; " +
+      "morDelete (unpriceable from id-level tombstones) kills them") {
+    import graft.operators.BucketedStores
+    spark.range(2000L)
+      .select((col("id") % 200).as("k"), col("id").as("p"),
+        lit(0L).as("_seq"))
+      .repartition(4, col("k"))
+      .write.bucketBy(4, "k").sortBy("k").option("path", tmp())
+      .saveAsTable("sjr_mor")
+    BucketedStores.adoptVersioned(spark, "sjr_mor")
+    BucketedStores.morEnable(spark, "sjr_mor", Seq("k"), "k")
+    SketchStats.analyzeKey(spark, "sjr_mor", "k")
+    val seq = BucketedStores.morNextSeq(spark, "sjr_mor")
+    val add = spark.range(2000L, 2100L)
+      .select((col("id") % 200).as("k"), col("id").as("p"))
+    BucketedStores.morAppend(spark, "sjr_mor", add, seq,
+      Seq("k"), Seq("k"), 4)
+    val maintained = SketchStats.read(spark, "sjr_mor").get
+    val rescan = SketchStats.analyzeKey(spark, "sjr_mor", "k")
+    assert(maintained.nRows === rescan.nRows,
+      "morAppend must fold the appended rows into the stats")
+    assert(java.util.Arrays.equals(maintained.cms, rescan.cms),
+      "the delta-maintained sketch must be byte-equal to a rescan")
+    BucketedStores.morDelete(spark, "sjr_mor",
+      spark.range(3L).select(col("id").as("k")),
+      BucketedStores.morNextSeq(spark, "sjr_mor"))
+    assert(SketchStats.read(spark, "sjr_mor").isEmpty,
+      "a MoR delete must invalidate the serving stats")
+    BucketedStores.dropVersioned(spark, "sjr_mor")
+  }
+
+  test("catalog events keep the cache honest: DROP + re-CREATE of an " +
+      "analyzed table stands the rule down instead of serving ghost " +
+      "stats; a fresh analyze re-arms") {
+    spark.range(100L).select(col("id").as("k"))
+      .write.option("path", tmp()).saveAsTable("sjr_ghost")
+    SketchStats.analyzeKey(spark, "sjr_ghost", "k")
+    assert(SketchStats.read(spark, "sjr_ghost").isDefined)
+    spark.sql("DROP TABLE sjr_ghost")
+    spark.range(5000L).select(col("id").as("k"))
+      .write.option("path", tmp()).saveAsTable("sjr_ghost")
+    assert(SketchStats.read(spark, "sjr_ghost").isEmpty,
+      "stats analyzed on the dropped table must not describe the " +
+        "re-created one")
+    assert(SketchStats.analyzeKey(spark, "sjr_ghost", "k").nRows
+      === 5000L)
+    assert(SketchStats.read(spark, "sjr_ghost").exists(_.nRows === 5000L))
+    Seq("sjr_ghost", "sjr_ghost__kstats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("stats identity is db-qualified: GRAFT ANALYZE db.t arms the " +
+      "rule for db.t only — a same-named table elsewhere never " +
+      "borrows its stats") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS sjr_db")
+    spark.range(2000L)
+      .select(col("id").as("k"), (col("id") * 3).as("attr"))
+      .write.option("path", tmp()).saveAsTable("sjr_db.sjr_qdim")
+    // same-named, UN-analyzed twin in the current database
+    spark.range(2000L)
+      .select(col("id").as("k"), (col("id") * 3).as("attr"))
+      .write.option("path", tmp()).saveAsTable("sjr_qdim")
+    spark.sql("GRAFT ANALYZE sjr_db.sjr_qdim KEY k")
+    assert(SketchStats.read(spark, "sjr_db.sjr_qdim").isDefined)
+    assert(SketchStats.read(spark, "sjr_qdim").isEmpty,
+      "the default-db twin must not resolve to sjr_db's stats")
+    noAutoBroadcast() {
+      val armed = spark.table("sjr_fact")
+        .join(spark.table("sjr_db.sjr_qdim"), Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(executed(armed)
+        .exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "the analyzed qualified table must get the hint")
+      val unarmed = spark.table("sjr_fact")
+        .join(spark.table("sjr_qdim"), Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(!executed(unarmed)
+        .exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "the un-analyzed twin must stand down")
+    }
+    Seq("sjr_qdim", "sjr_db.sjr_qdim", "sjr_db.sjr_qdim__kstats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql("DROP DATABASE IF EXISTS sjr_db")
+  }
+
   test("the estimate itself: one-sided and within the CMS error band") {
     val f = SketchStats.read(spark, "sjr_fact").get
     val d = SketchStats.read(spark, "sjr_dim").get

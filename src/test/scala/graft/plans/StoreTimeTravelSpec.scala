@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.BucketedStores
 
-/** Gates [[org.apache.spark.sql.graft.ResolveStoreTimeTravel]]: SQL
+/** Gates [[org.apache.spark.sql.graft.StoreTimeTravelRewrite]]: SQL
   * `VERSION AS OF k` must read exactly the retained generation
   * (byte-equal to `readGeneration`), retired generations must fail
   * loudly with the live window in the message, `TIMESTAMP AS OF` must

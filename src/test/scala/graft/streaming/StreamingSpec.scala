@@ -995,6 +995,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rescan = SketchStats.analyzeKey(spark, "st26_res", "k")
     assert(java.util.Arrays.equals(fin.cms, rescan.cms),
       "resumed stats must be byte-equal to the rescan")
+    // a SECOND maintenance stream (fresh checkpoint = fresh lineage,
+    // batch ids restart at 0) must APPLY its batches: the replay guard
+    // is scoped to the checkpoint identity, so a new lineage can never
+    // be silently skipped against the old lineage's high-water mark
+    val more2 = spark.range(4000L, 4400L).select(col("id").as("k"))
+    DocumentsStreaming.statsMaintenanceStream(spark, "st26_res",
+      more2, "k")
+    val after = SketchStats.read(spark, "st26_res").get
+    assert(after.nRows === 4400L,
+      "a fresh-lineage maintenance stream must append and fold, not " +
+        s"silently no-op against the old lineage's batch ids: $after")
+    assert(after.nRows === spark.table("st26_res").count())
+    val rescan2 = SketchStats.analyzeKey(spark, "st26_res", "k")
+    assert(java.util.Arrays.equals(after.cms, rescan2.cms),
+      "second-lineage stats must be byte-equal to the rescan")
     Seq("st26_res", "st26_res__kstats")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
