@@ -95,10 +95,15 @@ object Bench {
     // output dir per rep so resume never short-circuits the timing.
     var castsPerSec = 0.0
     var bulkCastsPerSec = 0.0
-    // SPARK_GRAFT_WOD_REPS=n — conversion rep count (default 2); used
-    // for variance forensics on the per-file path (r15 weak flag).
+    // SPARK_GRAFT_WOD_REPS=n — conversion rep count. Default 3: the
+    // r16 adjudication measured the per-file path's rep spread at ~2×
+    // on a HEALTHY idle host (6 reps: 48.8–95.1 s; hundreds of tiny
+    // driver-scheduled jobs amplify ambient IO jitter), so r15's
+    // min-of-2 "1.66× regression" was sampling noise — min-of-3 is the
+    // cheapest stable point estimate. Bulk (one job) is ±5% and
+    // doesn't need it, but shares the knob for simplicity.
     val wodReps = sys.env.get("SPARK_GRAFT_WOD_REPS")
-      .map(_.toInt).getOrElse(2)
+      .map(_.toInt).getOrElse(3)
     if (!skipWod && !(only.isDefined && !wodOnly)) {
       try {
         val reps = benchWodConvert(spark, wodReps = wodReps, bulk = false)

@@ -528,6 +528,7 @@ object MultimodalQueries {
         maxHamming = 24)
         .orderBy(col("id_a"), col("id_b"))
     },
+    bench = true,
     sql = Some("""
       WITH m AS (
         SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx,

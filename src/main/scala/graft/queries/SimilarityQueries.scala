@@ -724,7 +724,26 @@ object SimilarityQueries {
     },
     sql = Some(ivfDeleteOracleSql))
 
+  /** sim12: sim7's stored-index serving as PURE SQL TEXT — the
+    * `GRAFT_ANN('<index>', '<queries>', k, nprobe)` table-valued macro
+    * ([[org.apache.spark.sql.graft.GraftAnnRewrite]]) expands at parse
+    * time into the same probe plan class probeIvfIndex builds
+    * (bucket-aligned list scan, broadcast centroid companion,
+    * query-scale shuffle only). Same index, same nprobe, same
+    * selection rule — so sim4's oracle verbatim, the third surface
+    * (API → stored API → SQL text) over one semantics.
+    */
+  val sim12AnnSql = Q(
+    "sim12_ann_sql_top1",
+    (s, d) => {
+      val t = ensureIvfIndex(s, d)
+      spread(embeddings(s, d)).createOrReplaceTempView("sim12_queries")
+      s.sql("SELECT id_a, ann_id, score FROM " +
+        s"GRAFT_ANN('$t', 'sim12_queries', 1, 3) ORDER BY id_a")
+    },
+    sql = sim4IvfAnn.sql)
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
-    sim10IvfDeletes, sim11IvfMorDeletes)
+    sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql)
 }

@@ -18,6 +18,17 @@
   *       retired store directories by catalog reachability, returns
   *       one row per deleted path (default grace 24 h — the same
   *       crash-consistency knob as the API).
+  *   GRAFT COMPACT <store> [RETAIN <n>]
+  *     → the store-appropriate compaction, with every parameter read
+  *       from the catalog instead of re-asked: a merge-on-read store
+  *       folds its tombstones in ([[graft.operators.BucketedStores
+  *       .morCompact]] — topology from the serving view's
+  *       `graft.mor.*` properties, bucket/sort spec from the current
+  *       generation's own metadata); a plain versioned store rewrites
+  *       its generation ([[graft.operators.BucketedStores
+  *       .compactAtomic]], where RETAIN keeps <n> previous generations
+  *       readable for time travel). Served content is unchanged by
+  *       contract; returns (store, mode, new generation).
   *
   * Everything not starting with the GRAFT keyword takes the stock
   * path untouched; malformed GRAFT statements fail loudly with the
@@ -54,6 +65,62 @@ case class GraftVacuumCommand(root: String, olderThanMs: Long)
   override def run(spark: SparkSession): Seq[Row] =
     graft.operators.BucketedStores
       .vacuumOrphans(spark, root, olderThanMs).map(Row(_))
+}
+
+case class GraftCompactCommand(store: String, retain: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("store", StringType, nullable = false)(),
+    AttributeReference("mode", StringType, nullable = false)(),
+    AttributeReference("generation", LongType, nullable = false)())
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(s"[GRAFT_COMPACT] $msg", None, None,
+      None, None, Map.empty[String, String], Array.empty)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.operators.BucketedStores
+    if (scala.util.Try(
+        BucketedStores.generations(spark, store)).isFailure)
+      fail(s"$store is not a versioned store (no __v<k> generations)" +
+        " — GRAFT COMPACT serves versioned and merge-on-read stores;" +
+        " compact a plain bucketed table via BucketedStores.compact")
+    val gen = BucketedStores.currentGeneration(spark, store)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(gen))
+    val bs = meta.bucketSpec.getOrElse(
+      fail(s"generation $gen carries no bucket spec — graft stores " +
+        "are bucketed by construction; rebuild the store"))
+    val sortCols =
+      if (bs.sortColumnNames.nonEmpty) bs.sortColumnNames
+      else bs.bucketColumnNames
+    val isMor = scala.util.Try(
+      BucketedStores.currentTombstones(spark, store)).isSuccess
+    val mode =
+      if (isMor) {
+        if (retain > 0)
+          fail("RETAIN applies to copy-on-write generation compaction" +
+            " only — a merge-on-read compaction folds history in and" +
+            " resets the sequence clock (pair MoR with the API's" +
+            " retain knob on the copy-on-write path if builds must" +
+            " stay reproducible)")
+        val (idCols, tombIdCol) = BucketedStores
+          .morTopology(spark, store)
+          .getOrElse(fail(s"$store has tombstones but no graft.mor.*" +
+            " topology properties on its serving view — re-run" +
+            " morEnable"))
+        BucketedStores.morCompact(spark, store, idCols, tombIdCol,
+          bs.bucketColumnNames, sortCols, bs.numBuckets)
+        "merge-on-read"
+      } else {
+        BucketedStores.compactAtomic(spark, store,
+          bs.bucketColumnNames, sortCols, bs.numBuckets,
+          retain = retain)
+        "versioned"
+      }
+    val newGen = BucketedStores.generations(spark, store).max.toLong
+    Seq(Row(store, mode, newGen))
+  }
 }
 
 /** First-token dispatcher + mini-grammar for the GRAFT namespace. */
@@ -119,10 +186,33 @@ object GraftCommandParser {
           } else fail("expected GRAFT VACUUM '<root>' [OLDER THAN <n> " +
             s"HOURS], got: ${sql.trim}")
         Some(GraftVacuumCommand(root, olderMs))
+      case "COMPACT" =>
+        // GRAFT COMPACT <store> [RETAIN <n>]
+        if (w(2).isEmpty ||
+            !(toks.length == 3 ||
+              (toks.length == 4 && w(3) == "RETAIN")))
+          fail("expected GRAFT COMPACT <store> [RETAIN <n>], got: " +
+            sql.trim)
+        val store = sql.substring(toks(2).start, toks(2).end)
+          .toLowerCase(Locale.ROOT)
+        val retain =
+          if (toks.length == 3) 0
+          else {
+            val n = sql.substring(toks(3).end).trim
+            val r = try n.toInt catch {
+              case _: NumberFormatException =>
+                fail(s"RETAIN wants an integer generation count, " +
+                  s"got '$n'")
+            }
+            if (r < 0) fail("RETAIN must be >= 0")
+            r
+          }
+        Some(GraftCompactCommand(store, retain))
       case other =>
         fail(s"unknown GRAFT command '$other' — supported: " +
           "GRAFT ANALYZE <table> KEY <col>, " +
-          "GRAFT VACUUM '<root>' [OLDER THAN <n> HOURS]")
+          "GRAFT VACUUM '<root>' [OLDER THAN <n> HOURS], " +
+          "GRAFT COMPACT <store> [RETAIN <n>]")
     }
   }
 }

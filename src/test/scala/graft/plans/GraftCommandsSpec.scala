@@ -72,6 +72,128 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     BucketedStores.dropVersioned(spark, name)
   }
 
+  test("GRAFT COMPACT folds a merge-on-read store's tombstones in " +
+      "without changing served content and resets the seq clock; a " +
+      "versioned store compacts with RETAIN keeping time travel; " +
+      "misuse fails loudly") {
+    import org.apache.spark.sql.functions.max
+    // --- merge-on-read: build, delta, compact via SQL
+    spark.range(100L)
+      .select(col("id").as("k"), (col("id") * 2).as("v"),
+        org.apache.spark.sql.functions.lit(0L).as("_seq"))
+      .repartition(2, col("k"))
+      .write.bucketBy(2, "k").sortBy("k").option("path", tmp())
+      .saveAsTable("cmd_mor")
+    BucketedStores.adoptVersioned(spark, "cmd_mor")
+    BucketedStores.morEnable(spark, "cmd_mor", Seq("k"), "k")
+    val seq = BucketedStores.morNextSeq(spark, "cmd_mor")
+    BucketedStores.morDelete(spark, "cmd_mor",
+      spark.range(10L).toDF("k"), seq)
+    BucketedStores.morAppend(spark, "cmd_mor",
+      spark.range(100L, 120L)
+        .select(col("id").as("k"), (col("id") * 2).as("v")),
+      seq, Seq("k"), Seq("k"), 2)
+    def served(): Set[(Long, Long)] = spark.table("cmd_mor")
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = served()
+    assert(before.size === 110) // 100 - 10 deleted + 20 appended
+    val row = spark.sql("GRAFT COMPACT cmd_mor").head()
+    assert(row.getString(0) === "cmd_mor" &&
+      row.getString(1) === "merge-on-read" && row.getLong(2) === 2L)
+    assert(served() === before,
+      "compaction must not change served content")
+    assert(spark.table(
+      BucketedStores.currentTombstones(spark, "cmd_mor")).count() === 0L,
+      "tombstones must fold in (fresh empty tombstone generation)")
+    assert(spark.table(
+      BucketedStores.currentGeneration(spark, "cmd_mor"))
+      .agg(max(col("_seq"))).head().getLong(0) === 0L,
+      "the seq clock must reset with the compaction era")
+    // RETAIN has no MoR meaning — loud error, not silent drop
+    val exR = intercept[AnalysisException] {
+      spark.sql("GRAFT COMPACT cmd_mor RETAIN 1")
+    }
+    assert(exR.getMessage.contains("RETAIN applies to copy-on-write"),
+      exR.getMessage)
+    BucketedStores.dropVersioned(spark, "cmd_mor")
+    // --- plain versioned: RETAIN keeps the old generation readable
+    spark.range(50L).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartition(2, col("k"))
+      .write.bucketBy(2, "k").sortBy("k").option("path", tmp())
+      .saveAsTable("cmd_ver")
+    BucketedStores.adoptVersioned(spark, "cmd_ver")
+    val vRow = spark.sql("GRAFT COMPACT cmd_ver RETAIN 1").head()
+    assert(vRow.getString(1) === "versioned" && vRow.getLong(2) === 2L)
+    assert(spark.sql(
+      "SELECT count(1) c FROM cmd_ver VERSION AS OF 1").head()
+      .getLong(0) === 50L,
+      "RETAIN 1 must keep generation 1 time-travelable")
+    BucketedStores.dropVersioned(spark, "cmd_ver")
+    // --- not a store: loud error
+    spark.range(3L).select(col("id").as("k"))
+      .write.option("path", tmp()).saveAsTable("cmd_plain")
+    val exP = intercept[AnalysisException] {
+      spark.sql("GRAFT COMPACT cmd_plain")
+    }
+    assert(exP.getMessage.contains("not a versioned store"),
+      exP.getMessage)
+    spark.sql("DROP TABLE cmd_plain")
+  }
+
+  test("GRAFT_ANN serves a stored IVF index as pure SQL text: top-1 " +
+      "agrees with probeIvfIndex exactly, top-k ranks correctly, and " +
+      "macro misuse fails loudly") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 4, k = 2, table = "cmd_ann_idx", location = Some(tmp()))
+    vecs.createOrReplaceTempView("cmd_ann_q")
+    // top-1 must agree with the API probe, row for row
+    val api = SimilarityOps.probeIvfIndex(spark, "cmd_ann_idx", vecs,
+      "vec_id", "embedding", dims = 4, nprobe = 2)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaSql = spark.sql("SELECT id_a, ann_id, score FROM " +
+      "GRAFT_ANN('cmd_ann_idx', 'cmd_ann_q', 1, 2) ORDER BY id_a")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql === api,
+      "the SQL macro must reproduce probeIvfIndex exactly")
+    // top-k: every query gets k ranked neighbors, rank 1 first, no self
+    val top2 = spark.sql("SELECT id_a, ann_id, score, rank FROM " +
+      "GRAFT_ANN('cmd_ann_idx', 'cmd_ann_q', 2, 2) ORDER BY id_a, rank")
+      .collect()
+    assert(top2.length === 16, "8 queries × top-2")
+    top2.grouped(2).foreach { pair =>
+      assert(pair(0).getLong(0) === pair(1).getLong(0))
+      assert(pair(0).getDouble(2) >= pair(1).getDouble(2),
+        "rank 1 must not score below rank 2")
+      assert(pair(0).getLong(1) !== pair(0).getLong(0),
+        "a query must never be its own neighbor")
+    }
+    val e1 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('no_such_index', 'cmd_ann_q', 1, 1)")
+    }
+    assert(e1.getMessage.contains("not a stored IVF index"),
+      e1.getMessage)
+    val e2 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('cmd_ann_idx', 'cmd_ann_q', 0, 1)")
+    }
+    assert(e2.getMessage.contains("k must be >= 1"), e2.getMessage)
+    val e3 = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM GRAFT_ANN(cmd_ann_idx)")
+    }
+    assert(e3.getMessage.contains("expected GRAFT_ANN("), e3.getMessage)
+    Seq("cmd_ann_idx", "cmd_ann_idx_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("malformed GRAFT statements fail loudly; the namespace claims " +
       "only a leading GRAFT token") {
     val ex1 = intercept[AnalysisException] {

@@ -203,9 +203,9 @@ class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("no-op fuzz: every registered oracle SQL text passes through " +
-      "BOTH parser rewrites byte-identical — ordinary SQL is never " +
-      "touched") {
-    import org.apache.spark.sql.graft.{AsOfSqlRewrite, StoreTimeTravelRewrite}
+      "ALL THREE parser rewrites byte-identical — ordinary SQL is " +
+      "never touched") {
+    import org.apache.spark.sql.graft.{AsOfSqlRewrite, GraftAnnRewrite, StoreTimeTravelRewrite}
     val corpus = graft.SparkEntry.oracleSql.values.toSeq
     assert(corpus.size > 200, "the fuzz corpus should be the registry")
     // the as-of family's oracles USE the shared ASOF dialect (DuckDB
@@ -221,6 +221,8 @@ class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"ASOF rewrite touched ordinary SQL:\n$sql")
       assert(StoreTimeTravelRewrite(spark, sql) === sql,
         s"time-travel rewrite touched ordinary SQL:\n$sql")
+      assert(GraftAnnRewrite(spark, sql) === sql,
+        s"GRAFT_ANN rewrite touched ordinary SQL:\n$sql")
     }
   }
 
