@@ -741,6 +741,7 @@ object SimilarityQueries {
       s.sql("SELECT id_a, ann_id, score FROM " +
         s"GRAFT_ANN('$t', 'sim12_queries', 1, 3) ORDER BY id_a")
     },
+    bench = true, // tracks the SQL macro's cost against sim4's API path
     sql = sim4IvfAnn.sql)
 
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,

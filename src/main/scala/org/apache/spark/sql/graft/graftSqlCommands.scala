@@ -18,6 +18,11 @@
   *       retired store directories by catalog reachability, returns
   *       one row per deleted path (default grace 24 h — the same
   *       crash-consistency knob as the API).
+  *   GRAFT STATS <table>
+  *     → the stored `__kstats` row WITHOUT a rescan (key column, row
+  *       count, size estimate, sketch bytes, last folded batch) —
+  *       empty result when the table has none or they were
+  *       invalidated; the cheap observability companion to ANALYZE.
   *   GRAFT COMPACT <store> [RETAIN <n>]
   *     → the store-appropriate compaction, with every parameter read
   *       from the catalog instead of re-asked: a merge-on-read store
@@ -65,6 +70,20 @@ case class GraftVacuumCommand(root: String, olderThanMs: Long)
   override def run(spark: SparkSession): Seq[Row] =
     graft.operators.BucketedStores
       .vacuumOrphans(spark, root, olderThanMs).map(Row(_))
+}
+
+case class GraftStatsCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("key_col", StringType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("sketch_bytes", LongType, nullable = false)(),
+    AttributeReference("last_batch", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.operators.SketchStats.read(spark, table).toSeq.map(s =>
+      Row(s.table, s.keyCol, s.nRows, s.sizeBytes, s.cms.length.toLong,
+        s.lastBatch))
 }
 
 case class GraftCompactCommand(store: String, retain: Int)
@@ -186,6 +205,13 @@ object GraftCommandParser {
           } else fail("expected GRAFT VACUUM '<root>' [OLDER THAN <n> " +
             s"HOURS], got: ${sql.trim}")
         Some(GraftVacuumCommand(root, olderMs))
+      case "STATS" =>
+        // GRAFT STATS <table> — same qualified-name shape as ANALYZE
+        val table = sql.substring(toks(1).end).trim
+          .toLowerCase(Locale.ROOT)
+        if (table.isEmpty || !table.matches("[a-z0-9_]+(\\.[a-z0-9_]+)?"))
+          fail(s"expected GRAFT STATS <table>, got: ${sql.trim}")
+        Some(GraftStatsCommand(table))
       case "COMPACT" =>
         // GRAFT COMPACT <store> [RETAIN <n>]
         if (w(2).isEmpty ||
@@ -211,6 +237,7 @@ object GraftCommandParser {
       case other =>
         fail(s"unknown GRAFT command '$other' — supported: " +
           "GRAFT ANALYZE <table> KEY <col>, " +
+          "GRAFT STATS <table>, " +
           "GRAFT VACUUM '<root>' [OLDER THAN <n> HOURS], " +
           "GRAFT COMPACT <store> [RETAIN <n>]")
     }

@@ -39,8 +39,16 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = SketchStats.read(spark, "cmd_fact").get
     assert(s.nRows === 5000L && s.keyCol === "k")
     assert(spark.catalog.tableExists("cmd_fact__kstats"))
+    // GRAFT STATS: the stored row WITHOUT a rescan; empty when none
+    val st = spark.sql("GRAFT STATS cmd_fact").head()
+    assert(st.getString(0) === "default.cmd_fact" &&
+      st.getString(1) === "k" && st.getLong(2) === 5000L &&
+      st.getLong(5) === -1L)
+    assert(spark.sql("GRAFT STATS cmd_never_analyzed").count() === 0L)
     spark.sql("DROP TABLE cmd_fact")
     spark.sql("DROP TABLE cmd_fact__kstats")
+    assert(spark.sql("GRAFT STATS cmd_fact").count() === 0L,
+      "dropped stats must not be served")
   }
 
   test("GRAFT VACUUM reclaims exactly the unreferenced store dirs, " +

@@ -729,6 +729,60 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sim12: the GRAFT_ANN SQL macro keeps the stored-index plan " +
+      "class — the corpus-scale inverted lists never sit under a " +
+      "shuffle, the k-row centroid companion broadcasts, no cartesian") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // AQE off so exchange subtrees stay traversable (sim7's gate
+    // discipline); broadcast stays ON — the k-row centroid companion
+    // is designed to broadcast
+    val aqe = "spark.sql.adaptive.enabled"
+    val savedA = spark.conf.get(aqe)
+    spark.conf.set(aqe, "false")
+    try {
+      val df = Registry.byName("sim12_ann_sql_top1").fn(spark, dir)
+      val plan = df.queryExecution.executedPlan
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan) =
+        p match {
+          case s: FileSourceScanExec =>
+            // the inverted LISTS specifically — the k-row centroid
+            // companion shares the index root under /cents
+            s.relation.location.rootPaths.exists(r =>
+              r.toString.contains("graft_ivf_idx") &&
+                r.toString.contains("/lists"))
+          case _ => false
+        }
+      assert(plan.exists(isIndexScan),
+        s"the macro must read the STORED lists, not recompute:\n$plan")
+      // the scale property: the corpus-scale list relation reaches the
+      // cid join WITHOUT a shuffle on its own side (broadcast here,
+      // bucket-aligned at scale) — post-join exchanges are
+      // candidate-scale by construction and fine
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      def onCid(ks: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        ks.exists(_.references.exists(_.name == "cid"))
+      val cidJoins = plan.collect {
+        case j: BroadcastHashJoinExec if onCid(j.leftKeys) =>
+          (j.left, j.right)
+        case j: SortMergeJoinExec if onCid(j.leftKeys) =>
+          (j.left, j.right)
+        case j: ShuffledHashJoinExec if onCid(j.leftKeys) =>
+          (j.left, j.right)
+      }
+      assert(cidJoins.size === 1, s"expected ONE cid join:\n$plan")
+      val (l, r) = cidJoins.head
+      val indexSide = Seq(l, r).find(_.exists(isIndexScan))
+      assert(indexSide.isDefined,
+        s"one side of the cid join must read the stored lists:\n$plan")
+      assert(indexSide.get.collect {
+        case e: ShuffleExchangeExec => e }.isEmpty,
+        s"the inverted lists must not shuffle before the join:\n" +
+          s"${indexSide.get}")
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"the centroid companion must broadcast, not cartesian:\n$plan")
+    } finally spark.conf.set(aqe, savedA)
+  }
+
   test("tx26: trainer lineage is bounded — optimized-plan depth is " +
       "periodic in the epoch, never grows with the step count, and " +
       "each epoch base is an in-memory relation") {
