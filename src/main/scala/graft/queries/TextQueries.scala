@@ -2600,6 +2600,24 @@ object TextQueries {
     },
     sql = Some(bm25ChangelogOracleSql))
 
+  /** tx43: tx37's stored-index BM25 as PURE SQL TEXT — the
+    * `GRAFT_BM25('<index>', '<terms>', k)` table-valued macro
+    * ([[org.apache.spark.sql.graft.GraftBm25Rewrite]]) expands at
+    * parse time to the same textbook scoring over the same postings
+    * (IN-list candidates bucket-prune the term-bucketed scan), so
+    * tx37's oracle verbatim — lexical retrieval joins ANN (sim12),
+    * as-of, time travel, and maintenance on the SQL surface.
+    */
+  val tx43Bm25Sql = Q(
+    "tx43_bm25_sql",
+    (s, d) => {
+      val t = ensureTextIndex(s, d)
+      s.sql("SELECT doc_id, score FROM " +
+        s"GRAFT_BM25('$t', 'spark vector hash window', 10) " +
+        "ORDER BY score DESC, doc_id")
+    },
+    sql = tx37Bm25.sql)
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -2612,5 +2630,6 @@ object TextQueries {
     dq4SkewReport, dq5ColumnProfile, dq6DriftReport, dq7OutlierReport,
     tx35Shuffle,
     tx36TrainingSet, tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch,
-    tx40DatasetCard, tx41TextIndexDeletes, tx42TextIndexMorDeletes)
+    tx40DatasetCard, tx41TextIndexDeletes, tx42TextIndexMorDeletes,
+    tx43Bm25Sql)
 }

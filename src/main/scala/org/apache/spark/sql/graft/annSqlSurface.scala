@@ -29,7 +29,13 @@
   * shape); the index store and its `_centroids` companion must exist
   * in the catalog at parse time. A merge-on-read index store works
   * unchanged — `<index>` resolves to its serving view, so tombstoned
-  * vectors are already subtracted.
+  * vectors are already subtracted. TIME TRAVEL composes: a retained
+  * index generation (`GRAFT_ANN('idx__v1', …)`) probes the historical
+  * lists against the BASE index's centroid companion — sound because
+  * the coarse quantizer never changes under list maintenance
+  * (writeIvfIndex writes it once; every delta/compaction touches
+  * lists only), so the read is exactly the index as of that
+  * generation.
   *
   * Reference parity note: the reference pipeline
   * (CI-CMG/wod-ascii-to-parquet-spark) has no similarity tier; the
@@ -92,14 +98,24 @@ object GraftAnnRewrite {
         }
         if (k < 1) fail(s"k must be >= 1, got $k")
         if (nprobe < 1) fail(s"nprobe must be >= 1, got $nprobe")
+        // time-travel composition: a retained index GENERATION
+        // (`store__v<n>`, from versioned maintenance with retain > 0)
+        // probes against the BASE index's centroid companion — the
+        // coarse quantizer never changes under list maintenance, so
+        // historical lists + the current companion is the exact
+        // as-of-that-generation read
+        val centroids = "(.+)__v\\d+$".r.findFirstMatchIn(store)
+          .map(_.group(1) + "_centroids")
+          .filter(spark.catalog.tableExists)
+          .getOrElse(store + "_centroids")
         if (!spark.catalog.tableExists(store) ||
-            !spark.catalog.tableExists(store + "_centroids"))
+            !spark.catalog.tableExists(centroids))
           fail(s"$store is not a stored IVF index — expected catalog " +
-            s"tables $store (inverted lists) and ${store}_centroids " +
+            s"tables $store (inverted lists) and $centroids " +
             "(write one with SimilarityOps.writeIvfIndex)")
         val sb = new StringBuilder(s)
         sb.replace(toks(i).start, close.end,
-          expansion(store, queries, k, nprobe))
+          expansion(store, centroids, queries, k, nprobe))
         return Some(sb.toString)
       }
       i += 1
@@ -107,36 +123,56 @@ object GraftAnnRewrite {
     None
   }
 
-  /** The stock-grammar probe: CTE names are macro-prefixed and scoped
-    * to the derived table, so two GRAFT_ANN calls in one statement
-    * can't collide.
+  /** The stock-grammar probe, shaped to probeIvfIndex's own plan:
+    * probe selection happens IN-ROW (the k-row companion folds to an
+    * array via an uncorrelated scalar subquery — the SQL spelling of
+    * the API's broadcast centroid literal; no per-query window, no
+    * cross-join shuffle), and top-1 is a max-struct aggregate (map-
+    * side partials) rather than a window — the window form only for
+    * k > 1, where WindowGroupLimit keeps it candidate-bounded. CTE
+    * names are macro-prefixed and scoped to the derived table, so two
+    * GRAFT_ANN calls in one statement can't collide.
     */
-  private def expansion(store: String, queries: String, k: Int,
-      nprobe: Int): String =
-    s"""(WITH graft_ann_q AS (
-       |  SELECT vec_id AS id_a,
-       |         transform(embedding, gx -> CAST(gx AS DOUBLE)) AS ea
-       |  FROM $queries),
-       |graft_ann_qn AS (
-       |  SELECT id_a, ea, array_norm(ea) AS na FROM graft_ann_q),
-       |graft_ann_probe AS (
-       |  SELECT id_a, ea, na, cid FROM (
-       |    SELECT q.id_a, q.ea, q.na, c.cid,
-       |           ROW_NUMBER() OVER (PARTITION BY q.id_a
-       |             ORDER BY round(array_dot(q.ea, c.ce)
-       |               / (q.na * array_norm(c.ce)), 6) DESC, c.cid
-       |           ) AS grn
-       |    FROM graft_ann_qn q CROSS JOIN ${store}_centroids c)
-       |  WHERE grn <= $nprobe),
-       |graft_ann_cand AS (
-       |  SELECT p.id_a, i.vid AS ann_id,
-       |         round(array_dot(p.ea, i.e) / (p.na * i.nrm), 6) AS score
-       |  FROM graft_ann_probe p JOIN $store i
-       |    ON i.cid = p.cid AND i.vid <> p.id_a)
-       |SELECT id_a, ann_id, score, rank FROM (
-       |  SELECT id_a, ann_id, score,
-       |         ROW_NUMBER() OVER (PARTITION BY id_a
-       |           ORDER BY score DESC, ann_id) AS rank
-       |  FROM graft_ann_cand)
-       |WHERE rank <= $k)""".stripMargin
+  private def expansion(store: String, centroids: String,
+      queries: String, k: Int, nprobe: Int): String = {
+    val head =
+      s"""(WITH graft_ann_cents AS (
+         |  SELECT collect_list(named_struct(
+         |           'cid', cid, 'ce', ce, 'cn', array_norm(ce))) AS cs
+         |  FROM $centroids),
+         |graft_ann_q AS (
+         |  SELECT vec_id AS id_a,
+         |         transform(embedding, gx -> CAST(gx AS DOUBLE)) AS ea
+         |  FROM $queries),
+         |graft_ann_probe AS (
+         |  SELECT id_a, ea, na, pcid AS cid
+         |  FROM (SELECT id_a, ea, array_norm(ea) AS na,
+         |               (SELECT cs FROM graft_ann_cents) AS cents
+         |        FROM graft_ann_q)
+         |  LATERAL VIEW explode(transform(slice(array_sort(
+         |    transform(cents, c -> named_struct(
+         |      'ns', -round(array_dot(ea, c.ce) / (na * c.cn), 6),
+         |      'cid', c.cid))), 1, $nprobe), s -> s.cid)) gp AS pcid),
+         |graft_ann_cand AS (
+         |  SELECT p.id_a, i.vid AS ann_id,
+         |         round(array_dot(p.ea, i.e) / (p.na * i.nrm), 6) AS score
+         |  FROM graft_ann_probe p JOIN $store i
+         |    ON i.cid = p.cid AND i.vid <> p.id_a)
+         |""".stripMargin
+    val tail =
+      if (k == 1)
+        """SELECT id_a, -gbest.nid AS ann_id, gbest.score AS score,
+          |       1 AS rank
+          |FROM (SELECT id_a, max(named_struct(
+          |        'score', score, 'nid', -ann_id)) AS gbest
+          |      FROM graft_ann_cand GROUP BY id_a))""".stripMargin
+      else
+        s"""SELECT id_a, ann_id, score, rank FROM (
+           |  SELECT id_a, ann_id, score,
+           |         ROW_NUMBER() OVER (PARTITION BY id_a
+           |           ORDER BY score DESC, ann_id) AS rank
+           |  FROM graft_ann_cand)
+           |WHERE rank <= $k)""".stripMargin
+    head + tail
+  }
 }

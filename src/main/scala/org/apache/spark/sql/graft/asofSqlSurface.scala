@@ -263,7 +263,8 @@ class GraftSqlParser(session: => SparkSession, delegate: ParserInterface)
   extends ParserInterface {
   private def rewrite(sqlText: String): String =
     StoreTimeTravelRewrite(session,
-      AsOfSqlRewrite(GraftAnnRewrite(session, sqlText)))
+      AsOfSqlRewrite(GraftBm25Rewrite(session,
+        GraftAnnRewrite(session, sqlText))))
   override def parsePlan(sqlText: String): LogicalPlan =
     // the GRAFT command namespace (maintenance verbs) dispatches on
     // the first token, before any rewrite; everything else flows on

@@ -1,0 +1,131 @@
+/** SQL surface for stored-index BM25 lexical retrieval.
+  *
+  * [[GraftAnnRewrite]]'s discipline applied to the lexical tier
+  * ([[graft.operators.TextRetrievalOps.writeTextIndex]] — a
+  * term-bucketed posting-list table + a doc-length companion + a
+  * one-row meta table):
+  *
+  *   SELECT * FROM GRAFT_BM25('<index>', '<space separated terms>', <k>)
+  *
+  * expands AT PARSE TIME into the stock-grammar derived table that
+  * scores textbook BM25 (k1 = 1.2, b = 0.75, the exact constant/
+  * rounding/decimal-sum discipline of
+  * [[graft.operators.TextRetrievalOps.bm25TopK]]) over the stored
+  * postings. Output: `doc_id, score`, top-k by (score DESC, doc_id).
+  *
+  * The expansion's term predicate is an IN-list on the bucketed
+  * `term` column, so the posting scan BUCKET-PRUNES to the query
+  * terms' buckets — the corpus-scale side reads only matching
+  * buckets, document frequencies fold out of the candidates, and the
+  * length join is candidate-scale. Terms are a SET (the IN-list
+  * dedups); a merge-on-read index serves through its tombstone view
+  * unchanged.
+  */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+
+object GraftBm25Rewrite {
+  import AsOfSqlLexer._
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(s"[GRAFT_BM25] $msg", None, None,
+      None, None, Map.empty[String, String], Array.empty)
+
+  private val ArgShape =
+    """^\s*'([A-Za-z0-9_.]+)'\s*,\s*'([^']*)'\s*,\s*(\d+)\s*$""".r
+
+  def apply(spark: SparkSession, sql: String): String = {
+    if (!sql.toUpperCase(java.util.Locale.ROOT).contains("GRAFT_BM25"))
+      return sql
+    var cur = sql
+    var guard = 0
+    var changed = true
+    while (changed) {
+      require(guard < 64, "GRAFT_BM25 rewrite did not converge")
+      guard += 1
+      rewriteFirst(spark, cur) match {
+        case Some(next) => cur = next
+        case None => changed = false
+      }
+    }
+    cur
+  }
+
+  private def rewriteFirst(spark: SparkSession,
+      s: String): Option[String] = {
+    val toks = AsOfSqlLexer.lex(s)
+    var i = 0
+    while (i + 1 < toks.length) {
+      if (toks(i).word == "GRAFT_BM25" && toks(i + 1).word == "(") {
+        val open = toks(i + 1)
+        val closeIdx = toks.indexWhere(t =>
+          t.word == ")" && t.depth == open.depth, i + 2)
+        if (closeIdx < 0)
+          fail("unbalanced parentheses in GRAFT_BM25(...)")
+        val close = toks(closeIdx)
+        val rawArgs = s.substring(open.end, close.start)
+        val (index, termsRaw, k) = rawArgs match {
+          case ArgShape(ix, ts, kk) =>
+            (ix.toLowerCase(java.util.Locale.ROOT), ts, kk.toInt)
+          case _ => fail("expected GRAFT_BM25('<index>', " +
+            s"'<space separated terms>', <k>), got args: $rawArgs")
+        }
+        if (k < 1) fail(s"k must be >= 1, got $k")
+        val terms = termsRaw.trim.split("\\s+").filter(_.nonEmpty)
+          .distinct.toSeq
+        if (terms.isEmpty) fail("the terms string is empty")
+        // the terms splice into a SQL IN-list — keep them to word
+        // characters so the splice can never escape its literal
+        terms.find(!_.matches("[A-Za-z0-9_\\-.]+")).foreach(t =>
+          fail(s"term '$t' — terms are word tokens " +
+            "([A-Za-z0-9_-.]); the tokenizer never produces quotes"))
+        Seq(index, index + "_docs", index + "_meta")
+          .find(!spark.catalog.tableExists(_)).foreach(missing =>
+            fail(s"$index is not a stored text index — catalog table " +
+              s"$missing is missing (write one with " +
+              "TextRetrievalOps.writeTextIndex)"))
+        val sb = new StringBuilder(s)
+        sb.replace(toks(i).start, close.end, expansion(index, terms, k))
+        return Some(sb.toString)
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** bm25TopK's exact arithmetic as stock SQL: same constants, same
+    * operation order, 6 dp rounding, decimal-routed sum — the IN-list
+    * candidate scan bucket-prunes the postings.
+    */
+  private def expansion(index: String, terms: Seq[String],
+      k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""(WITH graft_bm25_meta AS (
+       |  SELECT CAST(n_docs AS DOUBLE) AS nd,
+       |         CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |           AS avgdl
+       |  FROM ${index}_meta),
+       |graft_bm25_cand AS (
+       |  SELECT term, doc_id, tf FROM $index
+       |  WHERE term IN ($inList)),
+       |graft_bm25_dft AS (
+       |  SELECT term, count(1) AS df FROM graft_bm25_cand GROUP BY term),
+       |graft_bm25_sc AS (
+       |  SELECT c.doc_id,
+       |         round(ln((m.nd - CAST(d.df AS DOUBLE) + 0.5) /
+       |                  (CAST(d.df AS DOUBLE) + 0.5) + 1.0) *
+       |               (CAST(c.tf AS DOUBLE) * 2.2) /
+       |               (CAST(c.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |                 (CAST(l.dl AS DOUBLE) / m.avgdl))), 6) AS s
+       |  FROM graft_bm25_cand c
+       |  JOIN graft_bm25_dft d ON c.term = d.term
+       |  JOIN ${index}_docs l ON c.doc_id = l.doc_id
+       |  CROSS JOIN graft_bm25_meta m)
+       |SELECT doc_id,
+       |       CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |FROM graft_bm25_sc GROUP BY doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k)""".stripMargin
+  }
+}

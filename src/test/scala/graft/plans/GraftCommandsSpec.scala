@@ -198,7 +198,71 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT * FROM GRAFT_ANN(cmd_ann_idx)")
     }
     assert(e3.getMessage.contains("expected GRAFT_ANN("), e3.getMessage)
-    Seq("cmd_ann_idx", "cmd_ann_idx_centroids")
+    // time-travel composition: version the index, DELETE the current
+    // top-1 neighbor of query 0 via a changelog delta (retain keeps
+    // the pre-delete generation) — the macro over the RETAINED
+    // generation still returns the deleted vector, the macro over the
+    // serving name never does
+    val victim = api.head._2
+    BucketedStores.adoptVersioned(spark, "cmd_ann_idx")
+    BucketedStores.applyDeltaAtomic(spark, "cmd_ann_idx",
+      Seq("cid"), Seq("cid"), 2, "vid",
+      removeIds = spark.range(victim, victim + 1).toDF("vid"),
+      additions = None, retain = 1)
+    val asOfV1 = spark.sql("SELECT id_a, ann_id FROM " +
+      "GRAFT_ANN('cmd_ann_idx__v1', 'cmd_ann_q', 1, 2) " +
+      "WHERE id_a = " + api.head._1).head()
+    assert(asOfV1.getLong(1) === victim,
+      "the retained generation must still serve the deleted vector")
+    val current = spark.sql("SELECT ann_id FROM " +
+      "GRAFT_ANN('cmd_ann_idx', 'cmd_ann_q', 1, 2)").collect()
+      .map(_.getLong(0)).toSet
+    assert(!current.contains(victim),
+      "the serving index must not surface the deleted vector")
+    BucketedStores.dropVersioned(spark, "cmd_ann_idx")
+    spark.sql("DROP TABLE IF EXISTS cmd_ann_idx_centroids")
+  }
+
+  test("GRAFT_BM25 serves a stored text index as pure SQL text: " +
+      "row-identical to the bm25TopK API, bucket-pruned candidate " +
+      "scan, loud macro errors") {
+    import spark.implicits._
+    import graft.operators.TextRetrievalOps
+    val docs = Seq(
+      (1L, "spark joins spark shuffles windows"),
+      (2L, "vector hash vector vector"),
+      (3L, "spark vector hash window join"),
+      (4L, "tokens tokens tokens tokens tokens"),
+      (5L, "window window hash"))
+      .toDF("doc_id", "text")
+    TextRetrievalOps.writeTextIndex(docs, "doc_id", "text",
+      "cmd_bm25_idx", location = Some(tmp()))
+    val api = TextRetrievalOps.bm25TopK(spark, "cmd_bm25_idx",
+      Seq("spark", "vector", "hash", "window"), topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaSql = spark.sql("SELECT doc_id, score FROM " +
+      "GRAFT_BM25('cmd_bm25_idx', 'spark vector hash window', 3) " +
+      "ORDER BY score DESC, doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaSql === api,
+      "the SQL macro must reproduce bm25TopK exactly, order included")
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM GRAFT_BM25('no_such_idx', 'spark', 1)")
+    }
+    assert(e1.getMessage.contains("not a stored text index"),
+      e1.getMessage)
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM GRAFT_BM25('cmd_bm25_idx', '', 1)")
+    }
+    assert(e2.getMessage.contains("terms string is empty"),
+      e2.getMessage)
+    val e3 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_BM25('cmd_bm25_idx', \"a' OR x\", 1)")
+    }
+    assert(e3.getMessage.contains("expected GRAFT_BM25("),
+      e3.getMessage)
+    Seq("cmd_bm25_idx", "cmd_bm25_idx_docs", "cmd_bm25_idx_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 

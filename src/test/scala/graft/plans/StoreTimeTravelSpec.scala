@@ -203,9 +203,9 @@ class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("no-op fuzz: every registered oracle SQL text passes through " +
-      "ALL THREE parser rewrites byte-identical — ordinary SQL is " +
+      "ALL FOUR parser rewrites byte-identical — ordinary SQL is " +
       "never touched") {
-    import org.apache.spark.sql.graft.{AsOfSqlRewrite, GraftAnnRewrite, StoreTimeTravelRewrite}
+    import org.apache.spark.sql.graft.{AsOfSqlRewrite, GraftAnnRewrite, GraftBm25Rewrite, StoreTimeTravelRewrite}
     val corpus = graft.SparkEntry.oracleSql.values.toSeq
     assert(corpus.size > 200, "the fuzz corpus should be the registry")
     // the as-of family's oracles USE the shared ASOF dialect (DuckDB
@@ -223,6 +223,8 @@ class StoreTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"time-travel rewrite touched ordinary SQL:\n$sql")
       assert(GraftAnnRewrite(spark, sql) === sql,
         s"GRAFT_ANN rewrite touched ordinary SQL:\n$sql")
+      assert(GraftBm25Rewrite(spark, sql) === sql,
+        s"GRAFT_BM25 rewrite touched ordinary SQL:\n$sql")
     }
   }
 
