@@ -266,6 +266,44 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("macro composition: GRAFT_BM25 and GRAFT_ANN in ONE statement " +
+      "— a hybrid lexical+vector retrieval joins both derived tables " +
+      "through a single parse") {
+    import spark.implicits._
+    import graft.operators.{SimilarityOps, TextRetrievalOps}
+    val docs = Seq(
+      (0L, "spark joins spark shuffles windows"),
+      (1L, "vector hash vector vector"),
+      (2L, "spark vector hash window join"),
+      (3L, "tokens tokens tokens tokens tokens"))
+      .toDF("doc_id", "text")
+    TextRetrievalOps.writeTextIndex(docs, "doc_id", "text",
+      "cmd_hy_tidx", location = Some(tmp()))
+    val vecs = (0L until 4L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 5 + j * 3) % 7 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 4, k = 2, table = "cmd_hy_vidx", location = Some(tmp()))
+    vecs.createOrReplaceTempView("cmd_hy_q")
+    // one statement, two macros: lexical hits annotated with each
+    // hit's nearest vector neighbor — both rewrites splice in one
+    // parse, the analyzer resolves the join across the expansions
+    val hybrid = spark.sql(
+      "SELECT b.doc_id, b.score, a.ann_id " +
+        "FROM GRAFT_BM25('cmd_hy_tidx', 'spark vector hash', 4) b " +
+        "LEFT JOIN GRAFT_ANN('cmd_hy_vidx', 'cmd_hy_q', 1, 2) a " +
+        "ON a.id_a = b.doc_id ORDER BY b.score DESC, b.doc_id")
+      .collect()
+    assert(hybrid.nonEmpty, "the hybrid statement must return rows")
+    assert(hybrid.forall(r => !r.isNullAt(2)),
+      "every lexical hit has a vector neighbor in this corpus")
+    assert(hybrid.forall(r => r.getLong(2) !== r.getLong(0)),
+      "no doc is its own neighbor")
+    Seq("cmd_hy_tidx", "cmd_hy_tidx_docs", "cmd_hy_tidx_meta",
+      "cmd_hy_vidx", "cmd_hy_vidx_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("malformed GRAFT statements fail loudly; the namespace claims " +
       "only a leading GRAFT token") {
     val ex1 = intercept[AnalysisException] {
