@@ -71,6 +71,10 @@ object SketchStats {
     else spark.sessionState.catalog.getCurrentDatabase + "." + t
   }
 
+  // Cache and stale-mark keys are SCOPED TO THE CATALOG INSTANCE
+  // (identity hash prefix): the maps are JVM-global but a catalog dies
+  // with its session, and a fresh session re-creating a same-named
+  // table must never read a dead session's cached stats.
   private val cache = new ConcurrentHashMap[String, Option[KeyStats]]()
   // qualified base names whose stored stats a catalog event declared
   // stale (table dropped/renamed/re-created out-of-band): read() serves
@@ -80,6 +84,13 @@ object SketchStats {
   // the mark via readStored.
   private val stale =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def catScope(spark: SparkSession): String =
+    System.identityHashCode(spark.sharedState.externalCatalog)
+      .toHexString
+
+  private def keyOf(spark: SparkSession, q: String): String =
+    catScope(spark) + "/" + q
   // externalCatalog instances already carrying our invalidation hook
   private val hooked = java.util.Collections.newSetFromMap(
     new ConcurrentHashMap[AnyRef, java.lang.Boolean]())
@@ -95,15 +106,17 @@ object SketchStats {
   private def ensureInvalidationHook(spark: SparkSession): Unit = {
     val cat = spark.sharedState.externalCatalog
     if (hooked.add(cat)) {
+      val scope = System.identityHashCode(cat).toHexString
       cat.addListener(new ExternalCatalogEventListener {
         override def onEvent(event: ExternalCatalogEvent): Unit = {
           def touch(db: String, name: String, poison: Boolean): Unit = {
-            val q = db + "." + name
+            val key = scope + "/" + db + "." + name
             if (name.endsWith("__kstats")) {
-              cache.remove(db + "." + name.stripSuffix("__kstats")): Unit
+              cache.remove(scope + "/" + db + "." +
+                name.stripSuffix("__kstats")): Unit
             } else {
-              cache.remove(q)
-              if (poison) stale.add(q): Unit else ()
+              cache.remove(key)
+              if (poison) stale.add(key): Unit else ()
             }
           }
           event match {
@@ -223,8 +236,8 @@ object SketchStats {
     w.option("path",
         location.getOrElse(defaultLocation(spark, stats.table)))
       .saveAsTable(statsTableOf(stats.table))
-    stale.remove(stats.table)
-    cache.put(stats.table, Some(stats))
+    stale.remove(keyOf(spark, stats.table))
+    cache.put(keyOf(spark, stats.table), Some(stats))
   }
 
   /** The stored stats for `table`, or None when it has none (or a
@@ -236,11 +249,12 @@ object SketchStats {
   def read(spark: SparkSession, table: String): Option[KeyStats] = {
     ensureInvalidationHook(spark)
     val q = qualify(spark, table)
-    if (stale.contains(q)) return None
-    val cached = cache.get(q)
+    val key = keyOf(spark, q)
+    if (stale.contains(key)) return None
+    val cached = cache.get(key)
     if (cached != null) return cached
     val loaded = readStored(spark, q)
-    cache.put(q, loaded)
+    cache.put(key, loaded)
     loaded
   }
 
@@ -265,14 +279,12 @@ object SketchStats {
 
   def invalidate(table: String): Unit = {
     // over-invalidation is safe (one extra storage read): without a
-    // session we can't resolve the current database, so evict every
-    // entry whose qualified name could refer to `table`
+    // session we can't resolve the scope or current database, so evict
+    // every entry whose qualified name could refer to `table`
     val t = table.toLowerCase(java.util.Locale.ROOT)
-    if (t.contains(".")) { cache.remove(t); stale.remove(t): Unit }
-    else {
-      val it = cache.keySet().iterator()
-      while (it.hasNext) { if (it.next().endsWith("." + t)) it.remove() }
-    }
+    val suffix = if (t.contains(".")) "/" + t else "." + t
+    val it = cache.keySet().iterator()
+    while (it.hasNext) { if (it.next().endsWith(suffix)) it.remove() }
   }
 
   /** Drop `table`'s stored stats entirely — the stand-down marker the
@@ -285,8 +297,8 @@ object SketchStats {
   def dropStats(spark: SparkSession, table: String): Unit = {
     val q = qualify(spark, table)
     spark.sql(s"DROP TABLE IF EXISTS ${statsTableOf(q)}")
-    stale.remove(q)
-    cache.put(q, None): Unit
+    stale.remove(keyOf(spark, q))
+    cache.put(keyOf(spark, q), None): Unit
   }
 
   /** Content-preserving refresh: the table was rewritten (compaction)

@@ -1177,6 +1177,26 @@ object StreamingQueries {
       SELECT (SELECT MIN(s) FROM ip) AS est_join_size,
              (SELECT COUNT(*) FROM lineitem) AS n_li_rows"""))
 
+  /** Streamed DELETE maintenance of the MoR vector index, SERVED BY
+    * SQL (st27): the delete changelog drains as a checkpointed stream
+    * of tombstone appends ([[graft.streaming.VectorStreaming
+    * .ivfMorDeleteStream]]), and the survivors' top-1 answers through
+    * the `GRAFT_ANN` parse-time macro — the full online-ANN loop
+    * (index once, delete by stream, serve as SQL text) in one query.
+    * Same final state as sim11, so sim11's from-scratch oracle
+    * verbatim: no tombstoned vector may surface, every survivor's
+    * neighbor is recomputed from raw data.
+    */
+  val st27MorDeleteSqlServe = Q(
+    "st27_stream_ivf_mor_delete_sql_serve",
+    (s, d) => {
+      val deletes = embeddings(s, d).filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("vid"))
+      graft.streaming.VectorStreaming.ivfMorDeleteStream(s,
+        embeddings(s, d), deletes, dims = 64, k = 16, nprobe = 3)
+    },
+    sql = SimilarityQueries.sim11IvfMorDeletes.sql)
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
     av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
     av7AsofSql, av8AsofSqlInner,
@@ -1187,5 +1207,6 @@ object StreamingQueries {
     st13StreamHeavyHitters, st14SpanCensus, st15IvfIngest, st16AnnServe,
     st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
     st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance,
-    st24BkQuantile, st25CmsFreq, st26KstatsMaintenance)
+    st24BkQuantile, st25CmsFreq, st26KstatsMaintenance,
+    st27MorDeleteSqlServe)
 }

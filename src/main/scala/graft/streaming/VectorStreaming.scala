@@ -127,6 +127,73 @@ object VectorStreaming {
     spark.read.parquet(outDir).distinct().orderBy(col("id_a"))
   }
 
+  /** Streaming DELETE maintenance of a MERGE-ON-READ IVF index,
+    * SERVED BY SQL (st27): the delete changelog arrives as a
+    * checkpointed stream — each micro-batch appends (vid, seq)
+    * tombstones through [[graft.operators.BucketedStores.morDelete]]
+    * (changelog-scale, no list rewrite, the centroid companion never
+    * changes) — and the finished index answers through the
+    * `GRAFT_ANN` parse-time macro, so maintenance and retrieval meet
+    * on the pure-SQL surface. Replay safety for pure deletes is
+    * structural: a re-delivered batch re-tombstones the same ids at a
+    * fresh sequence, and the strictly-greater-seq rule makes the
+    * served set identical — no sink transaction needed.
+    * Returns the survivors' top-1 probe (== sim11's oracle).
+    */
+  def ivfMorDeleteStream(spark: SparkSession, vecs: DataFrame,
+      deleteIds: DataFrame, dims: Int, k: Int = 16, nprobe: Int = 3,
+      slices: Int = 4): DataFrame = {
+    import graft.operators.BucketedStores
+    val run = nameCounter.incrementAndGet()
+    val table = s"graft_st27_ivf_$run"
+    BucketedStores.dropVersioned(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding", dims, k,
+      table, location = Some(java.nio.file.Files
+        .createTempDirectory(s"graft_st27_loc_$run").toString),
+      mor = true)
+    val staged = DocumentsStreaming.stageIdSlices(deleteIds, slices,
+      "vid")
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st27_chk_$run").toString
+    val q = spark.readStream.schema(deleteIds.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // the tombstone table is READ (morNextSeq) while being
+        // MUTATED across batches — refresh its cached listing first
+        // (st10/st26's discipline), or the probe serves a stale
+        // tombstone set and deleted vectors surface
+        spark.catalog.refreshTable(
+          BucketedStores.currentTombstones(spark, table))
+        val seq = BucketedStores.morNextSeq(spark, table)
+        BucketedStores.morDelete(spark, table,
+          batch.select(col("vid")), seq)
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.catalog.refreshTable(
+      BucketedStores.currentTombstones(spark, table))
+    spark.catalog.refreshTable(table)
+    val survivors = vecs.join(
+      deleteIds.select(col("vid").as("vec_id")), Seq("vec_id"),
+      "left_anti")
+    val view = s"st27_queries_$run"
+    survivors.createOrReplaceTempView(view)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st27_out_$run").toString
+    spark.sql("SELECT id_a, ann_id, score FROM " +
+      s"GRAFT_ANN('$table', '$view', 1, $nprobe)")
+      .write.mode("overwrite").parquet(outDir)
+    spark.catalog.dropTempView(view)
+    BucketedStores.dropVersioned(spark, table)
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    spark.read.parquet(outDir).orderBy(col("id_a"))
+  }
+
   /** Drain every staged file into the index via per-batch appends,
     * then stop — resumable: with the same checkpoint dir a later call
     * picks up at the first unprocessed file (StreamingSpec drives a
