@@ -382,6 +382,38 @@ class SketchJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP DATABASE IF EXISTS sjr_db")
   }
 
+  test("estimator failure stands the GATE down, not the plan: tables " +
+      "analyzed with different sketch shapes make the inner product " +
+      "throw — with failRows armed the join must still run AND still " +
+      "get its broadcast hint from the stored sizes") {
+    spark.range(4000L).select((col("id") % 100).as("k"))
+      .write.option("path", tmp()).saveAsTable("sjr_shape_a")
+    spark.range(100L).select(col("id").as("k"))
+      .write.option("path", tmp()).saveAsTable("sjr_shape_b")
+    SketchStats.analyzeKey(spark, "sjr_shape_a", "k") // w=1024, d=3
+    SketchStats.analyzeKey(spark, "sjr_shape_b", "k", w = 512, d = 3)
+    val a = SketchStats.read(spark, "sjr_shape_a").get
+    val b = SketchStats.read(spark, "sjr_shape_b").get
+    intercept[Exception] { SketchStats.estimateJoinRows(a, b) }
+    noAutoBroadcast("spark.graft.sketchJoin.failRows" -> "1") {
+      def j() = spark.table("sjr_shape_a")
+        .join(spark.table("sjr_shape_b"), Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      // failRows=1 would fail ANY estimable join — only the estimator
+      // standing down lets this run; the hint needs only sizeBytes
+      assert(j().collect().head.getLong(0) === 4000L,
+        "a broken estimate must never kill planning")
+      // fresh DataFrame for the plan check: a collected one's adaptive
+      // plan hides the join inside materialized query stages
+      val plan = executed(j())
+      assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"the broadcast decision proceeds on stored sizes:\n$plan")
+    }
+    Seq("sjr_shape_a", "sjr_shape_b", "sjr_shape_a__kstats",
+      "sjr_shape_b__kstats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("the estimate itself: one-sided and within the CMS error band") {
     val f = SketchStats.read(spark, "sjr_fact").get
     val d = SketchStats.read(spark, "sjr_dim").get
