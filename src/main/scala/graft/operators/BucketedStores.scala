@@ -144,6 +144,7 @@ object BucketedStores {
     // adoption preserves content: carry any pre-adoption stats onto
     // the serving name AND the generation the optimizer actually sees
     carryStats(spark, table, gen1)
+    snapshotCentroids(spark, table)
   }
 
   /** Stats carry-through for a CONTENT-PRESERVING swap: the serving
@@ -163,6 +164,38 @@ object BucketedStores {
       SketchStats.copyTo(spark, st, newGen)
       SketchStats.refreshSize(spark, name)
     }
+
+  /** Quantizer snapshot for versioned ANN index stores: if `name` has
+    * a `<name>_centroids` companion ([[SimilarityOps.writeIvfIndex]]'s
+    * coarse quantizer, k rows), copy it onto every LIVE generation
+    * that lacks one (`<name>__v<k>_centroids`). List MAINTENANCE never
+    * retrains the quantizer, so at swap time the base companion is
+    * exact for every generation in the lineage — but a later FULL
+    * REBUILD (`writeIvfIndex` re-run, or a streamed index rebuild)
+    * drops and retrains the base companion while retained generations
+    * survive, and probing OLD lists against NEW centroids silently
+    * mis-assigns probe lists. The per-generation snapshot pins each
+    * generation to the quantizer its cids were assigned under;
+    * [[org.apache.spark.sql.graft.GraftAnnRewrite]] (and the API probe
+    * via `<table>_centroids` naming) resolve the snapshot FIRST and
+    * refuse to fall back across a possible rebuild. k rows per
+    * snapshot — catalog noise, not data. No-op for stores without a
+    * companion (LSH, BM25, plain bucketed stores).
+    */
+  private def snapshotCentroids(spark: SparkSession,
+      name: String): Unit = {
+    val base = name + "_centroids"
+    if (!spark.catalog.tableExists(base)) return
+    generations(spark, name).foreach { k =>
+      val snap = s"${name}__v${k}_centroids"
+      if (!spark.catalog.tableExists(snap)) {
+        spark.table(base).write
+          .option("path", java.nio.file.Files
+            .createTempDirectory(s"graft_cent_$name").toString)
+          .saveAsTable(snap)
+      }
+    }
+  }
 
   /** The shared tail of every atomic maintenance op: write `content`
     * as the next generation (one file per bucket — the bucket-id
@@ -198,9 +231,16 @@ object BucketedStores {
     generations(spark, name).dropRight(retain + 1)
       .foreach { k =>
         spark.sql(s"DROP TABLE ${name}__v$k")
-        // a retired generation's stats table dies with it
+        // a retired generation's stats table and quantizer snapshot
+        // die with it
         SketchStats.dropStats(spark, s"${name}__v$k")
+        spark.sql(s"DROP TABLE IF EXISTS ${name}__v${k}_centroids")
       }
+    // pin the quantizer onto every generation that will stay readable
+    // (ANN index stores only — no-op otherwise): retained historical
+    // lists must probe against the centroids they were assigned under,
+    // even after a later full rebuild retrains the base companion
+    snapshotCentroids(spark, name)
     // Stats contract for the swap (the rule must NEVER plan on stats
     // the store APIs let go stale): a content-preserving rewrite
     // (compaction) carries the serving name's stats onto the new

@@ -46,7 +46,7 @@ import org.apache.spark.sql.types.BinaryType
   * this follows the public lakehouse pattern (Iceberg's Puffin stat
   * files, Delta's table stats) re-expressed with engine sketches.
   */
-object SketchStats {
+object SketchStats extends org.apache.spark.internal.Logging {
 
   /** One table's key statistics: exact row count, the planner's size
     * estimate at analyze time, the count-min sketch of the key's
@@ -85,15 +85,57 @@ object SketchStats {
   private val stale =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // Scope token per catalog instance: a UUID held in a WEAK-keyed map
+  // (identityHashCode is not collision-free — two catalogs in one JVM
+  // could share a hash and bleed cached stats across sessions; a UUID
+  // cannot collide, and the weak key lets a closed session's catalog
+  // be collected so its entries become purgeable).
+  private val scopeTokens = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, String]())
+
+  private def scopeOf(cat: AnyRef): String =
+    scopeTokens.synchronized {
+      val t = scopeTokens.get(cat)
+      if (t != null) t
+      else {
+        val fresh = java.util.UUID.randomUUID().toString
+        scopeTokens.put(cat, fresh)
+        fresh
+      }
+    }
+
   private def catScope(spark: SparkSession): String =
-    System.identityHashCode(spark.sharedState.externalCatalog)
-      .toHexString
+    scopeOf(spark.sharedState.externalCatalog)
 
   private def keyOf(spark: SparkSession, q: String): String =
     catScope(spark) + "/" + q
-  // externalCatalog instances already carrying our invalidation hook
+  // externalCatalog instances already carrying our invalidation hook —
+  // weak-keyed for the same reason as scopeTokens: a hooked set that
+  // strong-refs catalogs would pin every dead session's catalog (and
+  // its scope token) in memory forever
   private val hooked = java.util.Collections.newSetFromMap(
-    new ConcurrentHashMap[AnyRef, java.lang.Boolean]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()))
+
+  /** Evict cache/stale entries whose catalog died: once a catalog is
+    * garbage-collected its weak token entry vanishes, so any cached
+    * key carrying a no-longer-live scope prefix is unreachable garbage.
+    * Ran whenever a NEW catalog registers (session churn is exactly
+    * when dead-scope entries accumulate).
+    */
+  private def purgeDeadScopes(): Unit = {
+    val live = scopeTokens.synchronized {
+      val out = scala.collection.mutable.Set.empty[String]
+      scopeTokens.values().forEach(v => { out += v; () })
+      out.toSet
+    }
+    def dead(k: String): Boolean = {
+      val cut = k.indexOf('/')
+      cut > 0 && !live.contains(k.substring(0, cut))
+    }
+    cache.keySet().removeIf(k => dead(k))
+    stale.removeIf(k => dead(k))
+  }
 
   /** Register the catalog-event invalidation hook once per shared
     * external catalog: DROP / RENAME / re-CREATE of an analyzed table
@@ -106,7 +148,8 @@ object SketchStats {
   private def ensureInvalidationHook(spark: SparkSession): Unit = {
     val cat = spark.sharedState.externalCatalog
     if (hooked.add(cat)) {
-      val scope = System.identityHashCode(cat).toHexString
+      purgeDeadScopes()
+      val scope = scopeOf(cat)
       cat.addListener(new ExternalCatalogEventListener {
         override def onEvent(event: ExternalCatalogEvent): Unit = {
           def touch(db: String, name: String, poison: Boolean): Unit = {
@@ -175,18 +218,20 @@ object SketchStats {
     * generation relation's own estimate.
     */
   private def snapshotToCurrentGeneration(spark: SparkSession, q: String,
-      stats: KeyStats): Unit = {
-    val Array(db, bare) = q.split('.')
+      stats: KeyStats): Unit = q.split('.') match {
     // generation discovery lists the CURRENT database — a store in
-    // another db keeps its view-level stats only
-    if (db != spark.sessionState.catalog.getCurrentDatabase) return
-    val gen = scala.util.Try(
-      BucketedStores.currentGeneration(spark, bare)).toOption
-    val isMor = scala.util.Try(
-      BucketedStores.currentTombstones(spark, bare)).isSuccess
-    gen.filter(_ => !isMor).foreach { g =>
-      copyTo(spark, stats, g)
-    }
+    // another db (or under a multi-part catalog.db.t name, which has
+    // no versioned-store generations) keeps its view-level stats only
+    case Array(db, bare)
+        if db == spark.sessionState.catalog.getCurrentDatabase =>
+      val gen = scala.util.Try(
+        BucketedStores.currentGeneration(spark, bare)).toOption
+      val isMor = scala.util.Try(
+        BucketedStores.currentTombstones(spark, bare)).isSuccess
+      gen.filter(_ => !isMor).foreach { g =>
+        copyTo(spark, stats, g)
+      }
+    case _ => ()
   }
 
   /** Persist `stats` under table name `to` (a generation snapshot):
@@ -268,12 +313,27 @@ object SketchStats {
       table: String): Option[KeyStats] = {
     val q = qualify(spark, table)
     if (!spark.catalog.tableExists(statsTableOf(q))) None
-    else {
+    else scala.util.Try {
+      // schema-tolerant decode: `last_batch`/`lineage` arrived after
+      // the first stats tables were written, and stats are durable by
+      // design — a pre-upgrade 5-column row must decode (defaults),
+      // and ANY malformed stats table must degrade to stand-down
+      // (None), never crash the planner read path
       val r = spark.table(statsTableOf(q)).head()
-      Some(KeyStats(q, r.getAs[String]("key_col"),
+      val fields = r.schema.fieldNames.toSet
+      KeyStats(q, r.getAs[String]("key_col"),
         r.getAs[Long]("n_rows"), r.getAs[Long]("size_bytes"),
-        r.getAs[Array[Byte]]("cms"), r.getAs[Long]("last_batch"),
-        r.getAs[String]("lineage")))
+        r.getAs[Array[Byte]]("cms"),
+        if (fields.contains("last_batch")) r.getAs[Long]("last_batch")
+        else -1L,
+        if (fields.contains("lineage")) r.getAs[String]("lineage")
+        else "")
+    } match {
+      case scala.util.Success(st) => Some(st)
+      case scala.util.Failure(e) =>
+        logWarning(s"[GRAFT_STATS] ${statsTableOf(q)} is unreadable " +
+          s"(${e.getMessage}) — standing down; re-run GRAFT ANALYZE")
+        None
     }
   }
 

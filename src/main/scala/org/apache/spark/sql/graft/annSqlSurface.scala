@@ -31,11 +31,15 @@
   * unchanged — `<index>` resolves to its serving view, so tombstoned
   * vectors are already subtracted. TIME TRAVEL composes: a retained
   * index generation (`GRAFT_ANN('idx__v1', …)`) probes the historical
-  * lists against the BASE index's centroid companion — sound because
-  * the coarse quantizer never changes under list maintenance
-  * (writeIvfIndex writes it once; every delta/compaction touches
-  * lists only), so the read is exactly the index as of that
-  * generation.
+  * lists against that generation's SNAPSHOTTED centroid companion
+  * (`idx__v1_centroids`, pinned at swap time by
+  * [[graft.operators.BucketedStores]]). List maintenance never
+  * retrains the quantizer, but a later FULL REBUILD (`writeIvfIndex`
+  * re-run, streamed index rebuild) drops and retrains the BASE
+  * companion while retained generations survive — so the resolver
+  * never falls back from a generation name to the base companion: a
+  * generation without its snapshot fails loudly instead of silently
+  * probing old lists against a possibly-retrained quantizer.
   *
   * Reference parity note: the reference pipeline
   * (CI-CMG/wod-ascii-to-parquet-spark) has no similarity tier; the
@@ -100,19 +104,33 @@ object GraftAnnRewrite {
         if (nprobe < 1) fail(s"nprobe must be >= 1, got $nprobe")
         // time-travel composition: a retained index GENERATION
         // (`store__v<n>`, from versioned maintenance with retain > 0)
-        // probes against the BASE index's centroid companion — the
-        // coarse quantizer never changes under list maintenance, so
-        // historical lists + the current companion is the exact
-        // as-of-that-generation read
-        val centroids = "(.+)__v\\d+$".r.findFirstMatchIn(store)
-          .map(_.group(1) + "_centroids")
-          .filter(spark.catalog.tableExists)
-          .getOrElse(store + "_centroids")
-        if (!spark.catalog.tableExists(store) ||
-            !spark.catalog.tableExists(centroids))
+        // probes against its OWN snapshotted centroid companion
+        // (`store__v<n>_centroids`, pinned at swap time). Never fall
+        // back to the base companion for a generation name: a full
+        // rebuild retrains the base quantizer while retained
+        // generations survive, and old lists × new centroids is a
+        // silent mis-probe. A generation without its snapshot is a
+        // loud error, not a guess.
+        val centroids = store + "_centroids"
+        if (!spark.catalog.tableExists(store))
           fail(s"$store is not a stored IVF index — expected catalog " +
             s"tables $store (inverted lists) and $centroids " +
             "(write one with SimilarityOps.writeIvfIndex)")
+        if (!spark.catalog.tableExists(centroids)) {
+          if ("(.+)__v\\d+$".r.findFirstMatchIn(store).isDefined)
+            fail(s"$store is a retained index generation with no " +
+              s"snapshotted quantizer companion ($centroids): its " +
+              "lists were assigned under a quantizer the base " +
+              "companion may no longer hold (a full rebuild " +
+              "retrains it), so probing would be silently wrong. " +
+              "Re-run the store maintenance (any compaction/delta " +
+              "swap snapshots companions) or probe the serving name.")
+          else
+            fail(s"$store is not a stored IVF index — expected " +
+              s"catalog tables $store (inverted lists) and " +
+              s"$centroids (write one with " +
+              "SimilarityOps.writeIvfIndex)")
+        }
         val sb = new StringBuilder(s)
         sb.replace(toks(i).start, close.end,
           expansion(store, centroids, queries, k, nprobe))

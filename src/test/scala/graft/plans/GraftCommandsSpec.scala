@@ -223,6 +223,59 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS cmd_ann_idx_centroids")
   }
 
+  test("GRAFT_ANN time travel survives a quantizer rebuild: a " +
+      "retained generation probes its SNAPSHOTTED companion (pinned " +
+      "at swap time), and a generation without one fails loudly " +
+      "instead of silently probing the rebuilt base quantizer") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 4, k = 2, table = "cmd_tt_idx", location = Some(tmp()))
+    vecs.createOrReplaceTempView("cmd_tt_q")
+    BucketedStores.adoptVersioned(spark, "cmd_tt_idx")
+    BucketedStores.applyDeltaAtomic(spark, "cmd_tt_idx",
+      Seq("cid"), Seq("cid"), 2, "vid",
+      removeIds = spark.range(0L, 1L).toDF("vid"),
+      additions = None, retain = 1)
+    // every live generation got its quantizer snapshot at swap time
+    assert(spark.catalog.tableExists("cmd_tt_idx__v1_centroids") &&
+      spark.catalog.tableExists("cmd_tt_idx__v2_centroids"),
+      "swap must snapshot the centroid companion per generation")
+    val asOfV1 = "SELECT id_a, ann_id FROM " +
+      "GRAFT_ANN('cmd_tt_idx__v1', 'cmd_tt_q', 1, 2) ORDER BY id_a"
+    val before = spark.sql(asOfV1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // QUANTIZER REBUILD on the base name: drop + retrain the
+    // companion — exactly what a writeIvfIndex re-run / streamed
+    // index rebuild does (SimilarityOps.writeIvfIndex drops
+    // <table>_centroids before rewriting) — with a DIFFERENT
+    // quantizer, while the retained generations survive the rebuild
+    spark.sql("DROP TABLE cmd_tt_idx_centroids")
+    Seq((0L, Seq(100.0, 0.0, 0.0, 0.0)),
+        (1L, Seq(0.0, 100.0, 0.0, 0.0)))
+      .toDF("cid", "ce").write.option("path", tmp())
+      .saveAsTable("cmd_tt_idx_centroids")
+    val after = spark.sql(asOfV1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after === before,
+      "a retained generation's answer is pinned to the quantizer its " +
+        "lists were assigned under — a base rebuild cannot change it")
+    // a generation WITHOUT its snapshot (pre-snapshot store) must
+    // fail loudly, never silently mis-probe against the rebuilt base
+    spark.sql("DROP TABLE cmd_tt_idx__v1_centroids")
+    val e = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('cmd_tt_idx__v1', 'cmd_tt_q', 1, 2)")
+    }
+    assert(e.getMessage.contains("snapshotted quantizer companion"),
+      e.getMessage)
+    BucketedStores.dropVersioned(spark, "cmd_tt_idx")
+    spark.sql("DROP TABLE IF EXISTS cmd_tt_idx_centroids")
+  }
+
   test("GRAFT_BM25 serves a stored text index as pure SQL text: " +
       "row-identical to the bm25TopK API, bucket-pruned candidate " +
       "scan, loud macro errors") {
