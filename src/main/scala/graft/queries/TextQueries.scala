@@ -2618,6 +2618,204 @@ object TextQueries {
     },
     sql = tx37Bm25.sql)
 
+  /** tx44: HYBRID retrieval — reciprocal-rank fusion of the lexical
+    * (GRAFT_BM25 over the stored postings index) and dense
+    * (GRAFT_ANN over the stored IVF index) result lists in ONE SQL
+    * statement: score(d) = Σ_lists round(1/(60 + rank_d), 6), the
+    * textbook RRF constant, decimal-routed sum, (score DESC, doc_id)
+    * tie-break. Both macros expand in the same parse (composition was
+    * spec-only until now); the oracle recomputes BOTH retrieval
+    * pipelines from the raw tables — tokenization/df/dl/BM25 ranks on
+    * one side, quantizer/probes/cosine ranks on the other — and the
+    * same fusion, so the hash match proves the fused answer, not just
+    * that the statement parses. Ids follow the pipeline convention
+    * that `embeddings.vec_id` IS the document id of the embedded doc.
+    *
+    * Scale shape: each retrieval list is top-k (query-scale); the
+    * fusion is a UNION ALL + one tiny aggregation — corpus-scale work
+    * stays inside the two index probes (bucket-aligned scans).
+    */
+  val tx44HybridRrf = Q(
+    "tx44_hybrid_rrf",
+    (s, d) => {
+      val tIdx = ensureTextIndex(s, d)
+      val vIdx = SimilarityQueries.ensureIvfIndex(s, d)
+      embeddings(s, d).filter(col("vec_id") === 11L)
+        .createOrReplaceTempView("tx44_probe")
+      s.sql(s"""
+        WITH lex AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+          FROM GRAFT_BM25('$tIdx', 'spark vector hash window', 20)),
+        vec AS (
+          SELECT ann_id AS doc_id, rank AS r
+          FROM GRAFT_ANN('$vIdx', 'tx44_probe', 20, 3)),
+        u AS (SELECT doc_id, r FROM lex
+              UNION ALL SELECT doc_id, r FROM vec),
+        f AS (SELECT doc_id,
+                     CAST(SUM(CAST(round(1.0 / (60.0 + r), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
+              FROM u GROUP BY doc_id)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                 AS BIGINT) AS rank,
+               doc_id, rrf_score
+        FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""")
+    },
+    bench = true,
+    sql = Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM documents),
+      meta AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS tot
+        FROM tok),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      p AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok
+        WHERE term IN ('spark', 'vector', 'hash', 'window')
+        GROUP BY term, doc_id),
+      dft AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+      sc AS (
+        SELECT p.doc_id,
+               ROUND(ln((meta.n - CAST(dft.df AS DOUBLE) + 0.5) /
+                        (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+                     (CAST(p.tf AS DOUBLE) * 2.2) /
+                     (CAST(p.tf AS DOUBLE) + 1.2 *
+                       (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                         (meta.tot / meta.n)))), 6) AS s
+        FROM p
+        JOIN dft USING (term)
+        JOIN dl USING (doc_id), meta),
+      lexs AS (
+        SELECT doc_id, ${sqlDsum("s")} AS score
+        FROM sc GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 20),
+      lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM lexs),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v
+           ORDER BY vec_id LIMIT 16),
+      cscore AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs
+        FROM v CROSS JOIN c),
+      cranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cid) AS rn
+        FROM cscore),
+      assign AS (SELECT vec_id, cid FROM cranked WHERE rn = 1),
+      probes AS (SELECT vec_id, cid FROM cranked
+                 WHERE rn <= 3 AND vec_id = 11),
+      cand AS (
+        SELECT p.vec_id AS id_a, a.vec_id AS id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS score
+        FROM probes p
+        JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN v va ON va.vec_id = p.vec_id
+        JOIN v vb ON vb.vec_id = a.vec_id),
+      vecranked AS (
+        SELECT id_b AS doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, id_b) AS r
+        FROM cand),
+      vec AS (SELECT doc_id, r FROM vecranked WHERE r <= 20),
+      u AS (SELECT doc_id, r FROM lex
+            UNION ALL SELECT doc_id, r FROM vec),
+      f AS (SELECT doc_id,
+                   CAST(SUM(CAST(ROUND(1.0 / (60.0 + r), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
+            FROM u GROUP BY doc_id)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+               AS BIGINT) AS rank,
+             doc_id, rrf_score
+      FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10"""))
+
+  /** tx45: the BATCH (table-driven) GRAFT_BM25 form — the second
+    * argument names a `(query_id, terms)` relation and every query in
+    * the batch scores in ONE pass over the postings (the actual
+    * pipeline shape; the literal form can't batch). Tokenization
+    * happens INSIDE the expansion (split + lateral explode — query
+    * text flows through a join, never a spliced literal, so the
+    * injection guard holds by construction) and the candidate join
+    * lands on the BUCKETED `term` column with the tiny term set
+    * broadcast — the corpus-scale postings never shuffle (plan-gated
+    * in GraftCommandsSpec). Oracle: the full batch recompute —
+    * per-query tokenization, per-term df over the union of query
+    * terms, BM25 with the pinned order/rounding/decimal discipline,
+    * per-query (score DESC, doc_id) rank.
+    */
+  val tx45Bm25Batch = Q(
+    "tx45_bm25_batch_sql",
+    (s, d) => {
+      import s.implicits._
+      val t = ensureTextIndex(s, d)
+      Seq((1L, "spark vector"), (2L, "hash window data"),
+          (3L, "vector spark"))
+        .toDF("query_id", "terms")
+        .createOrReplaceTempView("tx45_queries")
+      s.sql("SELECT query_id, doc_id, score, CAST(rank AS BIGINT) " +
+        s"AS rank FROM GRAFT_BM25('$t', 'tx45_queries', 5) " +
+        "ORDER BY query_id, rank")
+    },
+    sql = Some(s"""
+      WITH qs(query_id, terms) AS (
+        VALUES (CAST(1 AS BIGINT), 'spark vector'),
+               (CAST(2 AS BIGINT), 'hash window data'),
+               (CAST(3 AS BIGINT), 'vector spark')),
+      qt AS (
+        SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(trim(terms), ' +')) AS term
+        FROM qs),
+      qtd AS (SELECT query_id, term FROM qt WHERE term <> ''),
+      tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM documents),
+      meta AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS tot
+        FROM tok),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      p AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok
+        WHERE term IN (SELECT term FROM qtd)
+        GROUP BY term, doc_id),
+      cand AS (
+        SELECT q.query_id, p.term, p.doc_id, p.tf
+        FROM p JOIN qtd q ON p.term = q.term),
+      dft AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM cand GROUP BY term),
+      sc AS (
+        SELECT c.query_id, c.doc_id,
+               ROUND(ln((meta.n - CAST(dft.df AS DOUBLE) + 0.5) /
+                        (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+                     (CAST(c.tf AS DOUBLE) * 2.2) /
+                     (CAST(c.tf AS DOUBLE) + 1.2 *
+                       (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                         (meta.tot / meta.n)))), 6) AS s
+        FROM cand c
+        JOIN dft ON c.term = dft.term
+        JOIN dl ON c.doc_id = dl.doc_id, meta),
+      agg AS (
+        SELECT query_id, doc_id, ${sqlDsum("s")} AS score
+        FROM sc GROUP BY query_id, doc_id),
+      rk AS (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank
+        FROM agg)
+      SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -2631,5 +2829,5 @@ object TextQueries {
     tx35Shuffle,
     tx36TrainingSet, tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch,
     tx40DatasetCard, tx41TextIndexDeletes, tx42TextIndexMorDeletes,
-    tx43Bm25Sql)
+    tx43Bm25Sql, tx44HybridRrf, tx45Bm25Batch)
 }

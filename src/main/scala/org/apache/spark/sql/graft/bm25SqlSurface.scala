@@ -20,6 +20,31 @@
   * length join is candidate-scale. Terms are a SET (the IN-list
   * dedups); a merge-on-read index serves through its tombstone view
   * unchanged.
+  *
+  * BATCH (table-driven) form, at parity with GRAFT_ANN's shape:
+  *
+  *   SELECT * FROM GRAFT_BM25('<index>', '<queries_table>', <k>)
+  *
+  * where the relation carries `(query_id, terms)` — terms a
+  * space-separated string per query. Chosen when the second argument
+  * names an existing relation with exactly those columns (documented
+  * preference: the batch form wins over a same-named single term —
+  * real term tokens and catalog names colliding is a naming bug, not
+  * a dispatch ambiguity worth a second macro). Output:
+  * `query_id, doc_id, score, rank` (rank 1..k per query by
+  * (score DESC, doc_id)).
+  *
+  * The batch expansion keeps the injection guard BY CONSTRUCTION:
+  * terms are tokenized INSIDE the SQL (split + lateral explode of the
+  * `terms` column — data flows through a join, never a spliced
+  * literal), and the only spliced token is the relation name, held to
+  * word characters. The candidate selection joins the postings on the
+  * BUCKETED `term` column against the (query × terms)-scale exploded
+  * side: the corpus-scale postings never shuffle (the tiny term set
+  * broadcasts), document frequencies fold out of the candidates
+  * (count distinct doc per term), and per-query top-k plans through
+  * WindowGroupLimit. Batch scoring is the pipeline shape: one pass
+  * over the postings serves every query in the batch.
   */
 package org.apache.spark.sql.graft
 
@@ -72,7 +97,27 @@ object GraftBm25Rewrite {
             s"'<space separated terms>', <k>), got args: $rawArgs")
         }
         if (k < 1) fail(s"k must be >= 1, got $k")
-        val terms = termsRaw.trim.split("\\s+").filter(_.nonEmpty)
+        // batch dispatch: a single word-token naming a relation with
+        // exactly (query_id, terms) columns is the table-driven form
+        val trimmed = termsRaw.trim
+        val batch = trimmed.matches("[A-Za-z0-9_.]+") && {
+          val cols = scala.util.Try(spark.table(trimmed).columns
+            .map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+            .getOrElse(Set.empty[String])
+          cols.contains("query_id") && cols.contains("terms")
+        }
+        if (batch) {
+          Seq(index, index + "_docs", index + "_meta")
+            .find(!spark.catalog.tableExists(_)).foreach(missing =>
+              fail(s"$index is not a stored text index — catalog " +
+                s"table $missing is missing (write one with " +
+                "TextRetrievalOps.writeTextIndex)"))
+          val sb = new StringBuilder(s)
+          sb.replace(toks(i).start, close.end,
+            batchExpansion(index, trimmed, k))
+          return Some(sb.toString)
+        }
+        val terms = trimmed.split("\\s+").filter(_.nonEmpty)
           .distinct.toSeq
         if (terms.isEmpty) fail("the terms string is empty")
         // the terms splice into a SQL IN-list — keep them to word
@@ -127,5 +172,57 @@ object GraftBm25Rewrite {
        |FROM graft_bm25_sc GROUP BY doc_id
        |ORDER BY score DESC, doc_id
        |LIMIT $k)""".stripMargin
+  }
+
+  /** The batch form's expansion: same constants, operation order,
+    * 6 dp rounding and decimal-routed sum as the single-query form —
+    * but candidates come from ONE join of the postings against the
+    * lateral-exploded (query_id, term) set (terms tokenized in SQL;
+    * nothing from the data splices into the statement). The postings
+    * side keys on the BUCKETED `term` column and the exploded side is
+    * query-batch-scale, so the corpus never shuffles; df is
+    * per-corpus-term (distinct docs over the term's candidates —
+    * identical to the single form's count even when queries share a
+    * term); top-k is a per-query window (WindowGroupLimit bounds it).
+    */
+  private def batchExpansion(index: String, queries: String,
+      k: Int): String = {
+    s"""(WITH graft_bm25_meta AS (
+       |  SELECT CAST(n_docs AS DOUBLE) AS nd,
+       |         CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |           AS avgdl
+       |  FROM ${index}_meta),
+       |graft_bm25_qt AS (
+       |  SELECT query_id, qterm
+       |  FROM $queries
+       |  LATERAL VIEW explode(array_distinct(filter(
+       |    split(trim(terms), ' +'), x -> x <> ''))) gq AS qterm),
+       |graft_bm25_cand AS (
+       |  SELECT q.query_id, p.term, p.doc_id, p.tf
+       |  FROM $index p JOIN graft_bm25_qt q ON p.term = q.qterm),
+       |graft_bm25_dft AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df
+       |  FROM graft_bm25_cand GROUP BY term),
+       |graft_bm25_sc AS (
+       |  SELECT c.query_id, c.doc_id,
+       |         round(ln((m.nd - CAST(d.df AS DOUBLE) + 0.5) /
+       |                  (CAST(d.df AS DOUBLE) + 0.5) + 1.0) *
+       |               (CAST(c.tf AS DOUBLE) * 2.2) /
+       |               (CAST(c.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+       |                 (CAST(l.dl AS DOUBLE) / m.avgdl))), 6) AS s
+       |  FROM graft_bm25_cand c
+       |  JOIN graft_bm25_dft d ON c.term = d.term
+       |  JOIN ${index}_docs l ON c.doc_id = l.doc_id
+       |  CROSS JOIN graft_bm25_meta m),
+       |graft_bm25_agg AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM graft_bm25_sc GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, score, rank FROM (
+       |  SELECT query_id, doc_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id) AS rank
+       |  FROM graft_bm25_agg)
+       |WHERE rank <= $k)""".stripMargin
   }
 }

@@ -319,6 +319,88 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("GRAFT_BM25 batch form: a (query_id, terms) relation scores " +
+      "in one pass — per-query rows equal the literal form exactly, " +
+      "and the postings scan feeds its candidate join broadcast-side " +
+      "with NO exchange (the corpus never shuffles)") {
+    import spark.implicits._
+    import graft.operators.TextRetrievalOps
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    val docs = Seq(
+      (1L, "spark joins spark shuffles windows"),
+      (2L, "vector hash vector vector"),
+      (3L, "spark vector hash window join"),
+      (4L, "tokens tokens tokens tokens tokens"),
+      (5L, "window window hash"))
+      .toDF("doc_id", "text")
+    TextRetrievalOps.writeTextIndex(docs, "doc_id", "text",
+      "cmd_bm25b_idx", location = Some(tmp()))
+    val batchQs = Seq((1L, "spark vector"), (2L, "hash  window"))
+    batchQs.toDF("query_id", "terms")
+      .createOrReplaceTempView("cmd_bm25b_q")
+    val df = spark.sql("SELECT query_id, doc_id, score, rank FROM " +
+      "GRAFT_BM25('cmd_bm25b_idx', 'cmd_bm25b_q', 3) " +
+      "ORDER BY query_id, rank")
+    val batch = df.collect()
+    batchQs.foreach { case (qid, terms) =>
+      val lit = spark.sql("SELECT doc_id, score FROM " +
+        s"GRAFT_BM25('cmd_bm25b_idx', '$terms', 3) " +
+        "ORDER BY score DESC, doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val b = batch.filter(_.getLong(0) == qid)
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(b === lit,
+        s"query $qid: the batch form must equal the literal form")
+    }
+    // plan gate: the postings relation joins the exploded query-term
+    // side WITHOUT an exchange under it (bucketed term column, tiny
+    // side broadcasts) — a sort-merge shuffle of the corpus-scale
+    // postings is the failure this gate exists to catch
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // AQE wraps materialized stages as leaves — expand through them
+    // so the scan/join/exchange census sees the whole physical tree
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case q: QueryStageExec => q +: expand(q.plan)
+        case n => Seq(n)
+      }
+    def hasPostingsScan(p: SparkPlan): Boolean =
+      expand(p).exists {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == "cmd_bm25b_idx")
+        case _ => false
+      }
+    val preJoinShuffles = expand(plan).collect {
+      case e: ShuffleExchangeExec if hasPostingsScan(e.child) &&
+          expand(e.child)
+            .collect { case j: BaseJoinExec => j }.isEmpty => e
+    }
+    assert(preJoinShuffles.isEmpty,
+      s"the postings side must reach its candidate join unshuffled:\n$plan")
+    val candJoin = expand(plan).collect {
+      case j: BaseJoinExec
+        if (hasPostingsScan(j.left) || hasPostingsScan(j.right)) &&
+          expand(j.left)
+            .collect { case jj: BaseJoinExec => jj }.isEmpty &&
+          expand(j.right)
+            .collect { case jj: BaseJoinExec => jj }.isEmpty => j
+    }
+    assert(candJoin.nonEmpty &&
+      candJoin.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"the candidate join must broadcast the query-term side:\n$plan")
+    spark.catalog.dropTempView("cmd_bm25b_q")
+    Seq("cmd_bm25b_idx", "cmd_bm25b_idx_docs", "cmd_bm25b_idx_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("macro composition: GRAFT_BM25 and GRAFT_ANN in ONE statement " +
       "— a hybrid lexical+vector retrieval joins both derived tables " +
       "through a single parse") {
