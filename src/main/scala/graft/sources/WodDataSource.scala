@@ -63,10 +63,12 @@ final class WodTable(properties: Map[String, String])
     new WodScanBuilder(options)
 }
 
-/** Column pruning: a cast must be fully parsed regardless (the gzip
-  * stream is sequential), but pruned scans emit narrow rows — nested
-  * `depths` arrays dominate row width, so `SELECT castNumber, geohash3`
-  * never materializes them downstream.
+/** Column pruning: the gzip stream is sequential so every cast's bytes
+  * are consumed regardless, but pruned scans emit narrow rows — and
+  * when `depths` is not in the projection, the reader tells the parser
+  * to DECODE the profile section without building per-depth structs
+  * (see [[WodPartitionReader]]): nested `depths` dominate both row
+  * width and allocation, so `SELECT castNumber, geohash3` pays neither.
   */
 final class WodScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder
@@ -164,7 +166,15 @@ final class WodPartitionReader(file: String, conf: Configuration,
       UnsafeProjection.create(refs)
     }
   }
-  private val casts = CastParser.casts(reader, dataset).flatMap {
+  // Nested pruning at PARSE time: when the projection needs no
+  // `depths`, the profile section is decoded (same grammar, same
+  // byte-count invariant — the accepted-cast set is projection-
+  // independent) but no per-depth structs are built. Header-only
+  // analytics over raw ASCII skip the dominant allocation cost of a
+  // cast (levels × vars objects); at corpus scale that is most of the
+  // transform work.
+  private val casts = CastParser.casts(reader, dataset,
+      skipProfile = !required.fieldNames.contains("depths")).flatMap {
     case Right(ascii) => WodTransform.toCast(dataset, ascii).toOption
     case Left(_) => None
   }

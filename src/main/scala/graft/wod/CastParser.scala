@@ -160,6 +160,13 @@ object CastParser {
     else throw new WodParseException(s"bad flag char '$f' at ${c.pos}")
   }
 
+  /** Per-depth struct census (instrumentation, one atomic add per
+    * CAST): the projection-pruning gate asserts a header-only scan
+    * builds ZERO of these. Not a metric surface — test-visible only.
+    */
+  private[graft] val levelStructsBuilt =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Parse one cast; cursor must be positioned at the 'C'. */
   def parseCast(c: WodCursor): AsciiCast = {
     val start = c.pos
@@ -176,7 +183,7 @@ object CastParser {
   final class CastContext { var castNumber: Int = -1 }
 
   private def parseAfterByteCount(c: WodCursor, start: Long, totalBytes: Int,
-      ctx: CastContext): AsciiCast = {
+      ctx: CastContext, skipProfile: Boolean = false): AsciiCast = {
     val castNumber = requireInt(c, "cast number")
     ctx.castNumber = castNumber
     val country = c.take(2)
@@ -264,17 +271,41 @@ object CastParser {
       }
     }
 
-    // profile data
-    val profile = Seq.fill(levels) {
-      val depth = realField(c)
-      val (df, of) =
-        if (depth.isDefined) (flag(c), flag(c)) else (0, 0)
-      val data = vars.map { v =>
-        val value = realField(c)
-        value.map(x => AsciiMeasurement(v.code, x, flag(c), flag(c)))
-      }.collect { case Some(m) => m }
-      AsciiLevel(depth, df, of, data)
-    }
+    // profile data. skipProfile = the caller's projection needs no
+    // per-depth data (header-only analytics): the section is still
+    // DECODED field by field — same grammar, same errors, same
+    // byte-count invariant, so the accepted-cast set is identical in
+    // every projection (a corrupt profile fails the cast either way) —
+    // but no AsciiLevel/AsciiMeasurement structs or Seqs are built.
+    // Depth structs dominate a cast's allocation profile (levels ×
+    // vars objects per cast vs a handful of header fields), so
+    // header-only scans skip most of the transform cost.
+    val profile =
+      if (skipProfile) {
+        var l = 0
+        while (l < levels) {
+          val depth = realField(c)
+          if (depth.isDefined) { flag(c); flag(c) }
+          vars.foreach { _ =>
+            val value = realField(c)
+            if (value.isDefined) { flag(c); flag(c) }
+          }
+          l += 1
+        }
+        Seq.empty
+      } else {
+        levelStructsBuilt.addAndGet(levels.toLong)
+        Seq.fill(levels) {
+          val depth = realField(c)
+          val (df, of) =
+            if (depth.isDefined) (flag(c), flag(c)) else (0, 0)
+          val data = vars.map { v =>
+            val value = realField(c)
+            value.map(x => AsciiMeasurement(v.code, x, flag(c), flag(c)))
+          }.collect { case Some(m) => m }
+          AsciiLevel(depth, df, of, data)
+        }
+      }
 
     val used = c.pos - start
     if (used != totalBytes) throw new WodParseException(
@@ -292,7 +323,8 @@ object CastParser {
     * a byte count the rest of the file is undecodable and iteration
     * stops after the error.
     */
-  def casts(in: Reader, dataset: String): Iterator[Either[CastError, AsciiCast]] =
+  def casts(in: Reader, dataset: String,
+      skipProfile: Boolean = false): Iterator[Either[CastError, AsciiCast]] =
     new Iterator[Either[CastError, AsciiCast]] {
       private val c = new WodCursor(in)
       private var finished = false
@@ -317,7 +349,7 @@ object CastParser {
             s"unsupported WOD record version '$ver' at ${c.pos} (want 'C')")
           val totalBytes = requireInt(c, "record byte count")
           declaredEnd = start + totalBytes
-          Right(parseAfterByteCount(c, start, totalBytes, ctx))
+          Right(parseAfterByteCount(c, start, totalBytes, ctx, skipProfile))
         } catch {
           case e: Exception =>
             // resync to the declared record end when the cursor hasn't

@@ -48,6 +48,35 @@ class WodDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.head().getInt(0) === 19950762)
   }
 
+  test("nested pruning at parse time: a header-only projection builds " +
+      "ZERO per-depth structs, a depths projection builds them, and " +
+      "the accepted-cast set is projection-independent") {
+    import graft.wod.CastParser
+    val f = s"$fixtures/CTD/OBS/CTDO1971.gz"
+    CastParser.levelStructsBuilt.set(0L)
+    val headerOnly = spark.read.format("wod").load(f)
+      .select("castNumber", "geohash3")
+    val nHeader = headerOnly.count()
+    assert(CastParser.levelStructsBuilt.get() === 0L,
+      "header-only scans must never build per-depth structs")
+    // a depths-READING action (count() alone would prune depths away
+    // again) must build exactly one struct per level
+    val row = spark.read.format("wod").load(f)
+      .selectExpr("count(*) AS n", "sum(size(depths)) AS levels")
+      .head()
+    val (nFull, totalLevels) = (row.getLong(0), row.getLong(1))
+    assert(totalLevels > 0L &&
+      CastParser.levelStructsBuilt.get() === totalLevels,
+      s"a depths projection must build one struct per level " +
+        s"(built ${CastParser.levelStructsBuilt.get()}, " +
+        s"levels $totalLevels)")
+    // validate-but-don't-allocate: the profile section is decoded in
+    // both modes, so projection can never change the row set
+    assert(nHeader === nFull,
+      "the accepted-cast set must be identical in every projection")
+    assert(headerOnly.head().getInt(0) === 19950762)
+  }
+
   test("SQL over the wod source") {
     spark.read.format("wod").load(s"$fixtures/CTD/OBS/CTDO1971.gz")
       .createOrReplaceTempView("wod_casts")
