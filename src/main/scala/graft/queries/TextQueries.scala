@@ -2816,6 +2816,140 @@ object TextQueries {
       FROM rk WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** tx46: BATCH hybrid retrieval — tx44's reciprocal-rank fusion at
+    * the pipeline's real shape: BOTH retrieval macros table-driven
+    * (GRAFT_BM25 over a `(query_id, terms)` batch, GRAFT_ANN over the
+    * matching probe-vector batch, `query_id` = the probe's `vec_id`
+    * by the embedding-id convention), fused per query in one SQL
+    * statement. One pass over the postings serves every lexical
+    * query; one pass over the inverted lists serves every probe; the
+    * fusion is a per-query UNION + tiny aggregation. Oracle: the full
+    * batch recompute of both pipelines and the fusion.
+    */
+  val tx46HybridBatchRrf = Q(
+    "tx46_hybrid_batch_rrf",
+    (s, d) => {
+      import s.implicits._
+      val tIdx = ensureTextIndex(s, d)
+      val vIdx = SimilarityQueries.ensureIvfIndex(s, d)
+      Seq((11L, "spark vector"), (17L, "hash window"))
+        .toDF("query_id", "terms")
+        .createOrReplaceTempView("tx46_queries")
+      embeddings(s, d).filter(col("vec_id").isin(11L, 17L))
+        .createOrReplaceTempView("tx46_probes")
+      s.sql(s"""
+        WITH lex AS (
+          SELECT query_id, doc_id, rank AS r
+          FROM GRAFT_BM25('$tIdx', 'tx46_queries', 20)),
+        vec AS (
+          SELECT id_a AS query_id, ann_id AS doc_id, rank AS r
+          FROM GRAFT_ANN('$vIdx', 'tx46_probes', 20, 3)),
+        u AS (SELECT query_id, doc_id, r FROM lex
+              UNION ALL SELECT query_id, doc_id, r FROM vec),
+        f AS (SELECT query_id, doc_id,
+                     CAST(SUM(CAST(round(1.0 / (60.0 + r), 6)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
+              FROM u GROUP BY query_id, doc_id),
+        rk AS (SELECT query_id, doc_id, rrf_score,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rrf_score DESC, doc_id) AS rank
+               FROM f)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_score
+        FROM rk WHERE rank <= 10
+        ORDER BY query_id, rank""")
+    },
+    sql = Some(s"""
+      WITH qs(query_id, terms) AS (
+        VALUES (CAST(11 AS BIGINT), 'spark vector'),
+               (CAST(17 AS BIGINT), 'hash window')),
+      qt AS (
+        SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(trim(terms), ' +')) AS term
+        FROM qs),
+      qtd AS (SELECT query_id, term FROM qt WHERE term <> ''),
+      tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM documents),
+      meta AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS tot
+        FROM tok),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      p AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok
+        WHERE term IN (SELECT term FROM qtd)
+        GROUP BY term, doc_id),
+      cand0 AS (
+        SELECT q.query_id, p.term, p.doc_id, p.tf
+        FROM p JOIN qtd q ON p.term = q.term),
+      dft AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM cand0 GROUP BY term),
+      sc AS (
+        SELECT c.query_id, c.doc_id,
+               ROUND(ln((meta.n - CAST(dft.df AS DOUBLE) + 0.5) /
+                        (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+                     (CAST(c.tf AS DOUBLE) * 2.2) /
+                     (CAST(c.tf AS DOUBLE) + 1.2 *
+                       (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                         (meta.tot / meta.n)))), 6) AS s
+        FROM cand0 c
+        JOIN dft ON c.term = dft.term
+        JOIN dl ON c.doc_id = dl.doc_id, meta),
+      agg AS (
+        SELECT query_id, doc_id, ${sqlDsum("s")} AS score
+        FROM sc GROUP BY query_id, doc_id),
+      lexr AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS r
+        FROM agg),
+      lex AS (SELECT query_id, doc_id, r FROM lexr WHERE r <= 20),
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v
+           ORDER BY vec_id LIMIT 16),
+      cscore AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs
+        FROM v CROSS JOIN c),
+      cranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cid) AS rn
+        FROM cscore),
+      assign AS (SELECT vec_id, cid FROM cranked WHERE rn = 1),
+      probes AS (SELECT vec_id, cid FROM cranked
+                 WHERE rn <= 3 AND vec_id IN (11, 17)),
+      cand AS (
+        SELECT p.vec_id AS id_a, a.vec_id AS id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS score
+        FROM probes p
+        JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN v va ON va.vec_id = p.vec_id
+        JOIN v vb ON vb.vec_id = a.vec_id),
+      vecr AS (
+        SELECT id_a AS query_id, id_b AS doc_id,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS r
+        FROM cand),
+      vec AS (SELECT query_id, doc_id, r FROM vecr WHERE r <= 20),
+      u AS (SELECT query_id, doc_id, r FROM lex
+            UNION ALL SELECT query_id, doc_id, r FROM vec),
+      f AS (SELECT query_id, doc_id,
+                   CAST(SUM(CAST(ROUND(1.0 / (60.0 + r), 6)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
+            FROM u GROUP BY query_id, doc_id),
+      rk AS (SELECT query_id, doc_id, rrf_score,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY rrf_score DESC, doc_id) AS rank
+             FROM f)
+      SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_score
+      FROM rk WHERE rank <= 10
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(tx1Tokens, tx2LangStats, tx3ExactDedup, tx4Quality,
     tx5Fingerprint, tx6SourceMix, tx7LangId, tx8Chunking, tx9Sample,
     tx10Tfidf, tx11Logprob, tx12Pipeline, tx13PiiScrub, tx14Repetition,
@@ -2829,5 +2963,5 @@ object TextQueries {
     tx35Shuffle,
     tx36TrainingSet, tx37Bm25, tx38IncrementalIndex, tx39PhraseSearch,
     tx40DatasetCard, tx41TextIndexDeletes, tx42TextIndexMorDeletes,
-    tx43Bm25Sql, tx44HybridRrf, tx45Bm25Batch)
+    tx43Bm25Sql, tx44HybridRrf, tx45Bm25Batch, tx46HybridBatchRrf)
 }
