@@ -1197,6 +1197,81 @@ object StreamingQueries {
     },
     sql = SimilarityQueries.sim11IvfMorDeletes.sql)
 
+  /** Streamed BATCH lexical serving (st28): query BATCHES arrive as
+    * micro-batches and each is answered by ONE table-driven
+    * `GRAFT_BM25` statement off the stored postings index
+    * ([[graft.streaming.CorpusStreaming.bm25BatchServeStream]]) —
+    * st19's serving loop without its per-query driver collect: query
+    * text stays executor-side through the macro's lateral-explode +
+    * bucketed-term join, so a micro-batch of any width is one
+    * postings pass (the 18-32× batch-vs-loop gap measured in
+    * BENCH_SCALE.md r17 applies per micro-batch). Checkpointed file
+    * offsets are the serving log; replay re-appends identical rows.
+    * Oracle: the full batch recompute over the union of all streamed
+    * batches (batching is an execution detail — per-query answers
+    * must not depend on which micro-batch carried the query).
+    */
+  val st28Bm25BatchServe = Q(
+    "st28_stream_bm25_batch_serve",
+    (s, d) => graft.streaming.CorpusStreaming.bm25BatchServeStream(s,
+      TextQueries.ensureTextIndex(s, d),
+      Seq(Seq((1L, "spark vector"), (2L, "hash window")),
+          Seq((3L, "window vector data"), (4L, "spark hash"))),
+      topK = 5),
+    sql = Some(s"""
+      WITH qs(query_id, terms) AS (
+        VALUES (CAST(1 AS BIGINT), 'spark vector'),
+               (CAST(2 AS BIGINT), 'hash window'),
+               (CAST(3 AS BIGINT), 'window vector data'),
+               (CAST(4 AS BIGINT), 'spark hash')),
+      qt AS (
+        SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(trim(terms), ' +')) AS term
+        FROM qs),
+      qtd AS (SELECT query_id, term FROM qt WHERE term <> ''),
+      tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS term
+        FROM documents),
+      meta AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS tot
+        FROM tok),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      p AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM tok
+        WHERE term IN (SELECT term FROM qtd)
+        GROUP BY term, doc_id),
+      cand AS (
+        SELECT q.query_id, p.term, p.doc_id, p.tf
+        FROM p JOIN qtd q ON p.term = q.term),
+      dft AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM cand GROUP BY term),
+      sc AS (
+        SELECT c.query_id, c.doc_id,
+               ROUND(ln((meta.n - CAST(dft.df AS DOUBLE) + 0.5) /
+                        (CAST(dft.df AS DOUBLE) + 0.5) + 1.0) *
+                     (CAST(c.tf AS DOUBLE) * 2.2) /
+                     (CAST(c.tf AS DOUBLE) + 1.2 *
+                       (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+                         (meta.tot / meta.n)))), 6) AS s
+        FROM cand c
+        JOIN dft ON c.term = dft.term
+        JOIN dl ON c.doc_id = dl.doc_id, meta),
+      agg AS (
+        SELECT query_id, doc_id, ${Q.sqlDsum("s")} AS score
+        FROM sc GROUP BY query_id, doc_id),
+      rk AS (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, doc_id) AS rank
+        FROM agg)
+      SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
     av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
     av7AsofSql, av8AsofSqlInner,
@@ -1208,5 +1283,5 @@ object StreamingQueries {
     st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
     st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance,
     st24BkQuantile, st25CmsFreq, st26KstatsMaintenance,
-    st27MorDeleteSqlServe)
+    st27MorDeleteSqlServe, st28Bm25BatchServe)
 }

@@ -172,6 +172,77 @@ object CorpusStreaming {
     finally q.stop()
   }
 
+  /** Streamed BATCH BM25 serving (st28) — st19's online lexical
+    * serving upgraded to the batch shape: each micro-batch is a whole
+    * BATCH of `(query_id, terms)` queries, registered as a temp view
+    * and answered by ONE `GRAFT_BM25('<index>', '<view>', k)` batch
+    * statement — no per-query driver collect at all (st19 collects
+    * each query's term set to the driver; here query text flows
+    * executor-side through the macro's lateral-explode + bucketed
+    * term join, so a micro-batch of thousands of queries serves at
+    * one postings pass, BENCH_SCALE.md r17). Probing never mutates
+    * the index, so replayed batches re-append identical rows (final
+    * distinct — the same at-least-once discipline as st19).
+    */
+  def bm25BatchServeStream(spark: SparkSession, table: String,
+      batches: Seq[Seq[(Long, String)]], topK: Int): DataFrame = {
+    val run = nameCounter.incrementAndGet()
+    val staged = stageQueryBatchFiles(spark, batches)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st28_out_$run").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st28_chk_$run").toString
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("terms", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val view = s"graft_st28_batch_${run}_$batchId"
+        batch.createOrReplaceTempView(view)
+        batch.sparkSession.sql(
+          s"SELECT query_id, doc_id, score, CAST(rank AS BIGINT) " +
+            s"AS rank FROM GRAFT_BM25('$table', '$view', $topK)")
+          .write.mode("append").parquet(outDir)
+        batch.sparkSession.catalog.dropTempView(view): Unit
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(outDir).distinct()
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Stage each query BATCH as one (query_id, terms) parquet file —
+    * one micro-batch per BATCH under maxFilesPerTrigger=1.
+    */
+  private[streaming] def stageQueryBatchFiles(spark: SparkSession,
+      batches: Seq[Seq[(Long, String)]]): String = {
+    val run = nameCounter.incrementAndGet()
+    val staged = java.nio.file.Files
+      .createTempDirectory(s"graft_st28_q_$run")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    batches.zipWithIndex.foreach { case (qs, i) =>
+      val tmp = staged.resolve(s"tmp_$i")
+      qs.toDF("query_id", "terms")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      val dest = new org.apache.hadoop.fs.Path(
+        staged.resolve(f"batch-$i%04d.parquet").toString)
+      fs.rename(part, dest)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp.toString), true)
+      fs.setTimes(dest, (i + 1) * 60000L, -1)
+    }
+    staged.toString
+  }
+
   /** Run the intake stream over the staged corpus; returns the
     * per-source channel report (source NULL = the corrupt channel,
     * whose rows never parse a source).
