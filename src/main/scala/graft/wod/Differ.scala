@@ -99,7 +99,10 @@ object Differ {
     * report format), empty file = complete.
     */
   def main(args: Array[String]): Unit = {
-    val Array(input, output, report) = args
+    val (input, output, report) = args match {
+      case Array(i, o, r) => (i, o, r)
+      case _ => sys.error("usage: Differ <input> <output> <reportFile>")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // only stop the session if this main created it (getOrCreate may
     // hand back a caller's session, e.g. under the test runner)

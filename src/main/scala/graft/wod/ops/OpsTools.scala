@@ -148,7 +148,10 @@ object Uploader {
     * `s3a://bucket/key`, `file:///...`).
     */
   def main(args: Array[String]): Unit = {
-    val Array(dir, dest) = args
+    val (dir, dest) = args match {
+      case Array(d, p) => (d, p)
+      case _ => sys.error("usage: Uploader <dir> <dest-prefix>")
+    }
     val uploaded = upload(Paths.get(dir), dest, new Configuration())
     uploaded.foreach { case (rel, bytes) => println(s"$rel: $bytes bytes") }
     println(s"${uploaded.size} files uploaded to ${normalize(dest)}")

@@ -315,6 +315,17 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e3.getMessage.contains("expected GRAFT_BM25("),
       e3.getMessage)
+    // time-travel composition is NOT offered for the lexical index
+    // (a retained postings generation would pair with the CURRENT
+    // docs/meta companions — the same silent-mis-probe class the ANN
+    // macro guards against): a generation name must error loudly,
+    // never resolve against mismatched companions
+    val e4 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_BM25('cmd_bm25_idx__v1', 'spark', 1)")
+    }
+    assert(e4.getMessage.contains("not a stored text index"),
+      e4.getMessage)
     Seq("cmd_bm25_idx", "cmd_bm25_idx_docs", "cmd_bm25_idx_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
