@@ -623,6 +623,136 @@ object SimilarityOps {
         col("best.score").as("score"))
   }
 
+  /** Materialize the IVF-SQ8 index as DURABLE storage — [[ivfSq8Top1]]
+    * as a serving shape, and the bandwidth story made real: the
+    * cid-bucketed inverted lists carry INT8 absmax-quantized vectors
+    * (`array<tinyint>` — 1 byte/dim on disk and over the scan, 4-8×
+    * less than the float lists of [[writeIvfIndex]]; at 100 TB that is
+    * the difference between a memory-resident and a disk-bound probe),
+    * plus the k-row `_centroids` companion (same quantizer contract as
+    * the flat index) and a vid-bucketed `_vecs` float companion that
+    * ONLY the top-`rerank` candidates ever touch (two candidate-scale
+    * id joins — the faiss refine shape). Quantization is the exact
+    * sim8 rule (sign·min(127, ⌊|x|·127/amax + ½⌋), integral before the
+    * cast), so the stored probe reproduces [[ivfSq8Top1]] bit-exactly:
+    * storage is an execution detail, not a semantics change.
+    *
+    * Rebuild-only serving surface: no append/MoR maintenance is
+    * offered for the quantized lists (an absmax-quantized row is
+    * self-contained, but the flat index is the maintained tier —
+    * rebuild SQ8 from it on the operator's schedule).
+    */
+  def writeIvfSq8Index(vecsDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, k: Int, table: String, buckets: Int = 8,
+      location: Option[String] = None): Unit = {
+    val spark = vecsDf.sparkSession
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
+    val v = ivfProject(vecsDf, idCol, vecCol)
+    val cents = firstKCentroids(v, k, dims)
+    val centArr = centroidLiteral(cents)
+    val quant = v
+      .withColumn("amax", aggregate(col("e"), lit(0.0),
+        (a, x) => greatest(a, abs(x))))
+      .withColumn("q", transform(col("e"), x =>
+        (signum(x) * least(lit(127.0),
+          floor(abs(x) * (lit(127.0) / col("amax")) + lit(0.5))))
+          .cast("byte")))
+    val assigned = quant.select(
+      element_at(transform(
+        slice(array_sort(transform(centArr, c => struct(
+          (-round(array_dot(col("e"), c.getField("ce"))
+            / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+          c.getField("cid").as("cid")))), 1, 1),
+        s => s.getField("cid")), 1).as("cid"),
+      col("vid"), col("q"), col("amax"), col("nrm"))
+    val lists = assigned
+      .write.bucketBy(buckets, "cid").sortBy("cid").mode("overwrite")
+    location.fold(lists)(l => lists.option("path", s"$l/lists"))
+      .saveAsTable(table)
+    val cw = cents.toDF("cid", "ce").write.mode("overwrite")
+    location.fold(cw)(l => cw.option("path", s"$l/cents"))
+      .saveAsTable(table + "_centroids")
+    val vw = v.select(col("vid"), col("e"), col("nrm"))
+      .write.bucketBy(buckets, "vid").sortBy("vid").mode("overwrite")
+    location.fold(vw)(l => vw.option("path", s"$l/vecs"))
+      .saveAsTable(table + "_vecs")
+  }
+
+  /** Probe a STORED IVF-SQ8 index ([[writeIvfSq8Index]]): top-1
+    * neighbor per query, bit-identical to [[ivfSq8Top1]] over the same
+    * corpus. The corpus-scale work is the cid-bucket-aligned scan of
+    * the INT8 lists (no index-side exchange); queries quantize in-row
+    * against the k-row companion; the integer dot is exact (bytes
+    * widen to long inside the fold); only the quantized top-`rerank`
+    * per query fetch float vectors from the vid-bucketed `_vecs`
+    * companion for the exact-cosine re-rank.
+    */
+  def probeIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nprobe: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.table(table + "_centroids")
+      .orderBy(col("cid")).collect() // bounded: k rows by contract
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cents.nonEmpty && cents.length >= nprobe,
+      s"index $table has ${cents.length} centroids < nprobe $nprobe")
+    cents.foreach { case (cid, ce) =>
+      require(ce.length == dims,
+        s"stored centroid $cid has ${ce.length} dims, expected $dims")
+    }
+    val centArr = centroidLiteral(cents.toSeq)
+    val q = ivfProject(queriesDf, idCol, vecCol)
+      .withColumn("amax", aggregate(col("e"), lit(0.0),
+        (a, x) => greatest(a, abs(x))))
+      .withColumn("qv", transform(col("e"), x =>
+        (signum(x) * least(lit(127.0),
+          floor(abs(x) * (lit(127.0) / col("amax")) + lit(0.5))))
+          .cast("long")))
+      .select(col("vid").as("id_a"), col("qv").as("qa"),
+        col("amax").as("amax_a"), col("nrm").as("na"),
+        explode(transform(
+          slice(array_sort(transform(centArr, c => struct(
+            (-round(array_dot(col("e"), c.getField("ce"))
+              / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+            c.getField("cid").as("cid")))), 1, nprobe),
+          s => s.getField("cid"))).as("cid"))
+    val index = spark.table(table).select(col("cid"),
+      col("vid").as("id_b"), col("q").as("qb"),
+      col("amax").as("amax_b"), col("nrm").as("nb"))
+    val qscored = q.join(index, Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("qscore", round(
+        aggregate(zip_with(col("qa"), col("qb"),
+            (x, y) => x * y.cast("long")),
+          lit(0L), (acc, p) => acc + p).cast("double")
+          / ((lit(127.0) / col("amax_a")) * (lit(127.0) / col("amax_b")))
+          / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("qscore").desc, col("id_b"))
+    val survivors = qscored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= rerank)
+      .select(col("id_a"), col("id_b"))
+    val vecs = spark.table(table + "_vecs")
+    val va = vecs.select(col("vid").as("id_a"), col("e").as("ea"),
+      col("nrm").as("na"))
+    val vb = vecs.select(col("vid").as("id_b"), col("e").as("eb"),
+      col("nrm").as("nb"))
+    survivors.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
+  }
+
   /** Index MAINTENANCE for the stored IVF ([[writeIvfIndex]]): assign
     * a vector delta to its nearest STORED centroid (the quantizer is
     * frozen at build time — the standard IVF append contract; lists

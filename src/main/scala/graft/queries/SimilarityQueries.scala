@@ -744,7 +744,46 @@ object SimilarityQueries {
     bench = true, // tracks the SQL macro's cost against sim4's API path
     sql = sim4IvfAnn.sql)
 
+  /** Idempotently build the stored IVF-SQ8 index for `d` (sim13
+    * probes it) — catalog-keyed like [[ensureIvfIndex]].
+    */
+  def ensureSq8Index(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"sim_sq8_index_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t) ||
+        !s.catalog.tableExists(t + "_centroids") ||
+        !s.catalog.tableExists(t + "_vecs")) {
+      SimilarityOps.writeIvfSq8Index(embeddings(s, d), "vec_id",
+        "embedding", dims = 64, k = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_sq8_idx").toString))
+    }
+    t
+  }
+
+  /** sim8 served from a STORED quantized index — the bandwidth-
+    * optimized serving shape made durable
+    * ([[graft.operators.SimilarityOps.writeIvfSq8Index]]): the
+    * cid-bucketed lists carry 1-byte/dim INT8 vectors (4-8× less scan
+    * bandwidth than the float lists — at 100 TB, memory-resident vs
+    * disk-bound), probes join bucket-aligned with zero index-side
+    * shuffle, the integer dot is exact, and only the quantized
+    * top-`rerank` fetch floats from the vid-bucketed `_vecs`
+    * companion. Same quantization/probe/tie-break as sim8, so sim8's
+    * oracle verbatim — storage is an execution detail (sim7's
+    * discipline, applied to the quantized tier).
+    */
+  val sim13Sq8Stored = Q(
+    "sim13_ivf_sq8_stored_top1",
+    (s, d) => {
+      val t = ensureSq8Index(s, d)
+      SimilarityOps.probeIvfSq8Index(s, t, spread(embeddings(s, d)),
+        "vec_id", "embedding", dims = 64, nprobe = 3, rerank = 10)
+        .orderBy(col("id_a"))
+    },
+    sql = sim8IvfSq8.sql)
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
-    sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql)
+    sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql, sim13Sq8Stored)
 }

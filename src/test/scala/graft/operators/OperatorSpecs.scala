@@ -419,6 +419,66 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaPoly.subsetOf(plain), "diamond ⊂ box")
   }
 
+  test("stored IVF-SQ8 index: lists persist 1-byte/dim INT8 vectors, " +
+      "the stored probe equals the in-memory ivfSq8Top1 row for row, " +
+      "and the quantized scan feeds its candidate join bucket-aligned") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 13 + j * 5) % 17 - 8).toDouble / 3)))
+      .toDF("vec_id", "embedding")
+    val table = "t_sq8_spec"
+    SimilarityOps.writeIvfSq8Index(vecs, "vec_id", "embedding",
+      dims = 8, k = 4, table = table, buckets = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_sq8").toString))
+    // the bandwidth claim is the STORED type: 1 byte per dimension
+    assert(spark.table(table).schema("q").dataType
+      .asInstanceOf[ArrayType].elementType === ByteType,
+      "quantized lists must persist as array<tinyint>")
+    val mem = SimilarityOps.ivfSq8Top1(vecs, "vec_id", "embedding",
+      dims = 8, k = 4, nprobe = 2, rerank = 5)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val storedDf = SimilarityOps.probeIvfSq8Index(spark, table, vecs,
+      "vec_id", "embedding", dims = 8, nprobe = 2, rerank = 5)
+      .orderBy(col("id_a"))
+    val stored = storedDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(stored === mem,
+      "storage must be an execution detail: stored probe == in-memory")
+    // plan gate: the INT8 list scan reaches its cid candidate join
+    // with NO exchange under it (bucket-aligned; only the query side,
+    // exploded at (query × nprobe) scale, may move)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = storedDf.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case q: QueryStageExec => q +: expand(q.plan)
+        case n => Seq(n)
+      }
+    def hasListScan(p: SparkPlan): Boolean = expand(p).exists {
+      case f: FileSourceScanExec =>
+        f.tableIdentifier.exists(_.table == table)
+      case _ => false
+    }
+    val listShuffles = expand(plan).collect {
+      case e: ShuffleExchangeExec if hasListScan(e.child) &&
+          expand(e.child)
+            .collect { case j: BaseJoinExec => j }.isEmpty => e
+    }
+    assert(listShuffles.isEmpty,
+      s"the quantized lists must never shuffle before their join:\n$plan")
+    Seq(table, s"${table}_centroids", s"${table}_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("stored IVF index: append assigns a vector delta to the frozen " +
       "quantizer through the same bucket layout — next probe sees it, " +
       "old list files untouched") {
