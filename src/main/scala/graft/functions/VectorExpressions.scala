@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayNorm, Int8QuantStats, MinHashSignature, PHashFingerprint, RollingHashWindows, ShingleArray, SimHashFingerprint, TopKValues, GraftExpressionBridge => B}
+import org.apache.spark.sql.graft.{ArrayDotProduct, ArrayDotQ8, ArrayNorm, Int8QuantStats, MinHashSignature, PHashFingerprint, RollingHashWindows, ShingleArray, SimHashFingerprint, TopKValues, GraftExpressionBridge => B}
 
 /** User-facing API for Graft's native kernels (implemented in the
   * org.apache.spark.sql.graft bridge package).
@@ -34,6 +34,12 @@ object VectorFunctions {
   /** Dot product of two array<double> columns (codegen'd). */
   def array_dot(a: Column, b: Column): Column =
     B.column(ArrayDotProduct(B.expression(a), B.expression(b)))
+
+  /** EXACT integer dot of two array<tinyint> columns, long-accumulated
+    * (codegen'd) — the stored-SQ8 probe's scan kernel.
+    */
+  def array_dot_q8(a: Column, b: Column): Column =
+    B.column(ArrayDotQ8(B.expression(a), B.expression(b)))
 
   /** L2 norm of an array<double> column (codegen'd). */
   def array_norm(a: Column): Column =

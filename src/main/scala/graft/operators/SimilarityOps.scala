@@ -573,7 +573,7 @@ object SimilarityOps {
       .withColumn("q", transform(col("e"), x =>
         (signum(x) * least(lit(127.0),
           floor(abs(x) * (lit(127.0) / col("amax")) + lit(0.5))))
-          .cast("long")))
+          .cast("byte")))
     // one scan: quantization + centroid ranking persisted scoped —
     // the index branch, the probe branch, AND both rerank fetches all
     // read this cache (sim4's single-scan discipline)
@@ -591,11 +591,15 @@ object SimilarityOps {
       col("amax").as("amax_a"), col("nrm").as("na"),
       explode(transform(col("cs_ranked"), s => s.getField("cid")))
         .as("cid"))
+    // native int8-dot kernel (exact, long-accumulated) — the HOF
+    // zip_with/aggregate form dispatched a closure per element on the
+    // candidate × dim hot loop; see [[org.apache.spark.sql.graft
+    // .ArrayDotQ8]]
     val qscored = queries.join(index, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("qscore", round(
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, p) => acc + p).cast("double")
+        graft.functions.VectorFunctions.array_dot_q8(col("qa"), col("qb"))
+          .cast("double")
           / ((lit(127.0) / col("amax_a")) * (lit(127.0) / col("amax_b")))
           / (col("na") * col("nb")), 6))
     val w = Window.partitionBy(col("id_a"))
@@ -710,7 +714,7 @@ object SimilarityOps {
       .withColumn("qv", transform(col("e"), x =>
         (signum(x) * least(lit(127.0),
           floor(abs(x) * (lit(127.0) / col("amax")) + lit(0.5))))
-          .cast("long")))
+          .cast("byte")))
       .select(col("vid").as("id_a"), col("qv").as("qa"),
         col("amax").as("amax_a"), col("nrm").as("na"),
         explode(transform(
@@ -722,12 +726,16 @@ object SimilarityOps {
     val index = spark.table(table).select(col("cid"),
       col("vid").as("id_b"), col("q").as("qb"),
       col("amax").as("amax_b"), col("nrm").as("nb"))
+    // the scan kernel: native codegen'd int8 dot (exact, long-
+    // accumulated) — per candidate × per dim, a HOF zip_with/aggregate
+    // here measured ~11× slower than the float probe; the kernel keeps
+    // the quantized tier's CPU cost below the float tier's so the 4.5×
+    // scan-bandwidth win is never paid back in compute
     val qscored = q.join(index, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("qscore", round(
-        aggregate(zip_with(col("qa"), col("qb"),
-            (x, y) => x * y.cast("long")),
-          lit(0L), (acc, p) => acc + p).cast("double")
+        graft.functions.VectorFunctions.array_dot_q8(col("qa"), col("qb"))
+          .cast("double")
           / ((lit(127.0) / col("amax_a")) * (lit(127.0) / col("amax_b")))
           / (col("na") * col("nb")), 6))
     val w = Window.partitionBy(col("id_a"))

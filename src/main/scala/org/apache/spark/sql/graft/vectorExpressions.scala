@@ -56,6 +56,56 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Codegen'd EXACT integer dot product over two array<tinyint>
+  * columns — the scan kernel of the stored-SQ8 probe
+  * ([[graft.operators.SimilarityOps.probeIvfSq8Index]]): per
+  * candidate × per dimension, so a `zip_with`+`aggregate` HOF chain
+  * here costs per-element closure dispatch on the hottest loop of the
+  * quantized tier (measured: the HOF form made the stored-SQ8 probe
+  * ~11× slower than the float probe at sf0.1; this kernel is the
+  * fix). Accumulates in long — 64 dims × 127² ≪ 2^63, overflow-free
+  * by construction for any real embedding width.
+  */
+case class ArrayDotQ8(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.ByteType),
+      ArrayType(org.apache.spark.sql.types.ByteType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "array_dot_q8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getByte(i).toLong * y.getByte(i); i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getByte($i)) * $b.getByte($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Codegen'd L2 norm of an array<double>. */
 case class ArrayNorm(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
