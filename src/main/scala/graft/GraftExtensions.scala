@@ -62,6 +62,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("int8_quant_stats"),
       info("int8_quant_stats"),
       (es: Seq[Expression]) => Int8QuantStats(es.head)))
+    // quantized-tier kernels: exact int8 dot (long-accumulated) and
+    // the sim8 quantization rule — the scan + probe kernels behind
+    // GRAFT_ANN's stored-SQ8 serving
+    e.injectFunction((FunctionIdentifier("array_dot_q8"),
+      info("array_dot_q8"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.ArrayDotQ8(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("int8_quantize"),
+      info("int8_quantize"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.Int8Quantize(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash"),
       (es: Seq[Expression]) => RollingHashWindows(es.head,

@@ -783,7 +783,27 @@ object SimilarityQueries {
     },
     sql = sim8IvfSq8.sql)
 
+  /** sim14: the quantized tier's SQL serving — sim13's stored-SQ8
+    * probe as PURE SQL TEXT via GRAFT_ANN's 5-arg form
+    * (`GRAFT_ANN('<sq8_index>', '<queries>', k, nprobe, rerank)`):
+    * int8 scan kernel + in-row quantization + exact-float re-rank,
+    * all registered codegen'd expressions in stock grammar. Same
+    * semantics as sim8/sim13, so sim8's oracle verbatim — the
+    * quantized tier now has the full surface (in-memory API → stored
+    * API → SQL text) the float tier has.
+    */
+  val sim14Sq8AnnSql = Q(
+    "sim14_sq8_ann_sql_top1",
+    (s, d) => {
+      val t = ensureSq8Index(s, d)
+      spread(embeddings(s, d)).createOrReplaceTempView("sim14_queries")
+      s.sql("SELECT id_a, ann_id, score FROM " +
+        s"GRAFT_ANN('$t', 'sim14_queries', 1, 3, 10) ORDER BY id_a")
+    },
+    sql = sim8IvfSq8.sql)
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
-    sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql, sim13Sq8Stored)
+    sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql, sim13Sq8Stored,
+    sim14Sq8AnnSql)
 }

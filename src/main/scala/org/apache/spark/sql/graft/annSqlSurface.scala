@@ -8,9 +8,18 @@
   * the same delegating-parser discipline:
   *
   *   SELECT * FROM GRAFT_ANN('<index>', '<queries_table>', <k>, <nprobe>)
+  *   SELECT * FROM GRAFT_ANN('<sq8_index>', '<queries>', <k>, <nprobe>, <rerank>)
   *
   * expands AT PARSE TIME into the stock-grammar derived table that
-  * probes the stored index — semantically identical to
+  * probes the stored index. The 4-arg form serves float IVF stores
+  * ([[graft.operators.SimilarityOps.writeIvfIndex]]); the 5-arg form
+  * serves QUANTIZED stores ([[graft.operators.SimilarityOps
+  * .writeIvfSq8Index]] — detected by the lists' (q, amax) schema,
+  * loud errors on a missing/extra rerank): int8 scan kernel
+  * (`array_dot_q8`), in-row query quantization (`int8_quantize`),
+  * exact-float re-rank off the `_vecs` companion, identical to
+  * [[graft.operators.SimilarityOps.probeIvfSq8Index]]. The float form
+  * is semantically identical to
   * [[graft.operators.SimilarityOps.probeIvfIndex]] (same rounded-
   * cosine probe selection `(cos DESC, cid)`, same candidate scoring,
   * same `(score DESC, id)` tie-break), generalized to top-k. Output
@@ -59,7 +68,7 @@ object GraftAnnRewrite {
 
   private val ArgShape =
     ("""^\s*'([A-Za-z0-9_.]+)'\s*,\s*'([A-Za-z0-9_.]+)'\s*,""" +
-      """\s*(\d+)\s*,\s*(\d+)\s*$""").r
+      """\s*(\d+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?$""").r
 
   def apply(spark: SparkSession, sql: String): String = {
     // cheap pre-screen: the macro name must appear at all
@@ -93,12 +102,14 @@ object GraftAnnRewrite {
           fail("unbalanced parentheses in GRAFT_ANN(...)")
         val close = toks(closeIdx)
         val rawArgs = s.substring(open.end, close.start)
-        val (store, queries, k, nprobe) = rawArgs match {
-          case ArgShape(st, q, kk, np) =>
+        val (store, queries, k, nprobe, rerank) = rawArgs match {
+          case ArgShape(st, q, kk, np, rr) =>
             (st.toLowerCase(java.util.Locale.ROOT),
-              q.toLowerCase(java.util.Locale.ROOT), kk.toInt, np.toInt)
+              q.toLowerCase(java.util.Locale.ROOT), kk.toInt, np.toInt,
+              Option(rr).map(_.toInt))
           case _ => fail("expected GRAFT_ANN('<index_store>', " +
-            s"'<queries_table>', <k>, <nprobe>), got args: $rawArgs")
+            "'<queries_table>', <k>, <nprobe>[, <rerank>]), " +
+            s"got args: $rawArgs")
         }
         if (k < 1) fail(s"k must be >= 1, got $k")
         if (nprobe < 1) fail(s"nprobe must be >= 1, got $nprobe")
@@ -131,9 +142,35 @@ object GraftAnnRewrite {
               s"$centroids (write one with " +
               "SimilarityOps.writeIvfIndex)")
         }
+        // tier dispatch: an SQ8 store's lists carry (q, amax) instead
+        // of e — it probes through the quantized expansion (int8 scan
+        // kernel + exact-float rerank off the _vecs companion) and
+        // REQUIRES <rerank>; a float store must not be given one
+        val isSq8 = {
+          val cols = spark.table(store).columns
+            .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          cols.contains("q") && cols.contains("amax")
+        }
+        val body = if (isSq8) {
+          val rr = rerank.getOrElse(fail(s"$store is a quantized " +
+            "(SQ8) index store — the <rerank> argument is required: " +
+            s"GRAFT_ANN('$store', '<queries>', k, nprobe, rerank)"))
+          if (rr < k) fail(s"rerank ($rr) must be >= k ($k) — the " +
+            "exact re-rank can only return candidates the quantized " +
+            "pass kept")
+          val vecs = store + "_vecs"
+          if (!spark.catalog.tableExists(vecs))
+            fail(s"$store has no float companion $vecs for the " +
+              "exact re-rank (write the index with " +
+              "SimilarityOps.writeIvfSq8Index)")
+          sq8Expansion(store, centroids, vecs, queries, k, nprobe, rr)
+        } else {
+          rerank.foreach(_ => fail(s"$store is a float IVF store — " +
+            "<rerank> only applies to quantized (SQ8) stores"))
+          expansion(store, centroids, queries, k, nprobe)
+        }
         val sb = new StringBuilder(s)
-        sb.replace(toks(i).start, close.end,
-          expansion(store, centroids, queries, k, nprobe))
+        sb.replace(toks(i).start, close.end, body)
         return Some(sb.toString)
       }
       i += 1
@@ -176,6 +213,83 @@ object GraftAnnRewrite {
          |         round(array_dot(p.ea, i.e) / (p.na * i.nrm), 6) AS score
          |  FROM graft_ann_probe p JOIN $store i
          |    ON i.cid = p.cid AND i.vid <> p.id_a)
+         |""".stripMargin
+    val tail =
+      if (k == 1)
+        """SELECT id_a, -gbest.nid AS ann_id, gbest.score AS score,
+          |       1 AS rank
+          |FROM (SELECT id_a, max(named_struct(
+          |        'score', score, 'nid', -ann_id)) AS gbest
+          |      FROM graft_ann_cand GROUP BY id_a))""".stripMargin
+      else
+        s"""SELECT id_a, ann_id, score, rank FROM (
+           |  SELECT id_a, ann_id, score,
+           |         ROW_NUMBER() OVER (PARTITION BY id_a
+           |           ORDER BY score DESC, ann_id) AS rank
+           |  FROM graft_ann_cand)
+           |WHERE rank <= $k)""".stripMargin
+    head + tail
+  }
+
+  /** The quantized-store expansion, shaped to probeIvfSq8Index's plan:
+    * queries quantize IN-ROW (`int8_quantize` kernel, amax folded as a
+    * scalar so it evaluates once per row), probe lists come off the
+    * cid-bucket-aligned scan carrying 1-byte/dim vectors, candidates
+    * score with the exact `array_dot_q8` integer kernel, the quantized
+    * top-`rerank` per query survive (WindowGroupLimit bounds it), and
+    * only those few join the `_vecs` float companion for the exact-
+    * cosine re-rank — the faiss refine shape as stock SQL text. Same
+    * tie-breaks as the API probe: (qscore DESC, ann_id) at the
+    * quantized cut, (score DESC, ann_id) at the final rank.
+    */
+  private def sq8Expansion(store: String, centroids: String,
+      vecs: String, queries: String, k: Int, nprobe: Int,
+      rerank: Int): String = {
+    val head =
+      s"""(WITH graft_ann_cents AS (
+         |  SELECT collect_list(named_struct(
+         |           'cid', cid, 'ce', ce, 'cn', array_norm(ce))) AS cs
+         |  FROM $centroids),
+         |graft_ann_q AS (
+         |  SELECT vec_id AS id_a,
+         |         transform(embedding, gx -> CAST(gx AS DOUBLE)) AS ea
+         |  FROM $queries),
+         |graft_ann_qz AS (
+         |  SELECT id_a, ea, array_norm(ea) AS na, amax_a,
+         |         int8_quantize(ea, amax_a) AS qa
+         |  FROM (SELECT id_a, ea,
+         |               aggregate(ea, CAST(0.0 AS DOUBLE),
+         |                 (ga, gx) -> greatest(ga, abs(gx))) AS amax_a
+         |        FROM graft_ann_q)),
+         |graft_ann_probe AS (
+         |  SELECT id_a, qa, amax_a, na, pcid AS cid
+         |  FROM (SELECT id_a, qa, amax_a, na, ea,
+         |               (SELECT cs FROM graft_ann_cents) AS cents
+         |        FROM graft_ann_qz)
+         |  LATERAL VIEW explode(transform(slice(array_sort(
+         |    transform(cents, c -> named_struct(
+         |      'ns', -round(array_dot(ea, c.ce) / (na * c.cn), 6),
+         |      'cid', c.cid))), 1, $nprobe), s -> s.cid)) gp AS pcid),
+         |graft_ann_qs AS (
+         |  SELECT p.id_a, i.vid AS ann_id,
+         |         round(CAST(array_dot_q8(p.qa, i.q) AS DOUBLE)
+         |               / ((127.0D / p.amax_a) * (127.0D / i.amax))
+         |               / (p.na * i.nrm), 6) AS qscore
+         |  FROM graft_ann_probe p JOIN $store i
+         |    ON i.cid = p.cid AND i.vid <> p.id_a),
+         |graft_ann_sv AS (
+         |  SELECT id_a, ann_id FROM (
+         |    SELECT id_a, ann_id,
+         |           ROW_NUMBER() OVER (PARTITION BY id_a
+         |             ORDER BY qscore DESC, ann_id) AS rn
+         |    FROM graft_ann_qs) WHERE rn <= $rerank),
+         |graft_ann_cand AS (
+         |  SELECT sv.id_a, sv.ann_id,
+         |         round(array_dot(qz.ea, vb.e) / (qz.na * vb.nrm), 6)
+         |           AS score
+         |  FROM graft_ann_sv sv
+         |  JOIN graft_ann_qz qz ON qz.id_a = sv.id_a
+         |  JOIN $vecs vb ON vb.vid = sv.ann_id)
          |""".stripMargin
     val tail =
       if (k == 1)

@@ -106,6 +106,73 @@ case class ArrayDotQ8(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Codegen'd int8 absmax quantization of an array<double> given its
+  * precomputed scale denominator: q_i = sign(x_i) · min(127,
+  * ⌊|x_i|·127/amax + ½⌋) as a 1-byte value — EXACTLY the sim8/sim13
+  * quantization rule (integral before the narrowing cast, so every
+  * engine reproduces it). `amax` arrives as a scalar argument so it is
+  * evaluated once per ROW — the HOF spelling (`transform` referencing
+  * an amax column) re-evaluates the reduction per ELEMENT after
+  * projection collapse (the Int8QuantStats trap, same fix). amax ≤ 0
+  * (the zero vector) quantizes to all zeros.
+  */
+case class Int8Quantize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def prettyName: String = "int8_quantize"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val amax = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    if (amax > 0.0) {
+      val s = 127.0 / amax
+      var i = 0
+      while (i < n) {
+        val v = x.getDouble(i)
+        val m = math.min(127.0, math.floor(math.abs(v) * s + 0.5))
+        out(i) = (math.signum(v) * m).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |if ($b > 0.0) {
+         |  double $s = 127.0 / $b;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = $a.getDouble($i);
+         |    double $m = java.lang.Math.min(127.0,
+         |      java.lang.Math.floor(java.lang.Math.abs($v) * $s + 0.5));
+         |    $out[$i] = (byte) (java.lang.Math.signum($v) * $m);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Codegen'd L2 norm of an array<double>. */
 case class ArrayNorm(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

@@ -223,6 +223,60 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS cmd_ann_idx_centroids")
   }
 
+  test("GRAFT_ANN 5-arg form serves a QUANTIZED (SQ8) store: SQL " +
+      "equals probeIvfSq8Index row for row; rerank is required there, " +
+      "forbidden on float stores, and must cover k") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val vecs = (0L until 24L).map(i =>
+      (i, Array.tabulate(6)(j => ((i * 11 + j * 7) % 13 - 6).toFloat / 2f)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfSq8Index(vecs, "vec_id", "embedding",
+      dims = 6, k = 3, table = "cmd_sq8_idx", location = Some(tmp()))
+    vecs.createOrReplaceTempView("cmd_sq8_q")
+    val api = SimilarityOps.probeIvfSq8Index(spark, "cmd_sq8_idx", vecs,
+      "vec_id", "embedding", dims = 6, nprobe = 2, rerank = 5)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaSql = spark.sql("SELECT id_a, ann_id, score FROM " +
+      "GRAFT_ANN('cmd_sq8_idx', 'cmd_sq8_q', 1, 2, 5) ORDER BY id_a")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql === api,
+      "the 5-arg macro must reproduce probeIvfSq8Index exactly")
+    // k > 1 over the quantized tier: ranked per query, score desc
+    val top2 = spark.sql("SELECT id_a, ann_id, score, rank FROM " +
+      "GRAFT_ANN('cmd_sq8_idx', 'cmd_sq8_q', 2, 2, 5) " +
+      "ORDER BY id_a, rank").collect()
+    assert(top2.nonEmpty && top2.grouped(2).forall(p =>
+      p.length < 2 || p(0).getLong(0) != p(1).getLong(0) ||
+        p(0).getDouble(2) >= p(1).getDouble(2)))
+    // loud dispatch errors
+    val e1 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('cmd_sq8_idx', 'cmd_sq8_q', 1, 2)")
+    }
+    assert(e1.getMessage.contains("rerank> argument is required"),
+      e1.getMessage)
+    val e2 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('cmd_sq8_idx', 'cmd_sq8_q', 9, 2, 5)")
+    }
+    assert(e2.getMessage.contains("must be >= k"), e2.getMessage)
+    // float store + rerank → loud
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 6, k = 3, table = "cmd_sq8_flat", location = Some(tmp()))
+    val e3 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('cmd_sq8_flat', 'cmd_sq8_q', 1, 2, 5)")
+    }
+    assert(e3.getMessage.contains("only applies to quantized"),
+      e3.getMessage)
+    Seq("cmd_sq8_idx", "cmd_sq8_idx_centroids", "cmd_sq8_idx_vecs",
+      "cmd_sq8_flat", "cmd_sq8_flat_centroids")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("GRAFT_ANN time travel survives a quantizer rebuild: a " +
       "retained generation probes its SNAPSHOTTED companion (pinned " +
       "at swap time), and a generation without one fails loudly " +
