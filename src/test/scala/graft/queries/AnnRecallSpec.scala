@@ -81,6 +81,38 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ANN recall@1 $recall below the $minRecall gate")
   }
 
+  test("quantized tier recall: the stored-SQ8 probe's int8 scan + " +
+      "exact re-rank loses at most 2 points of recall@1 vs the float " +
+      "IVF probe on the same quantizer/probes") {
+    val t = "recall_sq8_idx"
+    Seq(t, s"${t}_centroids", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val v = vectors.select(col("vec_id"), col("e"))
+    SimilarityOps.writeIvfSq8Index(v, "vec_id", "e", dims = 64,
+      k = 16, table = t, location = Some(java.nio.file.Files
+        .createTempDirectory("recall_sq8").toString))
+    def recallOf(df: DataFrame): Double = {
+      val row = df.select(col("id_a"), col("ann_id"))
+        .join(exactTop1, "id_a")
+        .agg(count(lit(1)).as("covered"),
+          sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+            .as("matched"))
+        .head()
+      if (row.getLong(0) == 0) 0.0
+      else row.getLong(1).toDouble / row.getLong(0)
+    }
+    val sq8 = recallOf(SimilarityOps.probeIvfSq8Index(spark, t, v,
+      "vec_id", "e", dims = 64, nprobe = 3, rerank = 10))
+    val flat = recallOf(SimilarityOps.ivfTop1(v, "vec_id", "e",
+      dims = 64, k = 16, nprobe = 3))
+    info(f"sq8 recall@1 = $sq8%.3f, float IVF recall@1 = $flat%.3f")
+    assert(sq8 >= flat - 0.02,
+      f"the quantized tier lost too much recall: sq8 $sq8%.3f vs " +
+        f"float $flat%.3f — rerank should recover quantization error")
+    Seq(t, s"${t}_centroids", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("degenerate banding (bands=1) falls below the gate") {
     val (coverage, recall) = annQuality(bands = 1)
     assert(coverage < minCoverage || recall < minRecall,
