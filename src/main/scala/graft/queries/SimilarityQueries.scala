@@ -781,6 +781,7 @@ object SimilarityQueries {
         "vec_id", "embedding", dims = 64, nprobe = 3, rerank = 10)
         .orderBy(col("id_a"))
     },
+    bench = true, // tracks the quantized tier's stored-probe cost
     sql = sim8IvfSq8.sql)
 
   /** sim14: the quantized tier's SQL serving — sim13's stored-SQ8
@@ -800,6 +801,7 @@ object SimilarityQueries {
       s.sql("SELECT id_a, ann_id, score FROM " +
         s"GRAFT_ANN('$t', 'sim14_queries', 1, 3, 10) ORDER BY id_a")
     },
+    bench = true, // SQL form vs sim13's API path, sim12's discipline
     sql = sim8IvfSq8.sql)
 
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
