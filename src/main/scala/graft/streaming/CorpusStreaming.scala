@@ -192,6 +192,20 @@ object CorpusStreaming {
       .createTempDirectory(s"graft_st28_out_$run").toString
     val chk = java.nio.file.Files
       .createTempDirectory(s"graft_st28_chk_$run").toString
+    serveBm25Batches(spark, table, staged, outDir, chk, topK)
+    spark.read.parquet(outDir).distinct()
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Drain whatever batch files exist in `staged` through one
+    * GRAFT_BM25 batch statement per micro-batch — RESTARTABLE with the
+    * same out/chk (the checkpoint's file offsets are the serving log,
+    * st19's discipline at batch grain).
+    */
+  private[streaming] def serveBm25Batches(spark: SparkSession,
+      table: String, staged: String, outDir: String, chk: String,
+      topK: Int): Unit = {
+    val run = nameCounter.incrementAndGet()
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("query_id",
@@ -213,8 +227,6 @@ object CorpusStreaming {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.read.parquet(outDir).distinct()
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Stage each query BATCH as one (query_id, terms) parquet file —

@@ -655,6 +655,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("st28 batch BM25 serving resumes from its checkpointed batch " +
+      "offsets — a batch answered before the stop is not re-served, " +
+      "the one after it is, and the final answers equal uninterrupted") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val table = graft.queries.TextQueries.ensureTextIndex(spark, dir)
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, "spark vector"), (2L, "hash window")),
+      Seq((3L, "spark hash"), (4L, "vector window")))
+    val expected = CorpusStreaming.bm25BatchServeStream(spark, table,
+      batches, topK = 5).collect().toSeq
+    assert(expected.map(_.getLong(0)).distinct.size === 4)
+
+    val staged = CorpusStreaming.stageQueryBatchFiles(spark, batches)
+    val files = Files.list(Paths.get(staged)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) all += files.next()
+    val ordered = all.filter { p =>
+      val n = p.getFileName.toString
+      n.endsWith(".parquet") && !n.startsWith(".")
+    }.sortBy(_.getFileName.toString)
+    assert(ordered.size === 2)
+
+    val stage2 = Files.createTempDirectory("st28_partial")
+    val out = Files.createTempDirectory("st28_out").toString
+    val chk = Files.createTempDirectory("st28_chk").toString
+    def copyIn(p: java.nio.file.Path): Unit =
+      Files.copy(p, stage2.resolve(p.getFileName.toString),
+        StandardCopyOption.COPY_ATTRIBUTES): Unit
+    copyIn(ordered.head)
+    CorpusStreaming.serveBm25Batches(spark, table, stage2.toString,
+      out, chk, topK = 5) // run 1: serves batch 1, then "crashes"
+    val served1 = spark.read.parquet(out)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(served1 === Set(1L, 2L),
+      "run 1 must have answered exactly the first batch's queries")
+    ordered.drop(1).foreach(copyIn)
+    CorpusStreaming.serveBm25Batches(spark, table, stage2.toString,
+      out, chk, topK = 5) // run 2: resumes at the unanswered batch
+    val answers = spark.read.parquet(out)
+    // exactly-once serving across the restart: no answer row doubled
+    assert(answers.count() === answers.distinct().count())
+    val got = answers.distinct()
+      .orderBy(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("rank")).collect().toSeq
+    assert(got === expected)
+  }
+
   test("st21 KMV sketch state round-trips the CHECKPOINTED state store " +
       "— a day's estimate keeps accumulating across the restart and " +
       "the final estimates equal the uninterrupted run") {
