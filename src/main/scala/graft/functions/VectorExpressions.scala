@@ -41,6 +41,13 @@ object VectorFunctions {
   def array_dot_q8(a: Column, b: Column): Column =
     B.column(ArrayDotQ8(B.expression(a), B.expression(b)))
 
+  /** sim8's int8 absmax quantization of an array<double> given its
+    * scale denominator (codegen'd; amax evaluates once per row).
+    */
+  def int8_quantize(vec: Column, amax: Column): Column =
+    B.column(org.apache.spark.sql.graft.Int8Quantize(
+      B.expression(vec), B.expression(amax)))
+
   /** L2 norm of an array<double> column (codegen'd). */
   def array_norm(a: Column): Column =
     B.column(ArrayNorm(B.expression(a)))

@@ -479,6 +479,64 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("SQ8 correctness envelope: with rerank covering every " +
+      "candidate, the stored-SQ8 probe equals the float probe " +
+      "EXACTLY, and the int8_quantize kernel is bit-equal to its " +
+      "HOF spelling on pseudo-random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 48L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+      .toDF("vec_id", "embedding")
+    // kernel == HOF formula, element for element
+    val amaxCol = aggregate(col("embedding"), lit(0.0),
+      (a, x) => greatest(a, abs(x)))
+    val mismatches = vecs
+      .select(
+        graft.functions.VectorFunctions
+          .int8_quantize(col("embedding"), amaxCol).as("kq"),
+        transform(col("embedding"), x =>
+          (signum(x) * least(lit(127.0),
+            floor(abs(x) * (lit(127.0) / amaxCol) + lit(0.5))))
+            .cast("byte")).as("hq"))
+      .filter(not(col("kq") <=> col("hq")))
+      .count()
+    assert(mismatches === 0L,
+      "int8_quantize must reproduce the HOF quantization bit-exactly")
+    // the zero vector: the kernel guards amax = 0 (all-zero output)
+    // where the raw HOF spelling divides by zero under ANSI
+    val zq = Seq((999L, Seq.fill(8)(0.0))).toDF("vec_id", "embedding")
+      .select(graft.functions.VectorFunctions
+        .int8_quantize(col("embedding"), amaxCol).as("kq"))
+      .head().getSeq[Byte](0)
+    assert(zq.length === 8 && zq.forall(_ === 0.toByte),
+      "the zero vector must quantize to all zeros, not throw")
+    // envelope: same corpus, same quantizer — full rerank recovers the
+    // float probe's answer exactly (identical candidate sets, exact
+    // scores, same tie-break)
+    val f = "t_env_flat"
+    val q = "t_env_sq8"
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 8, k = 4, table = f, location = Some(java.nio.file.Files
+        .createTempDirectory("t_env_f").toString))
+    SimilarityOps.writeIvfSq8Index(vecs, "vec_id", "embedding",
+      dims = 8, k = 4, table = q, location = Some(java.nio.file.Files
+        .createTempDirectory("t_env_q").toString))
+    val flat = SimilarityOps.probeIvfIndex(spark, f, vecs,
+      "vec_id", "embedding", dims = 8, nprobe = 2)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val sq8Full = SimilarityOps.probeIvfSq8Index(spark, q, vecs,
+      "vec_id", "embedding", dims = 8, nprobe = 2, rerank = 48)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sq8Full === flat,
+      "full-rerank SQ8 must equal the float probe exactly — the " +
+        "quantized pass only PRUNES, the exact re-rank decides")
+    Seq(f, s"${f}_centroids", q, s"${q}_centroids", s"${q}_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("stored IVF index: append assigns a vector delta to the frozen " +
       "quantizer through the same bucket layout — next probe sees it, " +
       "old list files untouched") {
