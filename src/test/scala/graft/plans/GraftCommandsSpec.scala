@@ -272,6 +272,18 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e3.getMessage.contains("only applies to quantized"),
       e3.getMessage)
+    // SQ8 time travel is NOT offered (rebuild-only tier, no versioned
+    // maintenance): a generation-shaped name must error loudly — it
+    // can never silently probe a float-companion-less store
+    BucketedStores.dropVersioned(spark, "cmd_sq8_gen")
+    spark.sql("CREATE TABLE cmd_sq8_gen__v1 AS SELECT * FROM cmd_sq8_idx")
+    val e4 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('cmd_sq8_gen__v1', 'cmd_sq8_q', 1, 2, 5)")
+    }
+    assert(e4.getMessage.contains("snapshotted quantizer companion"),
+      e4.getMessage)
+    spark.sql("DROP TABLE IF EXISTS cmd_sq8_gen__v1")
     Seq("cmd_sq8_idx", "cmd_sq8_idx_centroids", "cmd_sq8_idx_vecs",
       "cmd_sq8_flat", "cmd_sq8_flat_centroids")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
