@@ -342,6 +342,36 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS cmd_tt_idx_centroids")
   }
 
+  test("quantizer snapshots follow the retention window: every live " +
+      "generation has one, a retired generation's is dropped with it") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 3 + j * 5) % 9 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 4, k = 2, table = "cmd_ret_idx", location = Some(tmp()))
+    BucketedStores.adoptVersioned(spark, "cmd_ret_idx")
+    def delta(vid: Long): Unit =
+      BucketedStores.applyDeltaAtomic(spark, "cmd_ret_idx",
+        Seq("cid"), Seq("cid"), 2, "vid",
+        removeIds = spark.range(vid, vid + 1).toDF("vid"),
+        additions = None, retain = 1)
+    delta(0L) // v2 current, v1 retained
+    assert(spark.catalog.tableExists("cmd_ret_idx__v1_centroids") &&
+      spark.catalog.tableExists("cmd_ret_idx__v2_centroids"))
+    delta(1L) // v3 current, v2 retained, v1 RETIRED
+    assert(!spark.catalog.tableExists("cmd_ret_idx__v1"),
+      "v1 must be retired by retain=1")
+    assert(!spark.catalog.tableExists("cmd_ret_idx__v1_centroids"),
+      "a retired generation's quantizer snapshot must die with it")
+    assert(spark.catalog.tableExists("cmd_ret_idx__v2_centroids") &&
+      spark.catalog.tableExists("cmd_ret_idx__v3_centroids"),
+      "every LIVE generation keeps its snapshot")
+    BucketedStores.dropVersioned(spark, "cmd_ret_idx")
+    spark.sql("DROP TABLE IF EXISTS cmd_ret_idx_centroids")
+  }
+
   test("GRAFT_BM25 serves a stored text index as pure SQL text: " +
       "row-identical to the bm25TopK API, bucket-pruned candidate " +
       "scan, loud macro errors") {
