@@ -204,9 +204,10 @@ case class BkSampleQuantile(left: Expression, right: Expression)
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (bytes, q) => {
       val cls = BkSampleQuantile.getClass.getName.stripSuffix("$")
-      s"""Object r = $cls.quantile($bytes, $q);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((Long) r).longValue(); }""".stripMargin
+      val r = ctx.freshName("bkq")
+      s"""Object $r = $cls.quantile($bytes, $q);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $r).longValue(); }""".stripMargin
     })
 
   override protected def withNewChildrenInternal(l: Expression,

@@ -64,7 +64,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   * quantized tier (measured: the HOF form made the stored-SQ8 probe
   * ~11× slower than the float probe at sf0.1; this kernel is the
   * fix). Accumulates in long — 64 dims × 127² ≪ 2^63, overflow-free
-  * by construction for any real embedding width.
+  * by construction for any real embedding width. A dimension
+  * mismatch yields NULL (the `zip_with` HOF semantics this kernel
+  * replaced): equal dims are an invariant of the SQ8 store, so a
+  * mismatch means corrupt or mixed-width data — a visible null beats
+  * a plausible truncated score.
   */
 case class ArrayDotQ8(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -73,12 +77,14 @@ case class ArrayDotQ8(left: Expression, right: Expression)
     Seq(ArrayType(org.apache.spark.sql.types.ByteType),
       ArrayType(org.apache.spark.sql.types.ByteType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "array_dot_q8"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -93,12 +99,15 @@ case class ArrayDotQ8(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((long) $a.getByte($i)) * $b.getByte($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((long) $a.getByte($i)) * $b.getByte($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
