@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * data itself is never at risk in either form: the compacted copy is
   * fully written before anything old is dropped.
   */
-object BucketedStores {
+object BucketedStores extends org.apache.spark.internal.Logging {
 
   /** Rewrite `table` into a fresh bucketed copy (same bucket/sort
     * spec) and swap it in. Returns the new file count's upper bound
@@ -49,8 +49,12 @@ object BucketedStores {
       .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", loc)
     w.saveAsTable(tmp)
+    // a compaction preserves content, so the quantizer build stamp
+    // (ANN index stores) survives the rewrite
+    val stamp = buildStamp(spark, table)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    stamp.foreach(stampBuild(spark, table, _))
     // a compaction preserves content exactly, so any stored key stats
     // stay count/sketch-valid — only the size estimate is re-read
     // (no-op when the table was never analyzed)
@@ -165,35 +169,113 @@ object BucketedStores {
       SketchStats.refreshSize(spark, name)
     }
 
+  /** Table property carrying the QUANTIZER BUILD ID: a uuid minted by
+    * [[SimilarityOps.writeIvfIndex]]/[[SimilarityOps.writeIvfSq8Index]]
+    * and stamped onto the inverted-lists table and every companion it
+    * writes. The stamp is the lineage proof the snapshot machinery and
+    * the probe resolvers check: lists may only ever probe against a
+    * companion carrying the SAME build id — a full rebuild mints a new
+    * id, so stale-lists × retrained-quantizer combinations fail loudly
+    * instead of silently mis-assigning probe lists.
+    */
+  val QuantizerBuildProp = "graft.quantizer.build"
+
+  /** Mint a quantizer build id (uuid). */
+  def newBuildId(): String = java.util.UUID.randomUUID().toString
+
+  /** Stamp `table` with quantizer build `id` (idempotent overwrite). */
+  def stampBuild(spark: SparkSession, table: String, id: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('$QuantizerBuildProp' = '$id')")
+
+  /** The quantizer build id `table` was stamped with, if any (None for
+    * views, pre-stamp legacy tables, and non-ANN stores).
+    */
+  def buildStamp(spark: SparkSession, table: String): Option[String] =
+    scala.util.Try {
+      spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+        .find(_.getString(0) == QuantizerBuildProp).map(_.getString(1))
+    }.toOption.flatten
+
   /** Quantizer snapshot for versioned ANN index stores: if `name` has
     * a `<name>_centroids` companion ([[SimilarityOps.writeIvfIndex]]'s
-    * coarse quantizer, k rows), copy it onto every LIVE generation
-    * that lacks one (`<name>__v<k>_centroids`). List MAINTENANCE never
-    * retrains the quantizer, so at swap time the base companion is
-    * exact for every generation in the lineage — but a later FULL
-    * REBUILD (`writeIvfIndex` re-run, or a streamed index rebuild)
-    * drops and retrains the base companion while retained generations
-    * survive, and probing OLD lists against NEW centroids silently
-    * mis-assigns probe lists. The per-generation snapshot pins each
-    * generation to the quantizer its cids were assigned under;
-    * [[org.apache.spark.sql.graft.GraftAnnRewrite]] (and the API probe
-    * via `<table>_centroids` naming) resolve the snapshot FIRST and
-    * refuse to fall back across a possible rebuild. k rows per
-    * snapshot — catalog noise, not data. No-op for stores without a
-    * companion (LSH, BM25, plain bucketed stores).
+    * coarse quantizer, k rows), pin a copy onto the NEWEST live
+    * generation (`<name>__v<k>_centroids`) — the one the current
+    * swap/adoption just created. List MAINTENANCE never retrains the
+    * quantizer, but a later FULL REBUILD (`writeIvfIndex` re-run, or a
+    * streamed index rebuild) drops and retrains the base companion
+    * while retained generations survive, and probing OLD lists against
+    * NEW centroids silently mis-assigns probe lists. So the snapshot
+    * source must PROVE lineage:
+    *
+    *  - the previous live generation's own snapshot (maintenance
+    *    derives each generation from the last, same quantizer by the
+    *    no-retrain contract) — taken only when its build stamp
+    *    ([[QuantizerBuildProp]]) matches the new generation's;
+    *  - else the base companion, only when its build stamp matches the
+    *    new generation's (true at adoption and for every maintenance
+    *    swap that precedes a rebuild).
+    *
+    * When neither source can prove lineage (a rebuild intervened, or a
+    * pre-stamp legacy generation), NO snapshot is written: the
+    * generation stays snapshot-less and [[org.apache.spark.sql.graft
+    * .GraftAnnRewrite]] (and the API probes) fail LOUDLY on it — never
+    * back-fill a possibly-retrained quantizer onto old lists. Older
+    * snapshot-less generations are likewise left to the loud error.
+    * k rows per snapshot — catalog noise, not data. No-op for stores
+    * without a companion (LSH, BM25, plain bucketed stores).
     */
   private def snapshotCentroids(spark: SparkSession,
       name: String): Unit = {
-    val base = name + "_centroids"
+    // the coarse quantizer: k rows — a physical copy is catalog noise
+    snapshotCompanion(spark, name, "_centroids", shallow = false)
+    // the SQ8 float companion: corpus-scale, so the snapshot is a
+    // SHALLOW catalog copy (CREATE TABLE LIKE at the source's
+    // location — schema + bucket spec carried, zero data moved).
+    // Sound because companion files are immutable once written
+    // (appends add files, nothing rewrites in place) and the rerank
+    // only ever fetches ids that survived the generation's own lists,
+    // so a superset companion serves every retained generation of its
+    // build. Retirement drops only the catalog entry (external
+    // semantics) — file reachability stays [[vacuumOrphans]]'s job.
+    snapshotCompanion(spark, name, "_vecs", shallow = true)
+  }
+
+  private def snapshotCompanion(spark: SparkSession, name: String,
+      suffix: String, shallow: Boolean): Unit = {
+    val base = name + suffix
     if (!spark.catalog.tableExists(base)) return
-    generations(spark, name).foreach { k =>
-      val snap = s"${name}__v${k}_centroids"
-      if (!spark.catalog.tableExists(snap)) {
-        spark.table(base).write
-          .option("path", java.nio.file.Files
-            .createTempDirectory(s"graft_cent_$name").toString)
-          .saveAsTable(snap)
-      }
+    val gens = generations(spark, name)
+    val newest = gens.last
+    val snap = s"${name}__v${newest}$suffix"
+    if (spark.catalog.tableExists(snap)) return
+    val genStamp = buildStamp(spark, s"${name}__v$newest")
+    val prevSnap = gens.dropRight(1).reverse
+      .map(k => s"${name}__v${k}$suffix")
+      .find(spark.catalog.tableExists)
+    val source = (prevSnap.toSeq :+ base).find(c =>
+      genStamp.isDefined && buildStamp(spark, c) == genStamp)
+    source match {
+      case Some(src) =>
+        if (shallow) {
+          val loc = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(src))
+            .location.toString
+          spark.sql(s"CREATE TABLE $snap LIKE $src LOCATION '$loc'")
+        } else {
+          spark.table(src).write
+            .option("path", java.nio.file.Files
+              .createTempDirectory(s"graft_cent_$name").toString)
+            .saveAsTable(snap)
+        }
+        genStamp.foreach(stampBuild(spark, snap, _))
+      case None =>
+        logWarning(s"graft: generation ${name}__v$newest gets NO " +
+          s"$suffix snapshot — no candidate companion carries its " +
+          s"build stamp ${genStamp.getOrElse("<unstamped>")} (a " +
+          "rebuild retrained the base quantizer, or the store " +
+          "predates build stamps). Probes of this generation will " +
+          "fail loudly; rebuild the index to restore serving.")
     }
   }
 
@@ -227,14 +309,21 @@ object BucketedStores {
       .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", loc)
       .saveAsTable(next)
+    // lineage: the next generation's rows derive from the current one
+    // (maintenance never retrains a quantizer), so it inherits the
+    // current generation's build stamp — the proof snapshotCentroids
+    // and the probe resolvers check
+    buildStamp(spark, old).foreach(stampBuild(spark, next, _))
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM $next")
     generations(spark, name).dropRight(retain + 1)
       .foreach { k =>
         spark.sql(s"DROP TABLE ${name}__v$k")
-        // a retired generation's stats table and quantizer snapshot
-        // die with it
+        // a retired generation's stats table and companion snapshots
+        // die with it (the _vecs snapshot is a shallow external
+        // entry — dropping it touches no files)
         SketchStats.dropStats(spark, s"${name}__v$k")
         spark.sql(s"DROP TABLE IF EXISTS ${name}__v${k}_centroids")
+        spark.sql(s"DROP TABLE IF EXISTS ${name}__v${k}_vecs")
       }
     // pin the quantizer onto every generation that will stay readable
     // (ANN index stores only — no-op otherwise): retained historical

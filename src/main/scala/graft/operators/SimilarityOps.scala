@@ -492,6 +492,14 @@ object SimilarityOps {
     val cw = cents.toDF("cid", "ce").write.mode("overwrite")
     location.fold(cw)(l => cw.option("path", s"$l/cents"))
       .saveAsTable(table + "_centroids")
+    // quantizer lineage stamp: lists and companion carry the same
+    // build id; a later rebuild mints a NEW id, so any machinery
+    // pairing old lists with retrained centroids fails loudly
+    // (BucketedStores.snapshotCentroids, the GRAFT_ANN resolver, the
+    // API probes, appendToIvfIndex)
+    val build = BucketedStores.newBuildId()
+    BucketedStores.stampBuild(spark, table, build)
+    BucketedStores.stampBuild(spark, table + "_centroids", build)
     if (mor) {
       BucketedStores.adoptVersioned(spark, table)
       BucketedStores.morEnable(spark, table, Seq("vid"), "vid")
@@ -506,9 +514,36 @@ object SimilarityOps {
     * the k-row companion collected to a literal) and shuffled at
     * (query × nprobe) scale.
     */
+  /** Lineage guard shared by the stored probes and the delta append:
+    * when both the lists (resolving a versioned serving view to its
+    * current generation) and the `_centroids` companion carry a
+    * quantizer build stamp, they must MATCH — a mismatch means the
+    * quantizer was rebuilt out from under these lists (or a stale
+    * snapshot was forced onto a generation), and probing would
+    * silently mis-assign probe lists. Unstamped legacy tables pass
+    * (no proof either way — the snapshot machinery already refuses to
+    * back-fill those).
+    */
+  private def requireQuantizerLineage(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val lists = scala.util.Try(
+      BucketedStores.currentGeneration(spark, table)).getOrElse(table)
+    val cents = table + "_centroids"
+    for {
+      ls <- BucketedStores.buildStamp(spark, lists)
+      cs <- BucketedStores.buildStamp(spark, cents)
+    } require(ls == cs,
+      s"quantizer build mismatch for $table: lists ($lists) were " +
+        s"assigned under build $ls but companion $cents carries " +
+        s"build $cs — the quantizer was rebuilt out from under these " +
+        "lists; rebuild the index (writeIvfIndex/writeIvfSq8Index) " +
+        "before serving")
+  }
+
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, nprobe: Int): DataFrame = {
+    requireQuantizerLineage(spark, table)
     val cents = spark.table(table + "_centroids")
       .orderBy(col("cid")).collect() // bounded: k rows by contract
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
@@ -641,14 +676,20 @@ object SimilarityOps {
     * cast), so the stored probe reproduces [[ivfSq8Top1]] bit-exactly:
     * storage is an execution detail, not a semantics change.
     *
-    * Rebuild-only serving surface: no append/MoR maintenance is
-    * offered for the quantized lists (an absmax-quantized row is
-    * self-contained, but the flat index is the maintained tier —
-    * rebuild SQ8 from it on the operator's schedule).
+    * Lifecycle parity with the float tier: the store adopts into
+    * versioned serving ([[BucketedStores.adoptVersioned]] /
+    * [[BucketedStores.applyDeltaAtomic]]) and, with `mor = true`,
+    * into merge-on-read deletes — an absmax-quantized row is
+    * self-contained, so deletes and compactions never touch the
+    * quantization. Every swap pins per-generation snapshots of BOTH
+    * companions (`_centroids` as a k-row copy, `_vecs` as a shallow
+    * catalog snapshot), all stamped with the build id, so the 5-arg
+    * `GRAFT_ANN` serves retained generations across a later rebuild
+    * exactly like the float tier.
     */
   def writeIvfSq8Index(vecsDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, k: Int, table: String, buckets: Int = 8,
-      location: Option[String] = None): Unit = {
+      location: Option[String] = None, mor: Boolean = false): Unit = {
     val spark = vecsDf.sparkSession
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -672,7 +713,11 @@ object SimilarityOps {
           c.getField("cid").as("cid")))), 1, 1),
         s => s.getField("cid")), 1).as("cid"),
       col("vid"), col("q"), col("amax"), col("nrm"))
-    val lists = assigned
+    // mor = true: same contract as the float writer — `_seq` = 0 on
+    // built rows, tombstone-view serving, vector deletes append
+    // (vid, seq) rows instead of rewriting the quantized lists
+    val lists = (if (mor) assigned.withColumn("_seq", lit(0L))
+      else assigned)
       .write.bucketBy(buckets, "cid").sortBy("cid").mode("overwrite")
     location.fold(lists)(l => lists.option("path", s"$l/lists"))
       .saveAsTable(table)
@@ -683,6 +728,16 @@ object SimilarityOps {
       .write.bucketBy(buckets, "vid").sortBy("vid").mode("overwrite")
     location.fold(vw)(l => vw.option("path", s"$l/vecs"))
       .saveAsTable(table + "_vecs")
+    // same lineage stamp as the float writer: lists + BOTH companions
+    // carry one build id (the _vecs floats are build-scoped too — a
+    // rebuild may re-embed or re-subset the corpus)
+    val build = BucketedStores.newBuildId()
+    Seq(table, table + "_centroids", table + "_vecs")
+      .foreach(BucketedStores.stampBuild(spark, _, build))
+    if (mor) {
+      BucketedStores.adoptVersioned(spark, table)
+      BucketedStores.morEnable(spark, table, Seq("vid"), "vid")
+    }
   }
 
   /** Probe a STORED IVF-SQ8 index ([[writeIvfSq8Index]]): top-1
@@ -698,6 +753,7 @@ object SimilarityOps {
       table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, nprobe: Int, rerank: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireQuantizerLineage(spark, table)
     val cents = spark.table(table + "_centroids")
       .orderBy(col("cid")).collect() // bounded: k rows by contract
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
@@ -708,7 +764,8 @@ object SimilarityOps {
         s"stored centroid $cid has ${ce.length} dims, expected $dims")
     }
     val centArr = centroidLiteral(cents.toSeq)
-    val q = ivfProject(queriesDf, idCol, vecCol)
+    val qproj = ivfProject(queriesDf, idCol, vecCol)
+    val q = qproj
       .withColumn("amax", aggregate(col("e"), lit(0.0),
         (a, x) => greatest(a, abs(x))))
       .withColumn("qv", transform(col("e"), x =>
@@ -744,8 +801,15 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= rerank)
       .select(col("id_a"), col("id_b"))
+    // query-side floats come from the QUERY relation itself (as the
+    // SQL sq8Expansion does via its graft_ann_qz re-join) — NOT from
+    // the index's `_vecs` companion keyed by id_a, which silently
+    // assumed queries ⊆ corpus: an external query table would inner-
+    // join to nothing (empty result) or, on an id collision, rerank
+    // against the wrong corpus vector. Only the CANDIDATE side (id_b
+    // is a corpus vid by construction) touches the companion.
     val vecs = spark.table(table + "_vecs")
-    val va = vecs.select(col("vid").as("id_a"), col("e").as("ea"),
+    val va = qproj.select(col("vid").as("id_a"), col("e").as("ea"),
       col("nrm").as("na"))
     val vb = vecs.select(col("vid").as("id_b"), col("e").as("eb"),
       col("nrm").as("nb"))
@@ -772,6 +836,7 @@ object SimilarityOps {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, deltaVecs: DataFrame, idCol: String, vecCol: String,
       dims: Int, buckets: Int = 8): Unit = {
+    requireQuantizerLineage(spark, table)
     val cents = spark.table(table + "_centroids")
       .orderBy(col("cid")).collect() // bounded: k rows by contract
       .map(r => r.getLong(0) -> r.getSeq[Double](1))

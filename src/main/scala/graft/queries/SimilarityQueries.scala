@@ -804,8 +804,82 @@ object SimilarityQueries {
     bench = true, // SQL form vs sim13's API path, sim12's discipline
     sql = sim8IvfSq8.sql)
 
+  /** sim15: the QUANTIZED tier under sim10's delete-bearing
+    * maintenance — lifecycle parity made checkable. The stored SQ8
+    * index adopts into versioned serving, a hard-delete changelog
+    * flows through [[graft.operators.BucketedStores
+    * .applyDeltaAtomic]] (next generation = INT8 lists minus deleted
+    * vids, ONE view flip; neither companion changes — deletes retrain
+    * nothing, and every swap pins per-generation snapshots of BOTH
+    * companions), and the survivors probe the maintained store with
+    * rerank covering every candidate, where SQ8 == the float probe
+    * EXACTLY (the correctness envelope: the quantized pass only
+    * prunes, the exact re-rank decides). Oracle: sim10's
+    * rebuild-equivalence SQL verbatim — the post-delete answer from
+    * scratch, so no deleted vector can surface and the quantized
+    * maintenance path equals a from-scratch float rebuild.
+    */
+  val sim15Sq8Deletes = Q(
+    "sim15_sq8_delete_maintenance",
+    (s, d) => {
+      import graft.operators.BucketedStores
+      val t = s"sim_sq8_del_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+      s.sql(s"DROP TABLE IF EXISTS ${t}_vecs")
+      SimilarityOps.writeIvfSq8Index(embeddings(s, d), "vec_id",
+        "embedding", dims = 64, k = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_sq8_del").toString))
+      BucketedStores.adoptVersioned(s, t)
+      val deleteIds = embeddings(s, d)
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("vid"))
+      BucketedStores.applyDeltaAtomic(s, t, Seq("cid"), Seq("cid"),
+        buckets = 8, idCol = "vid", removeIds = deleteIds,
+        additions = None)
+      val survivors = embeddings(s, d).filter(col("vec_id") % 7 =!= 3)
+      SimilarityOps.probeIvfSq8Index(s, t, spread(survivors), "vec_id",
+        "embedding", dims = 64, nprobe = 3, rerank = 4096)
+        .orderBy(col("id_a"))
+    },
+    sql = Some(ivfDeleteOracleSql))
+
+  /** sim16: sim15 under MERGE-ON-READ — the quantized lists are
+    * `_seq`-stamped and serve through the tombstone view
+    * ([[SimilarityOps.writeIvfSq8Index]] `mor`), deletes APPEND
+    * (vid, seq) tombstones ([[graft.operators.BucketedStores
+    * .morDelete]]): no INT8 list generation is rewritten, no
+    * companion changes. Same oracle as sim10/sim11/sim15: every
+    * maintenance discipline across both tiers returns the identical
+    * post-delete neighbors.
+    */
+  val sim16Sq8MorDeletes = Q(
+    "sim16_sq8_mor_delete_maintenance",
+    (s, d) => {
+      import graft.operators.BucketedStores
+      val t = s"sim_sq8_mor_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+      s.sql(s"DROP TABLE IF EXISTS ${t}_vecs")
+      SimilarityOps.writeIvfSq8Index(embeddings(s, d), "vec_id",
+        "embedding", dims = 64, k = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_sq8_mor").toString), mor = true)
+      val deleteIds = embeddings(s, d)
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("vid"))
+      BucketedStores.morDelete(s, t, deleteIds,
+        BucketedStores.morNextSeq(s, t))
+      val survivors = embeddings(s, d).filter(col("vec_id") % 7 =!= 3)
+      SimilarityOps.probeIvfSq8Index(s, t, spread(survivors), "vec_id",
+        "embedding", dims = 64, nprobe = 3, rerank = 4096)
+        .orderBy(col("id_a"))
+    },
+    sql = Some(ivfDeleteOracleSql))
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
     sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql, sim13Sq8Stored,
-    sim14Sq8AnnSql)
+    sim14Sq8AnnSql, sim15Sq8Deletes, sim16Sq8MorDeletes)
 }

@@ -48,7 +48,12 @@
   * companion while retained generations survive — so the resolver
   * never falls back from a generation name to the base companion: a
   * generation without its snapshot fails loudly instead of silently
-  * probing old lists against a possibly-retrained quantizer.
+  * probing old lists against a possibly-retrained quantizer. The
+  * SQ8 tier time-travels the same way — a quantized generation needs
+  * BOTH of its snapshots (`idx__v1_centroids` AND `idx__v1_vecs`,
+  * the float rerank companion pinned as a shallow catalog snapshot),
+  * and every lists/companion pairing is additionally checked for a
+  * matching quantizer BUILD STAMP before serving.
   *
   * Reference parity note: the reference pipeline
   * (CI-CMG/wod-ascii-to-parquet-spark) has no similarity tier; the
@@ -142,6 +147,29 @@ object GraftAnnRewrite {
               s"$centroids (write one with " +
               "SimilarityOps.writeIvfIndex)")
         }
+        // quantizer lineage: when both the lists (a versioned serving
+        // view resolves to its current generation) and the companion
+        // carry a build stamp, they must match — a mismatch means a
+        // rebuild retrained the quantizer out from under these lists,
+        // or a stale snapshot was forced onto a generation; probing
+        // would silently mis-assign probe lists, so fail loudly
+        {
+          val listsTable = scala.util.Try(graft.operators.BucketedStores
+            .currentGeneration(spark, store)).getOrElse(store)
+          val ls = graft.operators.BucketedStores
+            .buildStamp(spark, listsTable)
+          val cs = graft.operators.BucketedStores
+            .buildStamp(spark, centroids)
+          (ls, cs) match {
+            case (Some(l), Some(c)) if l != c =>
+              fail(s"quantizer build mismatch: $listsTable lists " +
+                s"were assigned under build $l but $centroids " +
+                s"carries build $c — the quantizer was rebuilt out " +
+                "from under these lists; rebuild the index before " +
+                "serving")
+            case _ => ()
+          }
+        }
         // tier dispatch: an SQ8 store's lists carry (q, amax) instead
         // of e — it probes through the quantized expansion (int8 scan
         // kernel + exact-float rerank off the _vecs companion) and
@@ -159,10 +187,39 @@ object GraftAnnRewrite {
             "exact re-rank can only return candidates the quantized " +
             "pass kept")
           val vecs = store + "_vecs"
-          if (!spark.catalog.tableExists(vecs))
-            fail(s"$store has no float companion $vecs for the " +
-              "exact re-rank (write the index with " +
-              "SimilarityOps.writeIvfSq8Index)")
+          if (!spark.catalog.tableExists(vecs)) {
+            if ("(.+)__v\\d+$".r.findFirstMatchIn(store).isDefined)
+              fail(s"$store is a retained SQ8 index generation with " +
+                s"no snapshotted float companion ($vecs): the exact " +
+                "re-rank needs the floats the generation's lists " +
+                "were built from, and the base companion may have " +
+                "been rebuilt since. Re-run the store maintenance " +
+                "(any swap snapshots both companions) or probe the " +
+                "serving name.")
+            else
+              fail(s"$store has no float companion $vecs for the " +
+                "exact re-rank (write the index with " +
+                "SimilarityOps.writeIvfSq8Index)")
+          }
+          // same lineage discipline as the centroids: a stamped
+          // lists/_vecs pair must carry ONE build id
+          {
+            val listsTable = scala.util.Try(graft.operators
+              .BucketedStores.currentGeneration(spark, store))
+              .getOrElse(store)
+            val ls = graft.operators.BucketedStores
+              .buildStamp(spark, listsTable)
+            val vs = graft.operators.BucketedStores
+              .buildStamp(spark, vecs)
+            (ls, vs) match {
+              case (Some(l), Some(v)) if l != v =>
+                fail(s"quantizer build mismatch: $listsTable lists " +
+                  s"carry build $l but $vecs carries build $v — " +
+                  "the index was rebuilt out from under these " +
+                  "lists; rebuild before serving")
+              case _ => ()
+            }
+          }
           sq8Expansion(store, centroids, vecs, queries, k, nprobe, rr)
         } else {
           rerank.foreach(_ => fail(s"$store is a float IVF store — " +

@@ -30,9 +30,13 @@
   * names an existing relation with exactly those columns (documented
   * preference: the batch form wins over a same-named single term —
   * real term tokens and catalog names colliding is a naming bug, not
-  * a dispatch ambiguity worth a second macro). Output:
+  * a dispatch ambiguity worth a second macro — the collision is
+  * logged when it happens). Output:
   * `query_id, doc_id, score, rank` (rank 1..k per query by
-  * (score DESC, doc_id)).
+  * (score DESC, doc_id)). A batch row whose terms string tokenizes
+  * to NOTHING fails the statement loudly (naming the query_id) — the
+  * same contract as the literal form's empty-terms error; a silently
+  * absent query_id would be indistinguishable from "no matches".
   *
   * The batch expansion keeps the injection guard BY CONSTRUCTION:
   * terms are tokenized INSIDE the SQL (split + lateral explode of the
@@ -50,7 +54,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{AnalysisException, SparkSession}
 
-object GraftBm25Rewrite {
+object GraftBm25Rewrite extends org.apache.spark.internal.Logging {
   import AsOfSqlLexer._
 
   private def fail(msg: String): Nothing =
@@ -107,11 +111,39 @@ object GraftBm25Rewrite {
           cols.contains("query_id") && cols.contains("terms")
         }
         if (batch) {
+          // dispatch-collision visibility: a single word token that
+          // names a (query_id, terms) relation ALSO reads as a valid
+          // one-term literal query — the batch form wins (documented
+          // preference), but say so, in case the collision is a
+          // naming accident rather than intent
+          if (!trimmed.contains(".") && trimmed.matches("[A-Za-z0-9_]+"))
+            logWarning(s"[GRAFT_BM25] '$trimmed' names a " +
+              "(query_id, terms) relation AND reads as a single-term " +
+              "literal query — dispatching to the BATCH form (the " +
+              "documented preference). Rename the relation or quote " +
+              "a multi-term string if you meant the literal form.")
           Seq(index, index + "_docs", index + "_meta")
             .find(!spark.catalog.tableExists(_)).foreach(missing =>
               fail(s"$index is not a stored text index — catalog " +
                 s"table $missing is missing (write one with " +
                 "TextRetrievalOps.writeTextIndex)"))
+          // the literal form fails loudly on an empty terms string;
+          // the batch form matches it — a row whose terms tokenize to
+          // nothing would otherwise just VANISH from the output
+          // (query_id absent), indistinguishable from "no matches".
+          // The batch relation is query-scale by design, so the probe
+          // is a bounded parse-time check, not a corpus scan.
+          val emptyIds = spark.table(trimmed)
+            .where("size(array_distinct(filter(split(trim(terms), " +
+              "' +'), x -> x <> ''))) = 0")
+            .select("query_id").limit(3).collect()
+          if (emptyIds.nonEmpty)
+            fail(s"batch relation $trimmed has row(s) whose terms " +
+              "string is empty (query_id " +
+              emptyIds.map(_.get(0)).mkString(", ") +
+              ", first 3 shown) — the literal form fails loudly on " +
+              "empty terms and the batch form matches it; filter " +
+              "those rows out or fix the input")
           val sb = new StringBuilder(s)
           sb.replace(toks(i).start, close.end,
             batchExpansion(index, trimmed, k))

@@ -537,6 +537,59 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("stored-SQ8 probe serves an EXTERNAL query table: query ids " +
+      "disjoint from the corpus still get their exact-rerank answer " +
+      "(the rerank reads query floats from the query relation, not " +
+      "the corpus _vecs companion)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(6)(rnd.nextDouble() * 4 - 2)))
+    val vecs = corpus.toDF("vec_id", "embedding")
+    // external queries: ids 1000+ (nothing in common with corpus vids);
+    // q1000 is an exact copy of corpus vector 3 — its top-1 must be
+    // id 3 at score 1.0; the rest are fresh random vectors
+    val queries = ((1000L, corpus(3)._2) +: (1001L until 1004L).map(i =>
+      (i, Seq.fill(6)(rnd.nextDouble() * 4 - 2)))).toDF(
+      "vec_id", "embedding")
+    val t = "t_sq8_ext"
+    SimilarityOps.writeIvfSq8Index(vecs, "vec_id", "embedding",
+      dims = 6, k = 4, table = t, buckets = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_sq8_ext").toString))
+    val got = SimilarityOps.probeIvfSq8Index(spark, t, queries,
+      "vec_id", "embedding", dims = 6, nprobe = 4, rerank = 40)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size === 4,
+      "every external query must produce a row — an empty result " +
+        "means the rerank joined query floats out of the corpus store")
+    // oracle: driver-side exact cosine top-1 (nprobe = all centroids,
+    // rerank = |corpus| → the probe IS exhaustive exact search)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      math.rint(r * 1e6) / 1e6
+    }
+    val expect = queries.collect().map { qr =>
+      val (qid, qv) = (qr.getLong(0), qr.getSeq[Double](1))
+      val best = corpus.map { case (cid, cv) => (cos(qv, cv), cid) }
+        .maxBy { case (s, cid) => (s, -cid) }
+      (qid, best._2, best._1)
+    }.sortBy(_._1).toSeq
+    assert(got.map(g => (g._1, g._2)) === expect.map(e => (e._1, e._2)),
+      "external-query stored-SQ8 probe must equal exact cosine top-1")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 2e-6,
+        s"score mismatch for query ${g._1}: ${g._3} vs ${e._3}")
+    }
+    assert(got.head === ((1000L, 3L, 1.0)),
+      "a query equal to corpus vector 3 must return it at score 1.0")
+    Seq(t, s"${t}_centroids", s"${t}_vecs")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
   test("stored IVF index: append assigns a vector delta to the frozen " +
       "quantizer through the same bucket layout — next probe sees it, " +
       "old list files untouched") {

@@ -272,9 +272,10 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e3.getMessage.contains("only applies to quantized"),
       e3.getMessage)
-    // SQ8 time travel is NOT offered (rebuild-only tier, no versioned
-    // maintenance): a generation-shaped name must error loudly — it
-    // can never silently probe a float-companion-less store
+    // SQ8 time travel IS offered for maintained stores (see the
+    // parity spec below) — but a generation-shaped name WITHOUT its
+    // snapshots must still error loudly; it can never silently probe
+    // a float-companion-less store
     BucketedStores.dropVersioned(spark, "cmd_sq8_gen")
     spark.sql("CREATE TABLE cmd_sq8_gen__v1 AS SELECT * FROM cmd_sq8_idx")
     val e4 = intercept[AnalysisException] {
@@ -370,6 +371,163 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every LIVE generation keeps its snapshot")
     BucketedStores.dropVersioned(spark, "cmd_ret_idx")
     spark.sql("DROP TABLE IF EXISTS cmd_ret_idx_centroids")
+  }
+
+  test("SQ8 time travel at parity with the float tier: a retained " +
+      "quantized generation serves through BOTH of its snapshots " +
+      "(centroids copy + shallow _vecs), its answer is pinned " +
+      "through a full base rebuild, and a missing snapshot of " +
+      "either companion fails loudly") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfSq8Index(vecs, "vec_id", "embedding",
+      dims = 4, k = 2, table = "cmd_sq8tt_idx", location = Some(tmp()))
+    vecs.createOrReplaceTempView("cmd_sq8tt_q")
+    BucketedStores.adoptVersioned(spark, "cmd_sq8tt_idx")
+    BucketedStores.applyDeltaAtomic(spark, "cmd_sq8tt_idx",
+      Seq("cid"), Seq("cid"), 2, "vid",
+      removeIds = spark.range(0L, 1L).toDF("vid"),
+      additions = None, retain = 1)
+    // every live generation got BOTH snapshots at swap time
+    Seq("cmd_sq8tt_idx__v1_centroids", "cmd_sq8tt_idx__v2_centroids",
+        "cmd_sq8tt_idx__v1_vecs", "cmd_sq8tt_idx__v2_vecs")
+      .foreach(t => assert(spark.catalog.tableExists(t),
+        s"swap must snapshot both companions per generation ($t)"))
+    // the shallow _vecs snapshot moved NO data: same location as base
+    def loc(t: String) = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+    assert(loc("cmd_sq8tt_idx__v1_vecs") === loc("cmd_sq8tt_idx_vecs"),
+      "_vecs snapshots are shallow catalog entries, not copies")
+    val asOfV1 = "SELECT id_a, ann_id FROM " +
+      "GRAFT_ANN('cmd_sq8tt_idx__v1', 'cmd_sq8tt_q', 1, 2, 8) " +
+      "ORDER BY id_a"
+    val before = spark.sql(asOfV1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(before.nonEmpty)
+    // FULL REBUILD of the base companions under a NEW build id —
+    // retrained centroids AND re-written floats — while the retained
+    // generations survive
+    val b1 = BucketedStores.newBuildId()
+    spark.sql("DROP TABLE cmd_sq8tt_idx_centroids")
+    Seq((0L, Seq(100.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 100.0, 0.0, 0.0)))
+      .toDF("cid", "ce").write.option("path", tmp())
+      .saveAsTable("cmd_sq8tt_idx_centroids")
+    BucketedStores.stampBuild(spark, "cmd_sq8tt_idx_centroids", b1)
+    spark.sql("DROP TABLE cmd_sq8tt_idx_vecs")
+    Seq((0L, Seq(1.0, 1.0, 1.0, 1.0), 2.0))
+      .toDF("vid", "e", "nrm").write.option("path", tmp())
+      .saveAsTable("cmd_sq8tt_idx_vecs")
+    BucketedStores.stampBuild(spark, "cmd_sq8tt_idx_vecs", b1)
+    val after = spark.sql(asOfV1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after === before,
+      "a retained SQ8 generation's answer is pinned to its own " +
+        "snapshots — a base rebuild cannot change it")
+    // missing _vecs snapshot → loud, names the float companion
+    spark.sql("DROP TABLE cmd_sq8tt_idx__v1_vecs")
+    val eV = intercept[AnalysisException] { spark.sql(asOfV1) }
+    assert(eV.getMessage.contains("snapshotted float companion"),
+      eV.getMessage)
+    // missing centroids snapshot → the float tier's loud error
+    spark.sql("DROP TABLE cmd_sq8tt_idx__v1_centroids")
+    val eC = intercept[AnalysisException] { spark.sql(asOfV1) }
+    assert(eC.getMessage.contains("snapshotted quantizer companion"),
+      eC.getMessage)
+    BucketedStores.dropVersioned(spark, "cmd_sq8tt_idx")
+    Seq("cmd_sq8tt_idx_centroids", "cmd_sq8tt_idx_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("quantizer build stamps make every stale-quantizer pairing " +
+      "loud: a forced snapshot from a retrained base fails the probe " +
+      "on the stamp mismatch, the serving name fails after a base " +
+      "rebuild, and a swap refuses to back-fill across the rebuild") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 5 + j * 7) % 13 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 4, k = 2, table = "cmd_stamp_idx", location = Some(tmp()))
+    vecs.createOrReplaceTempView("cmd_stamp_q")
+    // writer stamps lists + companion with ONE build id
+    val b0 = BucketedStores.buildStamp(spark, "cmd_stamp_idx")
+    assert(b0.isDefined &&
+      b0 === BucketedStores.buildStamp(spark, "cmd_stamp_idx_centroids"),
+      "writeIvfIndex must stamp lists and companion with one build id")
+    BucketedStores.adoptVersioned(spark, "cmd_stamp_idx")
+    BucketedStores.applyDeltaAtomic(spark, "cmd_stamp_idx",
+      Seq("cid"), Seq("cid"), 2, "vid",
+      removeIds = spark.range(0L, 1L).toDF("vid"),
+      additions = None, retain = 1)
+    // stamp flows: rename (v1), swap inheritance (v2), snapshots
+    assert(BucketedStores.buildStamp(spark, "cmd_stamp_idx__v2") === b0 &&
+      BucketedStores.buildStamp(spark, "cmd_stamp_idx__v1_centroids")
+        === b0 &&
+      BucketedStores.buildStamp(spark, "cmd_stamp_idx__v2_centroids")
+        === b0,
+      "generations and snapshots must inherit the build stamp")
+    // QUANTIZER REBUILD on the base companion, minting a NEW build id
+    // (what a writeIvfIndex re-run does)
+    spark.sql("DROP TABLE cmd_stamp_idx_centroids")
+    Seq((0L, Seq(100.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 100.0, 0.0, 0.0)))
+      .toDF("cid", "ce").write.option("path", tmp())
+      .saveAsTable("cmd_stamp_idx_centroids")
+    BucketedStores.stampBuild(spark, "cmd_stamp_idx_centroids",
+      BucketedStores.newBuildId())
+    // (1) the SERVING name now pairs B0 lists with B1 centroids →
+    // the SQL resolver fails loudly instead of mis-probing
+    val eServe = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('cmd_stamp_idx', 'cmd_stamp_q', 1, 2)")
+    }
+    assert(eServe.getMessage.contains("quantizer build mismatch"),
+      eServe.getMessage)
+    // ...and the API probe refuses identically
+    val eApi = intercept[IllegalArgumentException] {
+      SimilarityOps.probeIvfIndex(spark, "cmd_stamp_idx", vecs,
+        "vec_id", "embedding", dims = 4, nprobe = 2)
+    }
+    assert(eApi.getMessage.contains("quantizer build mismatch"),
+      eApi.getMessage)
+    // (2) FORCE a snapshot from the retrained base onto a stale
+    // generation — the judge-case: probe must error on the stamp
+    // mismatch, never serve the wrong quantizer
+    spark.sql("DROP TABLE cmd_stamp_idx__v1_centroids")
+    spark.table("cmd_stamp_idx_centroids").write.option("path", tmp())
+      .saveAsTable("cmd_stamp_idx__v1_centroids")
+    BucketedStores.buildStamp(spark, "cmd_stamp_idx_centroids")
+      .foreach(BucketedStores.stampBuild(
+        spark, "cmd_stamp_idx__v1_centroids", _))
+    val eForced = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM " +
+        "GRAFT_ANN('cmd_stamp_idx__v1', 'cmd_stamp_q', 1, 2)")
+    }
+    assert(eForced.getMessage.contains("quantizer build mismatch"),
+      eForced.getMessage)
+    // (3) maintenance AFTER the rebuild: the swap must NOT back-fill
+    // the retrained base onto the new generation (the r17 silent
+    // case) — with every lineage-true snapshot gone, the generation
+    // stays snapshot-less and probes error loudly
+    spark.sql("DROP TABLE cmd_stamp_idx__v1_centroids")
+    spark.sql("DROP TABLE cmd_stamp_idx__v2_centroids")
+    BucketedStores.applyDeltaAtomic(spark, "cmd_stamp_idx",
+      Seq("cid"), Seq("cid"), 2, "vid",
+      removeIds = spark.range(1L, 2L).toDF("vid"),
+      additions = None, retain = 0)
+    assert(!spark.catalog.tableExists("cmd_stamp_idx__v3_centroids"),
+      "a swap across a quantizer rebuild must refuse the back-fill")
+    val eGen = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM " +
+        "GRAFT_ANN('cmd_stamp_idx__v3', 'cmd_stamp_q', 1, 2)")
+    }
+    assert(eGen.getMessage.contains("snapshotted quantizer companion"),
+      eGen.getMessage)
+    BucketedStores.dropVersioned(spark, "cmd_stamp_idx")
+    spark.sql("DROP TABLE IF EXISTS cmd_stamp_idx_centroids")
   }
 
   test("GRAFT_BM25 serves a stored text index as pure SQL text: " +
@@ -505,6 +663,59 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the candidate join must broadcast the query-term side:\n$plan")
     spark.catalog.dropTempView("cmd_bm25b_q")
     Seq("cmd_bm25b_idx", "cmd_bm25b_idx_docs", "cmd_bm25b_idx_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("GRAFT_BM25 batch dispatch is pinned: an empty-terms row " +
+      "fails loudly naming its query_id (parity with the literal " +
+      "form), and a relation shadowing a single-term literal " +
+      "dispatches to the BATCH form deterministically") {
+    import spark.implicits._
+    import graft.operators.TextRetrievalOps
+    val docs = Seq(
+      (1L, "spark joins spark shuffles"),
+      (2L, "vector hash vector"),
+      (3L, "spark vector hash"))
+      .toDF("doc_id", "text")
+    TextRetrievalOps.writeTextIndex(docs, "doc_id", "text",
+      "cmd_bm25c_idx", location = Some(tmp()))
+    // (a) a batch row whose terms tokenize to nothing must fail
+    // loudly — silently dropping the query_id from the output is
+    // indistinguishable from "no matches"
+    Seq((1L, "spark"), (2L, "   "), (3L, ""))
+      .toDF("query_id", "terms")
+      .createOrReplaceTempView("cmd_bm25c_q")
+    val e = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_BM25('cmd_bm25c_idx', 'cmd_bm25c_q', 2)")
+    }
+    assert(e.getMessage.contains("terms") &&
+      e.getMessage.contains("empty") && e.getMessage.contains("2"),
+      s"the error must name the offending query_id(s): ${e.getMessage}")
+    // (b) dispatch collision: 'spark' is a REAL term in the corpus
+    // AND names a (query_id, terms) relation — the batch form must
+    // win (documented preference), visible in the output shape
+    Seq((7L, "vector hash")).toDF("query_id", "terms")
+      .createOrReplaceTempView("spark")
+    val rows = spark.sql(
+      "SELECT * FROM GRAFT_BM25('cmd_bm25c_idx', 'spark', 2) " +
+        "ORDER BY query_id, rank").collect()
+    assert(rows.nonEmpty &&
+      rows.forall(_.getLong(0) === 7L) &&
+      rows.head.schema.fieldNames.toSeq ===
+        Seq("query_id", "doc_id", "score", "rank"),
+      "a shadowing relation must dispatch to the batch form")
+    // ...and the literal interpretation remains reachable the moment
+    // the relation is gone
+    spark.catalog.dropTempView("spark")
+    val lit = spark.sql(
+      "SELECT * FROM GRAFT_BM25('cmd_bm25c_idx', 'spark', 2)")
+      .collect()
+    assert(lit.nonEmpty &&
+      lit.head.schema.fieldNames.toSeq === Seq("doc_id", "score"),
+      "without the relation, the same text is a single-term literal")
+    spark.catalog.dropTempView("cmd_bm25c_q")
+    Seq("cmd_bm25c_idx", "cmd_bm25c_idx_docs", "cmd_bm25c_idx_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
