@@ -84,6 +84,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("topk_values"),
       info("topk_values"),
       (es: Seq[Expression]) => TopKValues(es.head, es(1))))
+    // bounded top-k (score, id) pairs — the rerank-survivor selection
+    // without a candidate-set window sort
+    e.injectFunction((FunctionIdentifier("topk_pairs"),
+      info("topk_pairs"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.TopKPairs(es.head, es(1), es(2))))
     // z-order key from 2-4 int bucket ids (layout rewrites in SQL)
     e.injectFunction((FunctionIdentifier("zorder_key"),
       info("zorder_key"),

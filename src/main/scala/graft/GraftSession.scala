@@ -33,6 +33,13 @@ object GraftSession {
       // cutting shuffled bytes — free locally, significant at 100 TB
       // (explicitly on; the default has shifted across Spark releases)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // id-gather fetches (the ANN refine reads a few hundred vids
+      // from a corpus-scale companion) push an In filter with far
+      // more values than the stock threshold (10) — above it Spark
+      // degrades the parquet pushdown to a min/max range, which is
+      // the full corpus for scattered ids. Raise it so bounded
+      // gathers keep row-group/page pruning.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
       .config("spark.ui.enabled", "false")
       // driver testdata writes TIMESTAMP(NANOS) which the vectorized
       // parquet reader rejects; read as LongType epoch-nanos instead.

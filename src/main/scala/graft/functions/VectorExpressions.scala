@@ -80,6 +80,18 @@ object VectorFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(k))
       .toAggregateExpression())
 
+  /** Exact top-k (score, id) pairs per group by (score DESC, id ASC)
+    * as a best-first array<struct<score,id>> — the kept set of
+    * `ROW_NUMBER() OVER (ORDER BY score DESC, id) <= k`, with O(k)
+    * state per group and k pairs per group over the exchange instead
+    * of a full candidate shuffle + sort.
+    */
+  def topk_pairs(score: Column, id: Column, k: Int): Column =
+    B.column(org.apache.spark.sql.graft.TopKPairs(
+      B.expression(score), B.expression(id),
+      org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
   /** Misra-Gries frequent-items summary per group —
     * array<struct<item,count_lo>> with the n/k containment guarantee
     * (every item with true count > n/k is present; counts are lower

@@ -28,6 +28,22 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityOps {
 
+  /** Cap on the candidate-gather refine fetch (nQueries × rerank):
+    * below it, [[probeIvfSq8Index]] collects the survivor ids (a
+    * bounded serving-batch-scale set) and pushes them into the
+    * `_vecs` scan as an In filter — candidate-scale refine IO;
+    * above it, the lazy full join (no driver materialization).
+    */
+  val GatherMaxIds: Long = 8192L
+
+  /** Cap on the bounded-query-batch regime for probed-list pruning
+    * ([[prunedLists]]): at or below it, the probe pays one
+    * query-scale job to learn the probed cid set and prunes the
+    * lists scan to it; above it (corpus-as-queries), the batch
+    * probes essentially every list and the job would buy nothing.
+    */
+  val GatherMaxQueries: Long = 1024L
+
   /** Deterministic hyperplane component in [-1, 1): identical to the
     * SQL `CAST(('0x'||substr(md5(p||'|'||d),1,15)) AS BIGINT)
     * / 2^60 * 2 - 1`.
@@ -430,22 +446,22 @@ object SimilarityOps {
 
   /** IVF top-K retrieval (the k>1 shape real retrieval pipelines run):
     * same candidate stage as [[ivfTop1]], ranked per query by
-    * (score DESC, id ASC) and cut at `topK`. The rank is a window
-    * partitioned by id_a — key cardinality = corpus size, so the sort
-    * is well-spread; per-group width is the bounded candidate count
-    * (nprobe × list size), never the corpus.
+    * (score DESC, id ASC) and cut at `topK`. Selection is the bounded
+    * [[org.apache.spark.sql.graft.TopKPairs]] aggregate — identical
+    * kept set and rank as the row_number window (the ordering embeds
+    * the tie-break), but map-side partial with O(topK) state per
+    * query: the candidate set is never shuffled or sorted whole.
     */
   def ivfTopK(vecsDf: DataFrame, idCol: String, vecCol: String, dims: Int,
       k: Int = 16, nprobe: Int = 2, topK: Int = 5,
       maxList: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("score").desc, col("id_b"))
     ivfCandidates(vecsDf, idCol, vecCol, dims, k, nprobe, maxList)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("id_a"), col("rank"), col("id_b").as("nn_id"),
-        col("score"))
+      .groupBy(col("id_a"))
+      .agg(graft.functions.VectorFunctions
+        .topk_pairs(col("score"), col("id_b"), topK).as("tk"))
+      .select(col("id_a"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("id_a"), (col("pos") + 1).cast("long").as("rank"),
+        col("p.id").as("nn_id"), col("p.score").as("score"))
   }
 
   /** Materialize the IVF index as DURABLE storage — the ANN serving
@@ -526,8 +542,20 @@ object SimilarityOps {
     */
   private def requireQuantizerLineage(
       spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val lists = scala.util.Try(
-      BucketedStores.currentGeneration(spark, table)).getOrElse(table)
+    // resolve a versioned serving VIEW to its current generation; a
+    // plain table (or temp view) short-circuits — currentGeneration's
+    // catalog listing is a per-call query, too slow for the hot
+    // serving path
+    val isView = scala.util.Try(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst
+        .TableIdentifier(table)).tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      .getOrElse(false)
+    val lists =
+      if (isView)
+        scala.util.Try(
+          BucketedStores.currentGeneration(spark, table)).getOrElse(table)
+      else table
     val cents = table + "_centroids"
     for {
       ls <- BucketedStores.buildStamp(spark, lists)
@@ -563,8 +591,9 @@ object SimilarityOps {
               / (col("nrm") * c.getField("cn")), 6)).as("ns"),
             c.getField("cid").as("cid")))), 1, nprobe),
           s => s.getField("cid"))).as("cid"))
-    val index = spark.table(table).select(col("cid"),
-      col("vid").as("id_b"), col("e").as("eb"), col("nrm").as("nb"))
+    val index = prunedLists(spark, table, q, cents.length, queriesDf)
+      .select(col("cid"), col("vid").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb"))
     q.join(index, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"),
@@ -576,6 +605,34 @@ object SimilarityOps {
       .agg(max(col("cand")).as("best"))
       .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
         col("best.score").as("score"))
+  }
+
+  /** Probed-list pruning — the textbook IVF probe reads ONLY the
+    * lists the batch probes, never the whole index. The probed cid
+    * set is bounded by k (the quantizer size) BY CONSTRUCTION, so for
+    * a bounded query batch it is collected (one query-scale job) and
+    * pushed into the lists scan as an In filter: cid-bucket pruning
+    * plus parquet row-group pruning on the cid-sorted files drop the
+    * unprobed lists' bytes before they are read. At k = 16 every cid
+    * is usually probed and the filter is a no-op — the shape matters
+    * at REAL index sizes (k ~ √n lists, a batch touches a few
+    * hundred), where it is the difference between reading ~nprobe/k
+    * of the index and reading all of it. Corpus-as-queries batches
+    * (above the gather cap) skip the extra job: they probe
+    * essentially every list, so there is nothing to prune.
+    */
+  private def prunedLists(spark: org.apache.spark.sql.SparkSession,
+      table: String, q: DataFrame, k: Int,
+      queriesDf: DataFrame): DataFrame = {
+    val lists = spark.table(table)
+    val bounded = scala.util.Try(
+      queriesDf.limit(GatherMaxQueries.toInt + 1).count() <= GatherMaxQueries)
+      .getOrElse(false)
+    if (!bounded) return lists
+    val probed = q.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).toSeq // ≤ k values by construction
+    if (probed.size >= k) lists
+    else lists.filter(col("cid").isInCollection(probed))
   }
 
   /** IVF-SQ8 — the bandwidth-optimized IVF the big ANN libraries
@@ -637,12 +694,14 @@ object SimilarityOps {
           .cast("double")
           / ((lit(127.0) / col("amax_a")) * (lit(127.0) / col("amax_b")))
           / (col("na") * col("nb")), 6))
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("qscore").desc, col("id_b"))
+    // bounded-aggregate survivor selection (see probeIvfSq8Index):
+    // same kept set as the row_number window, O(k) state per query
     val survivors = qscored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= rerank)
-      .select(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"))
+      .agg(graft.functions.VectorFunctions
+        .topk_pairs(col("qscore"), col("id_b"), rerank).as("tk"))
+      .select(col("id_a"), explode(col("tk")).as("p"))
+      .select(col("id_a"), col("p.id").as("id_b"))
     // only the quantized top-`rerank` fetch float vectors — two
     // candidate-scale joins off the SAME cached projection; the
     // corpus-scale join above moved int8s
@@ -780,9 +839,10 @@ object SimilarityOps {
               / (col("nrm") * c.getField("cn")), 6)).as("ns"),
             c.getField("cid").as("cid")))), 1, nprobe),
           s => s.getField("cid"))).as("cid"))
-    val index = spark.table(table).select(col("cid"),
-      col("vid").as("id_b"), col("q").as("qb"),
-      col("amax").as("amax_b"), col("nrm").as("nb"))
+    val index = prunedLists(spark, table, q, cents.length, queriesDf)
+      .select(col("cid"),
+        col("vid").as("id_b"), col("q").as("qb"),
+        col("amax").as("amax_b"), col("nrm").as("nb"))
     // the scan kernel: native codegen'd int8 dot (exact, long-
     // accumulated) — per candidate × per dim, a HOF zip_with/aggregate
     // here measured ~11× slower than the float probe; the kernel keeps
@@ -795,12 +855,19 @@ object SimilarityOps {
           .cast("double")
           / ((lit(127.0) / col("amax_a")) * (lit(127.0) / col("amax_b")))
           / (col("na") * col("nb")), 6))
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("qscore").desc, col("id_b"))
+    // rerank-survivor selection as a BOUNDED AGGREGATE, not a window:
+    // a row_number window shuffles and sorts the whole candidate set
+    // (O(n log n) and an n-row exchange — measured ~5 s of the probe
+    // at a 12M-candidate scale); topk_pairs streams candidates
+    // through k slots map-side and ships k pairs per query. Identical
+    // kept set — the (score DESC, id ASC) ordering embeds the window's
+    // tie-break.
     val survivors = qscored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= rerank)
-      .select(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"))
+      .agg(graft.functions.VectorFunctions
+        .topk_pairs(col("qscore"), col("id_b"), rerank).as("tk"))
+      .select(col("id_a"), explode(col("tk")).as("p"))
+      .select(col("id_a"), col("p.id").as("id_b"))
     // query-side floats come from the QUERY relation itself (as the
     // SQL sq8Expansion does via its graft_ann_qz re-join) — NOT from
     // the index's `_vecs` companion keyed by id_a, which silently
@@ -811,9 +878,34 @@ object SimilarityOps {
     val vecs = spark.table(table + "_vecs")
     val va = qproj.select(col("vid").as("id_a"), col("e").as("ea"),
       col("nrm").as("na"))
-    val vb = vecs.select(col("vid").as("id_b"), col("e").as("eb"),
-      col("nrm").as("nb"))
-    survivors.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+    // Candidate-scale refine fetch IN BYTES, not just rows: a plain
+    // join streams the FULL `_vecs` table under a broadcast of the
+    // tiny survivor side — at corpus scale that reads 4× the bytes
+    // the quantized lists saved (the float companion is the corpus).
+    // For a bounded serving batch (nQueries × rerank ≤ the gather
+    // cap) the survivor PAIRS are collected once — a bounded,
+    // serving-batch-scale collect, NOT row-proportional in the
+    // corpus — so the quantized scan + rerank window run exactly ONCE
+    // (the refine plan restarts from a local relation), and the ids
+    // push into the `_vecs` read as an In filter: vid-bucket pruning
+    // plus parquet row-group/page pruning make the fetch
+    // candidate-scale (the faiss gather-by-id refine). Above the cap
+    // (corpus-as-queries, e.g. the sim13 self-probe) both the id set
+    // and the survivor set are corpus-proportional, so the fully lazy
+    // join pipeline remains — there the scan is shared work across a
+    // corpus of queries and the companion join is not the bottleneck.
+    val gather = qproj.count() * rerank <= SimilarityOps.GatherMaxIds
+    val (survDf, vb) =
+      if (gather) {
+        val sv = survivors.collect().map(r => (r.getLong(0), r.getLong(1)))
+        import spark.implicits._
+        val svDf = sv.toSeq.toDF("id_a", "id_b")
+        val ids = sv.map(_._2).distinct.toSeq
+        (svDf, vecs.filter(col("vid").isInCollection(ids)))
+      } else (survivors, vecs)
+    survDf.join(va, Seq("id_a"))
+      .join(vb.select(col("vid").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
       .select(col("id_a"),
         struct(
           round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)

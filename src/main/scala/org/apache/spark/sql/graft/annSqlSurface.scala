@@ -279,12 +279,14 @@ object GraftAnnRewrite {
           |        'score', score, 'nid', -ann_id)) AS gbest
           |      FROM graft_ann_cand GROUP BY id_a))""".stripMargin
       else
-        s"""SELECT id_a, ann_id, score, rank FROM (
-           |  SELECT id_a, ann_id, score,
-           |         ROW_NUMBER() OVER (PARTITION BY id_a
-           |           ORDER BY score DESC, ann_id) AS rank
-           |  FROM graft_ann_cand)
-           |WHERE rank <= $k)""".stripMargin
+        // bounded topk_pairs aggregate, not a candidate-set window:
+        // the float candidates are corpus-scale, and a row_number
+        // window would shuffle + sort them all (see TopKPairs)
+        s"""SELECT id_a, gp.id AS ann_id, gp.score AS score,
+           |       gpos + 1 AS rank
+           |FROM (SELECT id_a, topk_pairs(score, ann_id, $k) AS tk
+           |      FROM graft_ann_cand GROUP BY id_a)
+           |LATERAL VIEW posexplode(tk) gtk AS gpos, gp)""".stripMargin
     head + tail
   }
 
@@ -335,11 +337,10 @@ object GraftAnnRewrite {
          |  FROM graft_ann_probe p JOIN $store i
          |    ON i.cid = p.cid AND i.vid <> p.id_a),
          |graft_ann_sv AS (
-         |  SELECT id_a, ann_id FROM (
-         |    SELECT id_a, ann_id,
-         |           ROW_NUMBER() OVER (PARTITION BY id_a
-         |             ORDER BY qscore DESC, ann_id) AS rn
-         |    FROM graft_ann_qs) WHERE rn <= $rerank),
+         |  SELECT id_a, gp.id AS ann_id FROM (
+         |    SELECT id_a, topk_pairs(qscore, ann_id, $rerank) AS tk
+         |    FROM graft_ann_qs GROUP BY id_a)
+         |  LATERAL VIEW explode(tk) gsv AS gp),
          |graft_ann_cand AS (
          |  SELECT sv.id_a, sv.ann_id,
          |         round(array_dot(qz.ea, vb.e) / (qz.na * vb.nrm), 6)

@@ -1,0 +1,184 @@
+/** Bounded top-k (score, id) selection as a native aggregate — the
+  * rerank-survivor kernel of the quantized ANN tier. Same packaging
+  * rationale as topKAggregate.scala.
+  */
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded heap of the k BEST (score, id) pairs by
+  * (score DESC, id ASC) — [[TopKPairs]]'s buffer. The heap root is the
+  * WORST kept pair, so update is O(log k) and state is O(k) per group
+  * regardless of group size; the partial/final split ships at most k
+  * pairs per group across the exchange. The ordering carries the id
+  * tie-break, so the kept SET equals exactly what
+  * `ROW_NUMBER() OVER (ORDER BY score DESC, id) <= k` keeps — but
+  * without materializing, shuffling, or sorting the candidate set
+  * (the 100 TB property: a window must sort every candidate; this
+  * streams them through k slots map-side).
+  */
+final class TopKPairsBuffer(val k: Int) {
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+  private var n = 0
+
+  // a is WORSE than b under (score DESC, id ASC)
+  @inline private def worse(sa: Double, ia: Long, sb: Double,
+      ib: Long): Boolean =
+    sa < sb || (sa == sb && ia > ib)
+
+  def add(s: Double, id: Long): Unit = {
+    if (n < k) {
+      scores(n) = s; ids(n) = id
+      n += 1
+      var i = n - 1 // sift up (root = worst)
+      while (i > 0 && worse(scores(i), ids(i),
+          scores((i - 1) / 2), ids((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val ts = scores(p); scores(p) = scores(i); scores(i) = ts
+        val ti = ids(p); ids(p) = ids(i); ids(i) = ti
+        i = p
+      }
+    } else if (worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      var i = 0 // sift down
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < n && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+        if (r < n && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+        if (m == i) done = true
+        else {
+          val ts = scores(m); scores(m) = scores(i); scores(i) = ts
+          val ti = ids(m); ids(m) = ids(i); ids(i) = ti
+          i = m
+        }
+      }
+    }
+  }
+
+  def merge(other: TopKPairsBuffer): Unit = {
+    var i = 0
+    while (i < other.n) { add(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  /** The kept pairs, best-first ((score DESC, id ASC)). */
+  def result(): Array[(Double, Long)] = {
+    val out = new Array[(Double, Long)](n)
+    var i = 0
+    while (i < n) { out(i) = (scores(i), ids(i)); i += 1 }
+    scala.util.Sorting.stableSort(out,
+      (a: (Double, Long), b: (Double, Long)) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    out
+  }
+
+  def serialize(): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * n)
+    bb.putInt(n)
+    var i = 0
+    while (i < n) { bb.putDouble(scores(i)); bb.putLong(ids(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TopKPairsBuffer {
+  def deserialize(k: Int, bytes: Array[Byte]): TopKPairsBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new TopKPairsBuffer(k)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { b.add(bb.getDouble, bb.getLong); i += 1 }
+    b
+  }
+}
+
+/** `topk_pairs(score, id, k)` — the exact top-k (score, id) pairs per
+  * group by (score DESC, id ASC), as a best-first
+  * array<struct<score, id>>.
+  *
+  * This is the bounded-state replacement for the rerank-survivor
+  * window `ROW_NUMBER() OVER (PARTITION BY g ORDER BY score DESC, id)
+  * <= k`: identical kept set (the ordering embeds the tie-break), but
+  * the window SHUFFLES AND SORTS every candidate row — O(n log n) and
+  * an n-row exchange per group — where this aggregate keeps O(k) state
+  * map-side and ships k pairs per group (measured: the stored-SQ8
+  * probe's 12M-candidate selection dropped from ~5 s of window
+  * shuffle+sort to agg-scan cost). Merge-order independent by the
+  * strict total order on (score, id).
+  */
+case class TopKPairs(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKPairsBuffer] with ExpectsInputTypes {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr, kExpr)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(DoubleType, LongType, IntegerType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (!kExpr.foldable) {
+      TypeCheckResult.TypeCheckFailure("topk_pairs: k must be a literal")
+    } else if (kExpr.eval() == null) {
+      TypeCheckResult.TypeCheckFailure("topk_pairs: k must not be null")
+    } else if (k < 1 || k > 65536) {
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs: k must be in [1, 65536], got $k")
+    } else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): TopKPairsBuffer =
+    new TopKPairsBuffer(k)
+
+  override def update(b: TopKPairsBuffer, row: InternalRow): TopKPairsBuffer = {
+    val s = scoreExpr.eval(row)
+    val id = idExpr.eval(row)
+    if (s != null && id != null)
+      b.add(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: TopKPairsBuffer, o: TopKPairsBuffer): TopKPairsBuffer = {
+    b.merge(o); b
+  }
+
+  override def eval(b: TopKPairsBuffer): Any =
+    new GenericArrayData(b.result().map { case (s, id) =>
+      InternalRow(s, id)
+    }.toArray[Any])
+
+  override def serialize(b: TopKPairsBuffer): Array[Byte] = b.serialize()
+
+  override def deserialize(bytes: Array[Byte]): TopKPairsBuffer =
+    TopKPairsBuffer.deserialize(k, bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKPairs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKPairs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(scoreExpr = cs(0), idExpr = cs(1), kExpr = cs(2))
+}

@@ -39,6 +39,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
            AS t(g, v) GROUP BY g ORDER BY g""").collect()
       assert(tk(0).getSeq[Double](1) === Seq(9.0, 7.0))
       assert(tk(1).getSeq[Double](1) === Seq(3.0))
+      // ...and the (score, id) top-k pair aggregate (the SQ8 rerank
+      // survivor kernel): best-first, ties on id ASC
+      val tkp = spark.sql(
+        """SELECT g, topk_pairs(s, i, 2) AS tk FROM VALUES
+             (1, 5.0d, 10L), (1, 9.0d, 20L), (1, 9.0d, 15L),
+             (2, 3.0d, 1L)
+           AS t(g, s, i) GROUP BY g ORDER BY g""").collect()
+      assert(tkp(0).getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getDouble(0), r.getLong(1))) ===
+        Seq((9.0, 15L), (9.0, 20L)))
+      assert(tkp(1).getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getDouble(0), r.getLong(1))) === Seq((3.0, 1L)))
       // the KMV sketch family resolves in SQL end-to-end:
       // sketch per group → merge across groups → estimate (exact <k)
       val kmv = spark.sql(

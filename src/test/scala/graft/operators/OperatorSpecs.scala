@@ -475,6 +475,13 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(listShuffles.isEmpty,
       s"the quantized lists must never shuffle before their join:\n$plan")
+    // the rerank-survivor selection is the bounded topk_pairs
+    // aggregate, NEVER a candidate-set window (a row_number window
+    // shuffles and sorts every candidate — measured ~5 s at a
+    // 12M-candidate scale against agg-scan cost)
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(expand(plan).collect { case wx: WindowExec => wx }.isEmpty,
+      s"the SQ8 probe must not sort candidates through a window:\n$plan")
     Seq(table, s"${table}_centroids", s"${table}_vecs")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
