@@ -319,6 +319,42 @@ object SimilarityOps {
         lit(math.sqrt(ss)).as("cn"))
     }: _*)
 
+  /** Above this quantizer size the centroid array ships as a RUNTIME
+    * one-row broadcast instead of a plan literal: a k×(d+2)-node
+    * literal tree puts O(k·d) expression nodes in every plan the
+    * quantizer touches, and past a few thousand nodes the analyzer/
+    * optimizer/codegen passes — all single-threaded on the driver —
+    * dominate wall-clock (measured: a k=362, d=64 literal pinned the
+    * driver for 20+ minutes). The broadcast row carries the same
+    * array<struct<cid,ce,cn>>; per-row evaluation is identical (the
+    * HOF lambdas are interpreted either way).
+    */
+  val CentroidLiteralMax: Int = 64
+
+  /** The quantizer as a (DataFrame, Column) pair: `df` unchanged plus
+    * a column holding array<struct<cid, ce, cn>> — a literal for
+    * small k, else `df` cross-joined with a broadcast ONE-ROW
+    * aggregate of the centroid set (runtime data, O(1) plan nodes).
+    * Every downstream select that projects its own columns drops the
+    * carrier column naturally.
+    */
+  private def withCentroids(df: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): (DataFrame, Column) =
+    if (cents.length <= CentroidLiteralMax) (df, centroidLiteral(cents))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centsDf = cents.map { case (cid, ce) =>
+        var ss = 0.0
+        ce.foreach(x => ss += x * x)
+        (cid, ce, math.sqrt(ss))
+      }.toDF("cid", "ce", "cn")
+      val one = centsDf
+        .agg(collect_list(struct(col("cid"), col("ce"), col("cn")))
+          .as("__graft_cents"))
+      (df.crossJoin(broadcast(one)), col("__graft_cents"))
+    }
+
   /** Scan-local coarse assignment to the deterministic first-k
     * centroids: (vid, e, nrm, cid) with cid chosen in-row off the
     * centroid LITERAL (cosine DESC, cid ASC at 6dp — the sim4 probe
@@ -331,8 +367,8 @@ object SimilarityOps {
   def assignFirstK(vecsDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, k: Int): DataFrame = {
     val v = ivfProject(vecsDf, idCol, vecCol)
-    val centArr = centroidLiteral(firstKCentroids(v, k, dims))
-    v.select(col("vid"), col("e"), col("nrm"),
+    val (vc, centArr) = withCentroids(v, firstKCentroids(v, k, dims))
+    vc.select(col("vid"), col("e"), col("nrm"),
       element_at(transform(
         slice(array_sort(transform(centArr, c => struct(
           (-round(array_dot(col("e"), c.getField("ce"))
@@ -359,8 +395,8 @@ object SimilarityOps {
     val v = ivfProject(vecsDf, idCol, vecCol)
     var cents = firstKCentroids(v, k, dims)
     for (_ <- 1 to iters) {
-      val centArr = centroidLiteral(cents)
-      val assigned = v.select(
+      val (vc, centArr) = withCentroids(v, cents)
+      val assigned = vc.select(
         element_at(transform(
           slice(array_sort(transform(centArr, c => struct(
             (-round(array_dot(col("e"), c.getField("ce"))
@@ -400,7 +436,7 @@ object SimilarityOps {
     // Lloyd dropout can shrink the centroid set below nprobe
     require(cents.length >= nprobe,
       s"quantizer has ${cents.length} live centroids < nprobe $nprobe")
-    val centArr = centroidLiteral(cents)
+    val (vc, centArr) = withCentroids(v, cents)
     // one in-row pass: score all k centroids, sort (cos DESC, cid ASC),
     // keep only the nprobe best centroid ids. Persisted: the index and
     // query branches below both consume this projection, and without
@@ -410,7 +446,7 @@ object SimilarityOps {
     // a few bytes. Lifetime: scoped — released by the listener sweep
     // once the consuming action materializes it (CacheHygieneSpec).
     val scored = org.apache.spark.sql.graft.ScopedCaches.scoped(
-      v.select(col("vid"), col("e"), col("nrm"),
+      vc.select(col("vid"), col("e"), col("nrm"),
         transform(
           slice(array_sort(transform(centArr, c => struct(
             (-round(array_dot(col("e"), c.getField("ce"))
@@ -486,8 +522,8 @@ object SimilarityOps {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cents = firstKCentroids(v, k, dims)
-    val centArr = centroidLiteral(cents)
-    val assigned = v.select(
+    val (vc, centArr) = withCentroids(v, cents)
+    val assigned = vc.select(
         element_at(transform(
           slice(array_sort(transform(centArr, c => struct(
             (-round(array_dot(col("e"), c.getField("ce"))
@@ -581,8 +617,9 @@ object SimilarityOps {
       require(ce.length == dims,
         s"stored centroid $cid has ${ce.length} dims, expected $dims")
     }
-    val centArr = centroidLiteral(cents.toSeq)
-    val q = ivfProject(queriesDf, idCol, vecCol)
+    val (qc, centArr) = withCentroids(
+      ivfProject(queriesDf, idCol, vecCol), cents.toSeq)
+    val q = qc
       .select(col("vid").as("id_a"), col("e").as("ea"),
         col("nrm").as("na"),
         explode(transform(
@@ -591,7 +628,12 @@ object SimilarityOps {
               / (col("nrm") * c.getField("cn")), 6)).as("ns"),
             c.getField("cid").as("cid")))), 1, nprobe),
           s => s.getField("cid"))).as("cid"))
-    val index = prunedLists(spark, table, q, cents.length, queriesDf)
+    // ONE bounded count decides the serving-batch regime (never a
+    // full count of a corpus-sized query relation)
+    val nQueries = scala.util.Try(queriesDf
+      .limit(GatherMaxQueries.toInt + 1).count())
+      .getOrElse(Long.MaxValue)
+    val index = prunedLists(spark, table, q, cents.length, nQueries)
       .select(col("cid"), col("vid").as("id_b"), col("e").as("eb"),
         col("nrm").as("nb"))
     q.join(index, Seq("cid"))
@@ -623,12 +665,9 @@ object SimilarityOps {
     */
   private def prunedLists(spark: org.apache.spark.sql.SparkSession,
       table: String, q: DataFrame, k: Int,
-      queriesDf: DataFrame): DataFrame = {
+      nQueries: Long): DataFrame = {
     val lists = spark.table(table)
-    val bounded = scala.util.Try(
-      queriesDf.limit(GatherMaxQueries.toInt + 1).count() <= GatherMaxQueries)
-      .getOrElse(false)
-    if (!bounded) return lists
+    if (nQueries > GatherMaxQueries) return lists
     val probed = q.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ k values by construction
     if (probed.size >= k) lists
@@ -658,8 +697,8 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cents = firstKCentroids(v, k, dims)
-    val centArr = centroidLiteral(cents)
-    val quant = v
+    val (vc, centArr) = withCentroids(v, cents)
+    val quant = vc
       .withColumn("amax", aggregate(col("e"), lit(0.0),
         (a, x) => greatest(a, abs(x))))
       .withColumn("q", transform(col("e"), x =>
@@ -756,8 +795,8 @@ object SimilarityOps {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cents = firstKCentroids(v, k, dims)
-    val centArr = centroidLiteral(cents)
-    val quant = v
+    val (vc, centArr) = withCentroids(v, cents)
+    val quant = vc
       .withColumn("amax", aggregate(col("e"), lit(0.0),
         (a, x) => greatest(a, abs(x))))
       .withColumn("q", transform(col("e"), x =>
@@ -822,9 +861,9 @@ object SimilarityOps {
       require(ce.length == dims,
         s"stored centroid $cid has ${ce.length} dims, expected $dims")
     }
-    val centArr = centroidLiteral(cents.toSeq)
     val qproj = ivfProject(queriesDf, idCol, vecCol)
-    val q = qproj
+    val (qprojC, centArr) = withCentroids(qproj, cents.toSeq)
+    val q = qprojC
       .withColumn("amax", aggregate(col("e"), lit(0.0),
         (a, x) => greatest(a, abs(x))))
       .withColumn("qv", transform(col("e"), x =>
@@ -839,7 +878,14 @@ object SimilarityOps {
               / (col("nrm") * c.getField("cn")), 6)).as("ns"),
             c.getField("cid").as("cid")))), 1, nprobe),
           s => s.getField("cid"))).as("cid"))
-    val index = prunedLists(spark, table, q, cents.length, queriesDf)
+    // ONE bounded count decides both serving-batch regimes (list
+    // pruning and the candidate gather); the limit bound keeps it a
+    // serving-batch-scale job even when queries = the corpus
+    val nqCap = math.max(SimilarityOps.GatherMaxQueries,
+      SimilarityOps.GatherMaxIds / math.max(rerank, 1)).toInt + 1
+    val nQueries = scala.util.Try(queriesDf.limit(nqCap).count())
+      .getOrElse(Long.MaxValue)
+    val index = prunedLists(spark, table, q, cents.length, nQueries)
       .select(col("cid"),
         col("vid").as("id_b"), col("q").as("qb"),
         col("amax").as("amax_b"), col("nrm").as("nb"))
@@ -894,7 +940,8 @@ object SimilarityOps {
     // and the survivor set are corpus-proportional, so the fully lazy
     // join pipeline remains — there the scan is shared work across a
     // corpus of queries and the companion join is not the bottleneck.
-    val gather = qproj.count() * rerank <= SimilarityOps.GatherMaxIds
+    val gather =
+      nQueries <= SimilarityOps.GatherMaxIds / math.max(rerank, 1)
     val (survDf, vb) =
       if (gather) {
         val sv = survivors.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -937,8 +984,9 @@ object SimilarityOps {
       require(ce.length == dims,
         s"stored centroid $cid has ${ce.length} dims, expected $dims")
     }
-    val centArr = centroidLiteral(cents.toSeq)
-    ivfProject(deltaVecs, idCol, vecCol)
+    val (dc, centArr) = withCentroids(
+      ivfProject(deltaVecs, idCol, vecCol), cents.toSeq)
+    dc
       .select(
         element_at(transform(
           slice(array_sort(transform(centArr, c => struct(

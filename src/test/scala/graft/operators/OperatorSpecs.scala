@@ -544,6 +544,70 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bounded-batch probes prune the lists scan to the probed " +
+      "cids: the In(cid) predicate reaches the parquet scan as a " +
+      "pushed filter (read only the probed lists — the textbook IVF " +
+      "probe shape)") {
+    import spark.implicits._
+    val vecs = (0L until 4000L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 13 + j * 5) % 17 - 8).toDouble / 3)))
+      .toDF("vec_id", "embedding")
+    val t = "t_prune_idx"
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 8, k = 64, table = t,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_prune").toString))
+    val queries = vecs.filter(col("vec_id") < 4)
+    val df = SimilarityOps.probeIvfIndex(spark, t, queries,
+      "vec_id", "embedding", dims = 8, nprobe = 2)
+    val ex = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ex.contains("In(cid"),
+      s"a 4-query batch over a 64-list index must push In(cid):\n$ex")
+    // and the pruned probe still answers (semantics-neutral filter)
+    assert(df.count() === 4)
+    Seq(t, s"${t}_centroids")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
+  test("large-k quantizers ship as a runtime broadcast, not a plan " +
+      "literal, and the probe stays exact: k > CentroidLiteralMax " +
+      "with nprobe = k IS exhaustive exact search") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 300L).map(i =>
+      (i, Seq.fill(6)(rnd.nextDouble() * 4 - 2)))
+    val vecs = corpus.toDF("vec_id", "embedding")
+    val t = "t_bigk_idx"
+    val k = 100 // > CentroidLiteralMax = 64 → the broadcast path
+    assert(k > SimilarityOps.CentroidLiteralMax)
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 6, k = k, table = t, buckets = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_bigk").toString))
+    val queries = vecs.filter(col("vec_id") < 5)
+    val got = SimilarityOps.probeIvfIndex(spark, t, queries,
+      "vec_id", "embedding", dims = 6, nprobe = k)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.rint(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)) * 1e6) / 1e6
+    }
+    val expect = corpus.take(5).map { case (qid, qv) =>
+      val best = corpus.filter(_._1 != qid)
+        .map { case (cid2, cv) => (cos(qv, cv), cid2) }
+        .maxBy { case (sc, cid2) => (sc, -cid2) }
+      (qid, best._2)
+    }
+    assert(got === expect,
+      "nprobe = k probe through the broadcast quantizer must equal " +
+        "exact cosine top-1")
+    Seq(t, s"${t}_centroids")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
   test("stored-SQ8 probe serves an EXTERNAL query table: query ids " +
       "disjoint from the corpus still get their exact-rerank answer " +
       "(the rerank reads query floats from the query relation, not " +
