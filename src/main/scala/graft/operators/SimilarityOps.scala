@@ -310,6 +310,21 @@ object SimilarityOps {
   /** The k-centroid struct-array literal (cid, ce, cn) both the list
     * assignment and probe selection score in-row.
     */
+
+  /** Top-1 coarse assignment: the centroid with MAX cosine at 6 dp,
+    * ties to the smaller cid — computed as `array_min` over
+    * (ns = -cos, cid) structs (lexicographic struct order IS the
+    * selection rule). One O(k) pass per row; the previous
+    * sort-then-slice spelling paid an O(k log k) boxed struct sort
+    * per CORPUS row, which dominated index builds at real quantizer
+    * sizes (k ~ √n). Identical selection by construction.
+    */
+  private def nearestCid(centArr: Column): Column =
+    array_min(transform(centArr, c => struct(
+      (-round(array_dot(col("e"), c.getField("ce"))
+        / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+      c.getField("cid").as("cid")))).getField("cid")
+
   private def centroidLiteral(cents: Seq[(Long, Seq[Double])]): Column =
     array(cents.map { case (cid, ce) =>
       var ss = 0.0 // same left-to-right fold as array_norm
@@ -369,12 +384,7 @@ object SimilarityOps {
     val v = ivfProject(vecsDf, idCol, vecCol)
     val (vc, centArr) = withCentroids(v, firstKCentroids(v, k, dims))
     vc.select(col("vid"), col("e"), col("nrm"),
-      element_at(transform(
-        slice(array_sort(transform(centArr, c => struct(
-          (-round(array_dot(col("e"), c.getField("ce"))
-            / (col("nrm") * c.getField("cn")), 6)).as("ns"),
-          c.getField("cid").as("cid")))), 1, 1),
-        s => s.getField("cid")), 1).as("cid"))
+      nearestCid(centArr).as("cid"))
   }
 
   /** Train the IVF coarse quantizer: `iters` Lloyd refinements of the
@@ -397,12 +407,7 @@ object SimilarityOps {
     for (_ <- 1 to iters) {
       val (vc, centArr) = withCentroids(v, cents)
       val assigned = vc.select(
-        element_at(transform(
-          slice(array_sort(transform(centArr, c => struct(
-            (-round(array_dot(col("e"), c.getField("ce"))
-              / (col("nrm") * c.getField("cn")), 6)).as("ns"),
-            c.getField("cid").as("cid")))), 1, 1),
-          s => s.getField("cid")), 1).as("cid"),
+        nearestCid(centArr).as("cid"),
         col("e"))
       val upd = assigned
         .select(col("cid"), posexplode(col("e")).as(Seq("dim", "x")))
@@ -524,12 +529,7 @@ object SimilarityOps {
     val cents = firstKCentroids(v, k, dims)
     val (vc, centArr) = withCentroids(v, cents)
     val assigned = vc.select(
-        element_at(transform(
-          slice(array_sort(transform(centArr, c => struct(
-            (-round(array_dot(col("e"), c.getField("ce"))
-              / (col("nrm") * c.getField("cn")), 6)).as("ns"),
-            c.getField("cid").as("cid")))), 1, 1),
-          s => s.getField("cid")), 1).as("cid"),
+        nearestCid(centArr).as("cid"),
         col("vid"), col("e"), col("nrm"))
     // mor = true: lists carry `_seq` = 0 and serve through the
     // tombstone view, so vector deletes append (vid, seq) tombstones
@@ -694,7 +694,6 @@ object SimilarityOps {
     */
   def ivfSq8Top1(vecsDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, k: Int, nprobe: Int, rerank: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cents = firstKCentroids(v, k, dims)
     val (vc, centArr) = withCentroids(v, cents)
@@ -804,12 +803,7 @@ object SimilarityOps {
           floor(abs(x) * (lit(127.0) / col("amax")) + lit(0.5))))
           .cast("byte")))
     val assigned = quant.select(
-      element_at(transform(
-        slice(array_sort(transform(centArr, c => struct(
-          (-round(array_dot(col("e"), c.getField("ce"))
-            / (col("nrm") * c.getField("cn")), 6)).as("ns"),
-          c.getField("cid").as("cid")))), 1, 1),
-        s => s.getField("cid")), 1).as("cid"),
+      nearestCid(centArr).as("cid"),
       col("vid"), col("q"), col("amax"), col("nrm"))
     // mor = true: same contract as the float writer — `_seq` = 0 on
     // built rows, tombstone-view serving, vector deletes append
@@ -850,7 +844,6 @@ object SimilarityOps {
   def probeIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, nprobe: Int, rerank: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     requireQuantizerLineage(spark, table)
     val cents = spark.table(table + "_centroids")
       .orderBy(col("cid")).collect() // bounded: k rows by contract
@@ -988,12 +981,7 @@ object SimilarityOps {
       ivfProject(deltaVecs, idCol, vecCol), cents.toSeq)
     dc
       .select(
-        element_at(transform(
-          slice(array_sort(transform(centArr, c => struct(
-            (-round(array_dot(col("e"), c.getField("ce"))
-              / (col("nrm") * c.getField("cn")), 6)).as("ns"),
-            c.getField("cid").as("cid")))), 1, 1),
-          s => s.getField("cid")), 1).as("cid"),
+        nearestCid(centArr).as("cid"),
         col("vid"), col("e"), col("nrm"))
       .write.bucketBy(buckets, "cid").sortBy("cid")
       .mode("append").saveAsTable(table)

@@ -68,6 +68,10 @@ object Sq8ScaleBench {
             transform(col("embedding"),
               x => x + (col("r") % 97).cast("float") * lit(0.001f))
               .as("embedding"))
+          // the sf0.1 source is ONE parquet file → the replicated
+          // corpus (and the whole index build) would run as ONE task;
+          // spread it across the cores like a real multi-file corpus
+          .repartition(64)
       // the REAL index shape: list count grows ~√n with the corpus
       // (faiss guidance) — fixed k would make candidates-per-query
       // linear in corpus size and the probe CPU-bound at any scale
