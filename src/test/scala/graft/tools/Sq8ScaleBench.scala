@@ -62,16 +62,25 @@ object Sq8ScaleBench {
       // vector distinct while preserving the base corpus's structure
       val corpus =
         if (scale == 1) base
-        else base.crossJoin(
-            spark.range(scale.toLong).toDF("r"))
-          .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
-            transform(col("embedding"),
-              x => x + (col("r") % 97).cast("float") * lit(0.001f))
-              .as("embedding"))
-          // the sf0.1 source is ONE parquet file → the replicated
-          // corpus (and the whole index build) would run as ONE task;
-          // spread it across the cores like a real multi-file corpus
-          .repartition(64)
+        else {
+          // parallelism discipline: the sf0.1 source is ONE parquet
+          // file, so repartition the TINY base BEFORE the replicate ×
+          // perturb chain (the broadcast cross join preserves the
+          // stream side's partitioning — repartitioning after would
+          // evaluate every perturbation on one task), and MATERIALIZE
+          // the corpus once (each index build would otherwise
+          // recompute the whole chain)
+          val path = java.nio.file.Files
+            .createTempDirectory(s"sq8scale_c$scale").toString
+          base.repartition(64)
+            .crossJoin(broadcast(spark.range(scale.toLong).toDF("r")))
+            .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
+              transform(col("embedding"),
+                x => x + (col("r") % 97).cast("float") * lit(0.001f))
+                .as("embedding"))
+            .write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        }
       // the REAL index shape: list count grows ~√n with the corpus
       // (faiss guidance) — fixed k would make candidates-per-query
       // linear in corpus size and the probe CPU-bound at any scale
