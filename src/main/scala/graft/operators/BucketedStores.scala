@@ -229,6 +229,8 @@ object BucketedStores extends org.apache.spark.internal.Logging {
       name: String): Unit = {
     // the coarse quantizer: k rows — a physical copy is catalog noise
     snapshotCompanion(spark, name, "_centroids", shallow = false)
+    // the PQ codebooks ([[SimilarityOps.writePqIndex]]): m×codes rows
+    snapshotCompanion(spark, name, "_codebooks", shallow = false)
     // the SQ8 float companion: corpus-scale, so the snapshot is a
     // SHALLOW catalog copy (CREATE TABLE LIKE at the source's
     // location — schema + bucket spec carried, zero data moved).
@@ -323,6 +325,7 @@ object BucketedStores extends org.apache.spark.internal.Logging {
         // entry — dropping it touches no files)
         SketchStats.dropStats(spark, s"${name}__v$k")
         spark.sql(s"DROP TABLE IF EXISTS ${name}__v${k}_centroids")
+        spark.sql(s"DROP TABLE IF EXISTS ${name}__v${k}_codebooks")
         spark.sql(s"DROP TABLE IF EXISTS ${name}__v${k}_vecs")
       }
     // pin the quantizer onto every generation that will stay readable

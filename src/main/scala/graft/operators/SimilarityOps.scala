@@ -1004,4 +1004,233 @@ object SimilarityOps {
       .agg(max(col("cand")).as("best"))
       .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
         col("best.score").as("score"))
+
+  // ---- Stored PQ tier: the 16-64x compression rung above SQ8 --------
+
+  /** PQ codebooks with the deterministic "first-codes" training
+    * discipline ([[firstKCentroids]]'s PQ edition, sim9's rule made
+    * reusable): subvector j of the `codes` lowest-vid vectors IS
+    * subspace j's code list, code id = 0-based rank in vid order (so
+    * ids are consecutive and a distance table indexes by position).
+    * Bounded driver collect (`codes` rows) — the quantizer is
+    * driver/broadcast-resident by contract, like every tier's.
+    * Returns flat (j, c, ce) rows.
+    */
+  private def pqCodebooks(v: DataFrame, dims: Int, m: Int,
+      codes: Int): Seq[(Int, Int, Seq[Double])] = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val sub = dims / m
+    val base = v.orderBy(col("vid")).limit(codes)
+      .select(col("e")).collect().map(_.getSeq[Double](0))
+    require(base.length == codes,
+      s"corpus has ${base.length} vectors < codes $codes")
+    for {
+      j <- 0 until m
+      (e, c) <- base.zipWithIndex
+    } yield (j, c, e.slice(j * sub, (j + 1) * sub))
+  }
+
+  /** The PQ codebooks as a (DataFrame, Column) pair — same
+    * representation switch as [[withCentroids]]: a plan literal up to
+    * 256 codewords total, else a one-row broadcast (sorted nested
+    * arrays, so code id == position everywhere). Column shape:
+    * array<struct<j, cs: array<struct<c, ce>>>>, outer by j ASC,
+    * inner by c ASC.
+    */
+  private def withCodebooks(df: DataFrame,
+      cb: Seq[(Int, Int, Seq[Double])]): (DataFrame, Column) =
+    if (cb.length <= 256) {
+      val byJ = cb.groupBy(_._1).toSeq.sortBy(_._1).map { case (j, rows) =>
+        struct(lit(j).as("j"),
+          array(rows.sortBy(_._2).map { case (_, c, ce) =>
+            struct(lit(c).as("c"),
+              array(ce.map(lit(_)): _*).as("ce")) }: _*).as("cs"))
+      }
+      (df, array(byJ: _*))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val one = cb.toDF("j", "c", "ce")
+        .groupBy(col("j"))
+        .agg(sort_array(collect_list(struct(col("c"), col("ce"))))
+          .as("cs"))
+        .agg(sort_array(collect_list(struct(col("j"), col("cs"))))
+          .as("__graft_cbk"))
+      (df.crossJoin(broadcast(one)), col("__graft_cbk"))
+    }
+
+  /** Squared L2 distance between two array<double> columns (sim9's
+    * exact 6-dp-rounded formulation — left-to-right fold, so every
+    * engine replays it).
+    */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-row PQ encoding: code j = argmin over subspace j's codewords
+    * of round(dist2, 6), ties to the smaller code id — `array_min`
+    * over (d, c) structs, the same O(codes) selection as
+    * [[nearestCid]]. One byte per subspace.
+    */
+  private def pqEncode(cbArr: Column, sub: Int): Column =
+    transform(cbArr, y =>
+      array_min(transform(y.getField("cs"), x => struct(
+        round(dist2(slice(col("e"),
+          y.getField("j") * lit(sub) + lit(1), lit(sub)),
+          x.getField("ce")), 6).as("d"),
+        x.getField("c").as("c"))))
+        .getField("c").cast("byte"))
+
+  /** Materialize a PRODUCT-QUANTIZED index as durable storage — the
+    * compression rung above SQ8 (reference point: faiss PQx). The
+    * main table carries ONE BYTE PER SUBSPACE per vector (m bytes
+    * against the float row's 8·dims — 64x at m=8, dims=64), so the
+    * asymmetric-distance scan reads a fraction of even the INT8
+    * lists' bytes; `_codebooks` holds the m×codes codewords (flat
+    * (j, c, ce) rows, bounded); `_vecs` is the float companion only
+    * the top-`rerank` candidates fetch for the exact-cosine re-rank.
+    * All three stamped with one build id ([[BucketedStores
+    * .stampBuild]]); `mor = true` adopts versioned + merge-on-read
+    * serving exactly like the other tiers (codes are self-contained
+    * per row — deletes and compactions never touch the quantizer).
+    * Encoding is sim9's exact rule (argmin of 6-dp-rounded subspace
+    * L2, ties to the smaller code), so a stored probe is
+    * oracle-replicable.
+    */
+  def writePqIndex(vecsDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, codes: Int, table: String, buckets: Int = 8,
+      location: Option[String] = None, mor: Boolean = false): Unit = {
+    val spark = vecsDf.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_codebooks")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
+    val v = ivfProject(vecsDf, idCol, vecCol)
+    val cb = pqCodebooks(v, dims, m, codes)
+    val (vc, cbArr) = withCodebooks(v, cb)
+    val sub = dims / m
+    val encoded = vc.select(col("vid"),
+      pqEncode(cbArr, sub).as("codes"))
+    val lists = (if (mor) encoded.withColumn("_seq", lit(0L))
+      else encoded)
+      .write.bucketBy(buckets, "vid").sortBy("vid").mode("overwrite")
+    location.fold(lists)(l => lists.option("path", s"$l/codes"))
+      .saveAsTable(table)
+    locally {
+      import spark.implicits._
+      val cw = cb.toDF("j", "c", "ce").write.mode("overwrite")
+      location.fold(cw)(l => cw.option("path", s"$l/cbk"))
+        .saveAsTable(table + "_codebooks")
+    }
+    val vw = v.select(col("vid"), col("e"), col("nrm"))
+      .write.bucketBy(buckets, "vid").sortBy("vid").mode("overwrite")
+    location.fold(vw)(l => vw.option("path", s"$l/vecs"))
+      .saveAsTable(table + "_vecs")
+    val build = BucketedStores.newBuildId()
+    Seq(table, table + "_codebooks", table + "_vecs")
+      .foreach(BucketedStores.stampBuild(spark, _, build))
+    if (mor) {
+      BucketedStores.adoptVersioned(spark, table)
+      BucketedStores.morEnable(spark, table, Seq("vid"), "vid")
+    }
+  }
+
+  /** Probe a stored PQ index ([[writePqIndex]]): top-1 neighbor per
+    * query by ASYMMETRIC DISTANCE (per query, one m×codes distance
+    * table computed in-row against the codebooks; each corpus row
+    * costs m table lookups — no per-pair float math), quantized
+    * top-`rerank` survive ([[org.apache.spark.sql.graft.TopKPairs]],
+    * never a candidate window), and only those fetch floats from
+    * `_vecs` (gather-by-id at candidate scale for bounded batches)
+    * for the exact-cosine re-rank. The corpus-scale scan is the
+    * m-byte code rows; the bounded query batch broadcasts WITH its
+    * distance tables, so the code table never shuffles. ADC sums
+    * route through DECIMAL(20,6) (each entry is 6-dp-rounded), so
+    * the quantized ranking is bit-deterministic under any partition
+    * order. Query-side floats come from the query relation (external
+    * query tables work — the SQ8 lesson).
+    */
+  def probePqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, rerank: Int): DataFrame = {
+    // lineage: lists / codebooks / floats must carry one build id
+    {
+      val lists = scala.util.Try(
+        BucketedStores.currentGeneration(spark, table)).getOrElse(table)
+      val ls = BucketedStores.buildStamp(spark, lists)
+      Seq("_codebooks", "_vecs").foreach { sfx =>
+        for {
+          l <- ls
+          c <- BucketedStores.buildStamp(spark, table + sfx)
+        } require(l == c,
+          s"quantizer build mismatch for $table: lists carry build " +
+            s"$l but $table$sfx carries build $c — rebuild before " +
+            "serving")
+      }
+    }
+    val cbRows = spark.table(table + "_codebooks")
+      .orderBy(col("j"), col("c")).collect() // bounded: m×codes rows
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(cbRows.nonEmpty, s"$table has no _codebooks companion")
+    val m = cbRows.map(_._1).distinct.length
+    val sub = dims / m
+    cbRows.foreach { case (j, c, ce) =>
+      require(ce.length == sub,
+        s"codebook ($j,$c) has ${ce.length} dims, expected $sub")
+    }
+    val qproj = ivfProject(queriesDf, idCol, vecCol)
+    val (qc, cbArr) = withCodebooks(qproj, cbRows.toSeq)
+    // per-query distance tables: t[j][c] = round(dist2(qsub_j, ce), 6)
+    val q = qc.select(col("vid").as("id_a"), col("nrm").as("na"),
+      transform(cbArr, y => transform(y.getField("cs"), x =>
+        round(dist2(slice(col("e"),
+          y.getField("j") * lit(sub) + lit(1), lit(sub)),
+          x.getField("ce")), 6))).as("qtab"))
+    val nQueries = scala.util.Try(queriesDf
+      .limit((math.max(GatherMaxQueries,
+        GatherMaxIds / math.max(rerank, 1)) + 1).toInt).count())
+      .getOrElse(Long.MaxValue)
+    val adc = aggregate(
+      zip_with(col("codes"), col("qtab"), (cj, tj) =>
+        element_at(tj, cj.cast("int") + 1).cast("decimal(20,6)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(20,6)"),
+      (acc, x) => (acc + x).cast("decimal(20,6)")).cast("double")
+    val scored = spark.table(table)
+      .select(col("vid").as("id_b"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), adc.as("adcd"))
+    // ADC is a DISTANCE: smaller is better, ties to the smaller id —
+    // negate for topk_pairs' (score DESC, id ASC) order
+    val survivors = scored
+      .groupBy(col("id_a"))
+      .agg(graft.functions.VectorFunctions
+        .topk_pairs(-col("adcd"), col("id_b"), rerank).as("tk"))
+      .select(col("id_a"), explode(col("tk")).as("p"))
+      .select(col("id_a"), col("p.id").as("id_b"))
+    val vecs = spark.table(table + "_vecs")
+    val va = qproj.select(col("vid").as("id_a"), col("e").as("ea"),
+      col("nrm").as("na"))
+    val gather =
+      nQueries <= GatherMaxIds / math.max(rerank, 1)
+    val (survDf, vb) =
+      if (gather) {
+        val sv = survivors.collect().map(r => (r.getLong(0), r.getLong(1)))
+        import spark.implicits._
+        val svDf = sv.toSeq.toDF("id_a", "id_b")
+        val ids = sv.map(_._2).distinct.toSeq
+        (svDf, vecs.filter(col("vid").isInCollection(ids)))
+      } else (survivors, vecs)
+    survDf.join(va, Seq("id_a"))
+      .join(vb.select(col("vid").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
+  }
 }

@@ -878,8 +878,98 @@ object SimilarityQueries {
     },
     sql = Some(ivfDeleteOracleSql))
 
+  /** sim17: the stored PRODUCT-QUANTIZED tier end to end — sim9's PQ
+    * (m = 4 subspaces × 16 codes, the exact argmin-of-6dp-L2 encode
+    * rule) as DURABLE storage ([[SimilarityOps.writePqIndex]]: m
+    * bytes/vector code rows, `_codebooks` + `_vecs` companions, all
+    * build-stamped), probed by asymmetric distance (per-query
+    * distance tables, m lookups per corpus row) with the exact-cosine
+    * re-rank on the quantized survivors. With rerank covering every
+    * candidate the ADC pass only PRUNES (nothing), so the answer IS
+    * exact brute-force cosine top-1 — em1's oracle shape — proving
+    * the full store→probe→refine pipeline against an independent
+    * engine. The recall of BOUNDED rerank is gated separately
+    * (AnnRecallSpec).
+    */
+  val sim17PqStored = Q(
+    "sim17_pq_stored_top1",
+    (s, d) => {
+      val t = s"sim_pq_idx_${Integer.toHexString(d.hashCode)}"
+      if (!s.catalog.tableExists(t) ||
+          !s.catalog.tableExists(t + "_codebooks") ||
+          !s.catalog.tableExists(t + "_vecs")) {
+        SimilarityOps.writePqIndex(embeddings(s, d), "vec_id",
+          "embedding", dims = 64, m = 4, codes = 16, table = t,
+          location = Some(java.nio.file.Files
+            .createTempDirectory("graft_pq_idx").toString))
+      }
+      SimilarityOps.probePqIndex(s, t, spread(embeddings(s, d)),
+        "vec_id", "embedding", dims = 64, rerank = 4096)
+        .orderBy(col("id_a"))
+    },
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM scored)
+      SELECT id_a, id_b AS ann_id, score FROM ranked WHERE rn = 1
+      ORDER BY id_a"""))
+
+  /** sim18: the PQ tier under MERGE-ON-READ deletes — the code table
+    * is `_seq`-stamped and serves through the tombstone view
+    * ([[SimilarityOps.writePqIndex]] `mor`), the delete changelog
+    * appends tombstones, no code row is rewritten and no companion
+    * changes (PQ codes are self-contained per row). Full-rerank probe
+    * of the survivors == exact cosine top-1 over the post-delete
+    * corpus, from scratch, cross-engine.
+    */
+  val sim18PqMorDeletes = Q(
+    "sim18_pq_mor_delete_maintenance",
+    (s, d) => {
+      import graft.operators.BucketedStores
+      val t = s"sim_pq_mor_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      s.sql(s"DROP TABLE IF EXISTS ${t}_codebooks")
+      s.sql(s"DROP TABLE IF EXISTS ${t}_vecs")
+      SimilarityOps.writePqIndex(embeddings(s, d), "vec_id",
+        "embedding", dims = 64, m = 4, codes = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_pq_mor").toString), mor = true)
+      val deleteIds = embeddings(s, d)
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("vid"))
+      BucketedStores.morDelete(s, t, deleteIds,
+        BucketedStores.morNextSeq(s, t))
+      val survivors = embeddings(s, d).filter(col("vec_id") % 7 =!= 3)
+      SimilarityOps.probePqIndex(s, t, spread(survivors),
+        "vec_id", "embedding", dims = 64, rerank = 4096)
+        .orderBy(col("id_a"))
+    },
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings WHERE vec_id % 7 <> 3),
+      scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS score
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+      ranked AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM scored)
+      SELECT id_a, id_b AS ann_id, score FROM ranked WHERE rn = 1
+      ORDER BY id_a"""))
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
     sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql, sim13Sq8Stored,
-    sim14Sq8AnnSql, sim15Sq8Deletes, sim16Sq8MorDeletes)
+    sim14Sq8AnnSql, sim15Sq8Deletes, sim16Sq8MorDeletes, sim17PqStored,
+    sim18PqMorDeletes)
 }

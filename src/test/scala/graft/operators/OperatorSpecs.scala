@@ -661,6 +661,131 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
   }
 
+  test("stored PQ index: code rows persist m bytes per vector, all " +
+      "three tables share one build stamp, an external query table " +
+      "gets exact answers at full rerank, and the probe plan carries " +
+      "no candidate window") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val rnd = new scala.util.Random(23)
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+    val vecs = corpus.toDF("vec_id", "embedding")
+    val t = "t_pq_spec"
+    SimilarityOps.writePqIndex(vecs, "vec_id", "embedding",
+      dims = 8, m = 4, codes = 8, table = t, buckets = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_pq").toString))
+    // the compression claim IS the stored type: array<tinyint>, m slots
+    assert(spark.table(t).schema("codes").dataType
+      .asInstanceOf[ArrayType].elementType === ByteType,
+      "PQ codes must persist as array<tinyint>")
+    assert(spark.table(t).select(size(col("codes"))).distinct()
+      .collect().map(_.getInt(0)).toSeq === Seq(4),
+      "one code byte per subspace")
+    // one build id across lists + both companions
+    val stamp = graft.operators.BucketedStores.buildStamp(spark, t)
+    assert(stamp.isDefined &&
+      stamp === graft.operators.BucketedStores
+        .buildStamp(spark, t + "_codebooks") &&
+      stamp === graft.operators.BucketedStores
+        .buildStamp(spark, t + "_vecs"),
+      "writePqIndex must stamp lists and both companions")
+    // external query ids (disjoint from corpus) + full rerank = exact
+    val queries = ((900L, corpus(7)._2) +: (901L until 904L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))).toDF(
+      "vec_id", "embedding")
+    val df = SimilarityOps.probePqIndex(spark, t, queries,
+      "vec_id", "embedding", dims = 8, rerank = 60)
+    val got = df.orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.rint(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)) * 1e6) / 1e6
+    }
+    val expect = queries.collect().map { qr =>
+      val (qid, qv) = (qr.getLong(0), qr.getSeq[Double](1))
+      val best = corpus.map { case (cid2, cv) => (cos(qv, cv), cid2) }
+        .maxBy { case (sc, cid2) => (sc, -cid2) }
+      (qid, best._2)
+    }.sortBy(_._1).toSeq
+    assert(got.map(g => (g._1, g._2)) === expect,
+      "external-query full-rerank PQ probe must equal exact top-1")
+    assert(got.head._2 === 7L && got.head._3 === 1.0,
+      "a query equal to corpus vector 7 must return it at 1.0")
+    // no window in the probe plan (TopKPairs selection)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case qs: QueryStageExec => qs +: expand(qs.plan)
+        case n => Seq(n)
+      }
+    assert(expand(plan).collect { case w: WindowExec => w }.isEmpty,
+      s"the PQ probe must not sort candidates through a window:\n$plan")
+    Seq(t, s"${t}_codebooks", s"${t}_vecs")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
+  test("PQ time travel at parity with the other tiers: a retained " +
+      "generation probes its snapshotted codebooks + floats, a base " +
+      "rebuild cannot change it, and a stamp mismatch on the serving " +
+      "name fails loudly") {
+    import spark.implicits._
+    import graft.operators.BucketedStores
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 11 + 1).toDouble)))
+      .toDF("vec_id", "embedding")
+    val t = "t_pq_tt"
+    BucketedStores.dropVersioned(spark, t)
+    Seq(s"${t}_codebooks", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    SimilarityOps.writePqIndex(vecs, "vec_id", "embedding",
+      dims = 4, m = 2, codes = 4, table = t, buckets = 2,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_pq_tt").toString))
+    BucketedStores.adoptVersioned(spark, t)
+    BucketedStores.applyDeltaAtomic(spark, t, Seq("vid"), Seq("vid"),
+      2, "vid", removeIds = spark.range(0L, 1L).toDF("vid"),
+      additions = None, retain = 1)
+    Seq(s"${t}__v1_codebooks", s"${t}__v2_codebooks",
+        s"${t}__v1_vecs", s"${t}__v2_vecs")
+      .foreach(x => assert(spark.catalog.tableExists(x),
+        s"swap must snapshot both PQ companions per generation ($x)"))
+    val queries = vecs.filter(col("vec_id") < 3)
+    def probe(name: String) = SimilarityOps.probePqIndex(spark, name,
+      queries, "vec_id", "embedding", dims = 4, rerank = 20)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = probe(s"${t}__v1")
+    assert(before.nonEmpty)
+    // full rebuild of both base companions under a new build id
+    val b1 = BucketedStores.newBuildId()
+    spark.sql(s"DROP TABLE ${t}_codebooks")
+    Seq((0, 0, Seq(100.0, 0.0)), (0, 1, Seq(0.0, 100.0)),
+        (1, 0, Seq(100.0, 0.0)), (1, 1, Seq(0.0, 100.0)))
+      .toDF("j", "c", "ce").write.option("path",
+        java.nio.file.Files.createTempDirectory("pqtt").toString)
+      .saveAsTable(s"${t}_codebooks")
+    BucketedStores.stampBuild(spark, s"${t}_codebooks", b1)
+    assert(probe(s"${t}__v1") === before,
+      "a retained PQ generation's answer is pinned to its snapshots")
+    // the serving name now pairs old code rows with a retrained
+    // quantizer → loud stamp-mismatch error
+    val e = intercept[IllegalArgumentException] { probe(t) }
+    assert(e.getMessage.contains("quantizer build mismatch"),
+      e.getMessage)
+    BucketedStores.dropVersioned(spark, t)
+    Seq(s"${t}_codebooks", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("stored IVF index: append assigns a vector delta to the frozen " +
       "quantizer through the same bucket layout — next probe sees it, " +
       "old list files untouched") {

@@ -113,6 +113,52 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("PQ tier recall: the stored-PQ probe at a bounded rerank " +
+      "recovers most of exact top-1, and widening rerank is monotone " +
+      "toward exact (= 1.0 at full rerank)") {
+    val t = "recall_pq_idx"
+    Seq(t, s"${t}_codebooks", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val v = vectors.select(col("vec_id"), col("e"))
+    SimilarityOps.writePqIndex(v, "vec_id", "e", dims = 64,
+      m = 4, codes = 16, table = t, location = Some(java.nio.file.Files
+        .createTempDirectory("recall_pq").toString))
+    def recallOf(df: DataFrame): Double = {
+      val row = df.select(col("id_a"), col("ann_id"))
+        .join(exactTop1, "id_a")
+        .agg(count(lit(1)).as("covered"),
+          sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+            .as("matched"))
+        .head()
+      if (row.getLong(0) == 0) 0.0
+      else row.getLong(1).toDouble / row.getLong(0)
+    }
+    val narrow = recallOf(SimilarityOps.probePqIndex(spark, t, v,
+      "vec_id", "e", dims = 64, rerank = 10))
+    val wide = recallOf(SimilarityOps.probePqIndex(spark, t, v,
+      "vec_id", "e", dims = 64, rerank = 100))
+    val full = recallOf(SimilarityOps.probePqIndex(spark, t, v,
+      "vec_id", "e", dims = 64, rerank = 4096))
+    info(f"pq recall@1: rerank10=$narrow%.3f rerank100=$wide%.3f " +
+      f"full=$full%.3f")
+    assert(full === 1.0,
+      "full rerank must BE exact search — the ADC pass only prunes")
+    assert(wide >= narrow - 1e-9,
+      f"recall must not degrade as rerank widens: $narrow%.3f -> " +
+        f"$wide%.3f")
+    // the synthetic embeddings are near-uniform random — NO cluster
+    // structure, PQ's worst case (measured: 0.17@10, 0.66@100). The
+    // load-bearing gates are exactness-at-full-rerank and rerank
+    // monotonicity; the floor below only catches a BROKEN ADC
+    // (random candidates would sit at ~rerank/n ≈ 0.005/0.05)
+    assert(narrow >= 0.10 && wide >= 0.5,
+      f"ADC candidate quality collapsed: rerank10=$narrow%.3f " +
+        f"rerank100=$wide%.3f — at random-candidate level the ADC " +
+        "tables are broken")
+    Seq(t, s"${t}_codebooks", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("degenerate banding (bands=1) falls below the gate") {
     val (coverage, recall) = annQuality(bands = 1)
     assert(coverage < minCoverage || recall < minRecall,
