@@ -270,6 +270,16 @@ object BucketedStores extends org.apache.spark.internal.Logging {
               .createTempDirectory(s"graft_cent_$name").toString)
             .saveAsTable(snap)
         }
+        // carry the engine's own table properties (PQ geometry etc.)
+        // — a snapshot must serve exactly like its source
+        scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(src))
+          .properties).getOrElse(Map.empty[String, String])
+          .filter(_._1.startsWith("graft."))
+          .foreach { case (k, v) =>
+            spark.sql(s"ALTER TABLE $snap SET TBLPROPERTIES " +
+              s"('$k' = '$v')")
+          }
         genStamp.foreach(stampBuild(spark, snap, _))
       case None =>
         logWarning(s"graft: generation ${name}__v$newest gets NO " +

@@ -1128,6 +1128,11 @@ object SimilarityOps {
     val build = BucketedStores.newBuildId()
     Seq(table, table + "_codebooks", table + "_vecs")
       .foreach(BucketedStores.stampBuild(spark, _, build))
+    // the subspace geometry rides as table properties so the SQL
+    // surface (GRAFT_ANN's PQ dispatch) can expand without being
+    // handed dims/m again
+    spark.sql(s"ALTER TABLE ${table}_codebooks SET TBLPROPERTIES " +
+      s"('graft.pq.sub' = '$sub', 'graft.pq.m' = '$m')")
     if (mor) {
       BucketedStores.adoptVersioned(spark, table)
       BucketedStores.morEnable(spark, table, Seq("vid"), "vid")

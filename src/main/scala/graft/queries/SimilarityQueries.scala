@@ -967,9 +967,34 @@ object SimilarityQueries {
       SELECT id_a, id_b AS ann_id, score FROM ranked WHERE rn = 1
       ORDER BY id_a"""))
 
+  /** sim19: the PQ tier's SQL serving — sim17's stored-PQ probe as
+    * PURE SQL TEXT via GRAFT_ANN's PQ dispatch (a `codes` store with
+    * nprobe pinned to 1: the ADC scan is flat). Same store, same
+    * rerank, same selection rules — sim17's exact-top-1 oracle
+    * verbatim, completing the API → stored → SQL surface symmetry
+    * for the third quantization tier.
+    */
+  val sim19PqAnnSql = Q(
+    "sim19_pq_ann_sql_top1",
+    (s, d) => {
+      val t = s"sim_pq_idx_${Integer.toHexString(d.hashCode)}"
+      if (!s.catalog.tableExists(t) ||
+          !s.catalog.tableExists(t + "_codebooks") ||
+          !s.catalog.tableExists(t + "_vecs")) {
+        SimilarityOps.writePqIndex(embeddings(s, d), "vec_id",
+          "embedding", dims = 64, m = 4, codes = 16, table = t,
+          location = Some(java.nio.file.Files
+            .createTempDirectory("graft_pq_idx").toString))
+      }
+      spread(embeddings(s, d)).createOrReplaceTempView("sim19_queries")
+      s.sql("SELECT id_a, ann_id, score FROM " +
+        s"GRAFT_ANN('$t', 'sim19_queries', 1, 1, 4096) ORDER BY id_a")
+    },
+    sql = sim17PqStored.sql)
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
     sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql, sim13Sq8Stored,
     sim14Sq8AnnSql, sim15Sq8Deletes, sim16Sq8MorDeletes, sim17PqStored,
-    sim18PqMorDeletes)
+    sim18PqMorDeletes, sim19PqAnnSql)
 }

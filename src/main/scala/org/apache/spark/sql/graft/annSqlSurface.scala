@@ -132,6 +132,17 @@ object GraftAnnRewrite {
           fail(s"$store is not a stored IVF index — expected catalog " +
             s"tables $store (inverted lists) and $centroids " +
             "(write one with SimilarityOps.writeIvfIndex)")
+        // PQ tier dispatch FIRST: a product-quantized store's rows
+        // carry `codes` (m bytes/vector) and its quantizer companion
+        // is `_codebooks`, not `_centroids`
+        val isPq = spark.table(store).columns
+          .map(_.toLowerCase(java.util.Locale.ROOT)).contains("codes")
+        if (isPq) {
+          val sb = new StringBuilder(s)
+          sb.replace(toks(i).start, close.end,
+            pqBody(spark, store, queries, k, nprobe, rerank))
+          return Some(sb.toString)
+        }
         if (!spark.catalog.tableExists(centroids)) {
           if ("(.+)__v\\d+$".r.findFirstMatchIn(store).isDefined)
             fail(s"$store is a retained index generation with no " +
@@ -286,6 +297,142 @@ object GraftAnnRewrite {
            |       gpos + 1 AS rank
            |FROM (SELECT id_a, topk_pairs(score, ann_id, $k) AS tk
            |      FROM graft_ann_cand GROUP BY id_a)
+           |LATERAL VIEW posexplode(tk) gtk AS gpos, gp)""".stripMargin
+    head + tail
+  }
+
+  /** PQ dispatch: contract checks + lineage stamps, then the ADC
+    * expansion. PQ stores scan FLAT (no coarse lists), so `nprobe`
+    * must be 1; `rerank` is required (the ADC pass only prunes — the
+    * exact-cosine re-rank decides).
+    */
+  private def pqBody(spark: SparkSession, store: String,
+      queries: String, k: Int, nprobe: Int,
+      rerank: Option[Int]): String = {
+    val codebooks = store + "_codebooks"
+    val vecs = store + "_vecs"
+    val isGen = "(.+)__v\\d+$".r.findFirstMatchIn(store).isDefined
+    if (!spark.catalog.tableExists(codebooks)) {
+      if (isGen)
+        fail(s"$store is a retained PQ index generation with no " +
+          s"snapshotted quantizer companion ($codebooks): its codes " +
+          "were assigned under codebooks the base companion may no " +
+          "longer hold, so probing would be silently wrong. Re-run " +
+          "the store maintenance or probe the serving name.")
+      else
+        fail(s"$store is not a stored PQ index — expected catalog " +
+          s"tables $store (code rows), $codebooks and $vecs (write " +
+          "one with SimilarityOps.writePqIndex)")
+    }
+    if (!spark.catalog.tableExists(vecs)) {
+      if (isGen)
+        fail(s"$store is a retained PQ index generation with no " +
+          s"snapshotted float companion ($vecs) for the exact " +
+          "re-rank. Re-run the store maintenance or probe the " +
+          "serving name.")
+      else
+        fail(s"$store has no float companion $vecs for the exact " +
+          "re-rank (write the index with SimilarityOps.writePqIndex)")
+    }
+    val rr = rerank.getOrElse(fail(s"$store is a PRODUCT-QUANTIZED " +
+      "index store — the <rerank> argument is required: " +
+      s"GRAFT_ANN('$store', '<queries>', k, 1, rerank)"))
+    if (rr < k) fail(s"rerank ($rr) must be >= k ($k) — the exact " +
+      "re-rank can only return candidates the ADC pass kept")
+    if (nprobe != 1) fail(s"$store is a PRODUCT-QUANTIZED store — " +
+      "the ADC scan is flat (no coarse lists to probe), so <nprobe> " +
+      s"must be 1, got $nprobe")
+    val listsTable = scala.util.Try(graft.operators.BucketedStores
+      .currentGeneration(spark, store)).getOrElse(store)
+    val ls = graft.operators.BucketedStores.buildStamp(spark, listsTable)
+    Seq(codebooks, vecs).foreach { c =>
+      (ls, graft.operators.BucketedStores.buildStamp(spark, c)) match {
+        case (Some(l), Some(cc)) if l != cc =>
+          fail(s"quantizer build mismatch: $listsTable code rows " +
+            s"carry build $l but $c carries build $cc — the index " +
+            "was rebuilt out from under these rows; rebuild before " +
+            "serving")
+        case _ => ()
+      }
+    }
+    val sub = scala.util.Try {
+      spark.sql(s"SHOW TBLPROPERTIES $codebooks").collect()
+        .find(_.getString(0) == "graft.pq.sub").map(_.getString(1).toInt)
+    }.toOption.flatten.getOrElse(fail(s"$codebooks carries no " +
+      "graft.pq.sub property — write the index with " +
+      "SimilarityOps.writePqIndex"))
+    pqExpansion(store, codebooks, vecs, queries, k, sub, rr)
+  }
+
+  /** The PQ expansion, shaped to probePqIndex's plan: codebooks fold
+    * to ONE sorted nested array (code id == position); each query
+    * computes its m×codes distance table IN-ROW; the flat code scan
+    * joins the broadcast query side and pays m table lookups per
+    * pair (DECIMAL-routed sum — 6-dp entries, so the ranking is
+    * bit-deterministic under any partition order); survivors come
+    * from the bounded `topk_pairs` aggregate; the exact-cosine
+    * re-rank reads query floats from the QUERY side and corpus
+    * floats from the `_vecs` companion.
+    */
+  private def pqExpansion(store: String, codebooks: String,
+      vecs: String, queries: String, k: Int, sub: Int,
+      rerank: Int): String = {
+    val head =
+      s"""(WITH graft_pq_cbk AS (
+         |  SELECT sort_array(collect_list(named_struct(
+         |           'j', j, 'cs', cs))) AS cbk
+         |  FROM (SELECT j, sort_array(collect_list(named_struct(
+         |                 'c', c, 'ce', ce))) AS cs
+         |        FROM $codebooks GROUP BY j)),
+         |graft_pq_q AS (
+         |  SELECT vec_id AS id_a,
+         |         transform(embedding, gx -> CAST(gx AS DOUBLE)) AS ea
+         |  FROM $queries),
+         |graft_pq_qt AS (
+         |  SELECT id_a, ea, array_norm(ea) AS na,
+         |         transform(cbk, gy -> transform(gy.cs, gx ->
+         |           round(aggregate(zip_with(
+         |             slice(ea, gy.j * $sub + 1, $sub), gx.ce,
+         |             (ga, gb) -> (ga - gb) * (ga - gb)),
+         |             CAST(0.0 AS DOUBLE),
+         |             (gacc, gz) -> gacc + gz), 6))) AS qtab
+         |  FROM (SELECT id_a, ea,
+         |               (SELECT cbk FROM graft_pq_cbk) AS cbk
+         |        FROM graft_pq_q)),
+         |graft_pq_sc AS (
+         |  SELECT q.id_a, p.vid AS ann_id,
+         |         CAST(aggregate(zip_with(p.codes, q.qtab,
+         |           (gcj, gtj) -> CAST(element_at(gtj,
+         |             CAST(gcj AS INT) + 1) AS DECIMAL(20,6))),
+         |           CAST(0 AS DECIMAL(20,6)),
+         |           (gacc, gx) -> CAST(gacc + gx AS DECIMAL(20,6)))
+         |           AS DOUBLE) AS adcd
+         |  FROM $store p JOIN graft_pq_qt q ON p.vid <> q.id_a),
+         |graft_pq_sv AS (
+         |  SELECT id_a, gp.id AS ann_id FROM (
+         |    SELECT id_a, topk_pairs(-adcd, ann_id, $rerank) AS tk
+         |    FROM graft_pq_sc GROUP BY id_a)
+         |  LATERAL VIEW explode(tk) gsv AS gp),
+         |graft_pq_cand AS (
+         |  SELECT sv.id_a, sv.ann_id,
+         |         round(array_dot(qz.ea, vb.e) / (qz.na * vb.nrm), 6)
+         |           AS score
+         |  FROM graft_pq_sv sv
+         |  JOIN graft_pq_qt qz ON qz.id_a = sv.id_a
+         |  JOIN $vecs vb ON vb.vid = sv.ann_id)
+         |""".stripMargin
+    val tail =
+      if (k == 1)
+        """SELECT id_a, -gbest.nid AS ann_id, gbest.score AS score,
+          |       1 AS rank
+          |FROM (SELECT id_a, max(named_struct(
+          |        'score', score, 'nid', -ann_id)) AS gbest
+          |      FROM graft_pq_cand GROUP BY id_a))""".stripMargin
+      else
+        s"""SELECT id_a, gp.id AS ann_id, gp.score AS score,
+           |       gpos + 1 AS rank
+           |FROM (SELECT id_a, topk_pairs(score, ann_id, $k) AS tk
+           |      FROM graft_pq_cand GROUP BY id_a)
            |LATERAL VIEW posexplode(tk) gtk AS gpos, gp)""".stripMargin
     head + tail
   }

@@ -765,6 +765,16 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val before = probe(s"${t}__v1")
     assert(before.nonEmpty)
+    // the SQL surface composes with PQ time travel too: the snapshot
+    // carried graft.pq.sub, so the generation name expands (this is
+    // the property-carry path — a snapshot serving differently from
+    // its source would fail here)
+    queries.createOrReplaceTempView("t_pq_tt_q")
+    val sqlBefore = spark.sql("SELECT id_a, ann_id FROM " +
+      s"GRAFT_ANN('${t}__v1', 't_pq_tt_q', 1, 1, 20) ORDER BY id_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sqlBefore === before,
+      "GRAFT_ANN on a PQ generation must equal the API probe")
     // full rebuild of both base companions under a new build id
     val b1 = BucketedStores.newBuildId()
     spark.sql(s"DROP TABLE ${t}_codebooks")

@@ -373,6 +373,58 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE IF EXISTS cmd_ret_idx_centroids")
   }
 
+  test("GRAFT_ANN serves a PRODUCT-QUANTIZED store: SQL equals " +
+      "probePqIndex row for row; rerank is required, nprobe is " +
+      "pinned to 1 (flat ADC scan), and top-k ranks correctly") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 4 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.writePqIndex(vecs, "vec_id", "embedding",
+      dims = 8, m = 4, codes = 8, table = "cmd_pq_idx",
+      location = Some(tmp()))
+    vecs.createOrReplaceTempView("cmd_pq_q")
+    val api = SimilarityOps.probePqIndex(spark, "cmd_pq_idx", vecs,
+      "vec_id", "embedding", dims = 8, rerank = 6)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaSql = spark.sql(
+      "SELECT id_a, ann_id, score FROM " +
+        "GRAFT_ANN('cmd_pq_idx', 'cmd_pq_q', 1, 1, 6) ORDER BY id_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(viaSql === api,
+      "the PQ macro must reproduce probePqIndex exactly")
+    // top-k ranks: contiguous 1..k per query, scores non-increasing
+    val topk = spark.sql(
+      "SELECT id_a, ann_id, score, rank FROM " +
+        "GRAFT_ANN('cmd_pq_idx', 'cmd_pq_q', 2, 1, 6) " +
+        "ORDER BY id_a, rank").collect()
+    assert(topk.nonEmpty && topk.grouped(2).forall(p =>
+      p.length < 2 || p(0).getLong(0) != p(1).getLong(0) ||
+        p(0).getDouble(2) >= p(1).getDouble(2)))
+    // loud dispatch contract
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM GRAFT_ANN('cmd_pq_idx', 'cmd_pq_q', 1, 1)")
+    }
+    assert(e1.getMessage.contains("rerank> argument is required"),
+      e1.getMessage)
+    val e2 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('cmd_pq_idx', 'cmd_pq_q', 1, 3, 6)")
+    }
+    assert(e2.getMessage.contains("must be 1"), e2.getMessage)
+    val e3 = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM GRAFT_ANN('cmd_pq_idx', 'cmd_pq_q', 9, 1, 5)")
+    }
+    assert(e3.getMessage.contains("must be >= k"), e3.getMessage)
+    Seq("cmd_pq_idx", "cmd_pq_idx_codebooks", "cmd_pq_idx_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("SQ8 time travel at parity with the float tier: a retained " +
       "quantized generation serves through BOTH of its snapshots " +
       "(centroids copy + shallow _vecs), its answer is pinned " +
