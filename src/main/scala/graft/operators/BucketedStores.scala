@@ -259,16 +259,43 @@ object BucketedStores extends org.apache.spark.internal.Logging {
       genStamp.isDefined && buildStamp(spark, c) == genStamp)
     source match {
       case Some(src) =>
-        if (shallow) {
-          val loc = spark.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(src))
-            .location.toString
+        // a SHALLOW snapshot (catalog entry at the source's location,
+        // zero data moved) is sound only while the shared files are
+        // immutable — true for EXTERNAL companions (a rebuild's DROP
+        // removes catalog entries only). A MANAGED source's files are
+        // DELETED by the rebuild's `DROP TABLE IF EXISTS ${table}_vecs`,
+        // leaving the snapshot pointing at nothing while its build
+        // stamp still matches — so managed sources get a PHYSICAL copy
+        // (the corpus-scale cost is the price of building a store
+        // without an explicit location; pass `location` to writeIvf*/
+        // writePqIndex to keep snapshots zero-copy).
+        val srcMeta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(src))
+        val srcExternal = srcMeta.tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL
+        if (shallow && srcExternal) {
+          val loc = srcMeta.location.toString
           spark.sql(s"CREATE TABLE $snap LIKE $src LOCATION '$loc'")
         } else {
-          spark.table(src).write
+          if (shallow)
+            logWarning(s"graft: $src is a MANAGED table — its files " +
+              "die with a rebuild's DROP, so the generation snapshot " +
+              s"$snap is a physical copy instead of a shallow catalog " +
+              "entry. Build the store with an explicit location for " +
+              "zero-copy snapshots.")
+          val w = spark.table(src).write
             .option("path", java.nio.file.Files
               .createTempDirectory(s"graft_cent_$name").toString)
-            .saveAsTable(snap)
+          // a physical copy of a BUCKETED companion keeps its bucket
+          // spec, so snapshot probes keep the bucket-pruned refine
+          srcMeta.bucketSpec.fold(w) { bs =>
+            val bw = w.bucketBy(bs.numBuckets,
+              bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+            if (bs.sortColumnNames.nonEmpty)
+              bw.sortBy(bs.sortColumnNames.head,
+                bs.sortColumnNames.tail: _*)
+            else bw
+          }.saveAsTable(snap)
         }
         // carry the engine's own table properties (PQ geometry etc.)
         // — a snapshot must serve exactly like its source

@@ -577,7 +577,8 @@ object SimilarityOps {
     * back-fill those).
     */
   private def requireQuantizerLineage(
-      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      companions: Seq[String] = Seq("_centroids")): Unit = {
     // resolve a versioned serving VIEW to its current generation; a
     // plain table (or temp view) short-circuits — currentGeneration's
     // catalog listing is a per-call query, too slow for the hot
@@ -592,16 +593,18 @@ object SimilarityOps {
         scala.util.Try(
           BucketedStores.currentGeneration(spark, table)).getOrElse(table)
       else table
-    val cents = table + "_centroids"
-    for {
-      ls <- BucketedStores.buildStamp(spark, lists)
-      cs <- BucketedStores.buildStamp(spark, cents)
-    } require(ls == cs,
-      s"quantizer build mismatch for $table: lists ($lists) were " +
-        s"assigned under build $ls but companion $cents carries " +
-        s"build $cs — the quantizer was rebuilt out from under these " +
-        "lists; rebuild the index (writeIvfIndex/writeIvfSq8Index) " +
-        "before serving")
+    companions.foreach { sfx =>
+      val comp = table + sfx
+      for {
+        ls <- BucketedStores.buildStamp(spark, lists)
+        cs <- BucketedStores.buildStamp(spark, comp)
+      } require(ls == cs,
+        s"quantizer build mismatch for $table: lists ($lists) were " +
+          s"assigned under build $ls but companion $comp carries " +
+          s"build $cs — the index was rebuilt out from under these " +
+          "lists; rebuild the index (writeIvfIndex/writeIvfSq8Index/" +
+          "writePqIndex) before serving")
+    }
   }
 
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession,
@@ -628,12 +631,10 @@ object SimilarityOps {
               / (col("nrm") * c.getField("cn")), 6)).as("ns"),
             c.getField("cid").as("cid")))), 1, nprobe),
           s => s.getField("cid"))).as("cid"))
-    // ONE bounded count decides the serving-batch regime (never a
-    // full count of a corpus-sized query relation)
-    val nQueries = scala.util.Try(queriesDf
-      .limit(GatherMaxQueries.toInt + 1).count())
-      .getOrElse(Long.MaxValue)
-    val index = prunedLists(spark, table, q, cents.length, nQueries)
+    // ONE bounded driver job ([[probeRegime]]) decides the
+    // serving-batch regime and collects the probed cid set together
+    val (_, probed) = probeRegime(q, nprobe, GatherMaxQueries)
+    val index = prunedLists(spark, table, probed, cents.length)
       .select(col("cid"), col("vid").as("id_b"), col("e").as("eb"),
         col("nrm").as("nb"))
     q.join(index, Seq("cid"))
@@ -649,29 +650,51 @@ object SimilarityOps {
         col("best.score").as("score"))
   }
 
-  /** Probed-list pruning — the textbook IVF probe reads ONLY the
-    * lists the batch probes, never the whole index. The probed cid
-    * set is bounded by k (the quantizer size) BY CONSTRUCTION, so for
-    * a bounded query batch it is collected (one query-scale job) and
-    * pushed into the lists scan as an In filter: cid-bucket pruning
-    * plus parquet row-group pruning on the cid-sorted files drop the
-    * unprobed lists' bytes before they are read. At k = 16 every cid
-    * is usually probed and the filter is a no-op — the shape matters
-    * at REAL index sizes (k ~ √n lists, a batch touches a few
-    * hundred), where it is the difference between reading ~nprobe/k
-    * of the index and reading all of it. Corpus-as-queries batches
-    * (above the gather cap) skip the extra job: they probe
-    * essentially every list, so there is nothing to prune.
+  /** ONE bounded driver job decides the serving-batch regime AND
+    * learns the probed cid set: collect the exploded probe relation's
+    * (id_a, cid) pairs up to `maxQueries × nprobe` rows. Under the
+    * cap the batch is bounded — the SAME job yields the exact query
+    * count (for the candidate-gather regime) and the exact probed
+    * cid set (for the lists In-filter, the textbook IVF shape: read
+    * ONLY the probed lists — cid-bucket pruning plus parquet
+    * row-group pruning on the cid-sorted files drop the unprobed
+    * lists' bytes before they are read; at real index sizes, k ~ √n,
+    * that is ~nprobe/k of the index instead of all of it). This
+    * FOLDS the previous separate limit-count and distinct-cid jobs
+    * into one: each driver job carries ~0.3 s of fixed scheduling,
+    * measured as the bulk of the quantized probes' ~1.6 s serving
+    * overhead (BENCH_SCALE.md Act 2). Hitting the cap means
+    * corpus-as-queries — such a batch probes essentially every list,
+    * so there is nothing to prune and nothing to gather: no further
+    * driver jobs, the fully lazy join pipeline runs.
+    */
+  private def probeRegime(q: DataFrame, nprobe: Int,
+      maxQueries: Long): (Long, Option[Seq[Long]]) = {
+    val lim = math.min(maxQueries * math.max(nprobe, 1) + 1,
+      Int.MaxValue.toLong).toInt
+    val rows = scala.util.Try(
+      q.select(col("id_a"), col("cid")).limit(lim).collect())
+      .getOrElse(null)
+    if (rows == null || rows.length >= lim) (Long.MaxValue, None)
+    else {
+      val nq = rows.iterator.map(_.getLong(0)).toSet.size.toLong
+      val cids = rows.iterator.map(_.getLong(1)).toSet.toSeq.sorted
+      (nq, Some(cids))
+    }
+  }
+
+  /** The probed-lists scan: the In-filter when [[probeRegime]] proved
+    * the batch bounded and the probed set is a strict subset of the
+    * k lists, else the full lists table.
     */
   private def prunedLists(spark: org.apache.spark.sql.SparkSession,
-      table: String, q: DataFrame, k: Int,
-      nQueries: Long): DataFrame = {
+      table: String, probed: Option[Seq[Long]], k: Int): DataFrame = {
     val lists = spark.table(table)
-    if (nQueries > GatherMaxQueries) return lists
-    val probed = q.select(col("cid")).distinct()
-      .collect().map(_.getLong(0)).toSeq // ≤ k values by construction
-    if (probed.size >= k) lists
-    else lists.filter(col("cid").isInCollection(probed))
+    probed match {
+      case Some(cids) if cids.size < k =>
+        lists.filter(col("cid").isInCollection(cids))
+      case _ => lists
+    }
   }
 
   /** IVF-SQ8 — the bandwidth-optimized IVF the big ANN libraries
@@ -844,7 +867,10 @@ object SimilarityOps {
   def probeIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, nprobe: Int, rerank: Int): DataFrame = {
-    requireQuantizerLineage(spark, table)
+    // BOTH companions, matching the SQL surface's guard: a forced or
+    // stale `_vecs` pairing must fail on every serving surface, not
+    // just GRAFT_ANN
+    requireQuantizerLineage(spark, table, Seq("_centroids", "_vecs"))
     val cents = spark.table(table + "_centroids")
       .orderBy(col("cid")).collect() // bounded: k rows by contract
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
@@ -871,14 +897,14 @@ object SimilarityOps {
               / (col("nrm") * c.getField("cn")), 6)).as("ns"),
             c.getField("cid").as("cid")))), 1, nprobe),
           s => s.getField("cid"))).as("cid"))
-    // ONE bounded count decides both serving-batch regimes (list
-    // pruning and the candidate gather); the limit bound keeps it a
+    // ONE bounded driver job ([[probeRegime]]) decides both
+    // serving-batch regimes (list pruning and the candidate gather)
+    // AND collects the probed cid set — the limit bound keeps it a
     // serving-batch-scale job even when queries = the corpus
-    val nqCap = math.max(SimilarityOps.GatherMaxQueries,
-      SimilarityOps.GatherMaxIds / math.max(rerank, 1)).toInt + 1
-    val nQueries = scala.util.Try(queriesDf.limit(nqCap).count())
-      .getOrElse(Long.MaxValue)
-    val index = prunedLists(spark, table, q, cents.length, nQueries)
+    val (nQueries, probed) = probeRegime(q, nprobe,
+      math.max(SimilarityOps.GatherMaxQueries,
+        SimilarityOps.GatherMaxIds / math.max(rerank, 1)))
+    val index = prunedLists(spark, table, probed, cents.length)
       .select(col("cid"),
         col("vid").as("id_b"), col("q").as("qb"),
         col("amax").as("amax_b"), col("nrm").as("nb"))
@@ -1019,6 +1045,11 @@ object SimilarityOps {
   private def pqCodebooks(v: DataFrame, dims: Int, m: Int,
       codes: Int): Seq[(Int, Int, Seq[Double])] = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
+    // one byte per subspace holds 256 distinct ids; ids 128-255 store
+    // as negative bytes and every probe decodes them UNSIGNED
+    // (pmod 256) — the faiss PQx8 shape (256 codewords) fits exactly
+    require(codes >= 1 && codes <= 256,
+      s"codes must be in [1, 256] (one byte per subspace), got $codes")
     val sub = dims / m
     val base = v.orderBy(col("vid")).limit(codes)
       .select(col("e")).collect().map(_.getSeq[Double](0))
@@ -1070,16 +1101,19 @@ object SimilarityOps {
   /** Per-row PQ encoding: code j = argmin over subspace j's codewords
     * of round(dist2, 6), ties to the smaller code id — `array_min`
     * over (d, c) structs, the same O(codes) selection as
-    * [[nearestCid]]. One byte per subspace.
+    * [[nearestCid]]. One byte per subspace: ids 128-255 wrap to the
+    * negative byte range EXPLICITLY (`pmod(c+128, 256) - 128`) — a
+    * bare int→byte cast throws under ANSI for ids past 127, and
+    * every probe decodes the byte back UNSIGNED (pmod 256).
     */
   private def pqEncode(cbArr: Column, sub: Int): Column =
     transform(cbArr, y =>
-      array_min(transform(y.getField("cs"), x => struct(
+      (pmod(array_min(transform(y.getField("cs"), x => struct(
         round(dist2(slice(col("e"),
           y.getField("j") * lit(sub) + lit(1), lit(sub)),
           x.getField("ce")), 6).as("d"),
         x.getField("c").as("c"))))
-        .getField("c").cast("byte"))
+        .getField("c") + lit(128), lit(256)) - lit(128)).cast("byte"))
 
   /** Materialize a PRODUCT-QUANTIZED index as durable storage — the
     * compression rung above SQ8 (reference point: faiss PQx). The
@@ -1158,20 +1192,7 @@ object SimilarityOps {
       table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, rerank: Int): DataFrame = {
     // lineage: lists / codebooks / floats must carry one build id
-    {
-      val lists = scala.util.Try(
-        BucketedStores.currentGeneration(spark, table)).getOrElse(table)
-      val ls = BucketedStores.buildStamp(spark, lists)
-      Seq("_codebooks", "_vecs").foreach { sfx =>
-        for {
-          l <- ls
-          c <- BucketedStores.buildStamp(spark, table + sfx)
-        } require(l == c,
-          s"quantizer build mismatch for $table: lists carry build " +
-            s"$l but $table$sfx carries build $c — rebuild before " +
-            "serving")
-      }
-    }
+    requireQuantizerLineage(spark, table, Seq("_codebooks", "_vecs"))
     val cbRows = spark.table(table + "_codebooks")
       .orderBy(col("j"), col("c")).collect() // bounded: m×codes rows
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
@@ -1194,9 +1215,14 @@ object SimilarityOps {
       .limit((math.max(GatherMaxQueries,
         GatherMaxIds / math.max(rerank, 1)) + 1).toInt).count())
       .getOrElse(Long.MaxValue)
+    // UNSIGNED code decode: ids 128-255 store as negative bytes
+    // (pqEncode casts the 0-based rank to byte), and a signed read
+    // would index the distance table from the END — silently wrong
+    // distances for any codebook past 128 codewords
     val adc = aggregate(
       zip_with(col("codes"), col("qtab"), (cj, tj) =>
-        element_at(tj, cj.cast("int") + 1).cast("decimal(20,6)")),
+        element_at(tj, pmod(cj.cast("int"), lit(256)) + 1)
+          .cast("decimal(20,6)")),
       lit(java.math.BigDecimal.ZERO).cast("decimal(20,6)"),
       (acc, x) => (acc + x).cast("decimal(20,6)")).cast("double")
     val scored = spark.table(table)
@@ -1217,6 +1243,193 @@ object SimilarityOps {
       col("nrm").as("na"))
     val gather =
       nQueries <= GatherMaxIds / math.max(rerank, 1)
+    val (survDf, vb) =
+      if (gather) {
+        val sv = survivors.collect().map(r => (r.getLong(0), r.getLong(1)))
+        import spark.implicits._
+        val svDf = sv.toSeq.toDF("id_a", "id_b")
+        val ids = sv.map(_._2).distinct.toSeq
+        (svDf, vecs.filter(col("vid").isInCollection(ids)))
+      } else (survivors, vecs)
+    survDf.join(va, Seq("id_a"))
+      .join(vb.select(col("vid").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
+  }
+
+  // ---- IVF-PQ: coarse lists OVER the PQ codes ----------------------
+  //
+  // The flat PQ store ([[writePqIndex]]) reads few BYTES (m per
+  // vector) but scores EVERY corpus row per serving batch — candidate
+  // work grows ∝ n, the exact CPU cliff the fixed-k SQ8 measurement
+  // exposed (BENCH_SCALE.md Act 1: linear candidates went 1.56 s →
+  // 25.1 s over 64×→4096× before probed-list pruning). IVF-PQ is the
+  // standard composition (Jégou et al.'s IVFADC; faiss IndexIVFPQ):
+  // the SAME first-k coarse quantizer as every IVF tier partitions the
+  // code rows into cid-bucketed inverted lists, a query ADC-scores
+  // only its nprobe probed lists, and per-query work drops to
+  // nprobe·n/k — with k ~ √n, ~flat in corpus size like the float and
+  // SQ8 tiers (and the scan bytes stay m per CANDIDATE, compounding
+  // with the pruning).
+  //
+  // Codes encode the RAW vector, not the residual (faiss's
+  // `by_residual=false` IVFPQ variant): the encode rule stays
+  // [[pqEncode]] verbatim — byte-exact replicable by the oracle, and
+  // independent of the coarse assignment, so deletes, appends, and
+  // compactions never touch EITHER quantizer and a row's code is
+  // valid in any list. (Residual encoding buys recall at the cost of
+  // coupling codes to centroids; the exact-cosine rerank already
+  // recovers the recall here.)
+
+  /** Materialize an IVF-PQ index as durable storage: cid-bucketed
+    * inverted lists of (cid, vid, codes) rows — m bytes/vector
+    * payload behind the same coarse layout as [[writeIvfSq8Index]] —
+    * plus THREE companions: `_centroids` (the k-row coarse quantizer,
+    * [[firstKCentroids]]), `_codebooks` (the m×codes PQ codewords,
+    * [[pqCodebooks]], with the subspace geometry as table
+    * properties), and `_vecs` (the float rerank companion,
+    * vid-bucketed). All four carry ONE build stamp; `mor = true`
+    * adopts versioned + merge-on-read serving exactly like the other
+    * tiers.
+    */
+  def writeIvfPqIndex(vecsDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, codes: Int, k: Int, table: String,
+      buckets: Int = 8, location: Option[String] = None,
+      mor: Boolean = false): Unit = {
+    val spark = vecsDf.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_codebooks")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
+    val v = ivfProject(vecsDf, idCol, vecCol)
+    val cents = firstKCentroids(v, k, dims)
+    val cb = pqCodebooks(v, dims, m, codes)
+    val sub = dims / m
+    // both quantizers ride the same projection: the coarse centroids
+    // pick the list, the codebooks encode the payload — one scan
+    val (vc, centArr) = withCentroids(v, cents)
+    val (vcc, cbArr) = withCodebooks(vc, cb)
+    val assigned = vcc.select(
+      nearestCid(centArr).as("cid"),
+      col("vid"), pqEncode(cbArr, sub).as("codes"))
+    val lists = (if (mor) assigned.withColumn("_seq", lit(0L))
+      else assigned)
+      .write.bucketBy(buckets, "cid").sortBy("cid").mode("overwrite")
+    location.fold(lists)(l => lists.option("path", s"$l/lists"))
+      .saveAsTable(table)
+    locally {
+      import spark.implicits._
+      val cw = cents.toDF("cid", "ce").write.mode("overwrite")
+      location.fold(cw)(l => cw.option("path", s"$l/cents"))
+        .saveAsTable(table + "_centroids")
+      val bw = cb.toDF("j", "c", "ce").write.mode("overwrite")
+      location.fold(bw)(l => bw.option("path", s"$l/cbk"))
+        .saveAsTable(table + "_codebooks")
+    }
+    val vw = v.select(col("vid"), col("e"), col("nrm"))
+      .write.bucketBy(buckets, "vid").sortBy("vid").mode("overwrite")
+    location.fold(vw)(l => vw.option("path", s"$l/vecs"))
+      .saveAsTable(table + "_vecs")
+    val build = BucketedStores.newBuildId()
+    Seq(table, table + "_centroids", table + "_codebooks",
+      table + "_vecs")
+      .foreach(BucketedStores.stampBuild(spark, _, build))
+    spark.sql(s"ALTER TABLE ${table}_codebooks SET TBLPROPERTIES " +
+      s"('graft.pq.sub' = '$sub', 'graft.pq.m' = '$m')")
+    if (mor) {
+      BucketedStores.adoptVersioned(spark, table)
+      BucketedStores.morEnable(spark, table, Seq("vid"), "vid")
+    }
+  }
+
+  /** Probe a stored IVF-PQ index ([[writeIvfPqIndex]]): the query
+    * ranks the k coarse centroids in-row ((cosine DESC, cid) at 6 dp
+    * — every IVF tier's probe rule), ADC-scores ONLY its `nprobe`
+    * probed lists (per-query distance tables computed in-row; m
+    * byte-table lookups per candidate, DECIMAL-routed so the ranking
+    * is bit-deterministic), the quantized top-`rerank` survive
+    * ([[org.apache.spark.sql.graft.TopKPairs]]), and only those fetch
+    * floats from `_vecs` for the exact-cosine re-rank. Per-query
+    * candidate work is nprobe·n/k (vs the flat PQ scan's n), the scan
+    * bytes are m per candidate, and [[probeRegime]]'s single bounded
+    * job drives both the probed-list In-filter and the
+    * candidate-gather refine — the full IVF scale shape on the
+    * highest-compression tier.
+    */
+  def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nprobe: Int, rerank: Int): DataFrame = {
+    requireQuantizerLineage(spark, table,
+      Seq("_centroids", "_codebooks", "_vecs"))
+    val cents = spark.table(table + "_centroids")
+      .orderBy(col("cid")).collect() // bounded: k rows by contract
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cents.nonEmpty && cents.length >= nprobe,
+      s"index $table has ${cents.length} centroids < nprobe $nprobe")
+    cents.foreach { case (cid, ce) =>
+      require(ce.length == dims,
+        s"stored centroid $cid has ${ce.length} dims, expected $dims")
+    }
+    val cbRows = spark.table(table + "_codebooks")
+      .orderBy(col("j"), col("c")).collect() // bounded: m×codes rows
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(cbRows.nonEmpty, s"$table has no _codebooks companion")
+    val m = cbRows.map(_._1).distinct.length
+    val sub = dims / m
+    cbRows.foreach { case (j, c, ce) =>
+      require(ce.length == sub,
+        s"codebook ($j,$c) has ${ce.length} dims, expected $sub")
+    }
+    val qproj = ivfProject(queriesDf, idCol, vecCol)
+    val (q1, centArr) = withCentroids(qproj, cents.toSeq)
+    val (q2, cbArr) = withCodebooks(q1, cbRows.toSeq)
+    // one query-side row per (query, probed cid): the distance table
+    // rides the explode — query-scale data, broadcast to the scan
+    val q = q2.select(col("vid").as("id_a"), col("nrm").as("na"),
+      transform(cbArr, y => transform(y.getField("cs"), x =>
+        round(dist2(slice(col("e"),
+          y.getField("j") * lit(sub) + lit(1), lit(sub)),
+          x.getField("ce")), 6))).as("qtab"),
+      explode(transform(
+        slice(array_sort(transform(centArr, c => struct(
+          (-round(array_dot(col("e"), c.getField("ce"))
+            / (col("nrm") * c.getField("cn")), 6)).as("ns"),
+          c.getField("cid").as("cid")))), 1, nprobe),
+        s => s.getField("cid"))).as("cid"))
+    val (nQueries, probed) = probeRegime(q, nprobe,
+      math.max(GatherMaxQueries,
+        GatherMaxIds / math.max(rerank, 1)))
+    val index = prunedLists(spark, table, probed, cents.length)
+      .select(col("cid"), col("vid").as("id_b"), col("codes"))
+    // UNSIGNED code decode (ids 128-255 store as negative bytes)
+    val adc = aggregate(
+      zip_with(col("codes"), col("qtab"), (cj, tj) =>
+        element_at(tj, pmod(cj.cast("int"), lit(256)) + 1)
+          .cast("decimal(20,6)")),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(20,6)"),
+      (acc, x) => (acc + x).cast("decimal(20,6)")).cast("double")
+    val scored = q.join(index, Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), adc.as("adcd"))
+    // ADC is a DISTANCE: smaller is better, ties to the smaller id
+    val survivors = scored
+      .groupBy(col("id_a"))
+      .agg(graft.functions.VectorFunctions
+        .topk_pairs(-col("adcd"), col("id_b"), rerank).as("tk"))
+      .select(col("id_a"), explode(col("tk")).as("p"))
+      .select(col("id_a"), col("p.id").as("id_b"))
+    val vecs = spark.table(table + "_vecs")
+    val va = qproj.select(col("vid").as("id_a"), col("e").as("ea"),
+      col("nrm").as("na"))
+    val gather = nQueries <= GatherMaxIds / math.max(rerank, 1)
     val (survDf, vb) =
       if (gather) {
         val sv = survivors.collect().map(r => (r.getLong(0), r.getLong(1)))

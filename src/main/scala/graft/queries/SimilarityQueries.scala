@@ -992,9 +992,105 @@ object SimilarityQueries {
     },
     sql = sim17PqStored.sql)
 
+  /** Idempotently build the stored IVF-PQ index for `d` (sim20/sim21
+    * probe it) — catalog-keyed like [[ensureIvfIndex]].
+    */
+  def ensureIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    val t = s"sim_ivfpq_idx_${Integer.toHexString(d.hashCode)}"
+    if (!s.catalog.tableExists(t) ||
+        !s.catalog.tableExists(t + "_centroids") ||
+        !s.catalog.tableExists(t + "_codebooks") ||
+        !s.catalog.tableExists(t + "_vecs")) {
+      SimilarityOps.writeIvfPqIndex(embeddings(s, d), "vec_id",
+        "embedding", dims = 64, m = 4, codes = 16, k = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_idx").toString))
+    }
+    t
+  }
+
+  /** sim20: IVF-PQ — coarse inverted lists OVER the PQ codes
+    * ([[graft.operators.SimilarityOps.writeIvfPqIndex]], the faiss
+    * IndexIVFPQ composition that closes the flat ADC scan's
+    * corpus-proportional serving cost: per-query candidates drop to
+    * nprobe·n/k while the scan bytes stay m per candidate). Same
+    * first-16 coarse quantizer and (cosine DESC, cid) probe rule as
+    * every IVF tier; ADC prunes within the probed lists; exact-cosine
+    * re-rank decides. With rerank covering every probed candidate the
+    * ADC pass prunes NOTHING, so the answer equals the float IVF
+    * probe over the same lists — sim4's oracle VERBATIM, proving the
+    * coarse layout, the code path, and the refine pipeline in one
+    * cross-engine row. Bounded-rerank recall is gated in
+    * AnnRecallSpec.
+    */
+  val sim20IvfPqStored = Q(
+    "sim20_ivf_pq_stored_top1",
+    (s, d) => {
+      val t = ensureIvfPqIndex(s, d)
+      SimilarityOps.probeIvfPqIndex(s, t, spread(embeddings(s, d)),
+        "vec_id", "embedding", dims = 64, nprobe = 3, rerank = 4096)
+        .orderBy(col("id_a"))
+    },
+    bench = true, // tracks the probed-list PQ serving cost
+    sql = sim4IvfAnn.sql)
+
+  /** sim21: IVF-PQ's SQL serving — sim20's probe as PURE SQL TEXT via
+    * GRAFT_ANN's IVF-PQ dispatch (a `codes` store WITH a `cid` column
+    * probes its nprobe nearest lists, unlike the flat PQ store's
+    * pinned nprobe=1). Same store, same nprobe/rerank, same selection
+    * rules — sim4's oracle verbatim, completing the API → stored →
+    * SQL symmetry for the fourth index layout.
+    */
+  val sim21IvfPqAnnSql = Q(
+    "sim21_ivfpq_ann_sql_top1",
+    (s, d) => {
+      val t = ensureIvfPqIndex(s, d)
+      spread(embeddings(s, d)).createOrReplaceTempView("sim21_queries")
+      s.sql("SELECT id_a, ann_id, score FROM " +
+        s"GRAFT_ANN('$t', 'sim21_queries', 1, 3, 4096) ORDER BY id_a")
+    },
+    sql = sim4IvfAnn.sql)
+
+  /** sim22: IVF-PQ under MERGE-ON-READ deletes — the code lists are
+    * `_seq`-stamped and serve through the tombstone view, deletes
+    * append (vid, seq) tombstones, and NEITHER quantizer changes
+    * (codes encode the raw vector, so they are valid under any list
+    * membership — the no-retrain contract holds on both quantizers at
+    * once). Full-rerank probe of the survivors == the float IVF
+    * probe over the post-delete corpus — sim10/11/15/16's oracle
+    * verbatim: every maintenance discipline across ALL FOUR index
+    * layouts returns the identical post-delete neighbors.
+    */
+  val sim22IvfPqMorDeletes = Q(
+    "sim22_ivfpq_mor_delete_maintenance",
+    (s, d) => {
+      import graft.operators.BucketedStores
+      val t = s"sim_ivfpq_mor_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+      s.sql(s"DROP TABLE IF EXISTS ${t}_codebooks")
+      s.sql(s"DROP TABLE IF EXISTS ${t}_vecs")
+      SimilarityOps.writeIvfPqIndex(embeddings(s, d), "vec_id",
+        "embedding", dims = 64, m = 4, codes = 16, k = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_mor").toString), mor = true)
+      val deleteIds = embeddings(s, d)
+        .filter(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("vid"))
+      BucketedStores.morDelete(s, t, deleteIds,
+        BucketedStores.morNextSeq(s, t))
+      val survivors = embeddings(s, d).filter(col("vec_id") % 7 =!= 3)
+      SimilarityOps.probeIvfPqIndex(s, t, spread(survivors), "vec_id",
+        "embedding", dims = 64, nprobe = 3, rerank = 4096)
+        .orderBy(col("id_a"))
+    },
+    sql = Some(ivfDeleteOracleSql))
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
     sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql, sim13Sq8Stored,
     sim14Sq8AnnSql, sim15Sq8Deletes, sim16Sq8MorDeletes, sim17PqStored,
-    sim18PqMorDeletes, sim19PqAnnSql)
+    sim18PqMorDeletes, sim19PqAnnSql, sim20IvfPqStored, sim21IvfPqAnnSql,
+    sim22IvfPqMorDeletes)
 }

@@ -302,9 +302,13 @@ object GraftAnnRewrite {
   }
 
   /** PQ dispatch: contract checks + lineage stamps, then the ADC
-    * expansion. PQ stores scan FLAT (no coarse lists), so `nprobe`
-    * must be 1; `rerank` is required (the ADC pass only prunes — the
-    * exact-cosine re-rank decides).
+    * expansion. A FLAT PQ store ([[graft.operators.SimilarityOps
+    * .writePqIndex]] — no `cid` column) scans the whole code table,
+    * so `nprobe` must be 1; an IVF-PQ store ([[graft.operators
+    * .SimilarityOps.writeIvfPqIndex]] — cid-bucketed code lists plus
+    * a `_centroids` companion) probes its `nprobe` nearest lists like
+    * every IVF tier. `rerank` is required on both (the ADC pass only
+    * prunes — the exact-cosine re-rank decides).
     */
   private def pqBody(spark: SparkSession, store: String,
       queries: String, k: Int, nprobe: Int,
@@ -336,32 +340,54 @@ object GraftAnnRewrite {
     }
     val rr = rerank.getOrElse(fail(s"$store is a PRODUCT-QUANTIZED " +
       "index store — the <rerank> argument is required: " +
-      s"GRAFT_ANN('$store', '<queries>', k, 1, rerank)"))
+      s"GRAFT_ANN('$store', '<queries>', k, nprobe, rerank)"))
     if (rr < k) fail(s"rerank ($rr) must be >= k ($k) — the exact " +
       "re-rank can only return candidates the ADC pass kept")
-    if (nprobe != 1) fail(s"$store is a PRODUCT-QUANTIZED store — " +
-      "the ADC scan is flat (no coarse lists to probe), so <nprobe> " +
-      s"must be 1, got $nprobe")
+    // IVF-PQ vs flat PQ: coarse lists show as a `cid` column
+    val isIvf = spark.table(store).columns
+      .map(_.toLowerCase(java.util.Locale.ROOT)).contains("cid")
+    if (!isIvf && nprobe != 1)
+      fail(s"$store is a FLAT product-quantized store — the ADC scan " +
+        "has no coarse lists to probe, so <nprobe> must be 1, got " +
+        s"$nprobe (build with SimilarityOps.writeIvfPqIndex for a " +
+        "probed-list PQ store)")
+    val centroids = store + "_centroids"
+    if (isIvf && !spark.catalog.tableExists(centroids)) {
+      if (isGen)
+        fail(s"$store is a retained IVF-PQ index generation with no " +
+          s"snapshotted coarse-quantizer companion ($centroids): its " +
+          "lists were assigned under a quantizer the base companion " +
+          "may no longer hold, so probing would be silently wrong. " +
+          "Re-run the store maintenance or probe the serving name.")
+      else
+        fail(s"$store has coarse lists (cid) but no $centroids " +
+          "companion (write the index with " +
+          "SimilarityOps.writeIvfPqIndex)")
+    }
     val listsTable = scala.util.Try(graft.operators.BucketedStores
       .currentGeneration(spark, store)).getOrElse(store)
     val ls = graft.operators.BucketedStores.buildStamp(spark, listsTable)
-    Seq(codebooks, vecs).foreach { c =>
-      (ls, graft.operators.BucketedStores.buildStamp(spark, c)) match {
-        case (Some(l), Some(cc)) if l != cc =>
-          fail(s"quantizer build mismatch: $listsTable code rows " +
-            s"carry build $l but $c carries build $cc — the index " +
-            "was rebuilt out from under these rows; rebuild before " +
-            "serving")
-        case _ => ()
+    (Seq(codebooks, vecs) ++ (if (isIvf) Seq(centroids) else Nil))
+      .foreach { c =>
+        (ls, graft.operators.BucketedStores.buildStamp(spark, c)) match {
+          case (Some(l), Some(cc)) if l != cc =>
+            fail(s"quantizer build mismatch: $listsTable code rows " +
+              s"carry build $l but $c carries build $cc — the index " +
+              "was rebuilt out from under these rows; rebuild before " +
+              "serving")
+          case _ => ()
+        }
       }
-    }
     val sub = scala.util.Try {
       spark.sql(s"SHOW TBLPROPERTIES $codebooks").collect()
         .find(_.getString(0) == "graft.pq.sub").map(_.getString(1).toInt)
     }.toOption.flatten.getOrElse(fail(s"$codebooks carries no " +
       "graft.pq.sub property — write the index with " +
       "SimilarityOps.writePqIndex"))
-    pqExpansion(store, codebooks, vecs, queries, k, sub, rr)
+    if (isIvf)
+      ivfPqExpansion(store, centroids, codebooks, vecs, queries, k,
+        nprobe, sub, rr)
+    else pqExpansion(store, codebooks, vecs, queries, k, sub, rr)
   }
 
   /** The PQ expansion, shaped to probePqIndex's plan: codebooks fold
@@ -403,11 +429,98 @@ object GraftAnnRewrite {
          |  SELECT q.id_a, p.vid AS ann_id,
          |         CAST(aggregate(zip_with(p.codes, q.qtab,
          |           (gcj, gtj) -> CAST(element_at(gtj,
-         |             CAST(gcj AS INT) + 1) AS DECIMAL(20,6))),
+         |             pmod(CAST(gcj AS INT), 256) + 1) AS DECIMAL(20,6))),
          |           CAST(0 AS DECIMAL(20,6)),
          |           (gacc, gx) -> CAST(gacc + gx AS DECIMAL(20,6)))
          |           AS DOUBLE) AS adcd
          |  FROM $store p JOIN graft_pq_qt q ON p.vid <> q.id_a),
+         |graft_pq_sv AS (
+         |  SELECT id_a, gp.id AS ann_id FROM (
+         |    SELECT id_a, topk_pairs(-adcd, ann_id, $rerank) AS tk
+         |    FROM graft_pq_sc GROUP BY id_a)
+         |  LATERAL VIEW explode(tk) gsv AS gp),
+         |graft_pq_cand AS (
+         |  SELECT sv.id_a, sv.ann_id,
+         |         round(array_dot(qz.ea, vb.e) / (qz.na * vb.nrm), 6)
+         |           AS score
+         |  FROM graft_pq_sv sv
+         |  JOIN graft_pq_qt qz ON qz.id_a = sv.id_a
+         |  JOIN $vecs vb ON vb.vid = sv.ann_id)
+         |""".stripMargin
+    val tail =
+      if (k == 1)
+        """SELECT id_a, -gbest.nid AS ann_id, gbest.score AS score,
+          |       1 AS rank
+          |FROM (SELECT id_a, max(named_struct(
+          |        'score', score, 'nid', -ann_id)) AS gbest
+          |      FROM graft_pq_cand GROUP BY id_a))""".stripMargin
+      else
+        s"""SELECT id_a, gp.id AS ann_id, gp.score AS score,
+           |       gpos + 1 AS rank
+           |FROM (SELECT id_a, topk_pairs(score, ann_id, $k) AS tk
+           |      FROM graft_pq_cand GROUP BY id_a)
+           |LATERAL VIEW posexplode(tk) gtk AS gpos, gp)""".stripMargin
+    head + tail
+  }
+
+  /** The IVF-PQ expansion, shaped to probeIvfPqIndex's plan: the
+    * codebooks fold to one sorted nested array (code id == position,
+    * decoded UNSIGNED — pmod 256 — because ids past 127 store as
+    * negative bytes); the k-row coarse companion folds to the probe
+    * array; each query computes its m×codes distance table AND ranks
+    * its `nprobe` lists in-row; the ADC scan joins ONLY the probed
+    * cid lists (bucket-aligned, m bytes per candidate); survivors
+    * come from the bounded `topk_pairs` aggregate and re-rank by
+    * exact cosine off the `_vecs` companion.
+    */
+  private def ivfPqExpansion(store: String, centroids: String,
+      codebooks: String, vecs: String, queries: String, k: Int,
+      nprobe: Int, sub: Int, rerank: Int): String = {
+    val head =
+      s"""(WITH graft_pq_cbk AS (
+         |  SELECT sort_array(collect_list(named_struct(
+         |           'j', j, 'cs', cs))) AS cbk
+         |  FROM (SELECT j, sort_array(collect_list(named_struct(
+         |                 'c', c, 'ce', ce))) AS cs
+         |        FROM $codebooks GROUP BY j)),
+         |graft_ann_cents AS (
+         |  SELECT collect_list(named_struct(
+         |           'cid', cid, 'ce', ce, 'cn', array_norm(ce))) AS cs
+         |  FROM $centroids),
+         |graft_pq_q AS (
+         |  SELECT vec_id AS id_a,
+         |         transform(embedding, gx -> CAST(gx AS DOUBLE)) AS ea
+         |  FROM $queries),
+         |graft_pq_qt AS (
+         |  SELECT id_a, ea, array_norm(ea) AS na,
+         |         transform(cbk, gy -> transform(gy.cs, gx ->
+         |           round(aggregate(zip_with(
+         |             slice(ea, gy.j * $sub + 1, $sub), gx.ce,
+         |             (ga, gb) -> (ga - gb) * (ga - gb)),
+         |             CAST(0.0 AS DOUBLE),
+         |             (gacc, gz) -> gacc + gz), 6))) AS qtab
+         |  FROM (SELECT id_a, ea,
+         |               (SELECT cbk FROM graft_pq_cbk) AS cbk
+         |        FROM graft_pq_q)),
+         |graft_pq_probe AS (
+         |  SELECT id_a, qtab, pcid AS cid
+         |  FROM (SELECT id_a, ea, na, qtab,
+         |               (SELECT cs FROM graft_ann_cents) AS cents
+         |        FROM graft_pq_qt)
+         |  LATERAL VIEW explode(transform(slice(array_sort(
+         |    transform(cents, c -> named_struct(
+         |      'ns', -round(array_dot(ea, c.ce) / (na * c.cn), 6),
+         |      'cid', c.cid))), 1, $nprobe), s -> s.cid)) gp AS pcid),
+         |graft_pq_sc AS (
+         |  SELECT q.id_a, p.vid AS ann_id,
+         |         CAST(aggregate(zip_with(p.codes, q.qtab,
+         |           (gcj, gtj) -> CAST(element_at(gtj,
+         |             pmod(CAST(gcj AS INT), 256) + 1) AS DECIMAL(20,6))),
+         |           CAST(0 AS DECIMAL(20,6)),
+         |           (gacc, gx) -> CAST(gacc + gx AS DECIMAL(20,6)))
+         |           AS DOUBLE) AS adcd
+         |  FROM $store p JOIN graft_pq_probe q
+         |    ON p.cid = q.cid AND p.vid <> q.id_a),
          |graft_pq_sv AS (
          |  SELECT id_a, gp.id AS ann_id FROM (
          |    SELECT id_a, topk_pairs(-adcd, ann_id, $rerank) AS tk

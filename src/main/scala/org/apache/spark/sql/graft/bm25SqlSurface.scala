@@ -133,13 +133,18 @@ object GraftBm25Rewrite extends org.apache.spark.internal.Logging {
           // (query_id absent), indistinguishable from "no matches".
           // The batch relation is query-scale by design, so the probe
           // is a bounded parse-time check, not a corpus scan.
+          // `terms IS NULL` first: size(...) on a NULL terms string
+          // evaluates to NULL, not true, so without the explicit
+          // disjunct a NULL-terms row slips past the guard and
+          // vanishes — exactly the silent case the guard exists for
           val emptyIds = spark.table(trimmed)
-            .where("size(array_distinct(filter(split(trim(terms), " +
+            .where("terms IS NULL OR " +
+              "size(array_distinct(filter(split(trim(terms), " +
               "' +'), x -> x <> ''))) = 0")
             .select("query_id").limit(3).collect()
           if (emptyIds.nonEmpty)
             fail(s"batch relation $trimmed has row(s) whose terms " +
-              "string is empty (query_id " +
+              "string is NULL or empty (query_id " +
               emptyIds.map(_.get(0)).mkString(", ") +
               ", first 3 shown) — the literal form fails loudly on " +
               "empty terms and the batch form matches it; filter " +

@@ -115,6 +115,19 @@ object TopKPairsBuffer {
   * probe's 12M-candidate selection dropped from ~5 s of window
   * shuffle+sort to agg-scan cost). Merge-order independent by the
   * strict total order on (score, id).
+  *
+  * NULL SEMANTICS (deliberate, and a difference from the window it
+  * replaces): a candidate whose score or id is NULL is SKIPPED — it
+  * can never rank, never displaces a kept pair, and a group with
+  * fewer than k non-null candidates returns fewer than k pairs. The
+  * ROW_NUMBER window ranked NULL scores NULLS LAST, so it could emit
+  * null-scored tail rows; here they are dropped, which is the
+  * behavior a retrieval cut actually wants (a NULL score is "not
+  * comparable", not "worst"). The flip side: upstream kernels that
+  * signal corrupt rows BY returning NULL (e.g. [[ArrayDotQ8]] on a
+  * length mismatch) have those rows silently pruned at this cut —
+  * when debugging a missing candidate, check for NULL scores BEFORE
+  * the topk_pairs aggregate, not after it.
   */
 case class TopKPairs(
     scoreExpr: Expression,

@@ -1187,4 +1187,198 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       "the retention window keeps serving after the reclaim")
     BucketedStores.dropVersioned(spark, name)
   }
+
+  test("IVF-PQ envelope: full-rerank probe equals the float IVF probe " +
+      "exactly over the same coarse lists — the ADC pass only PRUNES, " +
+      "the exact re-rank decides") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 96L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+      .toDF("vec_id", "embedding")
+    val f = "t_envpq_flat"
+    val q = "t_envpq_ivfpq"
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 8, k = 4, table = f, location = Some(java.nio.file.Files
+        .createTempDirectory("t_envpq_f").toString))
+    SimilarityOps.writeIvfPqIndex(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 4, table = q,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_envpq_q").toString))
+    val flat = SimilarityOps.probeIvfIndex(spark, f, vecs,
+      "vec_id", "embedding", dims = 8, nprobe = 2)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pqFull = SimilarityOps.probeIvfPqIndex(spark, q, vecs,
+      "vec_id", "embedding", dims = 8, nprobe = 2, rerank = 96)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pqFull === flat,
+      "full-rerank IVF-PQ must equal the float probe exactly — same " +
+        "coarse lists, the codes only prune")
+    Seq(f, s"${f}_centroids", q, s"${q}_centroids", s"${q}_codebooks",
+      s"${q}_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("IVF-PQ bounded-batch probes prune the code-lists scan to the " +
+      "probed cids: In(cid) reaches the parquet scan as a pushed " +
+      "filter — per-query work is nprobe·n/k, never the flat PQ " +
+      "store's corpus scan") {
+    import spark.implicits._
+    val vecs = (0L until 4000L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 13 + j * 5) % 17 - 8).toDouble / 3)))
+      .toDF("vec_id", "embedding")
+    val t = "t_prunepq_idx"
+    SimilarityOps.writeIvfPqIndex(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 64, table = t,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_prunepq").toString))
+    val queries = vecs.filter(col("vec_id") < 4)
+    // rerank above the gather cap (GatherMaxIds/rerank < 4 queries):
+    // the probe stays a fully LAZY pipeline, so the final plan still
+    // holds the pruned code-lists scan to assert on
+    val df = SimilarityOps.probeIvfPqIndex(spark, t, queries,
+      "vec_id", "embedding", dims = 8, nprobe = 2, rerank = 8192)
+    val ex = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ex.contains("In(cid"),
+      s"a 4-query batch over a 64-list PQ index must push In(cid):\n$ex")
+    // no candidate-set window anywhere: survivor selection is the
+    // bounded topk_pairs aggregate
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+      "survivor selection must be the bounded aggregate, not a window")
+    assert(df.count() === 4)
+    // bounded rerank takes the GATHER refine: the final plan restarts
+    // from the collected survivors and pushes their vids into the
+    // `_vecs` fetch as In(vid) — the faiss gather-by-id shape
+    val dfg = SimilarityOps.probeIvfPqIndex(spark, t, queries,
+      "vec_id", "embedding", dims = 8, nprobe = 2, rerank = 8)
+    val exg = dfg.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(exg.contains("In(vid"),
+      s"the bounded-batch refine must gather-by-id from _vecs:\n$exg")
+    assert(dfg.count() === 4)
+    Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
+  test("PQ code ids past 127 decode UNSIGNED on every serving surface: " +
+      "a 200-codeword codebook stores negative bytes, and both the API " +
+      "probe and GRAFT_ANN reproduce the driver-replicated ADC ranking") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 256L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+    val vecs = corpus.toDF("vec_id", "embedding")
+    val t = "t_upq_idx"
+    val m = 2
+    val codes = 200 // > 128: ids 128-199 wrap negative as bytes
+    SimilarityOps.writePqIndex(vecs, "vec_id", "embedding",
+      dims = 8, m = m, codes = codes, table = t,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_upq").toString))
+    // the wrap is actually exercised: some stored code bytes are < 0
+    val negCodes = spark.table(t)
+      .select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0).count()
+    assert(negCodes > 0,
+      "a 200-codeword build must store some ids past 127 (negative " +
+        "bytes) or this test proves nothing")
+    // driver-replicated ADC: same 6-dp rounding (BigDecimal HALF_UP =
+    // Spark's round), same left-to-right dist2 fold, exact decimal sum
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dist2(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d = a(i) - b(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    val sub = 8 / m
+    val cbk = (0 until m).map { j =>
+      corpus.take(codes).map { case (c, e) =>
+        (c.toInt, e.slice(j * sub, (j + 1) * sub))
+      }
+    }
+    def encode(e: Seq[Double]): Seq[Int] =
+      (0 until m).map { j =>
+        cbk(j).map { case (c, ce) =>
+          (r6(dist2(e.slice(j * sub, (j + 1) * sub), ce)), c)
+        }.minBy { case (d, c) => (d, c) }._2
+      }
+    val encoded = corpus.map { case (id, e) => id -> encode(e) }.toMap
+    assert(encoded.values.exists(_.exists(_ > 127)),
+      "driver replication must also use ids past 127")
+    val queries = corpus.take(8)
+    val expect = queries.map { case (qid, qe) =>
+      val tab = (0 until m).map { j =>
+        cbk(j).map { case (c, ce) =>
+          c -> BigDecimal(r6(dist2(qe.slice(j * sub, (j + 1) * sub), ce)))
+        }.toMap
+      }
+      val best = corpus.filter(_._1 != qid).map { case (bid, _) =>
+        val adc = (0 until m).map(j => tab(j)(encoded(bid)(j))).sum
+        (adc, bid)
+      }.minBy(identity)
+      (qid, best._2)
+    }
+    val qdf = queries.toDF("vec_id", "embedding")
+    // rerank = 1: the survivor IS the ADC top-1 — a signed read of a
+    // wrapped code would pick a different survivor here (full rerank
+    // would mask the decode bug behind the exact re-rank)
+    val got = SimilarityOps.probePqIndex(spark, t, qdf,
+      "vec_id", "embedding", dims = 8, rerank = 1)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect,
+      "API probe at rerank=1 must return the driver-replicated ADC " +
+        "top-1 — unsigned decode on the Scala surface")
+    qdf.createOrReplaceTempView("t_upq_queries")
+    val gotSql = spark.sql("SELECT id_a, ann_id FROM " +
+      s"GRAFT_ANN('$t', 't_upq_queries', 1, 1, 1) ORDER BY id_a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotSql === expect,
+      "GRAFT_ANN at rerank=1 must return the driver-replicated ADC " +
+        "top-1 — unsigned decode on the SQL surface")
+    Seq(t, s"${t}_codebooks", s"${t}_vecs")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
+  test("a MANAGED float companion snapshots as a PHYSICAL copy (bucket " +
+      "spec preserved): the snapshot survives the rebuild's DROP of " +
+      "the base companion instead of dangling at a deleted location") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(6)(rnd.nextDouble() * 4 - 2)))
+      .toDF("vec_id", "embedding")
+    val t = "t_mgd_snap"
+    BucketedStores.dropVersioned(spark, t)
+    Seq(s"${t}_centroids", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    // location = None → MANAGED companions (files die with DROP TABLE)
+    SimilarityOps.writeIvfSq8Index(vecs, "vec_id", "embedding",
+      dims = 6, k = 4, table = t)
+    BucketedStores.adoptVersioned(spark, t)
+    val snap = s"${t}__v1_vecs"
+    assert(spark.catalog.tableExists(snap), "adoption must snapshot _vecs")
+    // the hazard: a full rebuild DROPs the managed base companion,
+    // deleting its files — the generation snapshot must keep serving
+    spark.sql(s"DROP TABLE ${t}_vecs")
+    assert(spark.table(snap).count() === 60L,
+      "the generation's _vecs snapshot must survive the base " +
+        "companion's drop — a shallow catalog entry on a managed " +
+        "source dangles at deleted files")
+    // bucket spec carried: the refine fetch stays bucket-pruned
+    val bs = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(snap)).bucketSpec
+    assert(bs.exists(_.bucketColumnNames == Seq("vid")),
+      s"physical snapshot must keep the vid bucket spec, got $bs")
+    BucketedStores.dropVersioned(spark, t)
+    Seq(s"${t}_centroids", s"${t}__v1_centroids", snap)
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
 }

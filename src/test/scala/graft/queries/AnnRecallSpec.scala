@@ -305,6 +305,119 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"SQ8+rerank lost more than 0.02 recall vs flat ($sq8 < $flat)")
   }
 
+  test("IVF-PQ tier recall: probed-list ADC + bounded exact rerank " +
+      "tracks the float IVF probe on the same lists; full rerank " +
+      "matches it EXACTLY") {
+    val t = "recall_ivfpq_idx"
+    Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    val v = vectors.select(col("vec_id"), col("e"))
+    SimilarityOps.writeIvfPqIndex(v, "vec_id", "e", dims = 64,
+      m = 4, codes = 16, k = 16, table = t,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("recall_ivfpq").toString))
+    def recallOf(df: DataFrame): Double = {
+      val row = df.select(col("id_a"), col("ann_id"))
+        .join(exactTop1, "id_a")
+        .agg(count(lit(1)).as("covered"),
+          sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+            .as("matched"))
+        .head()
+      if (row.getLong(0) == 0) 0.0
+      else row.getLong(1).toDouble / row.getLong(0)
+    }
+    val narrow = recallOf(SimilarityOps.probeIvfPqIndex(spark, t, v,
+      "vec_id", "e", dims = 64, nprobe = 3, rerank = 10))
+    val wide = recallOf(SimilarityOps.probeIvfPqIndex(spark, t, v,
+      "vec_id", "e", dims = 64, nprobe = 3, rerank = 100))
+    val full = recallOf(SimilarityOps.probeIvfPqIndex(spark, t, v,
+      "vec_id", "e", dims = 64, nprobe = 3, rerank = 4096))
+    val flat = recallOf(SimilarityOps.ivfTop1(v, "vec_id", "e",
+      dims = 64, k = 16, nprobe = 3))
+    info(f"ivf-pq recall@1: rerank10=$narrow%.3f rerank100=$wide%.3f " +
+      f"full=$full%.3f floatIVF=$flat%.3f")
+    assert(full === flat,
+      "full rerank must equal the float IVF probe's recall — same " +
+        "candidate lists, the ADC pass only prunes")
+    assert(wide >= narrow - 1e-9,
+      f"recall must not degrade as rerank widens: $narrow%.3f -> " +
+        f"$wide%.3f")
+    Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("PQ recall-vs-rerank on CLUSTERED vectors — the realistic corpus " +
+      "shape (the fixture's uniform vectors are PQ's worst case): the " +
+      "curve is recorded to size `rerank` from, monotone, floor-gated") {
+    import spark.implicits._
+    // 16 Gaussian clusters × 64 points, interleaved so the first-32
+    // codebook training rows span every cluster (2 per cluster)
+    val rnd = new scala.util.Random(97)
+    val dims = 32
+    val centers = Seq.fill(16)(Seq.fill(dims)(rnd.nextGaussian() * 2))
+    val corpus = (0 until 1024).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      r6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val exact = corpus.map { case (qid, qe) =>
+      val best = corpus.iterator.filter(_._1 != qid)
+        .map { case (bid, be) => (cos(qe, be), bid) }
+        .maxBy { case (s, bid) => (s, -bid) }
+      qid -> best._2
+    }.toMap
+    val exactDf = exact.toSeq.toDF("id_a", "exact_id")
+    val v = corpus.toDF("vec_id", "e")
+    val t = "recall_pqclu_idx"
+    Seq(t, s"${t}_codebooks", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    SimilarityOps.writePqIndex(v, "vec_id", "e", dims = dims,
+      m = 4, codes = 32, table = t, location = Some(java.nio.file.Files
+        .createTempDirectory("recall_pqclu").toString))
+    def recallAt(rr: Int): Double = {
+      val row = SimilarityOps.probePqIndex(spark, t, v, "vec_id", "e",
+        dims = dims, rerank = rr)
+        .select(col("id_a"), col("ann_id"))
+        .join(exactDf, "id_a")
+        .agg(count(lit(1)).as("covered"),
+          sum(when(col("ann_id") === col("exact_id"), 1L).otherwise(0L))
+            .as("matched"))
+        .head()
+      if (row.getLong(0) == 0) 0.0
+      else row.getLong(1).toDouble / row.getLong(0)
+    }
+    val curve = Seq(5, 10, 25, 50).map(rr => rr -> recallAt(rr))
+    info("pq clustered recall@1 curve: " +
+      curve.map { case (rr, r) => f"rerank$rr=$r%.3f" }.mkString(" "))
+    curve.sliding(2).foreach {
+      case Seq((r1, a), (r2, b)) =>
+        assert(b >= a - 1e-9,
+          f"recall must be monotone in rerank: rerank$r1=$a%.3f -> " +
+            f"rerank$r2=$b%.3f")
+      case _ => ()
+    }
+    // measured curve on this corpus (16 clusters × 64 pts, dims 32,
+    // m=4, codes=32): 0.171@5, 0.297@10, 0.610@25, 0.910@50 — vs
+    // 0.17@10 on the uniform fixture (PQ's worst case). The sizing
+    // rule this records: rerank ≈ cluster size recovers ~0.9 recall@1
+    // because the true neighbor is in-cluster and ADC reliably ranks
+    // the cluster into the survivor set. Gates at measured − margin.
+    val at25 = curve.find(_._1 == 25).get._2
+    val at50 = curve.find(_._1 == 50).get._2
+    assert(at25 >= 0.5 && at50 >= 0.8,
+      "clustered-data recall floor broke: " + curve.mkString(", "))
+    Seq(t, s"${t}_codebooks", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("IVF adversarial constant-vector corpus: every vector lands in " +
       "ONE list; the cap bounds the join and coverage holds") {
     import spark.implicits._
