@@ -1350,6 +1350,47 @@ object SimilarityOps {
     }
   }
 
+  /** Index MAINTENANCE for the stored IVF-PQ ([[writeIvfPqIndex]]):
+    * assign a vector delta to its nearest STORED centroid and encode
+    * it against the STORED codebooks — both quantizers frozen at
+    * build time, the standard append contract — then append through
+    * the same cid bucket layout AND into the `_vecs` float companion
+    * (the exact-cosine refine must be able to fetch appended vectors,
+    * or they could win the ADC cut and then vanish at the rerank
+    * join). Old files stay immutable; work is delta-scale only. Build
+    * stamps ride table properties, so appends preserve lineage.
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, deltaVecs: DataFrame, idCol: String, vecCol: String,
+      dims: Int, buckets: Int = 8): Unit = {
+    requireQuantizerLineage(spark, table,
+      Seq("_centroids", "_codebooks", "_vecs"))
+    val cents = spark.table(table + "_centroids")
+      .orderBy(col("cid")).collect() // bounded: k rows by contract
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cents.nonEmpty, s"index $table has no centroids")
+    cents.foreach { case (cid, ce) =>
+      require(ce.length == dims,
+        s"stored centroid $cid has ${ce.length} dims, expected $dims")
+    }
+    val cbRows = spark.table(table + "_codebooks")
+      .orderBy(col("j"), col("c")).collect() // bounded: m×codes rows
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    require(cbRows.nonEmpty, s"$table has no _codebooks companion")
+    val sub = dims / cbRows.map(_._1).distinct.length
+    val v = ivfProject(deltaVecs, idCol, vecCol)
+    val (vc, centArr) = withCentroids(v, cents.toSeq)
+    val (vcc, cbArr) = withCodebooks(vc, cbRows.toSeq)
+    vcc.select(
+        nearestCid(centArr).as("cid"),
+        col("vid"), pqEncode(cbArr, sub).as("codes"))
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+      .mode("append").saveAsTable(table)
+    v.select(col("vid"), col("e"), col("nrm"))
+      .write.bucketBy(buckets, "vid").sortBy("vid")
+      .mode("append").saveAsTable(table + "_vecs")
+  }
+
   /** Probe a stored IVF-PQ index ([[writeIvfPqIndex]]): the query
     * ranks the k coarse centroids in-row ((cosine DESC, cid) at 6 dp
     * — every IVF tier's probe rule), ADC-scores ONLY its `nprobe`

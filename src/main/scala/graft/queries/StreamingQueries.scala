@@ -1272,6 +1272,25 @@ object StreamingQueries {
       FROM rk WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** Streamed QUANTIZED serving (st29) — tier parity for IVF-PQ:
+    * query vectors arrive as a stream and each micro-batch probes the
+    * stored code lists through the `GRAFT_ANN` 5-arg macro (probed-
+    * list ADC scan + bounded survivors + exact re-rank, expanded at
+    * parse time PER BATCH on the stream's cloned session). Probing
+    * never mutates the store, so batches are independent and replay
+    * re-appends identical rows. With rerank covering every probed
+    * candidate the union over batches equals the float IVF probe —
+    * sim4's oracle, the fourth independent serving construction
+    * (batch API → stored API → SQL → streamed SQL) over one
+    * semantics.
+    */
+  val st29IvfPqSqlServe = Q(
+    "st29_stream_ivfpq_sql_serve",
+    (s, d) => graft.streaming.VectorStreaming.ivfPqServeStream(s,
+      embeddings(s, d), dims = 64, m = 4, codes = 16, k = 16,
+      nprobe = 3, rerank = 4096, slices = 4),
+    sql = SimilarityQueries.sim4IvfAnn.sql)
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
     av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
     av7AsofSql, av8AsofSqlInner,
@@ -1283,5 +1302,5 @@ object StreamingQueries {
     st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
     st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance,
     st24BkQuantile, st25CmsFreq, st26KstatsMaintenance,
-    st27MorDeleteSqlServe, st28Bm25BatchServe)
+    st27MorDeleteSqlServe, st28Bm25BatchServe, st29IvfPqSqlServe)
 }

@@ -194,6 +194,58 @@ object VectorStreaming {
     spark.read.parquet(outDir).orderBy(col("id_a"))
   }
 
+  /** Streamed QUANTIZED serving (st29) — tier parity for the IVF-PQ
+    * store: query vectors arrive as a stream and probe the stored
+    * code lists per micro-batch THROUGH THE SQL SURFACE (the
+    * `GRAFT_ANN` 5-arg macro expands per batch: probed-list ADC scan,
+    * bounded `topk_pairs` survivors, exact-cosine re-rank off
+    * `_vecs`). Probing never mutates the store, so batches are
+    * independent and replay-idempotent (deterministic probe of an
+    * immutable index; the final distinct absorbs re-appends). With
+    * `rerank` covering every probed candidate the union over batches
+    * equals the float IVF probe — sim4's oracle, the fourth
+    * independent serving construction (batch API → stored API → SQL →
+    * streamed SQL) over one semantics.
+    */
+  def ivfPqServeStream(spark: SparkSession, vecs: DataFrame,
+      dims: Int, m: Int, codes: Int, k: Int = 16, nprobe: Int = 3,
+      rerank: Int = 4096, slices: Int = 4): DataFrame = {
+    val run = nameCounter.incrementAndGet()
+    val table = s"graft_st29_ivfpq_$run"
+    SimilarityOps.writeIvfPqIndex(vecs, "vec_id", "embedding", dims,
+      m, codes, k, table, location = Some(java.nio.file.Files
+        .createTempDirectory(s"graft_st29_loc_$run").toString))
+    val staged = DocumentsStreaming.stageIdSlices(vecs, slices, "vec_id")
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st29_out_$run").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st29_chk_$run").toString
+    val q = spark.readStream.schema(vecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // foreachBatch hands a Dataset bound to the stream's CLONED
+        // session — temp views are session-local, so register AND
+        // expand the macro on that same session
+        val sess = batch.sparkSession
+        val view = s"st29_batch_$run"
+        batch.createOrReplaceTempView(view)
+        sess.sql("SELECT id_a, ann_id, score FROM " +
+          s"GRAFT_ANN('$table', '$view', 1, $nprobe, $rerank)")
+          .write.mode("append").parquet(outDir)
+        sess.catalog.dropTempView(view): Unit
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    Seq(table, s"${table}_centroids", s"${table}_codebooks",
+      s"${table}_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.read.parquet(outDir).distinct().orderBy(col("id_a"))
+  }
+
   /** Drain every staged file into the index via per-batch appends,
     * then stop — resumable: with the same checkpoint dir a later call
     * picks up at the first unprocessed file (StreamingSpec drives a

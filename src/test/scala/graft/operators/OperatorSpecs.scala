@@ -1263,6 +1263,50 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
   }
 
+  test("IVF-PQ delta append against FROZEN quantizers equals the " +
+      "one-shot build: appended vectors land in the right lists, " +
+      "encode identically, and are fetchable by the refine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val corpus = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+    val vecs = corpus.toDF("vec_id", "embedding")
+    // base = low 3/4 ids: holds the k seed centroids AND the first-
+    // `codes` codebook rows, so the frozen quantizers equal the
+    // full-corpus one-shot's (st15's seed-equivalence discipline)
+    val base = vecs.filter(col("vec_id") < 60)
+    val delta = vecs.filter(col("vec_id") >= 60)
+    val inc = "t_pqapp_inc"
+    val one = "t_pqapp_one"
+    SimilarityOps.writeIvfPqIndex(base, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 4, table = inc,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_pqapp_i").toString))
+    SimilarityOps.appendToIvfPqIndex(spark, inc, delta,
+      "vec_id", "embedding", dims = 8)
+    spark.catalog.refreshTable(inc)
+    spark.catalog.refreshTable(inc + "_vecs")
+    SimilarityOps.writeIvfPqIndex(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 4, table = one,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_pqapp_o").toString))
+    def probeAll(t: String) =
+      SimilarityOps.probeIvfPqIndex(spark, t, vecs, "vec_id",
+        "embedding", dims = 8, nprobe = 2, rerank = 8)
+        .orderBy(col("id_a")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probeAll(inc) === probeAll(one),
+      "append-built and one-shot IVF-PQ indexes must answer " +
+        "identically — same quantizers, same codes, same lists")
+    // an appended (high-id) vector can WIN and survive the refine
+    val incRows = spark.table(inc).filter(col("vid") >= 60).count()
+    assert(incRows === 20L, s"delta rows must be in the lists: $incRows")
+    Seq(inc, one).foreach { t =>
+      Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+    }
+  }
+
   test("PQ code ids past 127 decode UNSIGNED on every serving surface: " +
       "a 200-codeword codebook stores negative bytes, and both the API " +
       "probe and GRAFT_ANN reproduce the driver-replicated ADC ranking") {
