@@ -493,6 +493,84 @@ class GraftCommandsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("IVF-PQ time travel at parity with the other tiers: a retained " +
+      "generation serves through ALL THREE of its snapshots " +
+      "(centroids + codebooks + _vecs), its answer is pinned through " +
+      "a full base rebuild, and each missing snapshot fails loudly " +
+      "by name") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val vecs = (0L until 8L).map(i =>
+      (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    SimilarityOps.writeIvfPqIndex(vecs, "vec_id", "embedding",
+      dims = 4, m = 2, codes = 4, k = 2, table = "cmd_pqtt_idx",
+      location = Some(tmp()))
+    vecs.createOrReplaceTempView("cmd_pqtt_q")
+    BucketedStores.adoptVersioned(spark, "cmd_pqtt_idx")
+    BucketedStores.applyDeltaAtomic(spark, "cmd_pqtt_idx",
+      Seq("cid"), Seq("cid"), 2, "vid",
+      removeIds = spark.range(0L, 1L).toDF("vid"),
+      additions = None, retain = 1)
+    // every live generation got ALL THREE snapshots at swap time
+    Seq("_centroids", "_codebooks", "_vecs").flatMap(s =>
+      Seq(s"cmd_pqtt_idx__v1$s", s"cmd_pqtt_idx__v2$s"))
+      .foreach(t => assert(spark.catalog.tableExists(t),
+        s"swap must snapshot all three companions per generation ($t)"))
+    // the codebook snapshots carry the PQ geometry props the SQL
+    // dispatch reads (snapshotCompanion copies graft.* properties)
+    assert(spark.sql("SHOW TBLPROPERTIES cmd_pqtt_idx__v1_codebooks")
+      .collect().exists(r => r.getString(0) == "graft.pq.sub"),
+      "codebook snapshots must carry the PQ geometry properties")
+    val asOfV1 = "SELECT id_a, ann_id FROM " +
+      "GRAFT_ANN('cmd_pqtt_idx__v1', 'cmd_pqtt_q', 1, 2, 8) " +
+      "ORDER BY id_a"
+    val before = spark.sql(asOfV1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(before.nonEmpty)
+    // FULL REBUILD of the base companions under a NEW build id while
+    // the retained generations survive
+    val b1 = BucketedStores.newBuildId()
+    spark.sql("DROP TABLE cmd_pqtt_idx_centroids")
+    Seq((0L, Seq(100.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 100.0, 0.0, 0.0)))
+      .toDF("cid", "ce").write.option("path", tmp())
+      .saveAsTable("cmd_pqtt_idx_centroids")
+    spark.sql("DROP TABLE cmd_pqtt_idx_codebooks")
+    Seq((0, 0, Seq(9.0, 9.0)), (1, 0, Seq(9.0, 9.0)))
+      .toDF("j", "c", "ce").write.option("path", tmp())
+      .saveAsTable("cmd_pqtt_idx_codebooks")
+    spark.sql("DROP TABLE cmd_pqtt_idx_vecs")
+    Seq((0L, Seq(1.0, 1.0, 1.0, 1.0), 2.0))
+      .toDF("vid", "e", "nrm").write.option("path", tmp())
+      .saveAsTable("cmd_pqtt_idx_vecs")
+    Seq("cmd_pqtt_idx_centroids", "cmd_pqtt_idx_codebooks",
+      "cmd_pqtt_idx_vecs")
+      .foreach(BucketedStores.stampBuild(spark, _, b1))
+    val after = spark.sql(asOfV1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after === before,
+      "a retained IVF-PQ generation's answer is pinned to its own " +
+        "snapshots — a base rebuild cannot change it")
+    // each missing snapshot fails loudly, naming the right companion
+    // (dispatch checks codebooks, then vecs, then coarse centroids)
+    spark.sql("DROP TABLE cmd_pqtt_idx__v1_centroids")
+    val eC = intercept[AnalysisException] { spark.sql(asOfV1) }
+    assert(eC.getMessage.contains("coarse-quantizer companion"),
+      eC.getMessage)
+    spark.sql("DROP TABLE cmd_pqtt_idx__v1_vecs")
+    val eV = intercept[AnalysisException] { spark.sql(asOfV1) }
+    assert(eV.getMessage.contains("snapshotted float companion"),
+      eV.getMessage)
+    spark.sql("DROP TABLE cmd_pqtt_idx__v1_codebooks")
+    val eK = intercept[AnalysisException] { spark.sql(asOfV1) }
+    assert(eK.getMessage.contains("snapshotted quantizer companion"),
+      eK.getMessage)
+    BucketedStores.dropVersioned(spark, "cmd_pqtt_idx")
+    Seq("cmd_pqtt_idx_centroids", "cmd_pqtt_idx_codebooks",
+      "cmd_pqtt_idx_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("quantizer build stamps make every stale-quantizer pairing " +
       "loud: a forced snapshot from a retrained base fails the probe " +
       "on the stamp mismatch, the serving name fails after a base " +
