@@ -73,6 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("int8_quantize"),
       (es: Seq[Expression]) =>
         org.apache.spark.sql.graft.Int8Quantize(es.head, es(1))))
+    // the PQ tiers' ADC scan kernel (GRAFT_ANN's PQ expansions)
+    e.injectFunction((FunctionIdentifier("pq_adc"),
+      info("pq_adc"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graft.PqAdcDistance(es.head, es(1))))
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash"),
       (es: Seq[Expression]) => RollingHashWindows(es.head,

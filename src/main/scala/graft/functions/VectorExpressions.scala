@@ -41,6 +41,15 @@ object VectorFunctions {
   def array_dot_q8(a: Column, b: Column): Column =
     B.column(ArrayDotQ8(B.expression(a), B.expression(b)))
 
+  /** Asymmetric-distance lookup sum over (codes: array<tinyint>,
+    * qtab: array<array<double>>) — the PQ tiers' codegen'd scan
+    * kernel; bit-equal to the DECIMAL(20,6) routed HOF sum it
+    * replaces (see [[org.apache.spark.sql.graft.PqAdcDistance]]).
+    */
+  def pq_adc(codes: Column, qtab: Column): Column =
+    B.column(org.apache.spark.sql.graft.PqAdcDistance(
+      B.expression(codes), B.expression(qtab)))
+
   /** sim8's int8 absmax quantization of an array<double> given its
     * scale denominator (codegen'd; amax evaluates once per row).
     */

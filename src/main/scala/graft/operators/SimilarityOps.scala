@@ -1182,11 +1182,13 @@ object SimilarityOps {
     * `_vecs` (gather-by-id at candidate scale for bounded batches)
     * for the exact-cosine re-rank. The corpus-scale scan is the
     * m-byte code rows; the bounded query batch broadcasts WITH its
-    * distance tables, so the code table never shuffles. ADC sums
-    * route through DECIMAL(20,6) (each entry is 6-dp-rounded), so
-    * the quantized ranking is bit-deterministic under any partition
-    * order. Query-side floats come from the query relation (external
-    * query tables work — the SQ8 lesson).
+    * distance tables, so the code table never shuffles. ADC sums run
+    * through the codegen'd [[org.apache.spark.sql.graft
+    * .PqAdcDistance]] kernel — exact long micro-unit accumulation of
+    * the 6-dp entries, bit-equal to a DECIMAL(20,6) sum and
+    * bit-deterministic under any partition order. Query-side floats
+    * come from the query relation (external query tables work — the
+    * SQ8 lesson).
     */
   def probePqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, queriesDf: DataFrame, idCol: String, vecCol: String,
@@ -1215,16 +1217,14 @@ object SimilarityOps {
       .limit((math.max(GatherMaxQueries,
         GatherMaxIds / math.max(rerank, 1)) + 1).toInt).count())
       .getOrElse(Long.MaxValue)
-    // UNSIGNED code decode: ids 128-255 store as negative bytes
-    // (pqEncode casts the 0-based rank to byte), and a signed read
-    // would index the distance table from the END — silently wrong
-    // distances for any codebook past 128 codewords
-    val adc = aggregate(
-      zip_with(col("codes"), col("qtab"), (cj, tj) =>
-        element_at(tj, pmod(cj.cast("int"), lit(256)) + 1)
-          .cast("decimal(20,6)")),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(20,6)"),
-      (acc, x) => (acc + x).cast("decimal(20,6)")).cast("double")
+    // the scan kernel: codegen'd ADC lookup sum ([[org.apache.spark
+    // .sql.graft.PqAdcDistance]]) — unsigned code decode built in,
+    // bit-equal to the DECIMAL-routed HOF sum it replaced (6-dp
+    // entries recover exactly in long micro-units), and ~free of the
+    // per-subspace closure dispatch + BigDecimal ops on the hottest
+    // loop of the tier
+    val adc = graft.functions.VectorFunctions
+      .pq_adc(col("codes"), col("qtab"))
     val scored = spark.table(table)
       .select(col("vid").as("id_b"), col("codes"))
       .crossJoin(broadcast(q))
@@ -1450,13 +1450,11 @@ object SimilarityOps {
         GatherMaxIds / math.max(rerank, 1)))
     val index = prunedLists(spark, table, probed, cents.length)
       .select(col("cid"), col("vid").as("id_b"), col("codes"))
-    // UNSIGNED code decode (ids 128-255 store as negative bytes)
-    val adc = aggregate(
-      zip_with(col("codes"), col("qtab"), (cj, tj) =>
-        element_at(tj, pmod(cj.cast("int"), lit(256)) + 1)
-          .cast("decimal(20,6)")),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(20,6)"),
-      (acc, x) => (acc + x).cast("decimal(20,6)")).cast("double")
+    // codegen'd ADC lookup sum — unsigned decode built in, bit-equal
+    // to the DECIMAL formulation (see [[org.apache.spark.sql.graft
+    // .PqAdcDistance]])
+    val adc = graft.functions.VectorFunctions
+      .pq_adc(col("codes"), col("qtab"))
     val scored = q.join(index, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), adc.as("adcd"))

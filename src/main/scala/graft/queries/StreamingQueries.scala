@@ -1291,6 +1291,23 @@ object StreamingQueries {
       nprobe = 3, rerank = 4096, slices = 4),
     sql = SimilarityQueries.sim4IvfAnn.sql)
 
+  /** Streamed QUANTIZED index ingestion (st30) — st15's online-ANN
+    * indexing half on the IVF-PQ tier: vectors stream into the stored
+    * code lists against BOTH frozen quantizers (coarse assignment +
+    * PQ encoding per micro-batch, `_vecs` kept in step for the
+    * refine). Low-id base ⇒ the frozen quantizers equal the one-shot
+    * build's, so the drained index probes to the float IVF answer —
+    * sim4's oracle verbatim, the fourth independent construction of
+    * that answer (one-shot float, stored float, streamed float,
+    * streamed IVF-PQ).
+    */
+  val st30IvfPqIngest = Q(
+    "st30_stream_ivfpq_ingest",
+    (s, d) => graft.streaming.VectorStreaming.ivfPqIngestStream(s,
+      embeddings(s, d), dims = 64, m = 4, codes = 16, k = 16,
+      nprobe = 3, rerank = 4096, slices = 4),
+    sql = SimilarityQueries.sim4IvfAnn.sql)
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
     av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
     av7AsofSql, av8AsofSqlInner,
@@ -1302,5 +1319,6 @@ object StreamingQueries {
     st17CorpusIntake, st18SessionWindow, st19Bm25Serve, st20AsofEnrich,
     st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance,
     st24BkQuantile, st25CmsFreq, st26KstatsMaintenance,
-    st27MorDeleteSqlServe, st28Bm25BatchServe, st29IvfPqSqlServe)
+    st27MorDeleteSqlServe, st28Bm25BatchServe, st29IvfPqSqlServe,
+    st30IvfPqIngest)
 }

@@ -194,6 +194,68 @@ object VectorStreaming {
     spark.read.parquet(outDir).orderBy(col("id_a"))
   }
 
+  /** Streamed QUANTIZED index ingestion (st30) — st15's online-ANN
+    * indexing half on the IVF-PQ tier: vectors arrive as a stream and
+    * fold into the stored code lists micro-batch by micro-batch
+    * against BOTH frozen quantizers ([[graft.operators.SimilarityOps
+    * .appendToIvfPqIndex]]: coarse assignment by the stored
+    * centroids, encoding by the stored codebooks, plus the `_vecs`
+    * append the refine needs). Neither quantizer is ever retrained
+    * mid-stream. Seed equivalence: the base is the LOW id range, so
+    * the first-k centroids AND the first-`codes` codebook rows of the
+    * base equal the full corpus's — after the stream drains, the
+    * incrementally-built index holds exactly what a one-shot
+    * [[graft.operators.SimilarityOps.writeIvfPqIndex]] over
+    * everything builds, and the full-rerank probe equals the float
+    * IVF answer (sim4's oracle).
+    */
+  def ivfPqIngestStream(spark: SparkSession, vecs: DataFrame,
+      dims: Int, m: Int, codes: Int, k: Int = 16, nprobe: Int = 3,
+      rerank: Int = 4096, slices: Int = 4, buckets: Int = 8): DataFrame = {
+    val run = nameCounter.incrementAndGet()
+    val table = s"graft_st30_ivfpq_$run"
+    val Row(idMin: Long, idMax: Long) =
+      vecs.select(min(col("vec_id")), max(col("vec_id"))).head()
+    val cut = idMin + (idMax - idMin + 1) * 3 / 4
+    val base = vecs.filter(col("vec_id") < cut)
+    val delta = vecs.filter(col("vec_id") >= cut)
+    val seedRows = math.max(k, codes)
+    require(base.limit(seedRows).count() == seedRows,
+      s"base id range [$idMin,$cut) has < $seedRows vectors — the " +
+        "frozen quantizers would differ from the one-shot build's")
+    SimilarityOps.writeIvfPqIndex(base, "vec_id", "embedding", dims,
+      m, codes, k, table, buckets, location = Some(java.nio.file.Files
+        .createTempDirectory(s"graft_st30_loc_$run").toString))
+    val staged = DocumentsStreaming.stageIdSlices(delta, slices, "vec_id")
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st30_chk_$run").toString
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        SimilarityOps.appendToIvfPqIndex(spark, table, batch,
+          "vec_id", "embedding", dims, buckets)
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // appends ran in the stream's cloned session; refresh BOTH
+    // appended tables' listings before the full-corpus probe
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshTable(table + "_vecs")
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st30_out_$run").toString
+    SimilarityOps.probeIvfPqIndex(spark, table, vecs,
+      "vec_id", "embedding", dims, nprobe, rerank)
+      .write.mode("overwrite").parquet(outDir)
+    Seq(table, s"${table}_centroids", s"${table}_codebooks",
+      s"${table}_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.read.parquet(outDir).orderBy(col("id_a"))
+  }
+
   /** Streamed QUANTIZED serving (st29) — tier parity for the IVF-PQ
     * store: query vectors arrive as a stream and probe the stored
     * code lists per micro-batch THROUGH THE SQL SURFACE (the

@@ -394,11 +394,12 @@ object GraftAnnRewrite {
     * to ONE sorted nested array (code id == position); each query
     * computes its m×codes distance table IN-ROW; the flat code scan
     * joins the broadcast query side and pays m table lookups per
-    * pair (DECIMAL-routed sum — 6-dp entries, so the ranking is
-    * bit-deterministic under any partition order); survivors come
-    * from the bounded `topk_pairs` aggregate; the exact-cosine
-    * re-rank reads query floats from the QUERY side and corpus
-    * floats from the `_vecs` companion.
+    * pair through the codegen'd `pq_adc` kernel (exact micro-unit
+    * sum of the 6-dp entries — bit-equal to a DECIMAL(20,6) sum,
+    * bit-deterministic under any partition order, unsigned code
+    * decode built in); survivors come from the bounded `topk_pairs`
+    * aggregate; the exact-cosine re-rank reads query floats from the
+    * QUERY side and corpus floats from the `_vecs` companion.
     */
   private def pqExpansion(store: String, codebooks: String,
       vecs: String, queries: String, k: Int, sub: Int,
@@ -427,12 +428,7 @@ object GraftAnnRewrite {
          |        FROM graft_pq_q)),
          |graft_pq_sc AS (
          |  SELECT q.id_a, p.vid AS ann_id,
-         |         CAST(aggregate(zip_with(p.codes, q.qtab,
-         |           (gcj, gtj) -> CAST(element_at(gtj,
-         |             pmod(CAST(gcj AS INT), 256) + 1) AS DECIMAL(20,6))),
-         |           CAST(0 AS DECIMAL(20,6)),
-         |           (gacc, gx) -> CAST(gacc + gx AS DECIMAL(20,6)))
-         |           AS DOUBLE) AS adcd
+         |         pq_adc(p.codes, q.qtab) AS adcd
          |  FROM $store p JOIN graft_pq_qt q ON p.vid <> q.id_a),
          |graft_pq_sv AS (
          |  SELECT id_a, gp.id AS ann_id FROM (
@@ -513,12 +509,7 @@ object GraftAnnRewrite {
          |      'cid', c.cid))), 1, $nprobe), s -> s.cid)) gp AS pcid),
          |graft_pq_sc AS (
          |  SELECT q.id_a, p.vid AS ann_id,
-         |         CAST(aggregate(zip_with(p.codes, q.qtab,
-         |           (gcj, gtj) -> CAST(element_at(gtj,
-         |             pmod(CAST(gcj AS INT), 256) + 1) AS DECIMAL(20,6))),
-         |           CAST(0 AS DECIMAL(20,6)),
-         |           (gacc, gx) -> CAST(gacc + gx AS DECIMAL(20,6)))
-         |           AS DOUBLE) AS adcd
+         |         pq_adc(p.codes, q.qtab) AS adcd
          |  FROM $store p JOIN graft_pq_probe q
          |    ON p.cid = q.cid AND p.vid <> q.id_a),
          |graft_pq_sv AS (

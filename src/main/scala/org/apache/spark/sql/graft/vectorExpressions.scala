@@ -115,6 +115,93 @@ case class ArrayDotQ8(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Codegen'd ASYMMETRIC-DISTANCE lookup sum — the scan kernel of the
+  * PQ tiers ([[graft.operators.SimilarityOps.probePqIndex]] /
+  * [[graft.operators.SimilarityOps.probeIvfPqIndex]] and the
+  * GRAFT_ANN expansions): per candidate, sum the m per-subspace
+  * distance-table entries its code bytes select. The HOF spelling
+  * (`aggregate(zip_with(...))` with per-entry DECIMAL(20,6) casts)
+  * pays closure dispatch plus five BigDecimal operations per
+  * SUBSPACE on the hottest loop of the tier — this kernel is a tight
+  * primitive loop inside whole-stage codegen.
+  *
+  * Bit-equivalence to the DECIMAL formulation it replaces (so stored
+  * rankings and oracles are unchanged): every table entry is
+  * 6-dp-rounded by construction, so `rint(entry·1e6)` recovers its
+  * exact decimal integer (entries are ≪ 2^52/1e6); the long sum of
+  * those integers is the exact decimal sum; the final `/ 1e6` is an
+  * exactly-rounded IEEE divide of an exactly-representable long —
+  * the same nearest-double the DECIMAL(20,6)→double cast produced.
+  * Order-independent (long adds commute), so the ranking stays
+  * bit-deterministic under any partition order.
+  *
+  * Code bytes decode UNSIGNED (`& 0xFF` — ids 128-255 store as
+  * negative bytes). A length mismatch or an out-of-range code id
+  * yields NULL (corrupt data stays visible — [[ArrayDotQ8]]'s
+  * discipline; note NULL-scored candidates are then dropped at the
+  * `topk_pairs` cut, see its scaladoc).
+  */
+case class PqAdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.ByteType),
+      ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val qtab = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m != qtab.numElements()) return null
+    var acc = 0L
+    var j = 0
+    while (j < m) {
+      val c = codes.getByte(j) & 0xFF
+      val tj = qtab.getArray(j)
+      if (c >= tj.numElements()) return null
+      acc += java.lang.Math.rint(tj.getDouble(c) * 1e6).toLong
+      j += 1
+    }
+    acc / 1e6
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val tj = ctx.freshName("tj")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $m = $a.numElements();
+         |if ($m != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  long $acc = 0L;
+         |  boolean $bad = false;
+         |  for (int $j = 0; $j < $m && !$bad; $j++) {
+         |    int $c = ((int) $a.getByte($j)) & 0xFF;
+         |    org.apache.spark.sql.catalyst.util.ArrayData $tj =
+         |      $b.getArray($j);
+         |    if ($c >= $tj.numElements()) { $bad = true; }
+         |    else {
+         |      $acc += (long) java.lang.Math.rint(
+         |        $tj.getDouble($c) * 1.0E6D);
+         |    }
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $acc / 1.0E6D; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** Codegen'd int8 absmax quantization of an array<double> given its
   * precomputed scale denominator: q_i = sign(x_i) · min(127,
   * ⌊|x_i|·127/amax + ½⌋) as a 1-byte value — EXACTLY the sim8/sim13

@@ -54,7 +54,7 @@ class CodegenHealthSpec extends AnyFunSuite {
   private val covered = Set(
     "ArrayDotProduct", "ArrayDotQ8", "ArrayNorm", "Int8Quantize",
     "Int8QuantStats", "GeohashEncode", "KmvEstimate", "BkSampleQuantile",
-    "QuantileBucket")
+    "QuantileBucket", "PqAdcDistance")
 
   test("every doGenCode implementor is covered by the dual-eval gate") {
     val found = scanDoGenCodeImplementors()
@@ -121,6 +121,29 @@ class CodegenHealthSpec extends AnyFunSuite {
                                CAST(array(1, 2) AS ARRAY<TINYINT>)) AS d
         """).head()
       assert(mm.isNullAt(0), "array_dot_q8 must be null on a dim mismatch")
+
+      // pq_adc: two occurrences (distinct args — no CSE), unsigned
+      // decode of a wrapped code byte (-128 → id 128), and the two
+      // NULL contracts (length mismatch, out-of-range code id)
+      val adc = spark.sql(
+        """SELECT
+             pq_adc(CAST(array(1, 0) AS ARRAY<TINYINT>),
+                    array(array(0.5d, 1.25d), array(2.0d, 3.5d))) AS a1,
+             pq_adc(CAST(array(0, 1) AS ARRAY<TINYINT>),
+                    array(array(0.5d, 1.25d), array(2.0d, 3.5d))) AS a2,
+             pq_adc(CAST(array(-128) AS ARRAY<TINYINT>),
+                    array(transform(sequence(0, 128),
+                      gx -> CAST(gx AS DOUBLE)))) AS a3,
+             pq_adc(CAST(array(0) AS ARRAY<TINYINT>),
+                    array(array(1.0d), array(2.0d))) AS a4,
+             pq_adc(CAST(array(3) AS ARRAY<TINYINT>),
+                    array(array(1.0d, 2.0d))) AS a5""").head()
+      assert(adc.getDouble(0) === 3.25, "codes [1,0]: 1.25 + 2.0")
+      assert(adc.getDouble(1) === 4.0, "codes [0,1]: 0.5 + 3.5")
+      assert(adc.getDouble(2) === 128.0,
+        "byte -128 must decode UNSIGNED to table entry 128")
+      assert(adc.isNullAt(3), "pq_adc must be null on a length mismatch")
+      assert(adc.isNullAt(4), "pq_adc must be null on an out-of-range code")
 
       // aggregate-output kernels: kmv_estimate twice over two sketches
       val kmv = spark.sql(
