@@ -13,13 +13,24 @@
   * expands AT PARSE TIME into the stock-grammar derived table that
   * probes the stored index. The 4-arg form serves float IVF stores
   * ([[graft.operators.SimilarityOps.writeIvfIndex]]); the 5-arg form
-  * serves QUANTIZED stores ([[graft.operators.SimilarityOps
-  * .writeIvfSq8Index]] — detected by the lists' (q, amax) schema,
-  * loud errors on a missing/extra rerank): int8 scan kernel
-  * (`array_dot_q8`), in-row query quantization (`int8_quantize`),
-  * exact-float re-rank off the `_vecs` companion, identical to
-  * [[graft.operators.SimilarityOps.probeIvfSq8Index]]. The float form
-  * is semantically identical to
+  * serves QUANTIZED stores, dispatched on the lists' schema with
+  * loud errors on a missing/extra rerank:
+  *
+  *  - (q, amax) rows → IVF-SQ8 ([[graft.operators.SimilarityOps
+  *    .writeIvfSq8Index]]): int8 scan kernel (`array_dot_q8`), in-row
+  *    query quantization (`int8_quantize`), exact-float re-rank off
+  *    the `_vecs` companion — identical to [[graft.operators
+  *    .SimilarityOps.probeIvfSq8Index]];
+  *  - (codes) rows WITHOUT cid → flat PQ ([[graft.operators
+  *    .SimilarityOps.writePqIndex]]): whole-corpus asymmetric-
+  *    distance scan through the codegen'd `pq_adc` kernel (nprobe
+  *    pinned to 1 — no coarse lists);
+  *  - (cid, codes) rows → IVF-PQ ([[graft.operators.SimilarityOps
+  *    .writeIvfPqIndex]]): nprobe probed code lists + `pq_adc` +
+  *    exact re-rank — identical to [[graft.operators.SimilarityOps
+  *    .probeIvfPqIndex]], the scale-safe PQ layout.
+  *
+  * The float form is semantically identical to
   * [[graft.operators.SimilarityOps.probeIvfIndex]] (same rounded-
   * cosine probe selection `(cos DESC, cid)`, same candidate scoring,
   * same `(score DESC, id)` tie-break), generalized to top-k. Output
