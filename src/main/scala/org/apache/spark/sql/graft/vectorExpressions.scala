@@ -160,6 +160,9 @@ case class PqAdcDistance(left: Expression, right: Expression)
     var j = 0
     while (j < m) {
       val c = codes.getByte(j) & 0xFF
+      // a NULL table (or a code past its end) is corrupt input: a
+      // visible NULL, never an NPE — this is a registered SQL fn
+      if (qtab.isNullAt(j)) return null
       val tj = qtab.getArray(j)
       if (c >= tj.numElements()) return null
       acc += java.lang.Math.rint(tj.getDouble(c) * 1e6).toLong
@@ -184,12 +187,15 @@ case class PqAdcDistance(left: Expression, right: Expression)
          |  boolean $bad = false;
          |  for (int $j = 0; $j < $m && !$bad; $j++) {
          |    int $c = ((int) $a.getByte($j)) & 0xFF;
-         |    org.apache.spark.sql.catalyst.util.ArrayData $tj =
-         |      $b.getArray($j);
-         |    if ($c >= $tj.numElements()) { $bad = true; }
+         |    if ($b.isNullAt($j)) { $bad = true; }
          |    else {
-         |      $acc += (long) java.lang.Math.rint(
-         |        $tj.getDouble($c) * 1.0E6D);
+         |      org.apache.spark.sql.catalyst.util.ArrayData $tj =
+         |        $b.getArray($j);
+         |      if ($c >= $tj.numElements()) { $bad = true; }
+         |      else {
+         |        $acc += (long) java.lang.Math.rint(
+         |          $tj.getDouble($c) * 1.0E6D);
+         |      }
          |    }
          |  }
          |  if ($bad) { ${ev.isNull} = true; }

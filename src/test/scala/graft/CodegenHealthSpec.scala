@@ -137,13 +137,17 @@ class CodegenHealthSpec extends AnyFunSuite {
              pq_adc(CAST(array(0) AS ARRAY<TINYINT>),
                     array(array(1.0d), array(2.0d))) AS a4,
              pq_adc(CAST(array(3) AS ARRAY<TINYINT>),
-                    array(array(1.0d, 2.0d))) AS a5""").head()
+                    array(array(1.0d, 2.0d))) AS a5,
+             pq_adc(CAST(array(0) AS ARRAY<TINYINT>),
+                    array(CAST(NULL AS ARRAY<DOUBLE>))) AS a6""").head()
       assert(adc.getDouble(0) === 3.25, "codes [1,0]: 1.25 + 2.0")
       assert(adc.getDouble(1) === 4.0, "codes [0,1]: 0.5 + 3.5")
       assert(adc.getDouble(2) === 128.0,
         "byte -128 must decode UNSIGNED to table entry 128")
       assert(adc.isNullAt(3), "pq_adc must be null on a length mismatch")
       assert(adc.isNullAt(4), "pq_adc must be null on an out-of-range code")
+      assert(adc.isNullAt(5),
+        "pq_adc must be null (not NPE) on a NULL distance table")
 
       // aggregate-output kernels: kmv_estimate twice over two sketches
       val kmv = spark.sql(
