@@ -991,9 +991,31 @@ object SimilarityOps {
     * sees them. Old files stay immutable; work is delta-scale only —
     * the corpus lists are never read, let alone rewritten.
     */
+  /** The plain-store contract shared by the delta-append helpers: a
+    * VERSIONED/MoR serving name resolves to a VIEW, and appending to
+    * a view either fails opaquely or, worse, lands rows without the
+    * `_seq` stamp the tombstone rule needs — refuse loudly with the
+    * right verb instead.
+    */
+  private def requirePlainStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, helper: String): Unit = {
+    val isView = scala.util.Try(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst
+        .TableIdentifier(table)).tableType ==
+      org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+      .getOrElse(false)
+    require(!isView,
+      s"$table is a versioned serving VIEW — $helper appends to plain " +
+        "stores only. For a merge-on-read store, stamp the delta with " +
+        "its batch _seq and use BucketedStores.morAppend (deletes go " +
+        "through morDelete); for a copy-on-write versioned store, use " +
+        "BucketedStores.applyDeltaAtomic.")
+  }
+
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, deltaVecs: DataFrame, idCol: String, vecCol: String,
       dims: Int, buckets: Int = 8): Unit = {
+    requirePlainStore(spark, table, "appendToIvfIndex")
     requireQuantizerLineage(spark, table)
     val cents = spark.table(table + "_centroids")
       .orderBy(col("cid")).collect() // bounded: k rows by contract
@@ -1363,6 +1385,7 @@ object SimilarityOps {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, deltaVecs: DataFrame, idCol: String, vecCol: String,
       dims: Int, buckets: Int = 8): Unit = {
+    requirePlainStore(spark, table, "appendToIvfPqIndex")
     requireQuantizerLineage(spark, table,
       Seq("_centroids", "_codebooks", "_vecs"))
     val cents = spark.table(table + "_centroids")

@@ -1305,6 +1305,24 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
         .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
     }
+    // the plain-store contract: a MoR serving VIEW refuses the plain
+    // append loudly, pointing at the seq-stamped verbs
+    val mor = "t_pqapp_mor"
+    graft.operators.BucketedStores.dropVersioned(spark, mor)
+    Seq(s"${mor}_centroids", s"${mor}_codebooks", s"${mor}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    SimilarityOps.writeIvfPqIndex(base, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 4, table = mor,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_pqapp_m").toString), mor = true)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.appendToIvfPqIndex(spark, mor, delta,
+        "vec_id", "embedding", dims = 8)
+    }
+    assert(e.getMessage.contains("morAppend"), e.getMessage)
+    graft.operators.BucketedStores.dropVersioned(spark, mor)
+    Seq(s"${mor}_centroids", s"${mor}_codebooks", s"${mor}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
   test("PQ code ids past 127 decode UNSIGNED on every serving surface: " +
