@@ -593,10 +593,13 @@ object SimilarityOps {
         scala.util.Try(
           BucketedStores.currentGeneration(spark, table)).getOrElse(table)
       else table
+    // one catalog lookup for the lists stamp, not one per companion
+    // (each is a metadata round-trip on the hot serving path)
+    val listsStamp = BucketedStores.buildStamp(spark, lists)
     companions.foreach { sfx =>
       val comp = table + sfx
       for {
-        ls <- BucketedStores.buildStamp(spark, lists)
+        ls <- listsStamp
         cs <- BucketedStores.buildStamp(spark, comp)
       } require(ls == cs,
         s"quantizer build mismatch for $table: lists ($lists) were " +
@@ -672,15 +675,65 @@ object SimilarityOps {
       maxQueries: Long): (Long, Option[Seq[Long]]) = {
     val lim = math.min(maxQueries * math.max(nprobe, 1) + 1,
       Int.MaxValue.toLong).toInt
-    val rows = scala.util.Try(
-      q.select(col("id_a"), col("cid")).limit(lim).collect())
+    // ONE aggregate row, not a row collect: the driver receives
+    // (row count, distinct query count, probed cid set) — O(k + 1)
+    // driver bytes regardless of lim (a row collect here would
+    // materialize maxQueries×nprobe GenericRows per serving call),
+    // and no type assumption on the id column (countDistinct takes
+    // any type; only cids — engine-made longs — reach the driver)
+    val row = scala.util.Try(
+      q.limit(lim).agg(
+        count(lit(1)).as("n"),
+        count_distinct(col("id_a")).as("nq"),
+        collect_set(col("cid")).as("cids")).head())
       .getOrElse(null)
-    if (rows == null || rows.length >= lim) (Long.MaxValue, None)
-    else {
-      val nq = rows.iterator.map(_.getLong(0)).toSet.size.toLong
-      val cids = rows.iterator.map(_.getLong(1)).toSet.toSeq.sorted
-      (nq, Some(cids))
-    }
+    if (row == null || row.getLong(0) >= lim) (Long.MaxValue, None)
+    else (row.getLong(1), Some(row.getSeq[Long](2).sorted))
+  }
+
+  /** The shared REFINE TAIL of every quantized stored probe
+    * (SQ8 / flat PQ / IVF-PQ): the quantized survivors fetch floats
+    * from the `_vecs` companion and the exact cosine picks the
+    * winner per query ((score DESC, id ASC) as a max-struct hash
+    * agg). For a bounded serving batch (nQueries × rerank ≤ the
+    * gather cap) the survivor PAIRS are collected once — a bounded,
+    * serving-batch-scale collect, NOT corpus-proportional — so the
+    * quantized scan runs exactly ONCE (the refine restarts from a
+    * local relation) and the survivor ids push into the `_vecs` read
+    * as an In filter: vid-bucket pruning plus parquet row-group
+    * pruning make the fetch candidate-scale (the faiss gather-by-id
+    * refine). The local relation is rebuilt UNDER THE SURVIVORS'
+    * OWN SCHEMA (no driver-side type assumption on the id columns),
+    * so stores with non-BIGINT ids refine identically in both
+    * regimes. Above the cap (corpus-as-queries) the fully lazy join
+    * pipeline remains — there the scan is shared work across a
+    * corpus of queries and the companion join is not the bottleneck.
+    */
+  private def gatherExactTop1(spark: org.apache.spark.sql.SparkSession,
+      table: String, survivors: DataFrame, va: DataFrame,
+      nQueries: Long, rerank: Int): DataFrame = {
+    val vecs = spark.table(table + "_vecs")
+    val gather = nQueries <= GatherMaxIds / math.max(rerank, 1)
+    val (survDf, vb) =
+      if (gather) {
+        val rows = survivors.collect()
+        val svDf = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), survivors.schema)
+        val ids = rows.map(_.get(1)).distinct.toSeq
+        (svDf, vecs.filter(col("vid").isInCollection(ids)))
+      } else (survivors, vecs)
+    survDf.join(va, Seq("id_a"))
+      .join(vb.select(col("vid").as("id_b"), col("e").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"),
+        struct(
+          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("score"),
+          (-col("id_b")).as("neg_id")).as("cand"))
+      .groupBy(col("id_a"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
+        col("best.score").as("score"))
   }
 
   /** The probed-lists scan: the In-filter when [[probeRegime]] proved
@@ -939,48 +992,11 @@ object SimilarityOps {
     // assumed queries ⊆ corpus: an external query table would inner-
     // join to nothing (empty result) or, on an id collision, rerank
     // against the wrong corpus vector. Only the CANDIDATE side (id_b
-    // is a corpus vid by construction) touches the companion.
-    val vecs = spark.table(table + "_vecs")
+    // is a corpus vid by construction) touches the companion, via the
+    // shared gather-by-id refine ([[gatherExactTop1]]).
     val va = qproj.select(col("vid").as("id_a"), col("e").as("ea"),
       col("nrm").as("na"))
-    // Candidate-scale refine fetch IN BYTES, not just rows: a plain
-    // join streams the FULL `_vecs` table under a broadcast of the
-    // tiny survivor side — at corpus scale that reads 4× the bytes
-    // the quantized lists saved (the float companion is the corpus).
-    // For a bounded serving batch (nQueries × rerank ≤ the gather
-    // cap) the survivor PAIRS are collected once — a bounded,
-    // serving-batch-scale collect, NOT row-proportional in the
-    // corpus — so the quantized scan + rerank window run exactly ONCE
-    // (the refine plan restarts from a local relation), and the ids
-    // push into the `_vecs` read as an In filter: vid-bucket pruning
-    // plus parquet row-group/page pruning make the fetch
-    // candidate-scale (the faiss gather-by-id refine). Above the cap
-    // (corpus-as-queries, e.g. the sim13 self-probe) both the id set
-    // and the survivor set are corpus-proportional, so the fully lazy
-    // join pipeline remains — there the scan is shared work across a
-    // corpus of queries and the companion join is not the bottleneck.
-    val gather =
-      nQueries <= SimilarityOps.GatherMaxIds / math.max(rerank, 1)
-    val (survDf, vb) =
-      if (gather) {
-        val sv = survivors.collect().map(r => (r.getLong(0), r.getLong(1)))
-        import spark.implicits._
-        val svDf = sv.toSeq.toDF("id_a", "id_b")
-        val ids = sv.map(_._2).distinct.toSeq
-        (svDf, vecs.filter(col("vid").isInCollection(ids)))
-      } else (survivors, vecs)
-    survDf.join(va, Seq("id_a"))
-      .join(vb.select(col("vid").as("id_b"), col("e").as("eb"),
-        col("nrm").as("nb")), Seq("id_b"))
-      .select(col("id_a"),
-        struct(
-          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-            .as("score"),
-          (-col("id_b")).as("neg_id")).as("cand"))
-      .groupBy(col("id_a"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
-        col("best.score").as("score"))
+    gatherExactTop1(spark, table, survivors, va, nQueries, rerank)
   }
 
   /** Index MAINTENANCE for the stored IVF ([[writeIvfIndex]]): assign
@@ -1260,31 +1276,9 @@ object SimilarityOps {
         .topk_pairs(-col("adcd"), col("id_b"), rerank).as("tk"))
       .select(col("id_a"), explode(col("tk")).as("p"))
       .select(col("id_a"), col("p.id").as("id_b"))
-    val vecs = spark.table(table + "_vecs")
     val va = qproj.select(col("vid").as("id_a"), col("e").as("ea"),
       col("nrm").as("na"))
-    val gather =
-      nQueries <= GatherMaxIds / math.max(rerank, 1)
-    val (survDf, vb) =
-      if (gather) {
-        val sv = survivors.collect().map(r => (r.getLong(0), r.getLong(1)))
-        import spark.implicits._
-        val svDf = sv.toSeq.toDF("id_a", "id_b")
-        val ids = sv.map(_._2).distinct.toSeq
-        (svDf, vecs.filter(col("vid").isInCollection(ids)))
-      } else (survivors, vecs)
-    survDf.join(va, Seq("id_a"))
-      .join(vb.select(col("vid").as("id_b"), col("e").as("eb"),
-        col("nrm").as("nb")), Seq("id_b"))
-      .select(col("id_a"),
-        struct(
-          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-            .as("score"),
-          (-col("id_b")).as("neg_id")).as("cand"))
-      .groupBy(col("id_a"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
-        col("best.score").as("score"))
+    gatherExactTop1(spark, table, survivors, va, nQueries, rerank)
   }
 
   // ---- IVF-PQ: coarse lists OVER the PQ codes ----------------------
@@ -1488,29 +1482,8 @@ object SimilarityOps {
         .topk_pairs(-col("adcd"), col("id_b"), rerank).as("tk"))
       .select(col("id_a"), explode(col("tk")).as("p"))
       .select(col("id_a"), col("p.id").as("id_b"))
-    val vecs = spark.table(table + "_vecs")
     val va = qproj.select(col("vid").as("id_a"), col("e").as("ea"),
       col("nrm").as("na"))
-    val gather = nQueries <= GatherMaxIds / math.max(rerank, 1)
-    val (survDf, vb) =
-      if (gather) {
-        val sv = survivors.collect().map(r => (r.getLong(0), r.getLong(1)))
-        import spark.implicits._
-        val svDf = sv.toSeq.toDF("id_a", "id_b")
-        val ids = sv.map(_._2).distinct.toSeq
-        (svDf, vecs.filter(col("vid").isInCollection(ids)))
-      } else (survivors, vecs)
-    survDf.join(va, Seq("id_a"))
-      .join(vb.select(col("vid").as("id_b"), col("e").as("eb"),
-        col("nrm").as("nb")), Seq("id_b"))
-      .select(col("id_a"),
-        struct(
-          round(array_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-            .as("score"),
-          (-col("id_b")).as("neg_id")).as("cand"))
-      .groupBy(col("id_a"))
-      .agg(max(col("cand")).as("best"))
-      .select(col("id_a"), (-col("best.neg_id")).as("ann_id"),
-        col("best.score").as("score"))
+    gatherExactTop1(spark, table, survivors, va, nQueries, rerank)
   }
 }

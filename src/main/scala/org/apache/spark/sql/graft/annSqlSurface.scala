@@ -389,12 +389,14 @@ object GraftAnnRewrite {
           case _ => ()
         }
       }
+    val writer =
+      if (isIvf) "SimilarityOps.writeIvfPqIndex"
+      else "SimilarityOps.writePqIndex"
     val sub = scala.util.Try {
       spark.sql(s"SHOW TBLPROPERTIES $codebooks").collect()
         .find(_.getString(0) == "graft.pq.sub").map(_.getString(1).toInt)
     }.toOption.flatten.getOrElse(fail(s"$codebooks carries no " +
-      "graft.pq.sub property — write the index with " +
-      "SimilarityOps.writePqIndex"))
+      s"graft.pq.sub property — write the index with $writer"))
     if (isIvf)
       ivfPqExpansion(store, centroids, codebooks, vecs, queries, k,
         nprobe, sub, rr)

@@ -159,12 +159,16 @@ case class PqAdcDistance(left: Expression, right: Expression)
     var acc = 0L
     var j = 0
     while (j < m) {
+      // corrupt input — a NULL code byte, a NULL table, a code past
+      // the table's end, or a NULL table ENTRY — is a visible NULL,
+      // never an NPE and never a silent 0 (primitive accessors read
+      // null elements as 0, which would hand the corrupt candidate
+      // the best-possible distance); this matches the NULL the
+      // DECIMAL HOF formulation produced on the same rows
+      if (codes.isNullAt(j) || qtab.isNullAt(j)) return null
       val c = codes.getByte(j) & 0xFF
-      // a NULL table (or a code past its end) is corrupt input: a
-      // visible NULL, never an NPE — this is a registered SQL fn
-      if (qtab.isNullAt(j)) return null
       val tj = qtab.getArray(j)
-      if (c >= tj.numElements()) return null
+      if (c >= tj.numElements() || tj.isNullAt(c)) return null
       acc += java.lang.Math.rint(tj.getDouble(c) * 1e6).toLong
       j += 1
     }
@@ -186,13 +190,14 @@ case class PqAdcDistance(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  boolean $bad = false;
          |  for (int $j = 0; $j < $m && !$bad; $j++) {
-         |    int $c = ((int) $a.getByte($j)) & 0xFF;
-         |    if ($b.isNullAt($j)) { $bad = true; }
+         |    if ($a.isNullAt($j) || $b.isNullAt($j)) { $bad = true; }
          |    else {
+         |      int $c = ((int) $a.getByte($j)) & 0xFF;
          |      org.apache.spark.sql.catalyst.util.ArrayData $tj =
          |        $b.getArray($j);
-         |      if ($c >= $tj.numElements()) { $bad = true; }
-         |      else {
+         |      if ($c >= $tj.numElements() || $tj.isNullAt($c)) {
+         |        $bad = true;
+         |      } else {
          |        $acc += (long) java.lang.Math.rint(
          |          $tj.getDouble($c) * 1.0E6D);
          |      }

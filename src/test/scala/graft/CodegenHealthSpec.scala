@@ -139,7 +139,11 @@ class CodegenHealthSpec extends AnyFunSuite {
              pq_adc(CAST(array(3) AS ARRAY<TINYINT>),
                     array(array(1.0d, 2.0d))) AS a5,
              pq_adc(CAST(array(0) AS ARRAY<TINYINT>),
-                    array(CAST(NULL AS ARRAY<DOUBLE>))) AS a6""").head()
+                    array(CAST(NULL AS ARRAY<DOUBLE>))) AS a6,
+             pq_adc(CAST(array(0) AS ARRAY<TINYINT>),
+                    array(array(CAST(NULL AS DOUBLE)))) AS a7,
+             pq_adc(CAST(array(CAST(NULL AS TINYINT)) AS ARRAY<TINYINT>),
+                    array(array(1.0d))) AS a8""").head()
       assert(adc.getDouble(0) === 3.25, "codes [1,0]: 1.25 + 2.0")
       assert(adc.getDouble(1) === 4.0, "codes [0,1]: 0.5 + 3.5")
       assert(adc.getDouble(2) === 128.0,
@@ -148,6 +152,10 @@ class CodegenHealthSpec extends AnyFunSuite {
       assert(adc.isNullAt(4), "pq_adc must be null on an out-of-range code")
       assert(adc.isNullAt(5),
         "pq_adc must be null (not NPE) on a NULL distance table")
+      assert(adc.isNullAt(6),
+        "pq_adc must be null on a NULL table ENTRY — a primitive read " +
+          "would hand the corrupt candidate distance 0 (best possible)")
+      assert(adc.isNullAt(7), "pq_adc must be null on a NULL code byte")
 
       // aggregate-output kernels: kmv_estimate twice over two sketches
       val kmv = spark.sql(
