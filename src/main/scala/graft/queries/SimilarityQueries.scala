@@ -1087,10 +1087,29 @@ object SimilarityQueries {
     },
     sql = Some(ivfDeleteOracleSql))
 
+  /** sim23: IVF-PQ's SQL serving at k>1 — the retrieval cut real
+    * pipelines run, through GRAFT_ANN's bounded `topk_pairs` tail
+    * (never a candidate window). With rerank covering every probed
+    * candidate the exact-cosine scores and the (score DESC, id) cut
+    * equal the float IVF top-5 over the same lists — sim5's oracle
+    * verbatim (columns renamed to its shape).
+    */
+  val sim23IvfPqTopK = Q(
+    "sim23_ivfpq_sql_topk",
+    (s, d) => {
+      val t = ensureIvfPqIndex(s, d)
+      spread(embeddings(s, d)).createOrReplaceTempView("sim23_queries")
+      s.sql("SELECT id_a, CAST(rank AS BIGINT) AS rank, " +
+        "ann_id AS nn_id, score FROM " +
+        s"GRAFT_ANN('$t', 'sim23_queries', 5, 3, 4096) " +
+        "ORDER BY id_a, rank")
+    },
+    sql = sim5IvfTopK.sql)
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
     sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql, sim13Sq8Stored,
     sim14Sq8AnnSql, sim15Sq8Deletes, sim16Sq8MorDeletes, sim17PqStored,
     sim18PqMorDeletes, sim19PqAnnSql, sim20IvfPqStored, sim21IvfPqAnnSql,
-    sim22IvfPqMorDeletes)
+    sim22IvfPqMorDeletes, sim23IvfPqTopK)
 }
