@@ -90,11 +90,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_values"),
       (es: Seq[Expression]) => TopKValues(es.head, es(1))))
     // bounded top-k (score, id) pairs — the rerank-survivor selection
-    // without a candidate-set window sort
+    // without a candidate-set window sort; a literal k=1 routes the
+    // codegen'd declarative min-struct fast path (same contract)
     e.injectFunction((FunctionIdentifier("topk_pairs"),
       info("topk_pairs"),
-      (es: Seq[Expression]) =>
-        org.apache.spark.sql.graft.TopKPairs(es.head, es(1), es(2))))
+      (es: Seq[Expression]) => es(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(1, _) =>
+          org.apache.spark.sql.graft.TopKPairs
+            .top1Composition(es.head, es(1))
+        case _ =>
+          org.apache.spark.sql.graft.TopKPairs(es.head, es(1), es(2))
+      }))
     // z-order key from 2-4 int bucket ids (layout rewrites in SQL)
     e.injectFunction((FunctionIdentifier("zorder_key"),
       info("zorder_key"),

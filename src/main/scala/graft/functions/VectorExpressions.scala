@@ -96,10 +96,17 @@ object VectorFunctions {
     * of a full candidate shuffle + sort.
     */
   def topk_pairs(score: Column, id: Column, k: Int): Column =
-    B.column(org.apache.spark.sql.graft.TopKPairs(
-      B.expression(score), B.expression(id),
-      org.apache.spark.sql.catalyst.expressions.Literal(k))
-      .toAggregateExpression())
+    // k=1 routes the codegen'd declarative min-struct composition —
+    // identical contract, none of the interpreted per-candidate
+    // update cost (see TopKPairs.top1Composition)
+    if (k == 1)
+      B.column(org.apache.spark.sql.graft.TopKPairs
+        .top1Composition(B.expression(score), B.expression(id)))
+    else
+      B.column(org.apache.spark.sql.graft.TopKPairs(
+        B.expression(score), B.expression(id),
+        org.apache.spark.sql.catalyst.expressions.Literal(k))
+        .toAggregateExpression())
 
   /** Misra-Gries frequent-items summary per group —
     * array<struct<item,count_lo>> with the n/k containment guarantee

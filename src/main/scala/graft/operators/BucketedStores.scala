@@ -283,9 +283,17 @@ object BucketedStores extends org.apache.spark.internal.Logging {
               s"$snap is a physical copy instead of a shallow catalog " +
               "entry. Build the store with an explicit location for " +
               "zero-copy snapshots.")
+          // the copy is DURABLE history (it must outlive the base
+          // rebuild that motivates it), so it lives NEXT TO the data
+          // it snapshots — never under java.io.tmpdir, where a tmp
+          // reaper or reboot would recreate the dangling-files hazard
+          // this copy exists to close. Deterministic path + overwrite
+          // keeps a re-run after a crashed attempt idempotent.
+          val snapLoc = srcMeta.location.toString.stripSuffix("/") +
+            s"__gen_v$newest"
           val w = spark.table(src).write
-            .option("path", java.nio.file.Files
-              .createTempDirectory(s"graft_cent_$name").toString)
+            .mode("overwrite")
+            .option("path", snapLoc)
           // a physical copy of a BUCKETED companion keeps its bucket
           // spec, so snapshot probes keep the bucket-pruned refine
           srcMeta.bucketSpec.fold(w) { bs =>

@@ -280,10 +280,22 @@ object SimilarityOps {
     * Tie-breaks mirror the rest of the ANN surface: centroid order =
     * (cosine DESC, cid ASC); neighbor = (score DESC, id ASC).
     */
-  /** The (vid, e, nrm) projection every IVF stage starts from. */
+  /** The (vid, e, nrm) projection every IVF stage starts from.
+    *
+    * A NULL embedding fails LOUDLY here: downstream, `explode` of a
+    * NULL transform yields no rows, so a malformed query row would
+    * otherwise neither probe nor count toward [[probeRegime]]'s
+    * regime decision — it would simply vanish from the results. A
+    * null id is equally malformed (it can never join the refine).
+    */
   private def ivfProject(vecsDf: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     vecsDf
+      .filter(assert_true(
+        col(vecCol).isNotNull && col(idCol).isNotNull,
+        lit(s"graft: NULL $vecCol/$idCol row in an ANN relation — " +
+          "drop or repair malformed rows before indexing/probing"))
+        .isNull)
       .select(col(idCol).as("vid"),
         transform(col(vecCol), x => x.cast("double")).as("e"))
       .withColumn("nrm", array_norm(col("e")))
@@ -1015,6 +1027,16 @@ object SimilarityOps {
     */
   private def requirePlainStore(spark: org.apache.spark.sql.SparkSession,
       table: String, helper: String): Unit = {
+    // a RETAINED GENERATION (`name__v<N>`) is a plain table whose
+    // build stamp matches its own snapshotted companions, so the
+    // view/lineage guards alone would admit it — but time travel
+    // assumes generations are immutable history; appending would
+    // silently rewrite what `VERSION AS OF` readers see
+    require("(.+)__v\\d+$".r.findFirstMatchIn(table).isEmpty,
+      s"$table is a retained index GENERATION — $helper refuses to " +
+        "mutate time-travel history. Append to the serving name's " +
+        "plain store (or via BucketedStores.morAppend for a " +
+        "merge-on-read store); retained generations stay immutable.")
     val isView = scala.util.Try(spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst
         .TableIdentifier(table)).tableType ==
@@ -1315,18 +1337,31 @@ object SimilarityOps {
     * vid-bucketed). All four carry ONE build stamp; `mor = true`
     * adopts versioned + merge-on-read serving exactly like the other
     * tiers.
+    *
+    * `trainIters > 0` runs that many Lloyd refinements of the first-k
+    * seeding ([[trainCentroids]] — sim6's trainer) before indexing:
+    * on CLUSTERED data the deterministic first-k quantizer centers
+    * its lists wherever the low vids happen to sit, so list sizes
+    * skew and nprobe·n/k degrades toward the hot list's size; trained
+    * centroids even the lists out (skew measured in AnnRecallSpec).
+    * Everything downstream is identical — the centroids companion
+    * just holds different rows, probes and maintenance never know
+    * (PQ codes encode the raw vector, so they are valid under either
+    * quantizer; Lloyd dropout may shrink k, determinism holds).
     */
   def writeIvfPqIndex(vecsDf: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int, codes: Int, k: Int, table: String,
       buckets: Int = 8, location: Option[String] = None,
-      mor: Boolean = false): Unit = {
+      mor: Boolean = false, trainIters: Int = 0): Unit = {
     val spark = vecsDf.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_codebooks")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
     val v = ivfProject(vecsDf, idCol, vecCol)
-    val cents = firstKCentroids(v, k, dims)
+    val cents =
+      if (trainIters == 0) firstKCentroids(v, k, dims)
+      else trainCentroids(vecsDf, idCol, vecCol, dims, k, trainIters)
     val cb = pqCodebooks(v, dims, m, codes)
     val sub = dims / m
     // both quantizers ride the same projection: the coarse centroids
@@ -1380,6 +1415,38 @@ object SimilarityOps {
       table: String, deltaVecs: DataFrame, idCol: String, vecCol: String,
       dims: Int, buckets: Int = 8): Unit = {
     requirePlainStore(spark, table, "appendToIvfPqIndex")
+    val enc = encodeForIvfPq(spark, table, deltaVecs, idCol, vecCol,
+      dims)
+    // WRITE ORDER IS THE CRASH CONTRACT: the float companion lands
+    // FIRST, the code lists second. A failure between the two writes
+    // then leaves float rows no code row references — harmless dead
+    // data the next compaction can drop — instead of committed codes
+    // whose vids have no rerank floats, which would win the ADC cut
+    // and silently vanish at the refine inner join.
+    ivfProject(deltaVecs, idCol, vecCol)
+      .select(col("vid"), col("e"), col("nrm"))
+      .write.bucketBy(buckets, "vid").sortBy("vid")
+      .mode("append").saveAsTable(table + "_vecs")
+    enc
+      .write.bucketBy(buckets, "cid").sortBy("cid")
+      .mode("append").saveAsTable(table)
+  }
+
+  /** Encode a vector delta under a stored IVF-PQ index's FROZEN
+    * quantizers — the delta-ADD half of merge-on-read maintenance on
+    * the quantized tiers, which previously required caller-encoded
+    * rows. Exactly [[appendToIvfPqIndex]]'s head, factored out:
+    * nearest STORED centroid picks the list, the STORED codebooks
+    * encode the payload ([[pqEncode]]'s 6-dp argmin rule — raw-vector
+    * codes, so the rows are valid in any list and no quantizer is
+    * touched). Returns lazy (cid, vid, codes) rows shaped for
+    * [[BucketedStores.morAppend]]; quantizer lineage is checked
+    * eagerly (the two bounded collects), so a rebuilt-out-from-under
+    * store fails here, before anything is written.
+    */
+  def encodeForIvfPq(spark: org.apache.spark.sql.SparkSession,
+      table: String, deltaVecs: DataFrame, idCol: String,
+      vecCol: String, dims: Int): DataFrame = {
     requireQuantizerLineage(spark, table,
       Seq("_centroids", "_codebooks", "_vecs"))
     val cents = spark.table(table + "_centroids")
@@ -1399,13 +1466,37 @@ object SimilarityOps {
     val (vc, centArr) = withCentroids(v, cents.toSeq)
     val (vcc, cbArr) = withCodebooks(vc, cbRows.toSeq)
     vcc.select(
-        nearestCid(centArr).as("cid"),
-        col("vid"), pqEncode(cbArr, sub).as("codes"))
-      .write.bucketBy(buckets, "cid").sortBy("cid")
-      .mode("append").saveAsTable(table)
-    v.select(col("vid"), col("e"), col("nrm"))
+      nearestCid(centArr).as("cid"),
+      col("vid"), pqEncode(cbArr, sub).as("codes"))
+  }
+
+  /** The complete delta-ADD lifecycle for a MERGE-ON-READ IVF-PQ
+    * store: encode the delta under the frozen quantizers
+    * ([[encodeForIvfPq]]), land the float rerank rows in the `_vecs`
+    * companion FIRST (same crash contract as [[appendToIvfPqIndex]] —
+    * floats without codes are harmless dead data; codes without
+    * floats silently vanish at the refine join), then `morAppend` the
+    * code rows stamped with the next batch sequence. The serving view
+    * and every probe/SQL surface see the appended vectors on their
+    * next resolution; tombstone semantics are untouched (appended
+    * rows are alive — no tombstone can yet carry a higher seq).
+    * Returns the stamped sequence (the caller's time-travel handle:
+    * `readMorAsOfSeq(seq - 1)` is the pre-append state).
+    */
+  def morAppendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      table: String, deltaVecs: DataFrame, idCol: String,
+      vecCol: String, dims: Int, buckets: Int = 8): Long = {
+    // eager lineage check + lazy encode, BEFORE any write lands
+    val enc = encodeForIvfPq(spark, table, deltaVecs, idCol, vecCol,
+      dims)
+    ivfProject(deltaVecs, idCol, vecCol)
+      .select(col("vid"), col("e"), col("nrm"))
       .write.bucketBy(buckets, "vid").sortBy("vid")
       .mode("append").saveAsTable(table + "_vecs")
+    val seq = BucketedStores.morNextSeq(spark, table)
+    BucketedStores.morAppend(spark, table, enc, seq,
+      Seq("cid"), Seq("cid"), buckets)
+    seq
   }
 
   /** Probe a stored IVF-PQ index ([[writeIvfPqIndex]]): the query
@@ -1427,18 +1518,36 @@ object SimilarityOps {
       dims: Int, nprobe: Int, rerank: Int): DataFrame = {
     requireQuantizerLineage(spark, table,
       Seq("_centroids", "_codebooks", "_vecs"))
-    val cents = spark.table(table + "_centroids")
-      .orderBy(col("cid")).collect() // bounded: k rows by contract
-      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // BOTH quantizer companions in ONE driver job (a tagged union of
+    // the two bounded reads): each driver job carries ~0.3 s of fixed
+    // scheduling — the bulk of a quantized probe's serving overhead
+    // (BENCH_SCALE.md Act 2) — so the IVF-PQ probe runs THREE jobs
+    // before the caller's action (quantizer fetch, probeRegime,
+    // survivor gather), not four. Three is the floor for the gather
+    // regime: each later job's PLAN consumes the prior job's RESULT
+    // (quantizers → in-row probe ranking → probed-cid In-filter →
+    // survivor-vid In-filter), so any further fusion would forfeit a
+    // pushdown the shape depends on.
+    val qrows = spark.table(table + "_centroids")
+      .select(lit(0).as("t"), col("cid").cast("long").as("a"),
+        lit(0L).as("b"), col("ce"))
+      .unionByName(spark.table(table + "_codebooks")
+        .select(lit(1).as("t"), col("j").cast("long").as("a"),
+          col("c").cast("long").as("b"), col("ce")))
+      .collect() // bounded: k + m×codes rows by contract
+    val cents = qrows.filter(_.getInt(0) == 0)
+      .map(r => r.getLong(1) -> r.getSeq[Double](3))
+      .sortBy(_._1).toSeq
     require(cents.nonEmpty && cents.length >= nprobe,
       s"index $table has ${cents.length} centroids < nprobe $nprobe")
     cents.foreach { case (cid, ce) =>
       require(ce.length == dims,
         s"stored centroid $cid has ${ce.length} dims, expected $dims")
     }
-    val cbRows = spark.table(table + "_codebooks")
-      .orderBy(col("j"), col("c")).collect() // bounded: m×codes rows
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val cbRows = qrows.filter(_.getInt(0) == 1)
+      .map(r => (r.getLong(1).toInt, r.getLong(2).toInt,
+        r.getSeq[Double](3)))
+      .sortBy(t => (t._1, t._2)).toSeq
     require(cbRows.nonEmpty, s"$table has no _codebooks companion")
     val m = cbRows.map(_._1).distinct.length
     val sub = dims / m

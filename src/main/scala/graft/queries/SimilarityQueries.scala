@@ -1106,10 +1106,149 @@ object SimilarityQueries {
     },
     sql = sim5IvfTopK.sql)
 
+  /** sim24: IVF-PQ at BOUNDED rerank (nprobe=3, rerank=10) — the
+    * production serving shape, where the ADC cut actually DECIDES the
+    * answer (sim20/sim21 prove the tier only at full rerank, where ADC
+    * prunes nothing). The oracle re-derives the entire composition
+    * independently: sim4's coarse half (first-16 centroids, (cosine
+    * DESC, cid) assignment rank 1 / probes rank ≤ 3) feeding sim9's
+    * ADC half (first-16 codebooks, 6-dp subspace-L2 encode with
+    * ties-to-smaller-code, per-query distance tables, DECIMAL-exact
+    * 4-lookup sums), then the (adc ASC, id ASC) top-10 rerank cut and
+    * the exact-cosine (score DESC, id ASC) winner. A hash match here
+    * pins the ranking the codegen'd `pq_adc` kernel + bounded
+    * `topk_pairs` survivors produce at rerank ≪ list size —
+    * cross-engine, not just recall-gated.
+    */
+  val sim24IvfPqBoundedRerank = Q(
+    "sim24_ivfpq_bounded_rerank",
+    (s, d) => {
+      val t = ensureIvfPqIndex(s, d)
+      SimilarityOps.probeIvfPqIndex(s, t, spread(embeddings(s, d)),
+        "vec_id", "embedding", dims = 64, nprobe = 3, rerank = 10)
+        .orderBy(col("id_a"))
+    },
+    bench = true, // tracks the bounded-rerank (production) serving cost
+    sql = Some("""
+      WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+      c AS (SELECT vec_id AS cid, e AS ce FROM v
+           ORDER BY vec_id LIMIT 16),
+      cscore AS (
+        SELECT v.vec_id, c.cid,
+               ROUND(list_cosine_similarity(v.e, c.ce), 6) AS cs
+        FROM v CROSS JOIN c),
+      cranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cs DESC, cid) AS rn
+        FROM cscore),
+      assign AS (SELECT vec_id, cid FROM cranked WHERE rn = 1),
+      probes AS (SELECT vec_id, cid FROM cranked WHERE rn <= 3),
+      sub AS (SELECT unnest(range(0, 4)) AS j),
+      cb AS (
+        SELECT j, vec_id AS c, list_slice(e, j*16 + 1, j*16 + 16) AS ce
+        FROM v, sub WHERE vec_id < 16),
+      encd AS (
+        SELECT v.vec_id, cb.j, cb.c,
+               ROUND(list_sum(list_transform(range(0, 16),
+                 i -> (e[cb.j*16 + i + 1] - ce[i+1])
+                      * (e[cb.j*16 + i + 1] - ce[i+1]))), 6) AS d2
+        FROM v JOIN cb ON TRUE),
+      enc AS (
+        SELECT vec_id, j, c FROM (
+          SELECT vec_id, j, c,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                   ORDER BY d2, c) AS rn
+          FROM encd) WHERE rn = 1),
+      adcs AS (
+        SELECT p.vec_id AS id_a, a.vec_id AS id_b,
+               CAST(SUM(CAST(t.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        FROM probes p
+        JOIN assign a ON p.cid = a.cid AND p.vec_id <> a.vec_id
+        JOIN enc e ON e.vec_id = a.vec_id
+        JOIN encd t ON t.vec_id = p.vec_id AND t.j = e.j AND t.c = e.c
+        GROUP BY p.vec_id, a.vec_id),
+      surv AS (
+        SELECT id_a, id_b FROM (
+          SELECT id_a, id_b,
+                 ROW_NUMBER() OVER (PARTITION BY id_a
+                   ORDER BY adc, id_b) AS rn
+          FROM adcs) WHERE rn <= 10),
+      rer AS (
+        SELECT s.id_a, s.id_b,
+               ROUND(list_cosine_similarity(va.e, vb.e), 6) AS score
+        FROM surv s
+        JOIN v va ON va.vec_id = s.id_a
+        JOIN v vb ON vb.vec_id = s.id_b),
+      best AS (
+        SELECT id_a, id_b, score,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                 ORDER BY score DESC, id_b) AS rn
+        FROM rer)
+      SELECT id_a, id_b AS ann_id, score FROM best WHERE rn = 1
+      ORDER BY id_a"""))
+
+  /** sim25: the delta-ADD lifecycle on a merge-on-read IVF-PQ store —
+    * the last manual edge of quantized maintenance closed. The store
+    * is built over a PREFIX of the corpus (vec_id < 400, which
+    * contains both first-16 quantizers, so the frozen quantizers
+    * equal a one-shot build's), the remaining vectors arrive as a
+    * delta through [[SimilarityOps.morAppendToIvfPqIndex]]
+    * (frozen-quantizer encode + float companion + `_seq`-stamped
+    * bucket-aligned code append — never a list rewrite), and the
+    * appended store serves THROUGH THE SQL SURFACE. With rerank
+    * covering every probed candidate the answer equals a fresh
+    * one-shot index over the full corpus — sim4's oracle verbatim:
+    * append maintenance is invisible to serving, cross-engine.
+    */
+  val sim25IvfPqMorAppend = Q(
+    "sim25_ivfpq_mor_append_lifecycle",
+    (s, d) => {
+      import graft.operators.BucketedStores
+      val t = s"sim_ivfpq_app_${Integer.toHexString(d.hashCode)}"
+      BucketedStores.dropVersioned(s, t)
+      s.sql(s"DROP TABLE IF EXISTS ${t}_centroids")
+      s.sql(s"DROP TABLE IF EXISTS ${t}_codebooks")
+      s.sql(s"DROP TABLE IF EXISTS ${t}_vecs")
+      val base = embeddings(s, d).filter(col("vec_id") < 400)
+      val delta = embeddings(s, d).filter(col("vec_id") >= 400)
+      SimilarityOps.writeIvfPqIndex(base, "vec_id", "embedding",
+        dims = 64, m = 4, codes = 16, k = 16, table = t,
+        location = Some(java.nio.file.Files
+          .createTempDirectory("graft_ivfpq_app").toString), mor = true)
+      SimilarityOps.morAppendToIvfPqIndex(s, t, delta, "vec_id",
+        "embedding", dims = 64)
+      spread(embeddings(s, d)).createOrReplaceTempView("sim25_queries")
+      s.sql("SELECT id_a, ann_id, score FROM " +
+        s"GRAFT_ANN('$t', 'sim25_queries', 1, 3, 4096) ORDER BY id_a")
+    },
+    sql = sim4IvfAnn.sql)
+
+  /** sim26: the SQ8 tier's SQL top-k (sim23's shape on the second
+    * quantized layout): GRAFT_ANN's 5-arg SQ8 dispatch cut at k=5.
+    * With rerank covering every probed candidate the exact-cosine
+    * scores and (score DESC, id) ranking equal the float IVF top-5
+    * over the same lists — sim5's oracle verbatim. Every quantized
+    * tier now serves SQL top-k, not just top-1.
+    */
+  val sim26Sq8TopK = Q(
+    "sim26_sq8_sql_topk",
+    (s, d) => {
+      val t = ensureSq8Index(s, d)
+      spread(embeddings(s, d)).createOrReplaceTempView("sim26_queries")
+      s.sql("SELECT id_a, CAST(rank AS BIGINT) AS rank, " +
+        "ann_id AS nn_id, score FROM " +
+        s"GRAFT_ANN('$t', 'sim26_queries', 5, 3, 4096) " +
+        "ORDER BY id_a, rank")
+    },
+    sql = sim5IvfTopK.sql)
+
   val all: Seq[Q] = Seq(sim1LshAnn, sim2MultiProbe, sim3Recall, sim4IvfAnn,
     sim5IvfTopK, sim6IvfTrained, sim7IvfStored, sim8IvfSq8, sim9PqAdc,
     sim10IvfDeletes, sim11IvfMorDeletes, sim12AnnSql, sim13Sq8Stored,
     sim14Sq8AnnSql, sim15Sq8Deletes, sim16Sq8MorDeletes, sim17PqStored,
     sim18PqMorDeletes, sim19PqAnnSql, sim20IvfPqStored, sim21IvfPqAnnSql,
-    sim22IvfPqMorDeletes, sim23IvfPqTopK)
+    sim22IvfPqMorDeletes, sim23IvfPqTopK, sim24IvfPqBoundedRerank,
+    sim25IvfPqMorAppend, sim26Sq8TopK)
 }

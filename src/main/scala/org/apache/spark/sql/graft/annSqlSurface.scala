@@ -41,8 +41,16 @@
   * plan is exactly the API plan class: the corpus-scale inverted lists
   * come off the bucket-aligned scan, only the (query × nprobe)-scale
   * side shuffles, and the k-row centroid companion joins broadcast.
-  * No driver collect at all — the SQL form trades probeIvfIndex's
-  * centroid literal for a broadcast join, which is the same bytes.
+  * The SQL form trades probeIvfIndex's centroid literal for a
+  * broadcast join (same bytes), and mirrors the API path's probed-
+  * list pruning: ONE bounded parse-time aggregate (the macro twin of
+  * `probeRegime`) resolves the union of all queries' probed cids and
+  * injects it as an `IN` filter on the lists join, so the unprobed
+  * lists' bytes stay unread on the SQL surface too (cid-bucket +
+  * row-group pruning). Over the cap (corpus-as-queries) or on any
+  * resolution failure the filter is simply omitted — results are
+  * identical either way. View definitions (`CREATE VIEW … GRAFT_ANN`)
+  * never bake the content-dependent In-list into their stored text.
   *
   * Contract (documented, loudly enforced): the queries relation
   * exposes `vec_id` and `embedding` (the engine's embedding-table
@@ -86,6 +94,73 @@ object GraftAnnRewrite {
     ("""^\s*'([A-Za-z0-9_.]+)'\s*,\s*'([A-Za-z0-9_.]+)'\s*,""" +
       """\s*(\d+)\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?$""").r
 
+  /** A statement whose expansion text OUTLIVES this parse (a view
+    * definition) must not bake in content-dependent fragments: the
+    * probed-cid In-list below reflects the queries table AS OF parse
+    * time, and a stored view would keep serving that stale list.
+    */
+  private val ViewDef =
+    """^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?(GLOBAL\s+)?VIEW"""
+      .r.unanchored
+
+  /** Parse-time twin of the API probes' `probeRegime`: resolve the
+    * UNION of all queries' nprobe probed lists with ONE bounded
+    * aggregate (capped at GatherMaxQueries × nprobe exploded rows —
+    * over the cap means corpus-as-queries, where essentially every
+    * list is probed and there is nothing to prune), so the expansion
+    * can inject an `IN (<cids>)` filter that reaches the lists scan
+    * as a pushed filter — cid-bucket pruning plus parquet row-group
+    * pruning drop the unprobed lists' bytes, exactly like the API
+    * path's In-filter. The centroid RANKING RULE is character-for-
+    * character the expansions' probe rule, so the resolved set can
+    * never exclude a list the expansion would probe. Any failure
+    * (unresolvable queries relation, streaming source, cap hit)
+    * falls back to the unfiltered join — pruning is an optimization,
+    * never a correctness dependency. Content-dependence caveat: the
+    * set reflects the queries table at parse time; a row appended
+    * between parse and execution of the SAME statement is still
+    * served (it is a query-side row), but its probed lists must
+    * already be in the set — the API probes share this property
+    * (probeRegime runs before the scan job).
+    */
+  private def probedCids(spark: SparkSession, centroids: String,
+      queries: String, nprobe: Int): Option[Seq[Long]] = scala.util.Try {
+    val cap = graft.operators.SimilarityOps.GatherMaxQueries *
+      math.max(nprobe, 1) + 1
+    val row = spark.sql(
+      s"""SELECT count(1) AS n, collect_set(cid) AS cids,
+         |       (SELECT count(*) FROM $centroids) AS k
+         |FROM (
+         |  SELECT pcid AS cid
+         |  FROM (SELECT ea, array_norm(ea) AS na,
+         |               (SELECT collect_list(named_struct(
+         |                  'cid', cid, 'ce', ce, 'cn', array_norm(ce)))
+         |                FROM $centroids) AS cents
+         |        FROM (SELECT transform(embedding,
+         |                gx -> CAST(gx AS DOUBLE)) AS ea
+         |              FROM $queries))
+         |  LATERAL VIEW explode(transform(slice(array_sort(
+         |    transform(cents, c -> named_struct(
+         |      'ns', -round(array_dot(ea, c.ce) / (na * c.cn), 6),
+         |      'cid', c.cid))), 1, $nprobe), s -> s.cid)) gp AS pcid
+         |  LIMIT $cap)""".stripMargin).head()
+    if (row.getLong(0) >= cap) None
+    else {
+      val cids = row.getSeq[Long](1).sorted
+      // a set covering every list prunes nothing; empty means an
+      // empty queries relation (result empty either way)
+      if (cids.nonEmpty && cids.length < row.getLong(2)) Some(cids)
+      else None
+    }
+  }.toOption.flatten
+
+  /** The injected join-side filter: ` AND <alias>.cid IN (…)` when a
+    * strict probed subset was resolved, else empty.
+    */
+  private def cidFilterSql(alias: String,
+      cids: Option[Seq[Long]]): String =
+    cids.fold("")(cs => s" AND $alias.cid IN (${cs.mkString(", ")})")
+
   def apply(spark: SparkSession, sql: String): String = {
     // cheap pre-screen: the macro name must appear at all
     if (!sql.toUpperCase(java.util.Locale.ROOT).contains("GRAFT_ANN"))
@@ -106,6 +181,8 @@ object GraftAnnRewrite {
 
   private def rewriteFirst(spark: SparkSession,
       s: String): Option[String] = {
+    val isViewDef = ViewDef
+      .findFirstIn(s.toUpperCase(java.util.Locale.ROOT)).isDefined
     val toks = AsOfSqlLexer.lex(s)
     var i = 0
     while (i + 1 < toks.length) {
@@ -151,7 +228,8 @@ object GraftAnnRewrite {
         if (isPq) {
           val sb = new StringBuilder(s)
           sb.replace(toks(i).start, close.end,
-            pqBody(spark, store, queries, k, nprobe, rerank))
+            pqBody(spark, store, queries, k, nprobe, rerank,
+              pruneOk = !isViewDef))
           return Some(sb.toString)
         }
         if (!spark.catalog.tableExists(centroids)) {
@@ -242,11 +320,15 @@ object GraftAnnRewrite {
               case _ => ()
             }
           }
-          sq8Expansion(store, centroids, vecs, queries, k, nprobe, rr)
+          sq8Expansion(store, centroids, vecs, queries, k, nprobe, rr,
+            if (isViewDef) None
+            else probedCids(spark, centroids, queries, nprobe))
         } else {
           rerank.foreach(_ => fail(s"$store is a float IVF store — " +
             "<rerank> only applies to quantized (SQ8) stores"))
-          expansion(store, centroids, queries, k, nprobe)
+          expansion(store, centroids, queries, k, nprobe,
+            if (isViewDef) None
+            else probedCids(spark, centroids, queries, nprobe))
         }
         val sb = new StringBuilder(s)
         sb.replace(toks(i).start, close.end, body)
@@ -268,7 +350,8 @@ object GraftAnnRewrite {
     * GRAFT_ANN calls in one statement can't collide.
     */
   private def expansion(store: String, centroids: String,
-      queries: String, k: Int, nprobe: Int): String = {
+      queries: String, k: Int, nprobe: Int,
+      cids: Option[Seq[Long]]): String = {
     val head =
       s"""(WITH graft_ann_cents AS (
          |  SELECT collect_list(named_struct(
@@ -291,7 +374,7 @@ object GraftAnnRewrite {
          |  SELECT p.id_a, i.vid AS ann_id,
          |         round(array_dot(p.ea, i.e) / (p.na * i.nrm), 6) AS score
          |  FROM graft_ann_probe p JOIN $store i
-         |    ON i.cid = p.cid AND i.vid <> p.id_a)
+         |    ON i.cid = p.cid AND i.vid <> p.id_a${cidFilterSql("i", cids)})
          |""".stripMargin
     val tail =
       if (k == 1)
@@ -323,7 +406,7 @@ object GraftAnnRewrite {
     */
   private def pqBody(spark: SparkSession, store: String,
       queries: String, k: Int, nprobe: Int,
-      rerank: Option[Int]): String = {
+      rerank: Option[Int], pruneOk: Boolean): String = {
     val codebooks = store + "_codebooks"
     val vecs = store + "_vecs"
     val isGen = "(.+)__v\\d+$".r.findFirstMatchIn(store).isDefined
@@ -399,7 +482,9 @@ object GraftAnnRewrite {
       s"graft.pq.sub property — write the index with $writer"))
     if (isIvf)
       ivfPqExpansion(store, centroids, codebooks, vecs, queries, k,
-        nprobe, sub, rr)
+        nprobe, sub, rr,
+        if (pruneOk) probedCids(spark, centroids, queries, nprobe)
+        else None)
     else pqExpansion(store, codebooks, vecs, queries, k, sub, rr)
   }
 
@@ -484,7 +569,8 @@ object GraftAnnRewrite {
     */
   private def ivfPqExpansion(store: String, centroids: String,
       codebooks: String, vecs: String, queries: String, k: Int,
-      nprobe: Int, sub: Int, rerank: Int): String = {
+      nprobe: Int, sub: Int, rerank: Int,
+      cids: Option[Seq[Long]]): String = {
     val head =
       s"""(WITH graft_pq_cbk AS (
          |  SELECT sort_array(collect_list(named_struct(
@@ -524,7 +610,7 @@ object GraftAnnRewrite {
          |  SELECT q.id_a, p.vid AS ann_id,
          |         pq_adc(p.codes, q.qtab) AS adcd
          |  FROM $store p JOIN graft_pq_probe q
-         |    ON p.cid = q.cid AND p.vid <> q.id_a),
+         |    ON p.cid = q.cid AND p.vid <> q.id_a${cidFilterSql("p", cids)}),
          |graft_pq_sv AS (
          |  SELECT id_a, gp.id AS ann_id FROM (
          |    SELECT id_a, topk_pairs(-adcd, ann_id, $rerank) AS tk
@@ -567,7 +653,7 @@ object GraftAnnRewrite {
     */
   private def sq8Expansion(store: String, centroids: String,
       vecs: String, queries: String, k: Int, nprobe: Int,
-      rerank: Int): String = {
+      rerank: Int, cids: Option[Seq[Long]]): String = {
     val head =
       s"""(WITH graft_ann_cents AS (
          |  SELECT collect_list(named_struct(
@@ -599,7 +685,7 @@ object GraftAnnRewrite {
          |               / ((127.0D / p.amax_a) * (127.0D / i.amax))
          |               / (p.na * i.nrm), 6) AS qscore
          |  FROM graft_ann_probe p JOIN $store i
-         |    ON i.cid = p.cid AND i.vid <> p.id_a),
+         |    ON i.cid = p.cid AND i.vid <> p.id_a${cidFilterSql("i", cids)}),
          |graft_ann_sv AS (
          |  SELECT id_a, gp.id AS ann_id FROM (
          |    SELECT id_a, topk_pairs(qscore, ann_id, $rerank) AS tk

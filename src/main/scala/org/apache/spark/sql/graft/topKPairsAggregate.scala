@@ -129,6 +129,56 @@ object TopKPairsBuffer {
   * when debugging a missing candidate, check for NULL scores BEFORE
   * the topk_pairs aggregate, not after it.
   */
+object TopKPairs {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.expressions.aggregate.Min
+
+  /** The k=1 FAST PATH: `topk_pairs(score, id, 1)` is a pure top-1
+    * selection, and a TypedImperativeAggregate is the wrong engine
+    * for it — ObjectHashAggregate evaluates the interpreted `update`
+    * per candidate (measured ~47 ns/candidate incl. join on the flat
+    * ADC scan, the tier's linear term, BENCH_SCALE.md r19). This
+    * composition is the float probe's max-struct shape instead: a
+    * DECLARATIVE `min(struct(-score, id))` — codegen'd per-row
+    * update, no per-row virtual eval, no buffer (de)serialization —
+    * re-projected to the exact `array<struct<score, id>>` contract
+    * (best pair or an empty array), so call sites need not care
+    * which engine ran.
+    *
+    * Semantics parity with the heap: (score DESC, id ASC) via the
+    * lexicographic struct order on (-score, id); NULL score/id pairs
+    * are skipped (the `If` nulls them out and MIN ignores nulls); a
+    * group with no rankable candidate returns an EMPTY array, never
+    * a null-field struct. `-(-score)` is exact for every double, and
+    * the `+ 0.0` normalizes a -0.0 score to 0.0 BEFORE negation so
+    * the struct total order (-0.0 < 0.0) cannot diverge from the
+    * heap's numeric compare (-0.0 == 0.0, tie to the smaller id).
+    * NaN scores (0-norm vectors upstream) are malformed input with
+    * unspecified rank on both engines.
+    */
+  def top1Composition(score: Expression, id: Expression): Expression = {
+    val s = Cast(score, DoubleType)
+    val i = Cast(id, LongType)
+    val pair = If(Or(IsNull(s), IsNull(i)),
+      Literal.create(null, StructType(Seq(
+        StructField("ns", DoubleType), StructField("id", LongType)))),
+      CreateNamedStruct(Seq(
+        Literal("ns"), UnaryMinus(Add(s, Literal(0.0d))),
+        Literal("id"), i)))
+    val best = Min(pair).toAggregateExpression()
+    val empty = Literal.create(new GenericArrayData(Array.empty[Any]),
+      ArrayType(StructType(Seq(
+        StructField("score", DoubleType, nullable = false),
+        StructField("id", LongType, nullable = false))),
+        containsNull = false))
+    If(IsNull(best), empty,
+      CreateArray(Seq(CreateNamedStruct(Seq(
+        Literal("score"),
+        UnaryMinus(GetStructField(best, 0, Some("ns"))),
+        Literal("id"), GetStructField(best, 1, Some("id")))))))
+  }
+}
+
 case class TopKPairs(
     scoreExpr: Expression,
     idExpr: Expression,

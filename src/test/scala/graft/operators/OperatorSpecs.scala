@@ -1443,4 +1443,188 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     Seq(s"${t}_centroids", s"${t}__v1_centroids", snap)
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
+
+  test("IVF-PQ merge-on-read delta-ADD lifecycle: encodeForIvfPq + " +
+      "morAppendToIvfPqIndex equal the one-shot build, time travel " +
+      "sees the pre-append state, and generations refuse appends") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val corpus = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+    val vecs = corpus.toDF("vec_id", "embedding")
+    // base holds the k seed centroids AND the first-`codes` codebook
+    // rows, so the frozen quantizers equal the full-corpus one-shot's
+    val base = vecs.filter(col("vec_id") < 60)
+    val delta = vecs.filter(col("vec_id") >= 60)
+    val mor = "t_pqmorapp"
+    val one = "t_pqmorapp_one"
+    BucketedStores.dropVersioned(spark, mor)
+    Seq(mor, one).foreach { t =>
+      Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+    SimilarityOps.writeIvfPqIndex(base, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 4, table = mor,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_pqmorapp_m").toString), mor = true)
+    val seq = SimilarityOps.morAppendToIvfPqIndex(spark, mor, delta,
+      "vec_id", "embedding", dims = 8)
+    SimilarityOps.writeIvfPqIndex(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 4, table = one,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_pqmorapp_o").toString))
+    // the encode helper alone produces EXACTLY the one-shot's rows
+    // for the delta vids — frozen-quantizer encode is list-assignment
+    // + pqEncode, nothing else
+    val encRows = SimilarityOps.encodeForIvfPq(spark, one, delta,
+      "vec_id", "embedding", dims = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2))).toSet
+    val oneRows = spark.table(one).filter(col("vid") >= 60)
+      .select(col("cid"), col("vid"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2))).toSet
+    assert(encRows === oneRows,
+      "encodeForIvfPq must reproduce the one-shot build's (cid, vid, " +
+        "codes) rows for the delta — same frozen quantizers")
+    def probeAll(t: String) =
+      SimilarityOps.probeIvfPqIndex(spark, t, vecs, "vec_id",
+        "embedding", dims = 8, nprobe = 2, rerank = 8)
+        .orderBy(col("id_a")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probeAll(mor) === probeAll(one),
+      "a MoR-appended IVF-PQ store must answer exactly like the " +
+        "one-shot index — append maintenance is invisible to serving")
+    // serving view sees the delta; as-of (seq - 1) is the pre-append
+    // state — the returned sequence is the time-travel handle
+    assert(spark.table(mor).count() === 80L)
+    assert(BucketedStores.readMorAsOfSeq(spark, mor, Seq("vid"), "vid",
+      seq - 1).count() === 60L,
+      "readMorAsOfSeq(seq - 1) must show the pre-append lists")
+    // retained generations are immutable history: the plain-append
+    // helper refuses the name shape outright
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.appendToIvfPqIndex(spark, s"${one}__v1", delta,
+        "vec_id", "embedding", dims = 8)
+    }
+    assert(e.getMessage.contains("GENERATION"), e.getMessage)
+    BucketedStores.dropVersioned(spark, mor)
+    Seq(mor, one).foreach { t =>
+      Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
+  test("GRAFT_ANN bounded batches prune the lists scan on the SQL " +
+      "surface too: parse-time probed-cid resolution pushes In(cid) " +
+      "into the scan for all three IVF tiers, and corpus-as-queries " +
+      "or view definitions fall back to the unfiltered join") {
+    import spark.implicits._
+    val vecs = (0L until 4000L).map(i =>
+      (i, Seq.tabulate(8)(j => ((i * 13 + j * 5) % 17 - 8).toDouble / 3)))
+      .toDF("vec_id", "embedding")
+    vecs.filter(col("vec_id") < 4)
+      .createOrReplaceTempView("t_sqlprune_q")
+    vecs.createOrReplaceTempView("t_sqlprune_all")
+    def fmt(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+    // IVF-PQ tier
+    val tq = "t_sqlprune_ivfpq"
+    SimilarityOps.writeIvfPqIndex(vecs, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 64, table = tq,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_sqlprune_pq").toString))
+    val dq = spark.sql(
+      s"SELECT * FROM GRAFT_ANN('$tq', 't_sqlprune_q', 1, 2, 8192)")
+    assert(fmt(dq).contains("In(cid"),
+      s"a 4-query SQL batch over 64 PQ lists must push In(cid):\n${fmt(dq)}")
+    assert(dq.count() === 4)
+    // corpus-as-queries: over the resolution cap — no stale pruning
+    val dqAll = spark.sql(
+      s"SELECT * FROM GRAFT_ANN('$tq', 't_sqlprune_all', 1, 2, 8192)")
+    assert(!fmt(dqAll).contains("In(cid"),
+      "a corpus-scale batch must NOT bake in a probed-cid filter")
+    // a VIEW DEFINITION never freezes the content-dependent In-list
+    spark.sql("CREATE OR REPLACE TEMP VIEW t_sqlprune_view AS " +
+      s"SELECT * FROM GRAFT_ANN('$tq', 't_sqlprune_q', 1, 2, 8192)")
+    assert(!fmt(spark.table("t_sqlprune_view")).contains("In(cid"),
+      "CREATE VIEW must not bake a parse-time In-list into stored text")
+    // float tier
+    val tf = "t_sqlprune_ivf"
+    SimilarityOps.writeIvfIndex(vecs, "vec_id", "embedding",
+      dims = 8, k = 64, table = tf,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_sqlprune_f").toString))
+    val df = spark.sql(
+      s"SELECT * FROM GRAFT_ANN('$tf', 't_sqlprune_q', 1, 2)")
+    assert(fmt(df).contains("In(cid"),
+      s"the float SQL probe must prune probed lists too:\n${fmt(df)}")
+    assert(df.count() === 4)
+    // SQ8 tier
+    val ts = "t_sqlprune_sq8"
+    SimilarityOps.writeIvfSq8Index(vecs, "vec_id", "embedding",
+      dims = 8, k = 64, table = ts,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_sqlprune_s").toString))
+    val ds = spark.sql(
+      s"SELECT * FROM GRAFT_ANN('$ts', 't_sqlprune_q', 1, 2, 8192)")
+    assert(fmt(ds).contains("In(cid"),
+      s"the SQ8 SQL probe must prune probed lists too:\n${fmt(ds)}")
+    assert(ds.count() === 4)
+    Seq(tq, s"${tq}_centroids", s"${tq}_codebooks", s"${tq}_vecs",
+      tf, s"${tf}_centroids", ts, s"${ts}_centroids", s"${ts}_vecs")
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+  }
+
+  test("topk_pairs k=1 fast path: the declarative min-struct " +
+      "composition matches the heap aggregate exactly (NULL pairs " +
+      "skipped, unrankable groups yield an EMPTY array, ties to the " +
+      "smaller id) and the plan sheds the interpreted " +
+      "ObjectHashAggregate on both surfaces") {
+    import spark.implicits._
+    val rows = Seq[(Long, Option[Double], Option[Long])](
+      (1L, Some(1.0), Some(30L)), (1L, Some(1.0), Some(10L)),
+      (1L, Some(0.5), Some(1L)),
+      (2L, Some(2.0), Some(7L)), (2L, None, Some(9L)),
+      (3L, None, Some(5L)), (3L, Some(3.0), None), // all unrankable
+      (4L, Some(-0.0), Some(2L)), (4L, Some(0.0), Some(8L)))
+      .toDF("g", "s", "i")
+    // (id, score + 0.0) per group: +0.0 folds the one representable
+    // divergence (-0.0 vs 0.0 on the emitted WINNER's score — the
+    // heap preserves the input bit pattern, the composition
+    // normalizes; ranking is identical)
+    def headOf(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Double)]] =
+      df.select(col("g"), col("tk")).collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getLong(1), p.getDouble(0) + 0.0)).toSeq
+      }.toMap
+    def agg(k: Int) = rows.groupBy(col("g"))
+      .agg(graft.functions.VectorFunctions
+        .topk_pairs(col("s"), col("i"), k).as("tk"))
+    val fast = agg(1)
+    val heapHead = headOf(agg(2)).view.mapValues(_.take(1)).toMap
+    assert(headOf(fast) === heapHead,
+      "the k=1 composition must keep exactly the heap's best pair " +
+        "per group (and nothing for unrankable groups)")
+    assert(headOf(fast)(3L).isEmpty,
+      "a group with no rankable candidate must return an EMPTY array")
+    val fastPlan = fast.queryExecution.executedPlan.toString
+    assert(!fastPlan.contains("ObjectHashAggregate") &&
+      !fastPlan.contains("topk_pairs"),
+      s"k=1 must not run the interpreted aggregate:\n$fastPlan")
+    assert(agg(2).queryExecution.executedPlan.toString
+      .contains("topk_pairs"),
+      "k>1 must keep the bounded heap aggregate")
+    // SQL surface: a literal k=1 routes the same composition
+    rows.createOrReplaceTempView("t_tkfast")
+    val sqlFast = spark.sql(
+      "SELECT g, topk_pairs(s, i, 1) AS tk FROM t_tkfast GROUP BY g")
+    assert(headOf(sqlFast) === heapHead,
+      "the SQL surface's k=1 fast path must match")
+    assert(!sqlFast.queryExecution.executedPlan.toString
+      .contains("ObjectHashAggregate"),
+      "the SQL k=1 route must shed ObjectHashAggregate too")
+  }
 }

@@ -458,4 +458,72 @@ class AnnRecallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sec < 60.0,
       f"capped adversarial run took $sec%.1f s — cap not effective")
   }
+
+  test("TRAINED coarse quantizer for IVF-PQ (writeIvfPqIndex " +
+      "trainIters): Lloyd-refined centroids even out clustered list " +
+      "sizes (skew measured both ways), and the trained store's " +
+      "full-rerank probe equals the oracled in-memory trained path " +
+      "(ivfTop1Trained) exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val dims = 32
+    val centers = Seq.fill(16)(Seq.fill(dims)(rnd.nextGaussian() * 2))
+    // BLOCK layout: vid i belongs to cluster i/64, so the first-16
+    // seeding lands EVERY seed inside cluster 0 — the adversarial
+    // clustered shape where the deterministic quantizer skews lists
+    // (nprobe·n/k degrades toward the hot list's size)
+    val corpus = (0 until 1024).map { i =>
+      val c = centers(i / 64)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.3))
+    }
+    val v = corpus.toDF("vec_id", "e")
+    val t0 = "recall_ivfpq_first"
+    val t1 = "recall_ivfpq_trained"
+    Seq(t0, t1).foreach { t =>
+      Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+    SimilarityOps.writeIvfPqIndex(v, "vec_id", "e", dims = dims,
+      m = 4, codes = 32, k = 16, table = t0,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("recall_pqf").toString))
+    SimilarityOps.writeIvfPqIndex(v, "vec_id", "e", dims = dims,
+      m = 4, codes = 32, k = 16, table = t1,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("recall_pqt").toString), trainIters = 2)
+    def skewOf(t: String): (Double, Int) = {
+      val sizes = spark.table(t).groupBy(col("cid")).count()
+        .collect().map(_.getLong(1))
+      (sizes.max.toDouble / (sizes.sum.toDouble / sizes.length),
+        sizes.length)
+    }
+    val (skewFirst, listsFirst) = skewOf(t0)
+    val (skewTrained, listsTrained) = skewOf(t1)
+    info(f"IVF-PQ list skew (max/mean): first-k $skewFirst%.2f over " +
+      f"$listsFirst lists -> trained $skewTrained%.2f over " +
+      f"$listsTrained lists")
+    assert(skewTrained < skewFirst,
+      f"2 Lloyd iterations must reduce clustered-list skew: " +
+        f"first-k $skewFirst%.2f vs trained $skewTrained%.2f")
+    // full-rerank equality with the in-memory trained path (sim6's
+    // engine surface, itself DuckDB-oracled): same deterministic
+    // trainer, same probe rule, exact cosine decides — the stored
+    // trained quantizer changes WHICH lists exist, never the answer
+    val stored = SimilarityOps.probeIvfPqIndex(spark, t1, v,
+      "vec_id", "e", dims = dims, nprobe = 3, rerank = 2048)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val mem = SimilarityOps.ivfTop1Trained(v, "vec_id", "e",
+      dims = dims, k = 16, nprobe = 3, trainIters = 2)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(stored === mem,
+      "trained-quantizer IVF-PQ at full rerank must equal " +
+        "ivfTop1Trained exactly — same trainer, same lists, exact " +
+        "cosine decides")
+    Seq(t0, t1).foreach { t =>
+      Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
 }

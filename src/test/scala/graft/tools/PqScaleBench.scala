@@ -75,23 +75,48 @@ object PqScaleBench {
         .max(16)
       val flat = s"pqscale_flat_$scale"
       val ivf = s"pqscale_ivf_$scale"
-      graft.operators.SimilarityOps.writePqIndex(corpus, "vec_id",
-        "embedding", dims = 64, m = 4, codes = 16, table = flat,
-        location = Some(java.nio.file.Files
-          .createTempDirectory(s"pqscale_f$scale").toString))
-      graft.operators.SimilarityOps.writeIvfPqIndex(corpus, "vec_id",
-        "embedding", dims = 64, m = 4, codes = 16, k = k, table = ivf,
-        location = Some(java.nio.file.Files
-          .createTempDirectory(s"pqscale_i$scale").toString))
-      def probeFlat(): Long = graft.operators.SimilarityOps
+      val fivf = s"pqscale_fivf_$scale"
+      // build (ingest) timings: the float IVF build writes the same
+      // coarse lists WITHOUT the PQ encode, so (ivfpq_build − float
+      // IVF build) isolates what the interpreted pqEncode HOF +
+      // codebook training actually cost per ingested vector — the
+      // number that decides whether a pq_encode kernel is warranted
+      val tBuildFlat = time {
+        graft.operators.SimilarityOps.writePqIndex(corpus, "vec_id",
+          "embedding", dims = 64, m = 4, codes = 16, table = flat,
+          location = Some(java.nio.file.Files
+            .createTempDirectory(s"pqscale_f$scale").toString)); 0L
+      }
+      val tBuildIvf = time {
+        graft.operators.SimilarityOps.writeIvfPqIndex(corpus, "vec_id",
+          "embedding", dims = 64, m = 4, codes = 16, k = k, table = ivf,
+          location = Some(java.nio.file.Files
+            .createTempDirectory(s"pqscale_i$scale").toString)); 0L
+      }
+      val tBuildFloatIvf = time {
+        graft.operators.SimilarityOps.writeIvfIndex(corpus, "vec_id",
+          "embedding", dims = 64, k = k, table = fivf,
+          location = Some(java.nio.file.Files
+            .createTempDirectory(s"pqscale_fi$scale").toString)); 0L
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $fivf")
+      spark.sql(s"DROP TABLE IF EXISTS ${fivf}_centroids")
+      def probeFlat(rr: Int): Long = graft.operators.SimilarityOps
         .probePqIndex(spark, flat, queries, "vec_id", "embedding",
-          dims = 64, rerank = 10).count()
-      def probeIvf(): Long = graft.operators.SimilarityOps
+          dims = 64, rerank = rr).count()
+      def probeIvf(rr: Int): Long = graft.operators.SimilarityOps
         .probeIvfPqIndex(spark, ivf, queries, "vec_id", "embedding",
-          dims = 64, nprobe = 3, rerank = 10).count()
-      probeFlat(); probeIvf() // warm-up (JIT + catalog)
-      val tF = (1 to reps).map(_ => time(probeFlat())).min
-      val tI = (1 to reps).map(_ => time(probeIvf())).min
+          dims = 64, nprobe = 3, rerank = rr).count()
+      probeFlat(10); probeIvf(10) // warm-up (JIT + catalog)
+      probeFlat(1); probeIvf(1)
+      val tF = (1 to reps).map(_ => time(probeFlat(10))).min
+      val tI = (1 to reps).map(_ => time(probeIvf(10))).min
+      // rerank=1: survivor selection takes the codegen'd min-struct
+      // fast path instead of the interpreted TypedImperative update —
+      // the delta vs rerank=10 isolates the per-candidate cost of the
+      // interpreted topk_pairs update on the same candidate stream
+      val tF1 = (1 to reps).map(_ => time(probeFlat(1))).min
+      val tI1 = (1 to reps).map(_ => time(probeIvf(1))).min
       val n = corpus.count()
       val candFlat = 64L * (n - 1) // every corpus row per query
       val candIvf = 64L * 3 * (n / k) // nprobe lists of ~n/k
@@ -99,7 +124,11 @@ object PqScaleBench {
         f""""flat_code_bytes":${bytesOf(flat)},""" +
         f""""ivf_code_bytes":${bytesOf(ivf)},""" +
         f""""cand_flat":$candFlat,"cand_ivfpq":$candIvf,""" +
-        f""""flat_probe_s":$tF%.3f,"ivfpq_probe_s":$tI%.3f}""")
+        f""""flat_probe_s":$tF%.3f,"ivfpq_probe_s":$tI%.3f,""" +
+        f""""flat_probe_r1_s":$tF1%.3f,"ivfpq_probe_r1_s":$tI1%.3f,""" +
+        f""""flat_build_s":$tBuildFlat%.3f,""" +
+        f""""ivfpq_build_s":$tBuildIvf%.3f,""" +
+        f""""floativf_build_s":$tBuildFloatIvf%.3f}""")
       Seq(flat, s"${flat}_codebooks", s"${flat}_vecs",
         ivf, s"${ivf}_centroids", s"${ivf}_codebooks", s"${ivf}_vecs")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
