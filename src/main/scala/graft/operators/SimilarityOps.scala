@@ -1158,22 +1158,32 @@ object SimilarityOps {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Per-row PQ encoding: code j = argmin over subspace j's codewords
-    * of round(dist2, 6), ties to the smaller code id — `array_min`
-    * over (d, c) structs, the same O(codes) selection as
-    * [[nearestCid]]. One byte per subspace: ids 128-255 wrap to the
-    * negative byte range EXPLICITLY (`pmod(c+128, 256) - 128`) — a
-    * bare int→byte cast throws under ANSI for ids past 127, and
-    * every probe decodes the byte back UNSIGNED (pmod 256).
+  /** Per-row PQ encoding over the `e` column: code j = argmin over
+    * subspace j's codewords of round(dist2, 6), ties to the smaller
+    * code id — the codegen'd [[org.apache.spark.sql.graft.PqEncode]]
+    * kernel (the build-path hot loop: the HOF spelling paid
+    * per-element closure dispatch × codewords per subspace, measured
+    * ~70% of IVF-PQ build wall-clock). The driver-resident codebook
+    * rides as a reference object (O(1) plan nodes at any quantizer
+    * size — the plan-literal discipline). Code ids must be the
+    * contiguous 0-based ranks [[pqCodebooks]] writes — position IS
+    * the id on every serving surface — so a gappy companion fails
+    * loudly here instead of mis-encoding.
     */
-  private def pqEncode(cbArr: Column, sub: Int): Column =
-    transform(cbArr, y =>
-      (pmod(array_min(transform(y.getField("cs"), x => struct(
-        round(dist2(slice(col("e"),
-          y.getField("j") * lit(sub) + lit(1), lit(sub)),
-          x.getField("ce")), 6).as("d"),
-        x.getField("c").as("c"))))
-        .getField("c") + lit(128), lit(256)) - lit(128)).cast("byte"))
+  private def pqEncode(cb: Seq[(Int, Int, Seq[Double])]): Column = {
+    val byJ = cb.groupBy(_._1).toSeq.sortBy(_._1)
+    byJ.zipWithIndex.foreach { case ((j, rows), pos) =>
+      require(j == pos && rows.map(_._2).sorted == rows.indices,
+        s"pq_encode: codebook subspace $j has non-contiguous code ids")
+    }
+    val arr: Array[Array[Array[Double]]] = byJ.map { case (_, rows) =>
+      rows.sortBy(_._2).map(_._3.toArray).toArray
+    }.toArray
+    org.apache.spark.sql.graft.GraftExpressionBridge.column(
+      org.apache.spark.sql.graft.PqEncode(
+        org.apache.spark.sql.graft.GraftExpressionBridge
+          .expression(col("e")), arr))
+  }
 
   /** Materialize a PRODUCT-QUANTIZED index as durable storage — the
     * compression rung above SQ8 (reference point: faiss PQx). The
@@ -1200,10 +1210,8 @@ object SimilarityOps {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cb = pqCodebooks(v, dims, m, codes)
-    val (vc, cbArr) = withCodebooks(v, cb)
     val sub = dims / m
-    val encoded = vc.select(col("vid"),
-      pqEncode(cbArr, sub).as("codes"))
+    val encoded = v.select(col("vid"), pqEncode(cb).as("codes"))
     val lists = (if (mor) encoded.withColumn("_seq", lit(0L))
       else encoded)
       .write.bucketBy(buckets, "vid").sortBy("vid").mode("overwrite")
@@ -1365,12 +1373,11 @@ object SimilarityOps {
     val cb = pqCodebooks(v, dims, m, codes)
     val sub = dims / m
     // both quantizers ride the same projection: the coarse centroids
-    // pick the list, the codebooks encode the payload — one scan
+    // pick the list, the kernel encodes the payload — one scan
     val (vc, centArr) = withCentroids(v, cents)
-    val (vcc, cbArr) = withCodebooks(vc, cb)
-    val assigned = vcc.select(
+    val assigned = vc.select(
       nearestCid(centArr).as("cid"),
-      col("vid"), pqEncode(cbArr, sub).as("codes"))
+      col("vid"), pqEncode(cb).as("codes"))
     val lists = (if (mor) assigned.withColumn("_seq", lit(0L))
       else assigned)
       .write.bucketBy(buckets, "cid").sortBy("cid").mode("overwrite")
@@ -1461,13 +1468,11 @@ object SimilarityOps {
       .orderBy(col("j"), col("c")).collect() // bounded: m×codes rows
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
     require(cbRows.nonEmpty, s"$table has no _codebooks companion")
-    val sub = dims / cbRows.map(_._1).distinct.length
     val v = ivfProject(deltaVecs, idCol, vecCol)
     val (vc, centArr) = withCentroids(v, cents.toSeq)
-    val (vcc, cbArr) = withCodebooks(vc, cbRows.toSeq)
-    vcc.select(
+    vc.select(
       nearestCid(centArr).as("cid"),
-      col("vid"), pqEncode(cbArr, sub).as("codes"))
+      col("vid"), pqEncode(cbRows.toSeq).as("codes"))
   }
 
   /** The complete delta-ADD lifecycle for a MERGE-ON-READ IVF-PQ
@@ -1488,6 +1493,60 @@ object SimilarityOps {
       vecCol: String, dims: Int, buckets: Int = 8): Long = {
     // eager lineage check + lazy encode, BEFORE any write lands
     val enc = encodeForIvfPq(spark, table, deltaVecs, idCol, vecCol,
+      dims)
+    ivfProject(deltaVecs, idCol, vecCol)
+      .select(col("vid"), col("e"), col("nrm"))
+      .write.bucketBy(buckets, "vid").sortBy("vid")
+      .mode("append").saveAsTable(table + "_vecs")
+    val seq = BucketedStores.morNextSeq(spark, table)
+    BucketedStores.morAppend(spark, table, enc, seq,
+      Seq("cid"), Seq("cid"), buckets)
+    seq
+  }
+
+  /** [[encodeForIvfPq]]'s SQ8 sibling: encode a vector delta under a
+    * stored IVF-SQ8 index's FROZEN coarse quantizer — nearest stored
+    * centroid picks the list, the symmetric-absmax int8 quantization
+    * is per-row (self-contained, no trained state), so rows are valid
+    * under any maintenance. Lazy (cid, vid, q, amax, nrm) rows shaped
+    * for [[BucketedStores.morAppend]]; lineage checked eagerly.
+    */
+  def encodeForIvfSq8(spark: org.apache.spark.sql.SparkSession,
+      table: String, deltaVecs: DataFrame, idCol: String,
+      vecCol: String, dims: Int): DataFrame = {
+    requireQuantizerLineage(spark, table, Seq("_centroids", "_vecs"))
+    val cents = spark.table(table + "_centroids")
+      .orderBy(col("cid")).collect() // bounded: k rows by contract
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    require(cents.nonEmpty, s"index $table has no centroids")
+    cents.foreach { case (cid, ce) =>
+      require(ce.length == dims,
+        s"stored centroid $cid has ${ce.length} dims, expected $dims")
+    }
+    val v = ivfProject(deltaVecs, idCol, vecCol)
+    val (vc, centArr) = withCentroids(v, cents.toSeq)
+    vc
+      .withColumn("amax", aggregate(col("e"), lit(0.0),
+        (a, x) => greatest(a, abs(x))))
+      .withColumn("q", transform(col("e"), x =>
+        (signum(x) * least(lit(127.0),
+          floor(abs(x) * (lit(127.0) / col("amax")) + lit(0.5))))
+          .cast("byte")))
+      .select(nearestCid(centArr).as("cid"),
+        col("vid"), col("q"), col("amax"), col("nrm"))
+  }
+
+  /** The delta-ADD lifecycle for a MERGE-ON-READ IVF-SQ8 store —
+    * [[morAppendToIvfPqIndex]]'s contract on the second quantized
+    * tier: floats land in `_vecs` FIRST (crash contract: dead floats
+    * are harmless, codes without rerank floats silently lose their
+    * winners), then the `_seq`-stamped int8 rows append bucket-
+    * aligned. Returns the stamped sequence.
+    */
+  def morAppendToIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
+      table: String, deltaVecs: DataFrame, idCol: String,
+      vecCol: String, dims: Int, buckets: Int = 8): Long = {
+    val enc = encodeForIvfSq8(spark, table, deltaVecs, idCol, vecCol,
       dims)
     ivfProject(deltaVecs, idCol, vecCol)
       .select(col("vid"), col("e"), col("nrm"))

@@ -87,13 +87,19 @@ object TextRetrievalOps {
       buckets: Int = 8): Unit = {
     val meta = spark.table(table + "_meta").head() // 1 row by contract
     val tok = tokens(deltaDocs, idCol, textCol)
+    // WRITE ORDER IS THE CRASH CONTRACT (appendToIvfPqIndex's rule):
+    // doc lengths land BEFORE postings — a dl row without postings is
+    // harmless dead data, but postings whose doc has no length row
+    // silently vanish at the scoring join; meta is replaced LAST so a
+    // partial append leaves avgdl conservatively stale, never ahead
+    // of rows that don't exist
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    dl.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .mode("append").saveAsTable(table + "_docs")
     tok.groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
       .write.bucketBy(buckets, "term").sortBy("term")
       .mode("append").saveAsTable(table)
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    dl.write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .mode("append").saveAsTable(table + "_docs")
     val Array(dn, dt) = dl.agg(count(lit(1)), sum(col("dl"))).head()
       .toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
     spark.createDataFrame(java.util.Collections.singletonList(

@@ -54,7 +54,7 @@ class CodegenHealthSpec extends AnyFunSuite {
   private val covered = Set(
     "ArrayDotProduct", "ArrayDotQ8", "ArrayNorm", "Int8Quantize",
     "Int8QuantStats", "GeohashEncode", "KmvEstimate", "BkSampleQuantile",
-    "QuantileBucket", "PqAdcDistance")
+    "QuantileBucket", "PqAdcDistance", "PqEncode")
 
   test("every doGenCode implementor is covered by the dual-eval gate") {
     val found = scanDoGenCodeImplementors()
@@ -176,6 +176,48 @@ class CodegenHealthSpec extends AnyFunSuite {
                AS t(g, h, x) GROUP BY g))""").head()
       assert(bk.getLong(0) === 20L) // sorted {10,20,30,40}, floor(3·.5)=1
       assert(bk.getLong(1) === 30L) // floor(3·.9)=2
+
+      // PqEncode rides a reference-object codebook (no SQL surface;
+      // the PQ index builders construct it through the bridge) — two
+      // instances with DIFFERENT codebooks in one projection, plus
+      // the NULL contracts (wrong length, NULL element) and the
+      // unsigned byte wrap (a 130-codeword subspace whose argmin is
+      // id 129 must store as byte -127)
+      locally {
+        import org.apache.spark.sql.graft.{GraftExpressionBridge => B, PqEncode}
+        // cb1: 1 subspace of 2 dims, codewords {(0,0), (1,1)};
+        // cb2: 2 subspaces of 1 dim each, codewords {5} / {3, 7}
+        val cb1: Array[Array[Array[Double]]] =
+          Array(Array(Array(0.0, 0.0), Array(1.0, 1.0)))
+        val cb2: Array[Array[Array[Double]]] =
+          Array(Array(Array(5.0)), Array(Array(3.0), Array(7.0)))
+        // cb3: one subspace, 130 codewords at x = c for c in 0..129
+        val cb3: Array[Array[Array[Double]]] =
+          Array(Array.tabulate(130)(c => Array(c.toDouble)))
+        val pe = spark.range(1).select(
+            B.column(PqEncode(B.expression(
+              expr("array(0.9d, 1.1d)")), cb1)).as("c1"),
+            B.column(PqEncode(B.expression(
+              expr("array(4.0d, 6.9d)")), cb2)).as("c2"),
+            B.column(PqEncode(B.expression(
+              expr("array(129.2d)")), cb3)).as("c3"),
+            B.column(PqEncode(B.expression(
+              expr("array(1.0d)")), cb1)).as("c4"),
+            B.column(PqEncode(B.expression(
+              expr("array(1.0d, CAST(NULL AS DOUBLE))")), cb1)).as("c5"))
+          .head()
+        assert(pe.getSeq[Byte](0) === Seq[Byte](1),
+          "(0.9,1.1) is nearer (1,1) than (0,0)")
+        assert(pe.getSeq[Byte](1) === Seq[Byte](0, 1),
+          "subspace 0: 4.0→code 0 (only); subspace 1: 6.9→7 (code 1)")
+        assert(pe.getSeq[Byte](2) === Seq[Byte](-127),
+          "argmin id 129 must wrap to byte -127 (unsigned decode)")
+        assert(pe.isNullAt(3),
+          "a row of the wrong length must encode as NULL, not pad")
+        assert(pe.isNullAt(4),
+          "a NULL element must encode as NULL — the HOF's null " +
+            "propagation handed the argmin to the null codeword")
+      }
 
       // QuantileBucket rides a literal boundary array (no SQL surface;
       // the z-order write path builds it through the bridge) — two

@@ -1515,6 +1515,50 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF-SQ8 merge-on-read delta-ADD lifecycle: " +
+      "morAppendToIvfSq8Index equals the one-shot build — tier parity " +
+      "with the IVF-PQ helper") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val corpus = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+    val vecs = corpus.toDF("vec_id", "embedding")
+    val base = vecs.filter(col("vec_id") < 60)
+    val delta = vecs.filter(col("vec_id") >= 60)
+    val mor = "t_sq8morapp"
+    val one = "t_sq8morapp_one"
+    BucketedStores.dropVersioned(spark, mor)
+    Seq(mor, one).foreach { t =>
+      Seq(t, s"${t}_centroids", s"${t}_vecs")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+    SimilarityOps.writeIvfSq8Index(base, "vec_id", "embedding",
+      dims = 8, k = 4, table = mor,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_sq8morapp_m").toString), mor = true)
+    val seq = SimilarityOps.morAppendToIvfSq8Index(spark, mor, delta,
+      "vec_id", "embedding", dims = 8)
+    SimilarityOps.writeIvfSq8Index(vecs, "vec_id", "embedding",
+      dims = 8, k = 4, table = one,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_sq8morapp_o").toString))
+    def probeAll(t: String) =
+      SimilarityOps.probeIvfSq8Index(spark, t, vecs, "vec_id",
+        "embedding", dims = 8, nprobe = 2, rerank = 8)
+        .orderBy(col("id_a")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(probeAll(mor) === probeAll(one),
+      "a MoR-appended SQ8 store must answer exactly like the one-shot")
+    assert(spark.table(mor).count() === 80L)
+    assert(BucketedStores.readMorAsOfSeq(spark, mor, Seq("vid"), "vid",
+      seq - 1).count() === 60L)
+    BucketedStores.dropVersioned(spark, mor)
+    Seq(mor, one).foreach { t =>
+      Seq(t, s"${t}_centroids", s"${t}_vecs")
+        .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    }
+  }
+
   test("GRAFT_ANN bounded batches prune the lists scan on the SQL " +
       "surface too: parse-time probed-cid resolution pushes In(cid) " +
       "into the scan for all three IVF tiers, and corpus-as-queries " +

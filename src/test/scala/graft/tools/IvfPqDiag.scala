@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** One-off diagnosis: decompose the IVF-PQ probe's wall-clock into
+  * Spark JOBS at two rerank settings, on a replicated corpus (the
+  * PqScaleBench shape). Prints one line per job (duration, stage
+  * count, task count) and the probe total.
+  */
+object IvfPqDiag {
+  def main(args: Array[String]): Unit = {
+    val scale = sys.env.getOrElse("SPARK_GRAFT_DIAG_SCALE", "64").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.queries.Tables.embeddings(spark, sfDir)
+    val queries = base.filter(col("vec_id") < 64)
+    val path = java.nio.file.Files
+      .createTempDirectory(s"ivfpqdiag_c$scale").toString
+    base.repartition(64)
+      .crossJoin(broadcast(spark.range(scale.toLong).toDF("r")))
+      .select((col("vec_id") + col("r") * 10000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("r") % 97).cast("float") * lit(0.001f))
+          .as("embedding"))
+      .write.mode("overwrite").parquet(path)
+    val corpus = spark.read.parquet(path)
+    val k = math.min(1024, 16 * math.sqrt(scale.toDouble)).toInt.max(16)
+    val t = s"ivfpqdiag_idx_$scale"
+    graft.operators.SimilarityOps.writeIvfPqIndex(corpus, "vec_id",
+      "embedding", dims = 64, m = 4, codes = 16, k = k, table = t,
+      location = Some(java.nio.file.Files
+        .createTempDirectory(s"ivfpqdiag_i$scale").toString))
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val ntasks = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          starts.put(j.jobId, System.nanoTime())
+          ntasks.put(j.jobId,
+            j.stageInfos.map(_.numTasks).sum)
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          jobs.put(j.jobId,
+            System.nanoTime() - starts.getOrDefault(j.jobId, 0L))
+      })
+
+    Seq(10, 1, 10, 1).foreach { rr =>
+      jobs.clear(); starts.clear(); ntasks.clear()
+      val t0 = System.nanoTime()
+      val n = graft.operators.SimilarityOps
+        .probeIvfPqIndex(spark, t, queries, "vec_id", "embedding",
+          dims = 64, nprobe = 3, rerank = rr).count()
+      val tot = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let listener events drain
+      val parts = jobs.entrySet().iterator()
+      val sb = new StringBuilder
+      while (parts.hasNext) {
+        val e = parts.next()
+        sb.append(f"job${e.getKey}=${e.getValue / 1e9}%.3fs/" +
+          f"${ntasks.getOrDefault(e.getKey, -1)}t ")
+      }
+      println(f"IVFPQDIAG rerank=$rr rows=$n total=$tot%.3fs $sb")
+    }
+    Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    spark.stop()
+  }
+}
