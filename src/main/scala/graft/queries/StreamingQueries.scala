@@ -1308,6 +1308,25 @@ object StreamingQueries {
       nprobe = 3, rerank = 4096, slices = 4),
     sql = SimilarityQueries.sim4IvfAnn.sql)
 
+  /** Streamed MoR delta-ADD (st31) — st30's ingestion through the
+    * MERGE-ON-READ maintenance path instead of plain appends: every
+    * micro-batch lands via `morAppendToIvfPqIndex` (frozen-quantizer
+    * encode, `_vecs`-first crash ordering, `_seq`-stamped rows), so
+    * the store keeps serving — tombstones, time travel, versioned
+    * view — between batches. Low-id base ⇒ frozen quantizers equal
+    * the one-shot build's; with rerank covering every probed
+    * candidate the drained store's SQL probe equals the float IVF
+    * answer — sim4's oracle, the fifth independent construction of
+    * that answer (one-shot, stored, streamed-plain, batch-MoR,
+    * streamed-MoR).
+    */
+  val st31IvfPqMorAppend = Q(
+    "st31_stream_ivfpq_mor_append",
+    (s, d) => graft.streaming.VectorStreaming.ivfPqMorAppendStream(s,
+      embeddings(s, d), dims = 64, m = 4, codes = 16, k = 16,
+      nprobe = 3, rerank = 4096, slices = 4),
+    sql = SimilarityQueries.sim4IvfAnn.sql)
+
   val all: Seq[Q] = Seq(st1StreamHourly, av1AsofJoin, av2AsofExec,
     av3AsofTolerance, av4AsofForward, av5AsofBroadcast, av6AsofBucketed,
     av7AsofSql, av8AsofSqlInner,
@@ -1320,5 +1339,5 @@ object StreamingQueries {
     st21KmvDistinct, st22IndexMaintenance, st23NearIndexMaintenance,
     st24BkQuantile, st25CmsFreq, st26KstatsMaintenance,
     st27MorDeleteSqlServe, st28Bm25BatchServe, st29IvfPqSqlServe,
-    st30IvfPqIngest)
+    st30IvfPqIngest, st31IvfPqMorAppend)
 }

@@ -308,6 +308,84 @@ object VectorStreaming {
     spark.read.parquet(outDir).distinct().orderBy(col("id_a"))
   }
 
+  /** Streamed delta-ADD on a MERGE-ON-READ IVF-PQ store (st31) —
+    * st30's ingestion on the maintenance tier the helpers closed:
+    * each micro-batch lands through
+    * [[graft.operators.SimilarityOps.morAppendToIvfPqIndex]]
+    * (frozen-quantizer encode, `_vecs`-first crash ordering,
+    * `_seq`-stamped bucket-aligned code append — never a list or
+    * generation rewrite), so the standing store keeps SERVING between
+    * batches: tombstone semantics, time travel, and the versioned
+    * view all stay live mid-stream, which plain `saveAsTable` appends
+    * (st30's path) do not give. Quantizers are never retrained
+    * mid-stream; lineage is re-checked per batch (a rebuild out from
+    * under the stream fails the NEXT batch loudly, before a write).
+    * Low-id base ⇒ the frozen quantizers equal the one-shot build's,
+    * so after the drain the MoR serving view holds exactly what a
+    * fresh [[SimilarityOps.writeIvfPqIndex]] over everything builds,
+    * and the full-rerank SQL probe equals the float IVF answer —
+    * sim4's oracle verbatim (the fifth independent construction:
+    * one-shot, stored, streamed-plain, batch-MoR (sim25), and now
+    * streamed-MoR).
+    */
+  def ivfPqMorAppendStream(spark: SparkSession, vecs: DataFrame,
+      dims: Int, m: Int, codes: Int, k: Int = 16, nprobe: Int = 3,
+      rerank: Int = 4096, slices: Int = 4, buckets: Int = 8): DataFrame = {
+    import graft.operators.BucketedStores
+    val run = nameCounter.incrementAndGet()
+    val table = s"graft_st31_ivfpq_$run"
+    val Row(idMin: Long, idMax: Long) =
+      vecs.select(min(col("vec_id")), max(col("vec_id"))).head()
+    val cut = idMin + (idMax - idMin + 1) * 3 / 4
+    val base = vecs.filter(col("vec_id") < cut)
+    val delta = vecs.filter(col("vec_id") >= cut)
+    val seedRows = math.max(k, codes)
+    require(base.limit(seedRows).count() == seedRows,
+      s"base id range [$idMin,$cut) has < $seedRows vectors — the " +
+        "frozen quantizers would differ from the one-shot build's")
+    SimilarityOps.writeIvfPqIndex(base, "vec_id", "embedding", dims,
+      m, codes, k, table, buckets, location = Some(java.nio.file.Files
+        .createTempDirectory(s"graft_st31_loc_$run").toString),
+      mor = true)
+    val staged = DocumentsStreaming.stageIdSlices(delta, slices, "vec_id")
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_st31_chk_$run").toString
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // the generation table is APPENDED across batches while its
+        // schema is re-read per append — refresh its cached listing
+        // first (st10/st27's discipline for read-while-mutate tables)
+        spark.catalog.refreshTable(
+          BucketedStores.currentGeneration(spark, table))
+        SimilarityOps.morAppendToIvfPqIndex(spark, table, batch,
+          "vec_id", "embedding", dims, buckets): Unit
+      }
+      .option("checkpointLocation", chk)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // appends ran across sessions; refresh BOTH mutated tables'
+    // listings before the serving view resolves them
+    spark.catalog.refreshTable(
+      BucketedStores.currentGeneration(spark, table))
+    spark.catalog.refreshTable(table + "_vecs")
+    val view = s"st31_queries_$run"
+    graft.queries.Q.spread(vecs).createOrReplaceTempView(view)
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_st31_out_$run").toString
+    spark.sql("SELECT id_a, ann_id, score FROM " +
+      s"GRAFT_ANN('$table', '$view', 1, $nprobe, $rerank)")
+      .write.mode("overwrite").parquet(outDir)
+    spark.catalog.dropTempView(view)
+    BucketedStores.dropVersioned(spark, table)
+    Seq(s"${table}_centroids", s"${table}_codebooks", s"${table}_vecs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.read.parquet(outDir).orderBy(col("id_a"))
+  }
+
   /** Drain every staged file into the index via per-batch appends,
     * then stop — resumable: with the same checkpoint dir a later call
     * picks up at the first unprocessed file (StreamingSpec drives a
