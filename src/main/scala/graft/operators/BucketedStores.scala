@@ -607,6 +607,49 @@ object BucketedStores extends org.apache.spark.internal.Logging {
       .agg(coalesce(max("seq"), lit(0L))).head().getLong(0) + 1
   }
 
+  /** Replay ledger for AT-LEAST-ONCE writers (Structured Streaming's
+    * `foreachBatch` redelivers a crashed batch with the SAME batchId):
+    * the sequence a previously-landed batch stamped, if this batch id
+    * is already in the `<name>_applied` ledger — the caller skips the
+    * whole append and returns that seq, so a replay is a no-op instead
+    * of duplicate rows (which would surface as duplicate ranks at
+    * k > 1 serving: the MoR view is tombstone-anti-join only and never
+    * dedups live rows). The ledger is changelog-scale (one row per
+    * landed batch), created lazily by [[morRecordApplied]] — stores
+    * that never see a batch-id append carry no ledger at all. It
+    * survives [[morCompact]] on purpose: a batch folded into the new
+    * generation is still landed, so its replay must still be skipped.
+    */
+  def morAppliedSeq(spark: SparkSession, name: String,
+      batchId: Long): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, max}
+    val ledger = name + "_applied"
+    if (!spark.catalog.tableExists(ledger)) None
+    else {
+      val r = spark.table(ledger).filter(col("batch_id") === batchId)
+        .agg(max("seq")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+  }
+
+  /** Record a landed batch in the replay ledger — written LAST, after
+    * every data write of the batch, so the residue of a crash is
+    * always "unrecorded partial writes that a replay re-lands", never
+    * "a recorded batch whose writes are missing". The remaining
+    * non-atomic window (crash between the final data write and this
+    * marker → the replay duplicates the batch) is the standard price
+    * of multi-table appends without a transactional commit; top-1
+    * serving is insensitive to it (the per-query MAX-collapse), and a
+    * [[morDelete]] + re-append of the affected ids repairs it.
+    */
+  def morRecordApplied(spark: SparkSession, name: String,
+      batchId: Long, seq: Long): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((batchId, seq)).toDF("batch_id", "seq")
+      .write.mode("append").saveAsTable(name + "_applied")
+  }
+
   /** Delta-scale DELETE at sequence `seq`: append (id, seq) tombstone
     * rows. Readers through the serving view drop every row of those
     * ids with `_seq` < seq on their next resolution — no generation

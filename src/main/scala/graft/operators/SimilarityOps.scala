@@ -1485,24 +1485,40 @@ object SimilarityOps {
     * and every probe/SQL surface see the appended vectors on their
     * next resolution; tombstone semantics are untouched (appended
     * rows are alive — no tombstone can yet carry a higher seq).
-    * Returns the stamped sequence (the caller's time-travel handle:
-    * `readMorAsOfSeq(seq - 1)` is the pre-append state).
+    * Returns the stamped sequence. (Time-travel caveat: the seq clock
+    * is tombstone-driven, so consecutive appends with no intervening
+    * delete share a sequence — `readMorAsOfSeq(seq - 1)` rolls back
+    * past ALL appends since the last tombstone batch, not just this
+    * one.)
+    *
+    * At-least-once writers (Structured Streaming `foreachBatch`
+    * redelivers a crashed batch under the SAME batchId) should pass
+    * that id as `batchId`: a replay of an already-landed batch is then
+    * a no-op returning the recorded seq, instead of duplicate rows the
+    * tombstone-anti-join serving view cannot subtract (visible as
+    * duplicate ranks at k > 1). See [[BucketedStores.morRecordApplied]]
+    * for the marker-last crash contract and its remaining window.
     */
   def morAppendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, deltaVecs: DataFrame, idCol: String,
-      vecCol: String, dims: Int, buckets: Int = 8): Long = {
-    // eager lineage check + lazy encode, BEFORE any write lands
-    val enc = encodeForIvfPq(spark, table, deltaVecs, idCol, vecCol,
-      dims)
-    ivfProject(deltaVecs, idCol, vecCol)
-      .select(col("vid"), col("e"), col("nrm"))
-      .write.bucketBy(buckets, "vid").sortBy("vid")
-      .mode("append").saveAsTable(table + "_vecs")
-    val seq = BucketedStores.morNextSeq(spark, table)
-    BucketedStores.morAppend(spark, table, enc, seq,
-      Seq("cid"), Seq("cid"), buckets)
-    seq
-  }
+      vecCol: String, dims: Int, buckets: Int = 8,
+      batchId: Option[Long] = None): Long =
+    batchId.flatMap(BucketedStores.morAppliedSeq(spark, table, _))
+      .getOrElse {
+        // eager lineage check + lazy encode, BEFORE any write lands
+        val enc = encodeForIvfPq(spark, table, deltaVecs, idCol,
+          vecCol, dims)
+        ivfProject(deltaVecs, idCol, vecCol)
+          .select(col("vid"), col("e"), col("nrm"))
+          .write.bucketBy(buckets, "vid").sortBy("vid")
+          .mode("append").saveAsTable(table + "_vecs")
+        val seq = BucketedStores.morNextSeq(spark, table)
+        BucketedStores.morAppend(spark, table, enc, seq,
+          Seq("cid"), Seq("cid"), buckets)
+        batchId.foreach(
+          BucketedStores.morRecordApplied(spark, table, _, seq))
+        seq
+      }
 
   /** [[encodeForIvfPq]]'s SQ8 sibling: encode a vector delta under a
     * stored IVF-SQ8 index's FROZEN coarse quantizer — nearest stored
@@ -1541,22 +1557,28 @@ object SimilarityOps {
     * tier: floats land in `_vecs` FIRST (crash contract: dead floats
     * are harmless, codes without rerank floats silently lose their
     * winners), then the `_seq`-stamped int8 rows append bucket-
-    * aligned. Returns the stamped sequence.
+    * aligned. Returns the stamped sequence; `batchId` gives
+    * at-least-once writers the same replay no-op as the IVF-PQ helper.
     */
   def morAppendToIvfSq8Index(spark: org.apache.spark.sql.SparkSession,
       table: String, deltaVecs: DataFrame, idCol: String,
-      vecCol: String, dims: Int, buckets: Int = 8): Long = {
-    val enc = encodeForIvfSq8(spark, table, deltaVecs, idCol, vecCol,
-      dims)
-    ivfProject(deltaVecs, idCol, vecCol)
-      .select(col("vid"), col("e"), col("nrm"))
-      .write.bucketBy(buckets, "vid").sortBy("vid")
-      .mode("append").saveAsTable(table + "_vecs")
-    val seq = BucketedStores.morNextSeq(spark, table)
-    BucketedStores.morAppend(spark, table, enc, seq,
-      Seq("cid"), Seq("cid"), buckets)
-    seq
-  }
+      vecCol: String, dims: Int, buckets: Int = 8,
+      batchId: Option[Long] = None): Long =
+    batchId.flatMap(BucketedStores.morAppliedSeq(spark, table, _))
+      .getOrElse {
+        val enc = encodeForIvfSq8(spark, table, deltaVecs, idCol,
+          vecCol, dims)
+        ivfProject(deltaVecs, idCol, vecCol)
+          .select(col("vid"), col("e"), col("nrm"))
+          .write.bucketBy(buckets, "vid").sortBy("vid")
+          .mode("append").saveAsTable(table + "_vecs")
+        val seq = BucketedStores.morNextSeq(spark, table)
+        BucketedStores.morAppend(spark, table, enc, seq,
+          Seq("cid"), Seq("cid"), buckets)
+        batchId.foreach(
+          BucketedStores.morRecordApplied(spark, table, _, seq))
+        seq
+      }
 
   /** Probe a stored IVF-PQ index ([[writeIvfPqIndex]]): the query
     * ranks the k coarse centroids in-row ((cosine DESC, cid) at 6 dp

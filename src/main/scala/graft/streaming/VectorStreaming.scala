@@ -354,14 +354,17 @@ object VectorStreaming {
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
       .writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         // the generation table is APPENDED across batches while its
         // schema is re-read per append — refresh its cached listing
         // first (st10/st27's discipline for read-while-mutate tables)
         spark.catalog.refreshTable(
           BucketedStores.currentGeneration(spark, table))
+        // foreachBatch is at-least-once: the batchId makes a replayed
+        // batch a ledger-guarded no-op instead of duplicate rows
         SimilarityOps.morAppendToIvfPqIndex(spark, table, batch,
-          "vec_id", "embedding", dims, buckets): Unit
+          "vec_id", "embedding", dims, buckets,
+          batchId = Some(bid)): Unit
       }
       .option("checkpointLocation", chk)
       .start()
@@ -381,7 +384,8 @@ object VectorStreaming {
       .write.mode("overwrite").parquet(outDir)
     spark.catalog.dropTempView(view)
     BucketedStores.dropVersioned(spark, table)
-    Seq(s"${table}_centroids", s"${table}_codebooks", s"${table}_vecs")
+    Seq(s"${table}_centroids", s"${table}_codebooks", s"${table}_vecs",
+        s"${table}_applied")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.read.parquet(outDir).orderBy(col("id_a"))
   }

@@ -1559,6 +1559,62 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MoR append replay guard: a redelivered foreachBatch batchId " +
+      "is a ledger no-op — no duplicate codes, no duplicate floats; " +
+      "a NEW batchId still lands") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+    val vecs = corpus.toDF("vec_id", "embedding")
+    val base = vecs.filter(col("vec_id") < 60)
+    val d1 = vecs.filter(col("vec_id") >= 60 && col("vec_id") < 70)
+    val d2 = vecs.filter(col("vec_id") >= 70)
+    val mor = "t_pqmorreplay"
+    BucketedStores.dropVersioned(spark, mor)
+    Seq(mor, s"${mor}_centroids", s"${mor}_codebooks", s"${mor}_vecs",
+        s"${mor}_applied")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    SimilarityOps.writeIvfPqIndex(base, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 4, table = mor,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_pqmorreplay").toString), mor = true)
+    val seq1 = SimilarityOps.morAppendToIvfPqIndex(spark, mor, d1,
+      "vec_id", "embedding", dims = 8, batchId = Some(7L))
+    val (gen1, vecs1) = (spark.table(mor).count(),
+      spark.table(s"${mor}_vecs").count())
+    // the REPLAY: same batchId — duplicate rows here would surface as
+    // duplicate ranks at k > 1 (the anti-join view never dedups)
+    val seqR = SimilarityOps.morAppendToIvfPqIndex(spark, mor, d1,
+      "vec_id", "embedding", dims = 8, batchId = Some(7L))
+    assert(seqR === seq1, "a replayed batch must return the seq its " +
+      "first landing stamped")
+    assert(spark.table(mor).count() === gen1 &&
+      spark.table(s"${mor}_vecs").count() === vecs1,
+      "a replayed batchId must not append a single row to either " +
+        "the code lists or the float companion")
+    // a NEW batch still lands, and its replay is also a no-op
+    SimilarityOps.morAppendToIvfPqIndex(spark, mor, d2,
+      "vec_id", "embedding", dims = 8, batchId = Some(8L)): Unit
+    assert(spark.table(mor).count() === 80L)
+    SimilarityOps.morAppendToIvfPqIndex(spark, mor, d2,
+      "vec_id", "embedding", dims = 8, batchId = Some(8L)): Unit
+    assert(spark.table(mor).count() === 80L &&
+      spark.table(s"${mor}_vecs").count() === 80L)
+    // the guarded store answers exactly like an unguarded good run:
+    // serving parity is the point of the guard
+    val got = SimilarityOps.probeIvfPqIndex(spark, mor, vecs,
+      "vec_id", "embedding", dims = 8, nprobe = 2, rerank = 8)
+      .orderBy(col("id_a")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) === (0L until 80L),
+      "every query answered exactly once after guarded appends")
+    BucketedStores.dropVersioned(spark, mor)
+    Seq(mor, s"${mor}_centroids", s"${mor}_codebooks", s"${mor}_vecs",
+        s"${mor}_applied")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("GRAFT_ANN bounded batches prune the lists scan on the SQL " +
       "surface too: parse-time probed-cid resolution pushes In(cid) " +
       "into the scan for all three IVF tiers, and corpus-as-queries " +
