@@ -615,12 +615,12 @@ object BucketedStores extends org.apache.spark.internal.Logging {
     * of duplicate rows (which would surface as duplicate ranks at
     * k > 1 serving: the MoR view is tombstone-anti-join only and never
     * dedups live rows). The ledger is changelog-scale (one row per
-    * landed batch), created lazily by [[morRecordApplied]] — stores
+    * landed batch), created lazily by [[recordAppliedBatch]] — stores
     * that never see a batch-id append carry no ledger at all. It
     * survives [[morCompact]] on purpose: a batch folded into the new
     * generation is still landed, so its replay must still be skipped.
     */
-  def morAppliedSeq(spark: SparkSession, name: String,
+  def appliedBatchSeq(spark: SparkSession, name: String,
       batchId: Long): Option[Long] = {
     import org.apache.spark.sql.functions.{col, max}
     val ledger = name + "_applied"
@@ -642,7 +642,7 @@ object BucketedStores extends org.apache.spark.internal.Logging {
     * serving is insensitive to it (the per-query MAX-collapse), and a
     * [[morDelete]] + re-append of the affected ids repairs it.
     */
-  def morRecordApplied(spark: SparkSession, name: String,
+  def recordAppliedBatch(spark: SparkSession, name: String,
       batchId: Long, seq: Long): Unit = {
     val spark2 = spark
     import spark2.implicits._

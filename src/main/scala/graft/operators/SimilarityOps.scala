@@ -1017,7 +1017,9 @@ object SimilarityOps {
     * drift only until the next rebuild) and append the rows through
     * the same `cid` bucket layout, so the next [[probeIvfIndex]] batch
     * sees them. Old files stay immutable; work is delta-scale only —
-    * the corpus lists are never read, let alone rewritten.
+    * the corpus lists are never read, let alone rewritten. `batchId`
+    * gives at-least-once writers the ledger-guarded replay no-op
+    * (see [[BucketedStores.recordAppliedBatch]]).
     */
   /** The plain-store contract shared by the delta-append helpers: a
     * VERSIONED/MoR serving name resolves to a VIEW, and appending to
@@ -1052,25 +1054,31 @@ object SimilarityOps {
 
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, deltaVecs: DataFrame, idCol: String, vecCol: String,
-      dims: Int, buckets: Int = 8): Unit = {
+      dims: Int, buckets: Int = 8,
+      batchId: Option[Long] = None): Unit = {
     requirePlainStore(spark, table, "appendToIvfIndex")
     requireQuantizerLineage(spark, table)
-    val cents = spark.table(table + "_centroids")
-      .orderBy(col("cid")).collect() // bounded: k rows by contract
-      .map(r => r.getLong(0) -> r.getSeq[Double](1))
-    require(cents.nonEmpty, s"index $table has no centroids")
-    cents.foreach { case (cid, ce) =>
-      require(ce.length == dims,
-        s"stored centroid $cid has ${ce.length} dims, expected $dims")
+    if (!batchId.exists(
+        BucketedStores.appliedBatchSeq(spark, table, _).isDefined)) {
+      val cents = spark.table(table + "_centroids")
+        .orderBy(col("cid")).collect() // bounded: k rows by contract
+        .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      require(cents.nonEmpty, s"index $table has no centroids")
+      cents.foreach { case (cid, ce) =>
+        require(ce.length == dims,
+          s"stored centroid $cid has ${ce.length} dims, expected $dims")
+      }
+      val (dc, centArr) = withCentroids(
+        ivfProject(deltaVecs, idCol, vecCol), cents.toSeq)
+      dc
+        .select(
+          nearestCid(centArr).as("cid"),
+          col("vid"), col("e"), col("nrm"))
+        .write.bucketBy(buckets, "cid").sortBy("cid")
+        .mode("append").saveAsTable(table)
+      batchId.foreach(
+        BucketedStores.recordAppliedBatch(spark, table, _, 0L))
     }
-    val (dc, centArr) = withCentroids(
-      ivfProject(deltaVecs, idCol, vecCol), cents.toSeq)
-    dc
-      .select(
-        nearestCid(centArr).as("cid"),
-        col("vid"), col("e"), col("nrm"))
-      .write.bucketBy(buckets, "cid").sortBy("cid")
-      .mode("append").saveAsTable(table)
   }
 
   /** [[ivfTop1]] with a TRAINED coarse quantizer: `trainIters` Lloyd
@@ -1417,26 +1425,36 @@ object SimilarityOps {
     * or they could win the ADC cut and then vanish at the rerank
     * join). Old files stay immutable; work is delta-scale only. Build
     * stamps ride table properties, so appends preserve lineage.
+    * `batchId` gives at-least-once writers (streamed ingestion's
+    * `foreachBatch`) the ledger-guarded replay no-op — plain tables
+    * have no tombstone mechanics to subtract a duplicated batch, so
+    * prevention at the write is the only correct place.
     */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, deltaVecs: DataFrame, idCol: String, vecCol: String,
-      dims: Int, buckets: Int = 8): Unit = {
+      dims: Int, buckets: Int = 8,
+      batchId: Option[Long] = None): Unit = {
     requirePlainStore(spark, table, "appendToIvfPqIndex")
-    val enc = encodeForIvfPq(spark, table, deltaVecs, idCol, vecCol,
-      dims)
-    // WRITE ORDER IS THE CRASH CONTRACT: the float companion lands
-    // FIRST, the code lists second. A failure between the two writes
-    // then leaves float rows no code row references — harmless dead
-    // data the next compaction can drop — instead of committed codes
-    // whose vids have no rerank floats, which would win the ADC cut
-    // and silently vanish at the refine inner join.
-    ivfProject(deltaVecs, idCol, vecCol)
-      .select(col("vid"), col("e"), col("nrm"))
-      .write.bucketBy(buckets, "vid").sortBy("vid")
-      .mode("append").saveAsTable(table + "_vecs")
-    enc
-      .write.bucketBy(buckets, "cid").sortBy("cid")
-      .mode("append").saveAsTable(table)
+    if (!batchId.exists(
+        BucketedStores.appliedBatchSeq(spark, table, _).isDefined)) {
+      val enc = encodeForIvfPq(spark, table, deltaVecs, idCol, vecCol,
+        dims)
+      // WRITE ORDER IS THE CRASH CONTRACT: the float companion lands
+      // FIRST, the code lists second. A failure between the two writes
+      // then leaves float rows no code row references — harmless dead
+      // data the next compaction can drop — instead of committed codes
+      // whose vids have no rerank floats, which would win the ADC cut
+      // and silently vanish at the refine inner join.
+      ivfProject(deltaVecs, idCol, vecCol)
+        .select(col("vid"), col("e"), col("nrm"))
+        .write.bucketBy(buckets, "vid").sortBy("vid")
+        .mode("append").saveAsTable(table + "_vecs")
+      enc
+        .write.bucketBy(buckets, "cid").sortBy("cid")
+        .mode("append").saveAsTable(table)
+      batchId.foreach(
+        BucketedStores.recordAppliedBatch(spark, table, _, 0L))
+    }
   }
 
   /** Encode a vector delta under a stored IVF-PQ index's FROZEN
@@ -1496,14 +1514,14 @@ object SimilarityOps {
     * that id as `batchId`: a replay of an already-landed batch is then
     * a no-op returning the recorded seq, instead of duplicate rows the
     * tombstone-anti-join serving view cannot subtract (visible as
-    * duplicate ranks at k > 1). See [[BucketedStores.morRecordApplied]]
+    * duplicate ranks at k > 1). See [[BucketedStores.recordAppliedBatch]]
     * for the marker-last crash contract and its remaining window.
     */
   def morAppendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       table: String, deltaVecs: DataFrame, idCol: String,
       vecCol: String, dims: Int, buckets: Int = 8,
       batchId: Option[Long] = None): Long =
-    batchId.flatMap(BucketedStores.morAppliedSeq(spark, table, _))
+    batchId.flatMap(BucketedStores.appliedBatchSeq(spark, table, _))
       .getOrElse {
         // eager lineage check + lazy encode, BEFORE any write lands
         val enc = encodeForIvfPq(spark, table, deltaVecs, idCol,
@@ -1516,7 +1534,7 @@ object SimilarityOps {
         BucketedStores.morAppend(spark, table, enc, seq,
           Seq("cid"), Seq("cid"), buckets)
         batchId.foreach(
-          BucketedStores.morRecordApplied(spark, table, _, seq))
+          BucketedStores.recordAppliedBatch(spark, table, _, seq))
         seq
       }
 
@@ -1564,7 +1582,7 @@ object SimilarityOps {
       table: String, deltaVecs: DataFrame, idCol: String,
       vecCol: String, dims: Int, buckets: Int = 8,
       batchId: Option[Long] = None): Long =
-    batchId.flatMap(BucketedStores.morAppliedSeq(spark, table, _))
+    batchId.flatMap(BucketedStores.appliedBatchSeq(spark, table, _))
       .getOrElse {
         val enc = encodeForIvfSq8(spark, table, deltaVecs, idCol,
           vecCol, dims)
@@ -1576,7 +1594,7 @@ object SimilarityOps {
         BucketedStores.morAppend(spark, table, enc, seq,
           Seq("cid"), Seq("cid"), buckets)
         batchId.foreach(
-          BucketedStores.morRecordApplied(spark, table, _, seq))
+          BucketedStores.recordAppliedBatch(spark, table, _, seq))
         seq
       }
 

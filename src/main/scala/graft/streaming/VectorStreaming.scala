@@ -81,6 +81,7 @@ object VectorStreaming {
     // hygiene, st10's discipline) before handing back the reader
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_applied")
     spark.read.parquet(outDir).orderBy(col("id_a"))
   }
 
@@ -124,6 +125,7 @@ object VectorStreaming {
     finally q.stop()
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_applied")
     spark.read.parquet(outDir).distinct().orderBy(col("id_a"))
   }
 
@@ -233,9 +235,11 @@ object VectorStreaming {
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
       .writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        // foreachBatch is at-least-once: the batchId makes a replayed
+        // batch a ledger-guarded no-op instead of duplicate rows
         SimilarityOps.appendToIvfPqIndex(spark, table, batch,
-          "vec_id", "embedding", dims, buckets)
+          "vec_id", "embedding", dims, buckets, batchId = Some(bid))
       }
       .option("checkpointLocation", chk)
       .start()
@@ -251,7 +255,7 @@ object VectorStreaming {
       "vec_id", "embedding", dims, nprobe, rerank)
       .write.mode("overwrite").parquet(outDir)
     Seq(table, s"${table}_centroids", s"${table}_codebooks",
-      s"${table}_vecs")
+      s"${table}_vecs", s"${table}_applied")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.read.parquet(outDir).orderBy(col("id_a"))
   }
@@ -303,7 +307,7 @@ object VectorStreaming {
     try q.processAllAvailable()
     finally q.stop()
     Seq(table, s"${table}_centroids", s"${table}_codebooks",
-      s"${table}_vecs")
+      s"${table}_vecs", s"${table}_applied")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.read.parquet(outDir).distinct().orderBy(col("id_a"))
   }
@@ -402,13 +406,15 @@ object VectorStreaming {
       .option("maxFilesPerTrigger", "1")
       .parquet(stagedDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         // assignment reads only the static centroids table, so no
         // per-batch relation-cache refresh is needed (st10 refreshes
         // because it PROBES the mutating table per batch; here the
-        // lists table is append-only until the stream drains)
+        // lists table is append-only until the stream drains).
+        // the batchId makes a post-restart REDELIVERY of a crashed
+        // batch a ledger no-op instead of duplicate list rows
         SimilarityOps.appendToIvfIndex(spark, table, batch,
-          "vec_id", "embedding", dims, buckets)
+          "vec_id", "embedding", dims, buckets, batchId = Some(bid))
       }
       .option("checkpointLocation", chk)
       .start()

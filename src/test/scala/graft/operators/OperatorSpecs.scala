@@ -1613,6 +1613,29 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
     Seq(mor, s"${mor}_centroids", s"${mor}_codebooks", s"${mor}_vecs",
         s"${mor}_applied")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    // the PLAIN append helpers share the ledger: streamed ingestion
+    // (st15/st30) passes the foreachBatch batchId, and a post-restart
+    // redelivery must not duplicate list rows either
+    val plain = "t_pqplainreplay"
+    Seq(plain, s"${plain}_centroids", s"${plain}_codebooks",
+        s"${plain}_vecs", s"${plain}_applied")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    SimilarityOps.writeIvfPqIndex(base, "vec_id", "embedding",
+      dims = 8, m = 2, codes = 16, k = 4, table = plain,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_pqplainreplay").toString))
+    SimilarityOps.appendToIvfPqIndex(spark, plain, d1,
+      "vec_id", "embedding", dims = 8, batchId = Some(3L))
+    val (pg, pv) = (spark.table(plain).count(),
+      spark.table(s"${plain}_vecs").count())
+    SimilarityOps.appendToIvfPqIndex(spark, plain, d1,
+      "vec_id", "embedding", dims = 8, batchId = Some(3L))
+    assert(spark.table(plain).count() === pg &&
+      spark.table(s"${plain}_vecs").count() === pv,
+      "a replayed batchId on the plain append helper must be a no-op")
+    Seq(plain, s"${plain}_centroids", s"${plain}_codebooks",
+        s"${plain}_vecs", s"${plain}_applied")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
   test("GRAFT_ANN bounded batches prune the lists scan on the SQL " +
