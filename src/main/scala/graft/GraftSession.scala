@@ -41,6 +41,15 @@ object GraftSession {
       // gathers keep row-group/page pruning.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
       .config("spark.ui.enabled", "false")
+      // local `file://` FS with java.nio setPermission: without
+      // libhadoop, stock LocalFileSystem FORKS `chmod` for every
+      // created dir / committed file (~3 forks per part file — a
+      // measured 34k process launches in 23 s of conversion fleet,
+      // the dominant wod_convert term; see NioLocalFileSystem docs).
+      // Same bits on disk, no forks. Cluster deploys with native IO
+      // or remote FS are unaffected by construction.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.NioLocalFileSystem].getName)
       // driver testdata writes TIMESTAMP(NANOS) which the vectorized
       // parquet reader rejects; read as LongType epoch-nanos instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
