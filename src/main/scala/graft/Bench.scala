@@ -209,7 +209,16 @@ object Bench {
       wodReps: Int, bulk: Boolean): Seq[(Double, Long)] = {
     val fixtures = Paths.get("/root/reference/src/test/resources/wod")
     val nFiles = sys.env.get("SPARK_GRAFT_WOD_FILES").map(_.toInt).getOrElse(32)
-    val conc = sys.env.get("SPARK_GRAFT_WOD_CONC").map(_.toInt).getOrElse(24)
+    // Concurrent conversions scale with the session's cores instead of
+    // a flat 24 (guide §2: don't tune constants to one deployment):
+    // at the headline 32 cores this still resolves to 24 — the
+    // round-over-round series stays comparable — and the driver's
+    // lower-core scaling runs no longer queue 24 single-task write
+    // jobs onto e.g. 8 cores (A/B in OPTIMIZATION_r20.md). Env
+    // override unchanged.
+    val conc = sys.env.get("SPARK_GRAFT_WOD_CONC").map(_.toInt)
+      .getOrElse(math.min(24,
+        math.max(2, spark.sparkContext.defaultParallelism * 3 / 4)))
     val in = Files.createTempDirectory("wodbench_in")
     def replicate(ds: String, file: String, n: Int): Unit = {
       val src = fixtures.resolve(s"$ds/OBS/$file")

@@ -646,9 +646,34 @@ object BucketedStores extends org.apache.spark.internal.Logging {
       batchId: Long, seq: Long): Unit = {
     val spark2 = spark
     import spark2.implicits._
+    val ledger = name + "_applied"
+    // ORPHAN-LOCATION hygiene: the ledger is a managed table, and a
+    // managed LOCATION outlives the catalog that registered it (a new
+    // session's metastore knows nothing of the old warehouse dir). A
+    // location with no catalog entry is unreadable garbage by
+    // definition — without this, the first append of a fresh catalog
+    // dies with LOCATION_ALREADY_EXISTS on the previous run's residue.
+    if (!spark.catalog.tableExists(ledger)) {
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .defaultTablePath(org.apache.spark.sql.catalyst
+          .TableIdentifier(ledger)))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true): Unit
+    }
     Seq((batchId, seq)).toDF("batch_id", "seq")
-      .write.mode("append").saveAsTable(name + "_applied")
+      .write.mode("append").saveAsTable(ledger)
   }
+
+  /** Reset a store's replay ledger — called by every index REBUILD
+    * (`writeIvfIndex` family): a rebuilt index is a NEW store, and a
+    * stale ledger would silently no-op the first re-delivery of each
+    * batch id against it (an at-least-once writer restarting from
+    * batch 0 would have its entire backlog swallowed). Compaction
+    * ([[morCompact]]) deliberately does NOT call this — a compacted
+    * store is the same lineage, already-landed batches stay landed.
+    */
+  def dropReplayLedger(spark: SparkSession, name: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_applied")
 
   /** Delta-scale DELETE at sequence `seq`: append (id, seq) tombstone
     * rows. Readers through the serving view drop every row of those

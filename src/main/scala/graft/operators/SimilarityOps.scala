@@ -537,6 +537,7 @@ object SimilarityOps {
     // managed locations don't — drop + explicit external path
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    BucketedStores.dropReplayLedger(spark, table)
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cents = firstKCentroids(v, k, dims)
     val (vc, centArr) = withCentroids(v, cents)
@@ -880,6 +881,7 @@ object SimilarityOps {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
+    BucketedStores.dropReplayLedger(spark, table)
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cents = firstKCentroids(v, k, dims)
     val (vc, centArr) = withCentroids(v, cents)
@@ -1216,6 +1218,7 @@ object SimilarityOps {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_codebooks")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
+    BucketedStores.dropReplayLedger(spark, table)
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cb = pqCodebooks(v, dims, m, codes)
     val sub = dims / m
@@ -1374,6 +1377,7 @@ object SimilarityOps {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_codebooks")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_vecs")
+    BucketedStores.dropReplayLedger(spark, table)
     val v = ivfProject(vecsDf, idCol, vecCol)
     val cents =
       if (trainIters == 0) firstKCentroids(v, k, dims)

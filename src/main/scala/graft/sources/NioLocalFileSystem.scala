@@ -54,5 +54,21 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
 
 /** The checksummed `file://` wrapper over [[NioRawLocalFileSystem]] —
   * drop-in for `org.apache.hadoop.fs.LocalFileSystem`.
+  *
+  * Write-side `.crc` sidecars are OFF (reads still verify any
+  * existing sidecar): every parquet file the engine writes already
+  * carries parquet's own page-level checksums
+  * (`parquet.page.write-checksum.enabled`, on by default), so the
+  * sidecar is a redundant second checksum that costs one extra
+  * create+write+rename per part file and a CRC pass over every byte —
+  * measured 16% of the partitioned store write after the fork fix
+  * (WodWriteMicro r20: 1.07 → 0.90 s/store). Cluster deploys (HDFS /
+  * S3) never had client-side sidecars on the data path.
   */
-class NioLocalFileSystem extends LocalFileSystem(new NioRawLocalFileSystem)
+class NioLocalFileSystem extends LocalFileSystem(new NioRawLocalFileSystem) {
+  override def initialize(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(uri, conf)
+    setWriteChecksum(false)
+  }
+}

@@ -103,9 +103,10 @@ object GraftAnnRewrite {
     """^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?(GLOBAL\s+)?VIEW"""
       .r.unanchored
 
-  /** Parse-time twin of the API probes' `probeRegime`: resolve the
-    * UNION of all queries' nprobe probed lists with ONE bounded
-    * aggregate (capped at GatherMaxQueries × nprobe exploded rows —
+  /** Parse-time twin of the API probes' `probeRegime`: a trivial
+    * bounded count decides the regime, then (bounded batches only)
+    * ONE bounded aggregate resolves the UNION of all queries' nprobe
+    * probed lists (capped at GatherMaxQueries × nprobe exploded rows —
     * over the cap means corpus-as-queries, where essentially every
     * list is probed and there is nothing to prune), so the expansion
     * can inject an `IN (<cids>)` filter that reaches the lists scan
@@ -125,9 +126,20 @@ object GraftAnnRewrite {
     */
   private def probedCids(spark: SparkSession, centroids: String,
       queries: String, nprobe: Int): Option[Seq[Long]] = scala.util.Try {
-    val cap = graft.operators.SimilarityOps.GatherMaxQueries *
-      math.max(nprobe, 1) + 1
-    val row = spark.sql(
+    val maxQ = graft.operators.SimilarityOps.GatherMaxQueries
+    // Regime gate FIRST, on a trivial plan (limit + count over the
+    // queries relation alone — no centroid join, no ranking): a
+    // corpus-as-queries batch is over the cap and prunes nothing, so
+    // the ranking aggregate below would be a pure parse-time tax on
+    // every such statement (measured ~0.3-0.4 s per GRAFT_ANN at the
+    // bench's 2000-query batch, r20). Exactly probeRegime's bounded-
+    // batch boundary, so SQL and API probes prune under the same
+    // contract.
+    val nq = spark.sql(
+      s"SELECT count(*) FROM (SELECT 1 AS g1 FROM $queries " +
+        s"LIMIT ${maxQ + 1}) graft_qcount").head().getLong(0)
+    val cap = maxQ * math.max(nprobe, 1) + 1
+    val row = if (nq > maxQ) null else spark.sql(
       s"""SELECT count(1) AS n, collect_set(cid) AS cids,
          |       (SELECT count(*) FROM $centroids) AS k
          |FROM (
@@ -144,7 +156,7 @@ object GraftAnnRewrite {
          |      'ns', -round(array_dot(ea, c.ce) / (na * c.cn), 6),
          |      'cid', c.cid))), 1, $nprobe), s -> s.cid)) gp AS pcid
          |  LIMIT $cap)""".stripMargin).head()
-    if (row.getLong(0) >= cap) None
+    if (row == null || row.getLong(0) >= cap) None
     else {
       val cids = row.getSeq[Long](1).sorted
       // a set covering every list prunes nothing; empty means an

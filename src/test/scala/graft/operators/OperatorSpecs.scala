@@ -1638,6 +1638,42 @@ class OperatorSpecs extends AnyFunSuite with BeforeAndAfterAll {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
   }
 
+  test("index REBUILD resets the replay ledger: a batchId landed on " +
+      "the OLD index must land again on the new one (a stale ledger " +
+      "would swallow an at-least-once writer's whole backlog)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+    val vecs = corpus.toDF("vec_id", "embedding")
+    val base = vecs.filter(col("vec_id") < 30)
+    val delta = vecs.filter(col("vec_id") >= 30)
+    val t = "t_ledgerreset"
+    Seq(t, s"${t}_centroids", s"${t}_applied")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+    SimilarityOps.writeIvfIndex(base, "vec_id", "embedding",
+      dims = 8, k = 4, table = t,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_ledgerreset").toString))
+    SimilarityOps.appendToIvfIndex(spark, t, delta,
+      "vec_id", "embedding", dims = 8, batchId = Some(0L))
+    assert(spark.table(t).count() === 40L)
+    // REBUILD: a new store — the writer restarting from batch 0 must
+    // not have its backlog swallowed by the old store's ledger
+    SimilarityOps.writeIvfIndex(base, "vec_id", "embedding",
+      dims = 8, k = 4, table = t,
+      location = Some(java.nio.file.Files
+        .createTempDirectory("t_ledgerreset2").toString))
+    assert(spark.table(t).count() === 30L, "rebuild starts from base")
+    SimilarityOps.appendToIvfIndex(spark, t, delta,
+      "vec_id", "embedding", dims = 8, batchId = Some(0L))
+    assert(spark.table(t).count() === 40L,
+      "batchId 0 must LAND on the rebuilt index — stale ledger rows " +
+        "from the previous build must not no-op it")
+    Seq(t, s"${t}_centroids", s"${t}_applied")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
   test("GRAFT_ANN bounded batches prune the lists scan on the SQL " +
       "surface too: parse-time probed-cid resolution pushes In(cid) " +
       "into the scan for all three IVF tiers, and corpus-as-queries " +

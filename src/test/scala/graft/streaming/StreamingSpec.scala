@@ -505,6 +505,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy(col("id_a")).collect().toSeq
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS ${table}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_applied") // replay ledger
     assert(got === expected)
   }
 
