@@ -647,9 +647,11 @@ object SimilarityOps {
               / (col("nrm") * c.getField("cn")), 6)).as("ns"),
             c.getField("cid").as("cid")))), 1, nprobe),
           s => s.getField("cid"))).as("cid"))
-    // ONE bounded driver job ([[probeRegime]]) decides the
+    // AT MOST one bounded driver job ([[probeRegime]]) decides the
     // serving-batch regime and collects the probed cid set together
-    val (_, probed) = probeRegime(q, nprobe, GatherMaxQueries)
+    // (zero jobs when the queries relation's footers prove over-cap)
+    val (_, probed) = probeRegime(q, nprobe, GatherMaxQueries,
+      base = Some(queriesDf))
     val index = prunedLists(spark, table, probed, cents.length)
       .select(col("cid"), col("vid").as("id_b"), col("e").as("eb"),
         col("nrm").as("nb"))
@@ -685,7 +687,22 @@ object SimilarityOps {
     * driver jobs, the fully lazy join pipeline runs.
     */
   private def probeRegime(q: DataFrame, nprobe: Int,
-      maxQueries: Long): (Long, Option[Seq[Long]]) = {
+      maxQueries: Long, base: Option[DataFrame] = None)
+      : (Long, Option[Seq[Long]]) = {
+    // JOBLESS over-cap proof first (r20 verdict item 1): when the raw
+    // queries relation's parquet footers prove MORE than maxQueries
+    // rows, the batch is corpus-as-queries — nothing to prune, nothing
+    // to gather — and the bounded count job below is a pure ~0.2 s
+    // driver tax. Over-cap is the always-correct direction (the lazy
+    // pipeline computes identical results); bounded batches still run
+    // the one job, because only it can yield the probed cid set.
+    // (Base rows with NULL vectors explode to zero probe rows, so a
+    // null-heavy batch that the exploded count would have called
+    // bounded may here take the lazy path — a regime choice, never a
+    // result change.)
+    if (base.exists(b =>
+        RelationRowBound.exceeds(b, maxQueries).contains(true)))
+      return (Long.MaxValue, None)
     val lim = math.min(maxQueries * math.max(nprobe, 1) + 1,
       Int.MaxValue.toLong).toInt
     // ONE aggregate row, not a row collect: the driver receives
@@ -970,7 +987,8 @@ object SimilarityOps {
     // serving-batch-scale job even when queries = the corpus
     val (nQueries, probed) = probeRegime(q, nprobe,
       math.max(SimilarityOps.GatherMaxQueries,
-        SimilarityOps.GatherMaxIds / math.max(rerank, 1)))
+        SimilarityOps.GatherMaxIds / math.max(rerank, 1)),
+      base = Some(queriesDf))
     val index = prunedLists(spark, table, probed, cents.length)
       .select(col("cid"),
         col("vid").as("id_b"), col("q").as("qb"),
@@ -1292,10 +1310,15 @@ object SimilarityOps {
         round(dist2(slice(col("e"),
           y.getField("j") * lit(sub) + lit(1), lit(sub)),
           x.getField("ce")), 6))).as("qtab"))
-    val nQueries = scala.util.Try(queriesDf
-      .limit((math.max(GatherMaxQueries,
-        GatherMaxIds / math.max(rerank, 1)) + 1).toInt).count())
-      .getOrElse(Long.MaxValue)
+    // gather-regime count: parquet footers first (jobless, exact under
+    // the cap — see [[RelationRowBound]]), the bounded count job only
+    // when the plan shape is not provable
+    val gatherCap = math.max(GatherMaxQueries,
+      GatherMaxIds / math.max(rerank, 1))
+    val nQueries = RelationRowBound.boundedCount(queriesDf, gatherCap)
+      .getOrElse(scala.util.Try(
+        queriesDf.limit((gatherCap + 1).toInt).count())
+        .getOrElse(Long.MaxValue))
     // the scan kernel: codegen'd ADC lookup sum ([[org.apache.spark
     // .sql.graft.PqAdcDistance]]) — unsigned code decode built in,
     // bit-equal to the DECIMAL-routed HOF sum it replaced (6-dp
@@ -1676,7 +1699,8 @@ object SimilarityOps {
         s => s.getField("cid"))).as("cid"))
     val (nQueries, probed) = probeRegime(q, nprobe,
       math.max(GatherMaxQueries,
-        GatherMaxIds / math.max(rerank, 1)))
+        GatherMaxIds / math.max(rerank, 1)),
+      base = Some(queriesDf))
     val index = prunedLists(spark, table, probed, cents.length)
       .select(col("cid"), col("vid").as("id_b"), col("codes"))
     // codegen'd ADC lookup sum — unsigned decode built in, bit-equal

@@ -127,17 +127,21 @@ object GraftAnnRewrite {
   private def probedCids(spark: SparkSession, centroids: String,
       queries: String, nprobe: Int): Option[Seq[Long]] = scala.util.Try {
     val maxQ = graft.operators.SimilarityOps.GatherMaxQueries
-    // Regime gate FIRST, on a trivial plan (limit + count over the
-    // queries relation alone — no centroid join, no ranking): a
-    // corpus-as-queries batch is over the cap and prunes nothing, so
-    // the ranking aggregate below would be a pure parse-time tax on
-    // every such statement (measured ~0.3-0.4 s per GRAFT_ANN at the
-    // bench's 2000-query batch, r20). Exactly probeRegime's bounded-
-    // batch boundary, so SQL and API probes prune under the same
-    // contract.
-    val nq = spark.sql(
-      s"SELECT count(*) FROM (SELECT 1 AS g1 FROM $queries " +
-        s"LIMIT ${maxQ + 1}) graft_qcount").head().getLong(0)
+    // Regime gate FIRST, and JOBLESS where provable (r21): the
+    // queries relation's parquet footers decide over/under-cap
+    // without any Spark job ([[graft.operators.RelationRowBound]] —
+    // exact counts, short-circuited past the cap). The r20 gate's
+    // bounded `LIMIT cap+1` count job cost ~0.2 s of fixed driver
+    // scheduling PER GRAFT_ANN STATEMENT on over-cap batches (sim12's
+    // whole gap to its API twin); it remains only as the fallback for
+    // plan shapes footers cannot prove (filters, joins, streaming).
+    // Exactly probeRegime's bounded-batch boundary, so SQL and API
+    // probes prune under the same contract.
+    val nq = graft.operators.RelationRowBound
+      .boundedCount(spark.table(queries), maxQ)
+      .getOrElse(spark.sql(
+        s"SELECT count(*) FROM (SELECT 1 AS g1 FROM $queries " +
+          s"LIMIT ${maxQ + 1}) graft_qcount").head().getLong(0))
     val cap = maxQ * math.max(nprobe, 1) + 1
     val row = if (nq > maxQ) null else spark.sql(
       s"""SELECT count(1) AS n, collect_set(cid) AS cids,
