@@ -195,7 +195,25 @@ object Bench {
     val stamped = line.dropRight(1) +
       s""","run_at":"${java.time.Instant.now()}"}"""
     Files.writeString(Paths.get("BENCH_latest.json"), stamped + "\n")
-    println(line)
+    // The STDOUT line must survive a truncated capture: r19's PERF
+    // comparison was lost because the harness stored only a 2,000-char
+    // stdout TAIL and the full line's front (metric/value/queries) was
+    // beheaded (r20 verdict item 6 / PERF_r20 prev_bench_ok: false).
+    // Print a compact line — every per-query MIN at 6 dp plus all
+    // scalar keys, just without the `runs` and `queries_isolated`
+    // maps — which fits a 2,000-char tail whole. Full-fidelity record
+    // (all reps, the isolated map, full precision) stays in BENCH.json
+    // / BENCH_latest.json above; the isolated mins are identical to
+    // `queries` minus the wod_convert entries by construction.
+    def r6(v: Double): String = {
+      val s = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      s.underlying.stripTrailingZeros.toPlainString
+    }
+    val qs6 = timings.map { case (k, v) => "\"" + k + "\":" + r6(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r6(total)},"unit":"sec","queries":$qs6,"errors":$errs,"wod_casts_per_sec":${r6(castsPerSec)},"wod_bulk_casts_per_sec":${r6(bulkCastsPerSec)},"host_calib_sec":${r6(calib)},"host_calib_anchor_sec":$CalibAnchorSec,"host_calib_par_sec":${r6(calibPar)},"host_calib_sustained_decay":${r6(calibDecay)},"host_calib_io_mbps":${r6(calibIo)},"wod_casts_per_sec_normalized":${r6(normCasts)},"wod_bulk_casts_per_sec_normalized":${r6(normBulk)},"wod_casts_per_sec_normalized_par":${r6(normCastsPar)},"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 

@@ -14,6 +14,10 @@ object IvfPqDiag {
       "/root/testdata/sf0.1")
     val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook: SPARK_GRAFT_DIAG_AQE=off prices the per-stage AQE
+    // re-planning share of the serving floor (r21 Act 2 forensics)
+    if (sys.env.get("SPARK_GRAFT_DIAG_AQE").contains("off"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val base = graft.queries.Tables.embeddings(spark, sfDir)
     val queries = base.filter(col("vec_id") < 64)
     val path = java.nio.file.Files
@@ -50,13 +54,49 @@ object IvfPqDiag {
             System.nanoTime() - starts.getOrDefault(j.jobId, 0L))
       })
 
+    // driver-stack sampler (SPARK_GRAFT_DIAG_PROF=1): histogram the
+    // MAIN thread's stacks during each probe to attribute the
+    // between-jobs driver share (planning vs codegen vs scheduling)
+    val prof = sys.env.get("SPARK_GRAFT_DIAG_PROF").contains("1")
+    val mainThread = Thread.currentThread()
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          val st = mainThread.getStackTrace
+          // classify by the deepest "interesting" frame family
+          val key = st.collectFirst {
+            case f if f.getClassName.contains("janino") ||
+              f.getClassName.contains("CodeGenerator") => "codegen"
+            case f if f.getClassName.contains("RuleExecutor") ||
+              f.getClassName.contains("Optimizer") ||
+              f.getClassName.contains("Analyzer") => "optimize/analyze"
+            case f if f.getClassName.contains("AdaptiveSparkPlan") =>
+              "aqe-loop"
+            case f if f.getClassName.contains("QueryPlanner") ||
+              f.getClassName.contains("SparkStrategies") => "planning"
+            case f if f.getMethodName == "awaitResult" ||
+              f.getMethodName.contains("await") => "await-jobs"
+            case f if f.getClassName.contains("parquet") => "parquet-meta"
+          }.getOrElse(st.headOption.fold("idle")(f =>
+            f.getClassName.split('.').last + "." + f.getMethodName))
+          hist.merge(key, 1, Integer.sum(_, _))
+        }
+        Thread.sleep(5)
+      }
+    })
+    sampler.setDaemon(true)
+    if (prof) sampler.start()
     Seq(10, 1, 10, 1).foreach { rr =>
-      jobs.clear(); starts.clear(); ntasks.clear()
+      jobs.clear(); starts.clear(); ntasks.clear(); hist.clear()
+      sampling = true
       val t0 = System.nanoTime()
       val n = graft.operators.SimilarityOps
         .probeIvfPqIndex(spark, t, queries, "vec_id", "embedding",
           dims = 64, nprobe = 3, rerank = rr).count()
       val tot = (System.nanoTime() - t0) / 1e9
+      sampling = false
       Thread.sleep(200) // let listener events drain
       val parts = jobs.entrySet().iterator()
       val sb = new StringBuilder
@@ -66,6 +106,12 @@ object IvfPqDiag {
           f"${ntasks.getOrDefault(e.getKey, -1)}t ")
       }
       println(f"IVFPQDIAG rerank=$rr rows=$n total=$tot%.3fs $sb")
+      if (prof) {
+        import scala.jdk.CollectionConverters._
+        val top = hist.asScala.toSeq.sortBy(-_._2).take(8)
+          .map { case (k, v) => f"$k=${v * 5 / 1000.0}%.2fs" }
+        println(s"IVFPQPROF rerank=$rr ${top.mkString(" ")}")
+      }
     }
     Seq(t, s"${t}_centroids", s"${t}_codebooks", s"${t}_vecs")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
