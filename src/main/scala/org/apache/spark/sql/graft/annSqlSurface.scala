@@ -132,16 +132,17 @@ object GraftAnnRewrite {
     // without any Spark job ([[graft.operators.RelationRowBound]] —
     // exact counts, short-circuited past the cap). The r20 gate's
     // bounded `LIMIT cap+1` count job cost ~0.2 s of fixed driver
-    // scheduling PER GRAFT_ANN STATEMENT on over-cap batches (sim12's
-    // whole gap to its API twin); it remains only as the fallback for
-    // plan shapes footers cannot prove (filters, joins, streaming).
-    // Exactly probeRegime's bounded-batch boundary, so SQL and API
-    // probes prune under the same contract.
-    val nq = graft.operators.RelationRowBound
-      .boundedCount(spark.table(queries), maxQ)
-      .getOrElse(spark.sql(
-        s"SELECT count(*) FROM (SELECT 1 AS g1 FROM $queries " +
-          s"LIMIT ${maxQ + 1}) graft_qcount").head().getLong(0))
+    // scheduling PER GRAFT_ANN STATEMENT (sim12's whole gap to its
+    // API twin on over-cap batches, and a pure EXTRA job ahead of the
+    // ranking aggregate on bounded ones — tx44's probe is a filtered
+    // single row). Footer-unprovable shapes now run the ranking
+    // aggregate DIRECTLY: its LIMIT already bounds the work at
+    // cap ≈ maxQ ranked queries and its row count already signals
+    // over-cap — probeRegime's one-job fold, finally on the SQL
+    // surface too. Exactly probeRegime's bounded-batch boundary, so
+    // SQL and API probes prune under the same contract.
+    val nq: Long = graft.operators.RelationRowBound
+      .boundedCount(spark.table(queries), maxQ).getOrElse(-1L)
     val cap = maxQ * math.max(nprobe, 1) + 1
     val row = if (nq > maxQ) null else spark.sql(
       s"""SELECT count(1) AS n, collect_set(cid) AS cids,
