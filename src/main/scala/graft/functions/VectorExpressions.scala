@@ -98,7 +98,15 @@ object VectorFunctions {
   def topk_pairs(score: Column, id: Column, k: Int): Column =
     // k=1 routes the codegen'd declarative min-struct composition —
     // identical contract, none of the interpreted per-candidate
-    // update cost (see TopKPairs.top1Composition)
+    // update cost (see TopKPairs.top1Composition). k>1 stays on the
+    // bounded heap DELIBERATELY: a declarative sorted-slots variant
+    // (TopKPairsSmall, r21) measured 25x SLOWER — its whole-stage-
+    // codegen'd update method exceeds HotSpot's 8000-bytecode JIT
+    // limit (DontCompileHugeMethods) and runs interpreted, and even
+    // JIT-forced it loses ~2x to the heap's one-compare early exit
+    // because every row must evaluate all k slot expressions
+    // (TopKMicro: 17.5s interpreted / 1.9s JIT'd vs 0.85s heap on
+    // 4M candidates).
     if (k == 1)
       B.column(org.apache.spark.sql.graft.TopKPairs
         .top1Composition(B.expression(score), B.expression(id)))

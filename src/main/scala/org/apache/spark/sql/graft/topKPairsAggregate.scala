@@ -179,6 +179,22 @@ object TopKPairs {
   }
 }
 
+/** r21 NOTE — why there is NO declarative small-k fast path here:
+  * a DeclarativeAggregate with 2k sorted scalar slots (the k=1 trick
+  * generalized; selection-identity merge) was built, spec-gated, and
+  * MEASURED 25x slower than this heap on a 4M-candidate stream
+  * (graft.tools.TopKMicro: 17.5 s vs 0.85 s). Two independent causes:
+  * (1) the whole-stage-codegen'd update lands in ONE generated method
+  * whose bytecode exceeds HotSpot's 8000-byte JIT ceiling
+  * (-XX:+DontCompileHugeMethods, the default), so the hot loop runs
+  * in the bytecode INTERPRETER — confirmed by re-running with the
+  * flag flipped: 17.5 s -> 1.9 s; (2) even JIT-compiled it loses ~2x
+  * to the heap, because a projection must evaluate ALL k slot
+  * expressions per row while the heap's add() early-exits on one
+  * root compare for every candidate that doesn't rank. The bounded
+  * heap's ~47 ns/candidate interpreted update is the RIGHT engine
+  * for k>1 survivor cuts.
+  */
 case class TopKPairs(
     scoreExpr: Expression,
     idExpr: Expression,
