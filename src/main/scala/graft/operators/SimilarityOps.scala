@@ -337,50 +337,55 @@ object SimilarityOps {
         / (col("nrm") * c.getField("cn")), 6)).as("ns"),
       c.getField("cid").as("cid")))).getField("cid")
 
-  private def centroidLiteral(cents: Seq[(Long, Seq[Double])]): Column =
-    array(cents.map { case (cid, ce) =>
+  /** The centroid set as ONE plan node: a single Literal holding the
+    * already-converted array<struct<cid, ce, cn>> VALUE. The naive
+    * `array(struct(lit(...)))` spelling puts a k×(d+2)-node
+    * expression TREE in every plan the quantizer touches — the
+    * analyzer/optimizer/codegen passes (single-threaded driver work)
+    * walk it per action, and past a few thousand nodes they dominate
+    * wall-clock (measured r-early: a k=362, d=64 literal tree pinned
+    * the driver for 20+ minutes; the r20 escape hatch was a one-row
+    * broadcast CROSS JOIN, which instead paid a broadcast-exchange
+    * stage + one extra driver job per action). One Literal leaf is
+    * O(1) plan nodes at EVERY k, evaluates identically (same
+    * array<struct> value the HOF lambdas consume), and codegen embeds
+    * it as a constant reference, never source text.
+    */
+  private def centroidLiteral(cents: Seq[(Long, Seq[Double])]): Column = {
+    import org.apache.spark.sql.types._
+    val rows = cents.map { case (cid, ce) =>
       var ss = 0.0 // same left-to-right fold as array_norm
       ce.foreach(x => ss += x * x)
-      struct(lit(cid).as("cid"),
-        array(ce.map(lit(_)): _*).as("ce"),
-        lit(math.sqrt(ss)).as("cn"))
-    }: _*)
+      org.apache.spark.sql.Row(cid, ce, math.sqrt(ss))
+    }
+    org.apache.spark.sql.graft.GraftExpressionBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(rows,
+        ArrayType(StructType(Seq(
+          StructField("cid", LongType, nullable = false),
+          StructField("ce", ArrayType(DoubleType, containsNull = false),
+            nullable = false),
+          StructField("cn", DoubleType, nullable = false))),
+          containsNull = false)))
+  }
 
-  /** Above this quantizer size the centroid array ships as a RUNTIME
-    * one-row broadcast instead of a plan literal: a k×(d+2)-node
-    * literal tree puts O(k·d) expression nodes in every plan the
-    * quantizer touches, and past a few thousand nodes the analyzer/
-    * optimizer/codegen passes — all single-threaded on the driver —
-    * dominate wall-clock (measured: a k=362, d=64 literal pinned the
-    * driver for 20+ minutes). The broadcast row carries the same
-    * array<struct<cid,ce,cn>>; per-row evaluation is identical (the
-    * HOF lambdas are interpreted either way).
+  /** HISTORICAL boundary, kept for spec addressing: below it the r20
+    * code shipped the quantizer as an expression tree, above it as a
+    * broadcast cross join. Since r21 BOTH regimes ship as the single
+    * Literal node of [[centroidLiteral]] — this value no longer
+    * selects a code path; the big-k spec still uses it to pick a k
+    * that exercises the formerly-broadcast regime.
     */
   val CentroidLiteralMax: Int = 64
 
   /** The quantizer as a (DataFrame, Column) pair: `df` unchanged plus
-    * a column holding array<struct<cid, ce, cn>> — a literal for
-    * small k, else `df` cross-joined with a broadcast ONE-ROW
-    * aggregate of the centroid set (runtime data, O(1) plan nodes).
+    * a column holding array<struct<cid, ce, cn>> as one Literal plan
+    * node (see [[centroidLiteral]]).
     * Every downstream select that projects its own columns drops the
     * carrier column naturally.
     */
   private def withCentroids(df: DataFrame,
       cents: Seq[(Long, Seq[Double])]): (DataFrame, Column) =
-    if (cents.length <= CentroidLiteralMax) (df, centroidLiteral(cents))
-    else {
-      val spark = df.sparkSession
-      import spark.implicits._
-      val centsDf = cents.map { case (cid, ce) =>
-        var ss = 0.0
-        ce.foreach(x => ss += x * x)
-        (cid, ce, math.sqrt(ss))
-      }.toDF("cid", "ce", "cn")
-      val one = centsDf
-        .agg(collect_list(struct(col("cid"), col("ce"), col("cn")))
-          .as("__graft_cents"))
-      (df.crossJoin(broadcast(one)), col("__graft_cents"))
-    }
+    (df, centroidLiteral(cents))
 
   /** Scan-local coarse assignment to the deterministic first-k
     * centroids: (vid, e, nrm, cid) with cid chosen in-row off the
@@ -1156,27 +1161,32 @@ object SimilarityOps {
     * array<struct<j, cs: array<struct<c, ce>>>>, outer by j ASC,
     * inner by c ASC.
     */
+  /** The PQ codebooks as ONE plan node — [[centroidLiteral]]'s
+    * rationale, applied to the nested array<struct<j, cs>> shape
+    * (the r20 code paid an expression tree up to 256 codes and a
+    * broadcast cross join past it).
+    */
   private def withCodebooks(df: DataFrame,
-      cb: Seq[(Int, Int, Seq[Double])]): (DataFrame, Column) =
-    if (cb.length <= 256) {
-      val byJ = cb.groupBy(_._1).toSeq.sortBy(_._1).map { case (j, rows) =>
-        struct(lit(j).as("j"),
-          array(rows.sortBy(_._2).map { case (_, c, ce) =>
-            struct(lit(c).as("c"),
-              array(ce.map(lit(_)): _*).as("ce")) }: _*).as("cs"))
-      }
-      (df, array(byJ: _*))
-    } else {
-      val spark = df.sparkSession
-      import spark.implicits._
-      val one = cb.toDF("j", "c", "ce")
-        .groupBy(col("j"))
-        .agg(sort_array(collect_list(struct(col("c"), col("ce"))))
-          .as("cs"))
-        .agg(sort_array(collect_list(struct(col("j"), col("cs"))))
-          .as("__graft_cbk"))
-      (df.crossJoin(broadcast(one)), col("__graft_cbk"))
+      cb: Seq[(Int, Int, Seq[Double])]): (DataFrame, Column) = {
+    import org.apache.spark.sql.types._
+    val rows = cb.groupBy(_._1).toSeq.sortBy(_._1).map { case (j, rs) =>
+      org.apache.spark.sql.Row(j,
+        rs.sortBy(_._2).map { case (_, c, ce) =>
+          org.apache.spark.sql.Row(c, ce)
+        })
     }
+    val csType = ArrayType(StructType(Seq(
+      StructField("c", IntegerType, nullable = false),
+      StructField("ce", ArrayType(DoubleType, containsNull = false),
+        nullable = false))), containsNull = false)
+    val cbkCol = org.apache.spark.sql.graft.GraftExpressionBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(rows,
+        ArrayType(StructType(Seq(
+          StructField("j", IntegerType, nullable = false),
+          StructField("cs", csType, nullable = false))),
+          containsNull = false)))
+    (df, cbkCol)
+  }
 
   /** Squared L2 distance between two array<double> columns (sim9's
     * exact 6-dp-rounded formulation — left-to-right fold, so every

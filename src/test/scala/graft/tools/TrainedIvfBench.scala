@@ -34,10 +34,18 @@ object TrainedIvfBench {
     val rnd = new scala.util.Random(97)
     val centers = Seq.fill(16)(Seq.fill(dims)(rnd.nextGaussian() * 2))
     val block = rows / 16
+    // SPARK_GRAFT_TIVF_UNIFORM=1: the OTHER side of the default
+    // decision (r20 verdict item 7) — an unclustered corpus where
+    // first-k seeding has no adversary, so the measurement prices
+    // what training COSTS when it cannot help
+    val uniform = sys.env.get("SPARK_GRAFT_TIVF_UNIFORM").contains("1")
     val corpusLocal = (0 until rows).map { i =>
       val pr = new scala.util.Random(1000L + i)
-      val c = centers(i / block)
-      (i.toLong, c.map(_ + pr.nextGaussian() * 0.3))
+      if (uniform) (i.toLong, Seq.fill(dims)(pr.nextGaussian()))
+      else {
+        val c = centers(i / block)
+        (i.toLong, c.map(_ + pr.nextGaussian() * 0.3))
+      }
     }
     val path = java.nio.file.Files
       .createTempDirectory("tivf_corpus").toString

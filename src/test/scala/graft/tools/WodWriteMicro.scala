@@ -33,7 +33,34 @@ object WodWriteMicro {
     println(s"rows=${df.count()} cells=" +
       df.select("geohash3").distinct().count())
 
+    // task-thread sampler (SPARK_GRAFT_WODMICRO_PROF=1): attribute the
+    // per-part-file marginal to actual frames (writer init vs commit
+    // rename vs column flush) instead of guessing — r21 Act 4 evidence
+    val prof = sys.env.get("SPARK_GRAFT_WODMICRO_PROF").contains("1")
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            if (t.getName.startsWith("Executor task launch") &&
+                st.nonEmpty) {
+              val key = st.take(4).map(f =>
+                f.getClassName.split('.').last + "." + f.getMethodName)
+                .mkString(" <- ")
+              hist.merge(key, 1, Integer.sum(_, _))
+            }
+          }
+        }
+        Thread.sleep(3)
+      }
+    })
+    sampler.setDaemon(true)
+    if (prof) sampler.start()
+
     def reps2(base: Path, name: String)(body: Path => Unit): Unit = {
+      if (prof) { hist.clear(); sampling = true }
       val ts = (1 to 8).map { _ =>
         val out = Files.createTempDirectory(base, "wodmicro")
         val t0 = System.nanoTime()
@@ -44,6 +71,13 @@ object WodWriteMicro {
       }.sorted
       println(f"$name%-8s min=${ts.head}%.3f med=${ts(ts.size / 2)}%.3f " +
         s"all=${ts.map(t => f"$t%.2f").mkString(",")}")
+      if (prof) {
+        sampling = false
+        import scala.jdk.CollectionConverters._
+        hist.asScala.toSeq.sortBy(-_._2).take(8).foreach { case (k, v) =>
+          println(s"  HOT $v  $k")
+        }
+      }
     }
     def reps(name: String)(body: Path => Unit): Unit =
       reps2(java.nio.file.Paths.get(
