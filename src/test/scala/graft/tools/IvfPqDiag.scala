@@ -88,7 +88,12 @@ object IvfPqDiag {
     })
     sampler.setDaemon(true)
     if (prof) sampler.start()
-    Seq(10, 1, 10, 1).foreach { rr =>
+    // SPARK_GRAFT_DIAG_SEQ: rerank sequence (default alternates to
+    // expose shape-flip costs; a constant sequence models steady
+    // serving, where repeated identical plans should hit the codegen
+    // cache)
+    sys.env.getOrElse("SPARK_GRAFT_DIAG_SEQ", "10,1,10,1")
+      .split(',').map(_.trim.toInt).toSeq.foreach { rr =>
       jobs.clear(); starts.clear(); ntasks.clear(); hist.clear()
       sampling = true
       val t0 = System.nanoTime()
