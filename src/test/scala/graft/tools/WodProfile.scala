@@ -55,11 +55,42 @@ object WodProfile {
         new java.util.concurrent.ForkJoinPool(24))
       p.foreach(f)
     }
+    // task-thread sampler (SPARK_GRAFT_WODPROF_SAMPLE=1): where do
+    // parse/convert task threads actually spend — r21 Act 4 forensics
+    val profOn = sys.env.get("SPARK_GRAFT_WODPROF_SAMPLE").contains("1")
+    val hist = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            if (t.getName.startsWith("Executor task launch") &&
+                st.nonEmpty) {
+              val key = st.take(4).map(f =>
+                f.getClassName.split('.').last + "." + f.getMethodName)
+                .mkString(" <- ")
+              hist.merge(key, 1, Integer.sum(_, _))
+            }
+          }
+        }
+        Thread.sleep(3)
+      }
+    })
+    sampler.setDaemon(true)
+    if (profOn) sampler.start()
     def timed(name: String)(body: => Unit): Unit = {
       (1 to 3).foreach { i =>
+        if (profOn && i == 3) { hist.clear(); sampling = true }
         val t0 = System.nanoTime()
         body
         println(f"$name%-16s rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        if (profOn && i == 3) {
+          sampling = false
+          import scala.jdk.CollectionConverters._
+          hist.asScala.toSeq.sortBy(-_._2).take(10)
+            .foreach { case (k, v) => println(s"  HOT $v  $k") }
+        }
       }
     }
 
